@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's 10-operator metadata filter DSL re-expressed as an ADT
+  * that compiles to a Catalyst [[Column]] predicate.
+  *
+  * Semantics mirrored from the reference (vectordb.py:69-118, 196-213):
+  *  - a missing/null field makes every condition FALSE (including NE/NIN —
+  *    the reference returns False when the key is absent). SQL three-valued
+  *    logic gives exactly this for comparisons; for NOT-variants we AND with
+  *    `isNotNull` so null never leaks through the negation.
+  *  - CONTAINS and REGEX compare against str(value) — we cast to string.
+  *  - REGEX is an unanchored `re.search` — `rlike` has the same semantics.
+  *  - `Filter.fromMap` is the `{k: v, ...}` AND-of-equalities shorthand
+  *    (vectordb.py:207-213).
+  *
+  * Compiling to Column (instead of evaluating per row like the reference's
+  * Python closures) means the predicate participates in Catalyst pushdown:
+  * at 100 TB the filter reaches the parquet scan as PushedFilters instead of
+  * post-filtering fetched candidates (the reference's k*10 over-fetch hack
+  * at vectordb.py:519-559 exists only because its filter cannot push down).
+  */
+sealed trait Filter {
+  def compile: Column
+
+  def &&(other: Filter): Filter = Filter.And(this, other)
+  def ||(other: Filter): Filter = Filter.Or(this, other)
+  def unary_! : Filter = Filter.Not(this)
+}
+
+object Filter {
+  private def field(name: String): Column = col(name)
+
+  final case class Eq(key: String, value: Any) extends Filter {
+    def compile: Column = field(key) === lit(value)
+  }
+  final case class Ne(key: String, value: Any) extends Filter {
+    // missing field => false, so require non-null explicitly
+    def compile: Column = field(key).isNotNull && field(key) =!= lit(value)
+  }
+  final case class Gt(key: String, value: Any) extends Filter {
+    def compile: Column = field(key) > lit(value)
+  }
+  final case class Gte(key: String, value: Any) extends Filter {
+    def compile: Column = field(key) >= lit(value)
+  }
+  final case class Lt(key: String, value: Any) extends Filter {
+    def compile: Column = field(key) < lit(value)
+  }
+  final case class Lte(key: String, value: Any) extends Filter {
+    def compile: Column = field(key) <= lit(value)
+  }
+  final case class In(key: String, values: Seq[Any]) extends Filter {
+    def compile: Column = field(key).isin(values: _*)
+  }
+  final case class Nin(key: String, values: Seq[Any]) extends Filter {
+    def compile: Column = field(key).isNotNull && !field(key).isin(values: _*)
+  }
+  final case class Contains(key: String, substr: String) extends Filter {
+    def compile: Column = field(key).cast("string").contains(substr)
+  }
+  final case class Regex(key: String, pattern: String) extends Filter {
+    def compile: Column = field(key).cast("string").rlike(pattern)
+  }
+
+  final case class And(l: Filter, r: Filter) extends Filter {
+    def compile: Column = l.compile && r.compile
+  }
+  final case class Or(l: Filter, r: Filter) extends Filter {
+    def compile: Column = l.compile || r.compile
+  }
+  final case class Not(f: Filter) extends Filter {
+    // reference not_() negates a boolean closure; null (missing field)
+    // must still evaluate to false after negation, hence coalesce.
+    def compile: Column = !coalesce(f.compile, lit(false))
+  }
+
+  /** Dict-shorthand: AND of equalities (vectordb.py:207-213). */
+  def fromMap(m: Map[String, Any]): Filter =
+    m.map { case (k, v) => Eq(k, v): Filter }
+      .reduceOption(And(_, _)).getOrElse(True)
+
+  /** Neutral element — compiles to TRUE. */
+  case object True extends Filter { def compile: Column = lit(true) }
+}
