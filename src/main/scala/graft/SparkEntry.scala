@@ -27,7 +27,8 @@ object SparkEntry {
     t(s, dir, "embeddings").where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1-A5-style aggregation (TPC-H Q1 shape) — SURVEY §2.4
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -102,7 +103,12 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
-  )
+    )
+    base ++ graft.queries.QueriesRelational.defs ++
+      graft.queries.QueriesVector.defs ++
+      graft.queries.QueriesQuant.defs ++
+      graft.queries.QueriesText.defs
+  }
 
   /** DuckDB oracle SQL, same column names + rounding as the Spark side. */
   def oracleSql: Map[String, String] = {
@@ -167,6 +173,9 @@ object SparkEntry {
       "q11_knn_l2" -> knnOracle(l2),
       "q12_knn_ip" -> knnOracle(ip),
       "q13_knn_filtered" -> knnOracle(cosine, where = "c.label IN (1, 3, 7)"),
-    )
+    ) ++ graft.queries.QueriesRelational.oracles ++
+      graft.queries.QueriesVector.oracles ++
+      graft.queries.QueriesQuant.oracles ++
+      graft.queries.QueriesText.oracles
   }
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * These extend the reference's text handling (its tokenizer at
+  * hybrid_search.py:71-75 is the only text op it has) with the standard
+  * corpus-curation battery: language ID, quality scoring, token counting,
+  * fingerprinting. All pure `functions._` column algebra — codegen'd,
+  * shuffle-free per row, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Word tokens, reference tokenizer semantics (lowercase, `\w+`). */
+  def tokens(c: Column): Column = Bm25Tokens.tokens(c)
+
+  /** Whitespace token count — the cheap `len(text.split())` estimate. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish subword count estimate: word chars grouped ~4 per token plus
+    * one token per non-space punctuation run (a public rule-of-thumb
+    * approximation of byte-pair tokenizers — NOT a real BPE). */
+  def bpeishTokenCount(c: Column): Column = {
+    val wordChars = length(regexp_replace(c, "[^A-Za-z0-9]", ""))
+    val punctRuns = size(filter(split(c, "[A-Za-z0-9\\s]+"), t => t =!= lit("")))
+    ceil(wordChars.cast("double") / 4.0).cast("long") + punctRuns.cast("long")
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: langid here is a partition-local scoring
+    * pass, not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "en", "por"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Language-ID: per-language stopword hit-rate, argmax with
+    * (rate desc, lang asc) tiebreak; no hits at all => "unk".
+    * Returns (idCol, predicted_lang, hit_rate). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sw = stopwords.toSeq.flatMap { case (l, ws) => ws.map((l, _)) }
+      .toDF("lang", "term")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("_n"), explode(col("_toks")).as("term"))
+    val hits = toks.join(broadcast(sw), "term")
+      .groupBy(col(idCol), col("lang"), col("_n"))
+      .agg(count(lit(1)).as("_hits"))
+      .withColumn("_rate", col("_hits").cast("double") / col("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("_rate"), col("lang"))
+    val best = hits.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(idCol), col("lang").as("predicted_lang"),
+        round(col("_rate"), 6).as("hit_rate"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("predicted_lang"), lit("unk")).as("predicted_lang"),
+        coalesce(col("hit_rate"), lit(0.0)).as("hit_rate"))
+  }
+
+  /** Heuristic quality score in [0,1] from length, punctuation ratio,
+    * stopword ratio, mean word length — the standard cheap pre-filter for
+    * corpus curation. Deterministic column algebra. */
+  def qualityScore(textCol: Column): Column = {
+    val nChars = length(textCol).cast("double")
+    val toks = tokens(textCol)
+    val nToks = size(toks).cast("double")
+    val meanWordLen = when(nToks > 0,
+      aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / nToks).otherwise(0.0)
+    val punct = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", "")).cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(1.0)
+    val sw = array(stopwords("en").map(lit): _*)
+    val swHits = size(filter(toks, t => array_contains(sw, t))).cast("double")
+    val swRatio = when(nToks > 0, swHits / nToks).otherwise(0.0)
+    // component scores, each clamped to [0,1]
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val wordLenScore = lit(1.0) - least(abs(meanWordLen - 5.0) / 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
+    val swScore = least(swRatio * 4.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.2 + punctScore * 0.3 + swScore * 0.2, 6)
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace/case-normalized
+    * text. Identical fingerprint == exact near-duplicate modulo spacing. */
+  def fingerprint(textCol: Column): Column =
+    md5(trim(regexp_replace(lower(textCol), "\\s+", " ")).cast("binary"))
+
+  /** Token n-gram shingles (arrays of n-token strings joined by space). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit integer hash of a string via md5 prefix — chosen (over
+    * xxhash/murmur) because every SQL engine in the oracle loop computes
+    * the identical value: parse the first 8 hex chars as a long. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit hash (15 hex chars — keeps the value inside a signed int64). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+}
+
+/** Shared tokenizer (kept separate so Bm25 and TextAnalysis agree). */
+private[graft] object Bm25Tokens {
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9_\\u00c0-\\u024f\\u4e00-\\u9fff]+"),
+      t => t =!= lit(""))
+}

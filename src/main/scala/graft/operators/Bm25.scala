@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** BM25 lexical retrieval as pure DataFrame algebra.
+  *
+  * Mirrors the reference's BM25Index (hybrid_search.py:40-179):
+  *  - tokenizer: lowercase + `\b\w+\b` (hybrid_search.py:71-75)
+  *  - idf = ln((N - df + 0.5)/(df + 0.5) + 1)   (hybrid_search.py:119-128)
+  *  - score = Σ_terms tf·(k1+1)/(tf + k1·(1 - b + b·len/avglen)) · idf
+  *    with k1=1.5, b=0.75                        (hybrid_search.py:130-154)
+  *  - a term occurring m times in the QUERY contributes m times
+  *    (the reference loops over the raw query token list).
+  *
+  * Scale shape: the inverted index IS the postings DataFrame — partitioned
+  * by term it is exactly the reference's `term -> {doc: tf}` dict
+  * (hybrid_search.py:63-65) distributed. Scoring a query = inner join of
+  * query terms with postings (only docs sharing >=1 term are touched — the
+  * same candidate pruning as hybrid_search.py:163-167) + one partial-final
+  * aggregation. No shuffle of the corpus: postings can be bucketed by term.
+  */
+object Bm25 {
+  val K1 = 1.5
+  val B = 0.75
+
+  /** Reference tokenizer: lowercase, split on non-word chars
+    * (shared with TextAnalysis via Bm25Tokens). */
+  def tokenize(c: Column): Column = graft.functions.Bm25Tokens.tokens(c)
+
+  /** Index state: one small stats row + two derived relations. */
+  final case class Index(postings: DataFrame,   // (doc_id, term, tf)
+                         docLengths: DataFrame, // (doc_id, doc_len)
+                         nDocs: Long, avgDocLen: Double)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenize(col(textCol)).as("_toks"))
+    val docLengths = toks.select(col("doc_id"), size(col("_toks")).as("doc_len"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = docLengths.agg(count(lit(1)), avg(col("doc_len"))).head()
+    Index(postings, docLengths, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** Score every matching document for a free-text query.
+    * Returns (doc_id, score) — only docs sharing >= 1 query term. */
+  def score(index: Index, queryText: String): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val qTerms = "[^a-z0-9_]+".r.split(queryText.toLowerCase).toSeq
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
+      .toDF("term", "q_mult")
+
+    val df = index.postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = index.nDocs
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+
+    index.postings
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(df), "term")
+      .join(index.docLengths, "doc_id")
+      .withColumn("_idf", idf)
+      .withColumn("_contrib",
+        col("q_mult") * col("_idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("doc_len") / index.avgDocLen)))
+      .groupBy("doc_id")
+      .agg(sum(col("_contrib")).as("score"))
+  }
+
+  /** BM25 top-k: (doc_id, score, rank), rank by (score desc, doc_id). */
+  def search(index: Index, queryText: String, k: Int): DataFrame =
+    score(index, queryText)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+
+  /** Weighted vector (+) keyword hybrid fusion, reference semantics
+    * (hybrid_search.py:355-477):
+    *  - both candidate sets fetched at fetch_k = 5*k
+    *  - vector distance d -> similarity 1 - d/max(d) over the candidate set
+    *  - keyword score s -> s/max(s) over the candidate set
+    *  - combined = alpha*v + (1-alpha)*kw over the UNION of candidates
+    *    (full outer join, missing side scores 0)
+    *
+    * @param vectorResults (doc_id, dist) — top fetch_k by vector distance
+    * @param keywordResults (doc_id, score) — top fetch_k by BM25
+    */
+  def hybridFuse(vectorResults: DataFrame, keywordResults: DataFrame,
+                 k: Int, alpha: Double = 0.5): DataFrame = {
+    // batch-global max: a one-row broadcast join, not a window — the
+    // candidate sets are k*5 rows so this stays tiny at any corpus scale
+    val vMax = vectorResults.agg(max(col("dist")).as("_vmax"))
+    val kMax = keywordResults.agg(max(col("score")).as("_kmax"))
+    val v = vectorResults.crossJoin(broadcast(vMax))
+      .select(col("doc_id"),
+        when(col("_vmax") > 0, lit(1.0) - col("dist") / col("_vmax"))
+          .otherwise(lit(1.0)).as("vector_score"))
+    val kw = keywordResults.crossJoin(broadcast(kMax))
+      .select(col("doc_id"),
+        when(col("_kmax") > 0, col("score") / col("_kmax"))
+          .otherwise(lit(0.0)).as("keyword_score"))
+    v.join(kw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("vector_score"), lit(0.0)).as("vector_score"),
+        coalesce(col("keyword_score"), lit(0.0)).as("keyword_score"))
+      .withColumn("score",
+        lit(alpha) * col("vector_score") + lit(1 - alpha) * col("keyword_score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

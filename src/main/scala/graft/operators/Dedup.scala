@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis, vector}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document deduplication for training-data pipelines, at five fidelity /
+  * cost points. Beyond the reference's surface (it has no dedup), but built
+  * from the same primitives: hashing, shingles, similarity join.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: one hash-groupBy; shuffle keyed on the fingerprint, perfectly
+  *    balanced unless the corpus is one giant duplicate class.
+  *  - minhashLSH: the 100 TB path. Signatures are a per-row map pass;
+  *    banding turns the quadratic all-pairs problem into an equi-join on
+  *    (band, band-signature) — only colliding docs meet. Verification runs
+  *    on the candidate pairs only.
+  *  - simhash: per-row 60-bit sketch; near-dup = small Hamming distance.
+  *    Pair generation via exact-prefix blocking would be next; here we
+  *    emit the sketch (the per-row operator) and verify pairs on demand.
+  *  - ngramJaccard: exact set-similarity join via shingle explode —
+  *    correct oracle for the approximate variants, quadratic in the worst
+  *    case, pruned by requiring a shared shingle.
+  *  - embedding cosine: near-dup in embedding space = threshold similarity
+  *    join on the kNN machinery.
+  */
+object Dedup {
+
+  /** Exact duplicate classes by normalized-text fingerprint.
+    * Returns (fingerprint, n_dups, keeper_id) for classes with >= minSize
+    * members; keeper = min doc id (deterministic survivor pick). */
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            minSize: Int = 1): DataFrame =
+    docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+      .where(col("n_dups") >= minSize)
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic universal-hash parameters for the MinHash permutations:
+    * h_i(x) = (a_i*x + b_i) mod P. Fixed constants so the DuckDB oracle
+    * can inline the identical values. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def minhashA(i: Int): Long = 1L + 2L * i
+  def minhashB(i: Int): Long = (7919L * i) % MinhashP
+
+  /** MinHash signature: (doc_id, sig: array<long>[numHashes]) over token
+    * n-gram shingles. Empty-shingle docs get sig of all P (sentinel). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
+      .withColumn("h", TextAnalysis.md5Hash32(col("shingle")))
+    val minExprs = (0 until numHashes).map { i =>
+      min(when(col("h").isNotNull,
+        pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP)))
+      ).as(s"m$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => coalesce(col(s"m$i"), lit(MinhashP))): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in >= 1 band,
+    * then verified with exact shingle-set Jaccard. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val banded = sigs.select(col(idCol).as("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(docs, idCol, textCol, candidates, shingleN, threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity join: all pairs sharing >= 1 shingle,
+    * kept if jaccard >= threshold. The oracle for minhashLsh. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val candidates = sh.select(col("doc").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(docs, idCol, textCol, candidates, shingleN, threshold)
+  }
+
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
+
+  /** Exact |A∩B| / |A∪B| over distinct shingles for given candidate pairs. */
+  private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
+                            candidates: DataFrame, shingleN: Int,
+                            threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash per document: bit b of the sketch is set iff
+    * Σ_tokens tf·(2·bit_b(h60(token)) - 1) > 0. Returns (doc_id, simhash).
+    * 60 bits (15 md5 hex chars) keeps the value in a signed int64 for
+    * SQL-engine parity. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextAnalysis.md5Hash60(col("token")))
+    val bitSum = (b: Int) =>
+      sum(col("tf") * (shiftright(col("h"), b).bitwiseAND(1) * 2 - 1))
+    val sums = toks.groupBy(col(idCol))
+      .agg(bitSum(0).as("s0"), (1 until 60).map(b => bitSum(b).as(s"s$b")): _*)
+    val sketch = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
+    * All-pairs on the 60-bit sketches (cheap: one long per doc); for
+    * larger corpora block on sketch prefixes first. */
+  def simhashPairs(sketches: DataFrame, idCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val a = sketches.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sketches.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------- Embedding-space near-duplicates
+
+  /** Pairs of vectors with cosine similarity >= threshold (id_a < id_b).
+    * Exact all-pairs; the LSH/IVF variants in Ann.scala are the scale
+    * path, this is their oracle. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", lit(1.0) - vector.cosineDistance(col("v_a"), col("v_b")))
+      .where(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Property graph over DataFrames — vertices(id, labels, properties-ish
+  * typed columns), edges(id, src, dst, type), hyperedges(id, nodes, type)
+  * — re-expressing reference graph.py's GraphDB.
+  *
+  * The reference maintains five hash indexes (graph.py:253-488) for point
+  * lookups; distributed, those are equi-joins (hash-partitioned by key =
+  * the same index, sharded) plus optional bucketing. Traversals are
+  * iterative frontier joins with the frontier checkpointed each hop —
+  * Spark has no native recursion, so the loop lives on the driver but
+  * every hop is a fully distributed join (SURVEY §4.2.4).
+  */
+object PropertyGraph {
+
+  /** 1-hop neighbors (graph.py:818-842): direction in|out|both, optional
+    * edge-type filter. Returns (node_id, neighbor_id, edge_type). */
+  def neighbors(edges: DataFrame, nodeFilter: Column = lit(true),
+                direction: String = "both",
+                edgeType: Option[String] = None): DataFrame = {
+    val typed = edgeType.map(t => edges.where(col("type") === t)).getOrElse(edges)
+    val out = typed.select(col("src").as("node_id"), col("dst").as("neighbor_id"), col("type").as("edge_type"))
+    val in = typed.select(col("dst").as("node_id"), col("src").as("neighbor_id"), col("type").as("edge_type"))
+    val dird = direction match {
+      case "out" => out
+      case "in" => in
+      case "both" => out.unionByName(in)
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    dird.where(nodeFilter)
+  }
+
+  /** Var-length traversal (graph.py:844-869): all simple paths from the
+    * seed set up to maxDepth hops, cycle-avoidance within each path.
+    * Returns (start_id, end_id, depth, path). Frontier is re-joined per
+    * hop; caller should checkpoint for depths beyond ~10 (lineage). */
+  def traverse(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+               direction: String = "out",
+               edgeType: Option[String] = None): DataFrame = {
+    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
+      .select(col("node_id"), col("neighbor_id"))
+    var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
+      lit(0).as("depth"), array(col("id").cast("string")).as("path"))
+    var all = frontier
+    var d = 0
+    while (d < maxDepth) {
+      frontier = frontier.join(adj, frontier("end_id") === adj("node_id"))
+        .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
+        .select(col("start_id"), col("neighbor_id").as("end_id"),
+          (col("depth") + 1).as("depth"),
+          concat(col("path"), array(col("neighbor_id").cast("string"))).as("path"))
+      all = all.unionByName(frontier)
+      d += 1
+    }
+    all.where(col("depth") > 0)
+  }
+
+  /** BFS shortest path lengths from seeds (graph.py:871-902): Pregel-style
+    * frontier expansion with a visited set, capped at maxDepth. Returns
+    * (start_id, end_id, hops) — minimal hops per reachable pair. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+                    direction: String = "both",
+                    edgeType: Option[String] = None): DataFrame = {
+    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
+      .select(col("node_id"), col("neighbor_id"))
+    var visited = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
+      lit(0).as("hops"))
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth) {
+      val next = frontier.join(adj, frontier("end_id") === adj("node_id"))
+        .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
+        .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
+      frontier = next.join(visited.select(col("start_id"), col("end_id").as("_seen")),
+          next("start_id") === col("start_id") && next("end_id") === col("_seen"), "left_anti")
+      if (frontier.isEmpty) return visited
+      visited = visited.unionByName(frontier)
+      d += 1
+    }
+    visited
+  }
+
+  /** Hyperedge membership (graph.py:457-478, 800-812): hyperedges touching
+    * ANY of the given nodes (union) or ALL of them (intersection —
+    * group-count equals the query-set size). */
+  def hyperedgesForNodes(hyperedges: DataFrame, nodeIds: Seq[String],
+                         mode: String = "any"): DataFrame = {
+    val exploded = hyperedges
+      .select(col("id"), col("type"), explode(col("nodes")).as("member"))
+      .where(col("member").isin(nodeIds: _*))
+    mode match {
+      case "any" => exploded.select("id", "type").distinct()
+      case "all" =>
+        exploded.groupBy("id", "type")
+          .agg(countDistinct("member").as("n"))
+          .where(col("n") === nodeIds.distinct.size)
+          .select("id", "type")
+      case other => throw new IllegalArgumentException(s"mode: $other")
+    }
+  }
+
+  /** Graph stats (graph.py:917-926): counts + distinct labels/types. */
+  def stats(vertices: DataFrame, edges: DataFrame,
+            hyperedges: Option[DataFrame] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val rows = Seq(
+      ("num_nodes", vertices.count()),
+      ("num_edges", edges.count()),
+      ("num_hyperedges", hyperedges.map(_.count()).getOrElse(0L)),
+      ("num_labels", vertices.select(explode(col("labels"))).distinct().count()),
+      ("num_edge_types", edges.select("type").distinct().count()))
+    rows.toDF("stat", "value")
+  }
+}

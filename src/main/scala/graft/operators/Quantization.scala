@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.functions.vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scalar / binary / product quantization with quantize-then-search, the
+  * Spark-native re-expression of reference quantization.py.
+  *
+  * Training is a distributed aggregation producing a SMALL model (per-dim
+  * stats or codebooks) that is then broadcast back into a per-row encode
+  * map — exactly how a 100 TB corpus wants it: one pass to train (or a
+  * sample), one codegen'd map pass to encode, columnar uint8/binary
+  * storage thereafter. Search decodes approximately (or XOR-popcounts) and
+  * optionally exact-reranks survivors — the reference's "hybrid" plan
+  * (parallel_search.py:895-947).
+  */
+object Quantization {
+
+  // ------------------------------------------------------------ Scalar (SQ)
+
+  /** Per-dimension min/max/scale, the SQ model (quantization.py:85-106).
+    * scale==0 dims are forced to 1.0 like the reference. */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double]) {
+    val scales: Array[Double] =
+      mins.indices.map(i => { val s = maxs(i) - mins(i); if (s == 0) 1.0 else s }).toArray
+  }
+
+  /** One distributed pass: posexplode + per-dim min/max (SURVEY A7). */
+  def trainSq(vecs: DataFrame, vecCol: String): SqModel = {
+    val stats = vecs
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .orderBy("dim").collect()
+    SqModel(stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /** Encode to uint8 codes (stored as array<int>): clip then TRUNCATE —
+    * the reference's `.astype(np.uint8)` truncates, it does not round
+    * (quantization.py:119-124). */
+  def sqEncode(m: SqModel)(vecCol: Column): Column = {
+    val mins = typedLit(m.mins.toSeq)
+    val scales = typedLit(m.scales.toSeq)
+    transform(vecCol, (x, i) =>
+      floor(least(greatest(
+        (x.cast("double") - element_at(mins, i + 1)) / element_at(scales, i + 1) * 255.0,
+        lit(0.0)), lit(255.0))).cast("int"))
+  }
+
+  /** Decode codes back to approximate doubles (quantization.py:127-139). */
+  def sqDecode(m: SqModel)(codeCol: Column): Column = {
+    val mins = typedLit(m.mins.toSeq)
+    val scales = typedLit(m.scales.toSeq)
+    transform(codeCol, (q, i) =>
+      q.cast("double") / 255.0 * element_at(scales, i + 1) + element_at(mins, i + 1))
+  }
+
+  /** Approximate kNN over SQ codes: decode-and-distance (the reference's
+    * distances_cosine decodes too, quantization.py:154-174), with the
+    * query itself round-tripped through the quantizer for symmetry. */
+  def sqSearch(queries: DataFrame, corpus: DataFrame, m: SqModel, k: Int,
+               metric: String = "cosine",
+               queryId: String = "query_id", queryVec: String = "query_vec",
+               corpusId: String = "id", codeCol: String = "sq_code"): DataFrame = {
+    val decoded = corpus.withColumn("_dec", sqDecode(m)(col(codeCol)))
+    val q = queries.withColumn("_qdec", sqDecode(m)(sqEncode(m)(col(queryVec))))
+    Knn.knnJoin(
+      q.select(col(queryId), col("_qdec").as(queryVec)),
+      decoded.select(col(corpusId), col("_dec")),
+      k, metric, queryId, queryVec, corpusId, "_dec")
+  }
+
+  // ------------------------------------------------------------ Binary (BQ)
+
+  /** Per-dimension median thresholds (quantization.py:307-327). Exact
+    * interpolated percentile == np.median. */
+  def trainBq(vecs: DataFrame, vecCol: String): Array[Double] =
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(expr("percentile(CAST(v AS DOUBLE), 0.5)").as("thr"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+
+  /** Unpacked bits (array<int> of 0/1): v > threshold (quantization.py:347). */
+  def bqBits(thresholds: Array[Double])(vecCol: Column): Column = {
+    val thr = typedLit(thresholds.toSeq)
+    transform(vecCol, (x, i) =>
+      when(x.cast("double") > element_at(thr, i + 1), 1).otherwise(0))
+  }
+
+  /** Packed form for storage + XOR/popcount Hamming (quantization.py:349-374). */
+  def bqEncode(thresholds: Array[Double])(vecCol: Column): Column =
+    vector.packBits(bqBits(thresholds)(vecCol))
+
+  /** Hamming kNN over packed codes (smaller dist = closer). */
+  def bqSearch(queries: DataFrame, corpus: DataFrame, thresholds: Array[Double],
+               k: Int, queryId: String = "query_id", queryVec: String = "query_vec",
+               corpusId: String = "id", codeCol: String = "bq_code"): DataFrame = {
+    val q = queries.select(col(queryId).as("_qid"),
+      bqEncode(thresholds)(col(queryVec)).as("_qcode"))
+    val topk = udaf(new Knn.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    corpus.select(col(corpusId).cast("long").as("_cid"), col(codeCol).as("_ccode"))
+      .crossJoin(broadcast(q))
+      .select(col("_qid"), col("_cid"),
+        vector.hammingDistance(col("_ccode"), col("_qcode")).cast("double").as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId), (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"), col("_n.dist").cast("int").as("hamming"))
+  }
+
+  // ----------------------------------------------------------- Product (PQ)
+
+  /** PQ model: per-subspace codebooks, trained with seeded MLlib KMeans
+    * (SURVEY A6; reference trains its own kmeans++ at quantization.py:
+    * 480-508 — MLlib's distributed KMeans is the Spark-native equivalent). */
+  final case class PqModel(numSubspaces: Int, subDim: Int,
+                           codebooks: Array[Array[Array[Double]]]) // [m][k][subDim]
+
+  def trainPq(vecs: DataFrame, vecCol: String, numSubspaces: Int = 8,
+              numCentroids: Int = 16, seed: Long = 42L,
+              maxIter: Int = 20): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val subDim = dim / numSubspaces
+    val codebooks = (0 until numSubspaces).map { m =>
+      val sub = vecs.select(array_to_vector(
+        transform(slice(col(vecCol), m * subDim + 1, subDim), _.cast("double"))).as("features"))
+      val km = new KMeans().setK(numCentroids).setSeed(seed + m)
+        .setMaxIter(maxIter).setFeaturesCol("features")
+      km.fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(numSubspaces, subDim, codebooks)
+  }
+
+  /** Encode: nearest centroid id per subspace (array<int>[M]). Broadcast
+    * codebooks inside a scala UDF — one map pass, no shuffle. */
+  def pqEncode(model: PqModel)(vecCol: Column): Column = {
+    val mCount = model.numSubspaces; val subDim = model.subDim
+    val books = model.codebooks
+    val enc = udf { (v: Seq[Float]) =>
+      Array.tabulate(mCount) { m =>
+        val book = books(m)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val diff = v(m * subDim + j) - book(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    enc(vecCol)
+  }
+
+  /** Asymmetric-distance kNN: per-query LUT of query-subvector-to-centroid
+    * distances, summed over code entries (quantization.py:541-578). */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, model: PqModel, k: Int,
+               queryId: String = "query_id", queryVec: String = "query_vec",
+               corpusId: String = "id", codeCol: String = "pq_code"): DataFrame = {
+    val mCount = model.numSubspaces; val subDim = model.subDim
+    val books = model.codebooks
+    val lutUdf = udf { (q: Seq[Float]) =>
+      Array.tabulate(mCount, books(0).length) { (m, c) =>
+        var d = 0.0; var j = 0
+        while (j < subDim) { val diff = q(m * subDim + j) - books(m)(c)(j); d += diff * diff; j += 1 }
+        d
+      }.map(_.toSeq).toSeq
+    }
+    val adc = udf { (lut: Seq[Seq[Double]], code: Seq[Int]) =>
+      var s = 0.0; var m = 0
+      while (m < code.length) { s += lut(m)(code(m)); m += 1 }
+      math.sqrt(s)
+    }
+    val q = queries.select(col(queryId).as("_qid"), lutUdf(col(queryVec)).as("_lut"))
+    val topk = udaf(new Knn.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    corpus.select(col(corpusId).cast("long").as("_cid"), col(codeCol).as("_code"))
+      .crossJoin(broadcast(q))
+      .select(col("_qid"), col("_cid"), adc(col("_lut"), col("_code")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId), (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
+  }
+
+  // -------------------------------------------------- Rerank + recall eval
+
+  /** Quantized-first scan + exact rerank: approximate top-`fetchK`
+    * candidates, then exact distances on the survivors only — the
+    * reference's hybrid two-stage plan (parallel_search.py:895-947). */
+  def rerankExact(approxTopK: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: Int, metric: String = "cosine",
+                  queryId: String = "query_id", queryVec: String = "query_vec",
+                  corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryId).orderBy(col("dist"), col("neighbor_id"))
+    approxTopK.select(col(queryId), col("neighbor_id"))
+      .join(corpus.select(col(corpusId).cast("long").as("neighbor_id"), col(vecCol)), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("dist", vector.distance(metric, col(vecCol), col(queryVec)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** recall@k: |approx ∩ exact| / k per query (quantization.py:692-703). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                queryId: String = "query_id"): DataFrame =
+    approx.select(col(queryId), col("neighbor_id"))
+      .join(exact.select(col(queryId), col("neighbor_id")), Seq(queryId, "neighbor_id"))
+      .groupBy(queryId)
+      .agg((count(lit(1)).cast("double") / k).as("recall"))
+}

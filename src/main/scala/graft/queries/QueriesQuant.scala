@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.operators.{Knn, Quantization}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Quantization coverage (SURVEY §2 A6-A8, F6-F8 + rerank): SQ round-trip
+  * stats, SQ/BQ approximate kNN, PQ recall, quantize-then-rerank. */
+object QueriesQuant {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A7 + F6: per-dim SQ model + reconstruction error
+    "q16_sq_stats" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val m = Quantization.trainSq(embs, "embedding")
+      val mins = typedLit(m.mins.toSeq); val maxs = typedLit(m.maxs.toSeq)
+      embs.select(posexplode(arrays_zip(
+          transform(col("embedding"), _.cast("double")),
+          Quantization.sqDecode(m)(Quantization.sqEncode(m)(col("embedding")))
+        )).as(Seq("dim0", "z")))
+        .select(col("dim0"), abs(col("z.0") - col("z.1")).as("err"))
+        .groupBy("dim0").agg(round(avg("err"), 6).as("mean_abs_err"))
+        .select((col("dim0") + 1).as("dim"),
+          round(element_at(mins, col("dim0") + 1), 6).as("mn"),
+          round(element_at(maxs, col("dim0") + 1), 6).as("mx"),
+          col("mean_abs_err"))
+    }),
+
+    // F6 approximate kNN on SQ codes (decode-and-distance)
+    "q17_sq_knn" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val m = Quantization.trainSq(embs, "embedding")
+      val corpus = embs.withColumn("sq_code",
+        Quantization.sqEncode(m)(col("embedding")))
+      Quantization.sqSearch(QueriesVector.queryBatch(s, dir, 5), corpus, m, k = 10,
+          corpusId = "vec_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // A8 + F7/F4: binary quantization + Hamming kNN
+    "q18_bq_knn" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val thr = Quantization.trainBq(embs, "embedding")
+      val corpus = embs.withColumn("bq_code",
+        Quantization.bqEncode(thr)(col("embedding")))
+      Quantization.bqSearch(QueriesVector.queryBatch(s, dir, 5), corpus, thr,
+          k = 10, corpusId = "vec_id")
+    }),
+
+    // A6 + F8: PQ with seeded MLlib KMeans; recall@10 vs exact (A13).
+    // KMeans centroids are engine-specific => no SQL oracle (rows-only).
+    "q19_pq_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val model = Quantization.trainPq(embs, "embedding",
+        numSubspaces = 8, numCentroids = 64)
+      val corpus = embs.withColumn("pq_code",
+        Quantization.pqEncode(model)(col("embedding")))
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = Quantization.pqSearch(queries, corpus, model, k = 10,
+        corpusId = "vec_id")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // Quantized-first scan + exact rerank (parallel_search.py:895-947)
+    "q20_sq_rerank" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val m = Quantization.trainSq(embs, "embedding")
+      val corpus = embs.withColumn("sq_code",
+        Quantization.sqEncode(m)(col("embedding")))
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx50 = Quantization.sqSearch(queries, corpus, m, k = 50,
+        corpusId = "vec_id")
+      Quantization.rerankExact(approx50, queries, embs, k = 10,
+          metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+  )
+
+  /** Shared SQ CTE prefix: per-dim stats + decoded vectors, matching
+    * trainSq/sqEncode/sqDecode arithmetic exactly (floor-truncation like
+    * numpy's astype(uint8), scale-0 dims forced to 1). */
+  private val sqCte =
+    """elems AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT dim, min(v) AS mn, max(v) AS mx,
+      |         CASE WHEN max(v) - min(v) = 0 THEN 1.0 ELSE max(v) - min(v) END AS scale
+      |  FROM elems GROUP BY dim),
+      |dec AS (
+      |  SELECT e.vec_id, e.dim, e.v,
+      |         floor(least(greatest((e.v - s.mn) / s.scale * 255.0, 0.0), 255.0))
+      |           / 255.0 * s.scale + s.mn AS vd
+      |  FROM elems e JOIN stats s USING (dim))""".stripMargin
+
+  /** Decoded-space cosine distance between corpus vec c and roundtripped
+    * query q (both from `dec`). */
+  private val sqKnn =
+    s"""WITH $sqCte,
+       |qd AS (SELECT vec_id AS query_id, dim, vd FROM dec WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN sum(c.vd * c.vd) = 0 OR sum(q.vd * q.vd) = 0 THEN 1.0
+       |              ELSE 1.0 - sum(c.vd * q.vd) /
+       |                   (sqrt(sum(c.vd * c.vd)) * sqrt(sum(q.vd * q.vd))) END AS dist
+       |  FROM dec c JOIN qd q USING (dim)
+       |  GROUP BY q.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM pairs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q16_sq_stats" ->
+      s"""WITH $sqCte
+         |SELECT s.dim, round(s.mn, 6) AS mn, round(s.mx, 6) AS mx,
+         |       round(avg(abs(d.v - d.vd)), 6) AS mean_abs_err
+         |FROM dec d JOIN stats s USING (dim)
+         |GROUP BY s.dim, s.mn, s.mx""".stripMargin,
+
+    "q17_sq_knn" ->
+      s"""$sqKnn
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q18_bq_knn" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |thr AS (SELECT dim, median(v) AS t FROM elems GROUP BY dim),
+        |bits AS (
+        |  SELECT e.vec_id, e.dim, CASE WHEN e.v > t.t THEN 1 ELSE 0 END AS bit
+        |  FROM elems e JOIN thr t USING (dim)),
+        |qb AS (SELECT vec_id AS query_id, dim, bit FROM bits WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         sum(abs(c.bit - q.bit)) AS hamming
+        |  FROM bits c JOIN qb q USING (dim)
+        |  GROUP BY q.query_id, c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       CAST(hamming AS INT) AS hamming
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q20_sq_rerank" ->
+      s"""$sqKnn,
+         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+         |exact AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q.embedding) AS DOUBLE) AS y)) AS dist
+         |  FROM cand
+         |  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.query_id),
+         |reranked AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+         |FROM reranked WHERE rank <= 10""".stripMargin,
+  )
+}

@@ -1,0 +1,360 @@
+package graft.queries
+
+import graft.functions.TextAnalysis
+import graft.operators.{Bm25, Dedup, Knn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text analysis + deduplication coverage (BM25 A2-A5, hybrid J11/F13-F14,
+  * plus the LLM-pipeline battery: lang-ID, quality, token counts,
+  * fingerprint, exact/minhash/simhash/jaccard dedup).
+  *
+  * Near-duplicates are synthesized deterministically (the driver corpus has
+  * none): each doc_id < 25 also appears as doc_id+100000 with the last 20
+  * chars truncated (near-dup, jaccard ~0.9) or duplicated verbatim (exact).
+  */
+object QueriesText {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents plus truncated copies of doc_id<25 (near-duplicates). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text")))
+  }
+
+  /** documents plus verbatim copies of doc_id<25 (exact duplicates). */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val bm25Query = "spark join merge stream"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/F9: term frequencies, top 20 corpus-wide
+    "q21_top_terms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Bm25.tokenize(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(20)),
+
+    // A2-A5: BM25 scoring, rank by rounded score for cross-engine ties
+    "q22_bm25" -> ((s, dir) => {
+      val idx = Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.score(idx, bm25Query)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+    }),
+
+    // J11/F13/F14: weighted vector + keyword fusion
+    "q23_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents"); val embs = t(s, dir, "embeddings")
+      val queries = embs.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val vecCand = Knn.knnJoin(queries, embs, k = 50, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("neighbor_id").as("doc_id"), col("dist"))
+      val idx = Bm25.buildIndex(docs, "doc_id", "text")
+      val kwCand = Bm25.score(idx, bm25Query)
+        .withColumn("_r", round(col("score"), 6))
+        .orderBy(desc("_r"), col("doc_id")).limit(50).drop("_r")
+      Bm25.hybridFuse(vecCand, kwCand, k = 10, alpha = 0.5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          round(col("vector_score"), 6).as("vector_score"),
+          round(col("keyword_score"), 6).as("keyword_score"))
+    }),
+
+    // Language-ID heuristic
+    "q24_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Quality scoring
+    "q25_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // Token counting (whitespace + BPE-ish) per source
+    "q26_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
+          sum(TextAnalysis.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))),
+
+    // Exact dedup via normalized fingerprint
+    "q27_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(exactDupCorpus(s, dir), "doc_id", "text", minSize = 2)),
+
+    // MinHash signatures (3 sampled hash functions of 32)
+    "q28_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text")
+        .select(col("doc_id"), element_at(col("sig"), 1).as("m0"),
+          element_at(col("sig"), 16).as("m15"),
+          element_at(col("sig"), 32).as("m31"))),
+
+    // MinHash + LSH banding + exact-jaccard verification
+    "q29_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)),
+
+    // SimHash 60-bit sketches
+    "q30_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact n-gram Jaccard similarity join (oracle for the LSH path)
+    "q31_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(nearDupCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)),
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  private val tokCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+      |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+      |  FROM corpus)""".stripMargin
+
+  private val nearDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substr(text, 1, greatest(length(text) - 20, 10)) AS text
+      |  FROM documents WHERE doc_id < 25)""".stripMargin
+
+  private val exactDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text
+      |  FROM documents WHERE doc_id < 25)""".stripMargin
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+      |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      |           ELSE [] END) AS shingle
+      |  FROM toks)""".stripMargin
+
+  private val jaccardVerify =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY c.id_a, c.id_b),
+      |jac AS (
+      |  SELECT i.id_a, i.id_b,
+      |         i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.id_a
+      |  JOIN sizes sb ON sb.doc_id = i.id_b)
+      |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      |FROM jac WHERE jaccard >= 0.5""".stripMargin
+
+  /** 32 minhash permutation rows "(i, a, b)" matching Dedup.minhashA/B. */
+  private val permValues: String = (0 until 32)
+    .map(i => s"(${i}, ${Dedup.minhashA(i)}, ${Dedup.minhashB(i)})")
+    .mkString(", ")
+
+  private val bm25Cte =
+    s"""doclen AS (SELECT doc_id, len(tk) AS doc_len FROM toks),
+       |stats AS (SELECT count(*) AS n, avg(doc_len) AS avg_len FROM doclen),
+       |tf AS (
+       |  SELECT doc_id, unnest(tk) AS term FROM toks),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+       |dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+       |q(term, q_mult) AS (VALUES ('spark', 1), ('join', 1), ('merge', 1), ('stream', 1)),
+       |scores AS (
+       |  SELECT tfc.doc_id,
+       |    sum(q.q_mult * ln(1.0 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+       |        (tfc.tf * 2.5) / (tfc.tf + 1.5 * (0.25 + 0.75 * dl.doc_len / s.avg_len))) AS score
+       |  FROM tfc JOIN q USING (term) JOIN dfc USING (term)
+       |  JOIN doclen dl USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY tfc.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q21_top_terms" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |        '[^a-z0-9_]+'), x -> x <> '')) AS term FROM corpus)
+        |SELECT term, count(*) AS n FROM tok GROUP BY term
+        |ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q22_bm25" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |$bm25Cte
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, round(score, 6) AS score,
+         |         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+         |  FROM scores) WHERE rn <= 10""".stripMargin,
+
+    "q23_hybrid" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |$bm25Cte,
+         |kw50 AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score,
+         |           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+         |    FROM scores) WHERE rn <= 50),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vdist AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q0.qv) AS DOUBLE) AS y)) AS dist
+         |  FROM embeddings c, q0),
+         |v50 AS (
+         |  SELECT doc_id, dist FROM (
+         |    SELECT doc_id, dist, row_number() OVER (ORDER BY dist, doc_id) AS rn
+         |    FROM vdist) WHERE rn <= 50),
+         |vmax AS (SELECT max(dist) AS m FROM v50),
+         |kmax AS (SELECT max(score) AS m FROM kw50),
+         |vnorm AS (SELECT doc_id, CASE WHEN vmax.m > 0 THEN 1.0 - dist/vmax.m ELSE 1.0 END AS vector_score
+         |          FROM v50, vmax),
+         |knorm AS (SELECT doc_id, CASE WHEN kmax.m > 0 THEN score/kmax.m ELSE 0.0 END AS keyword_score
+         |          FROM kw50, kmax),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+         |         coalesce(v.vector_score, 0.0) AS vector_score,
+         |         coalesce(k.keyword_score, 0.0) AS keyword_score,
+         |         0.5 * coalesce(v.vector_score, 0.0) + 0.5 * coalesce(k.keyword_score, 0.0) AS score
+         |  FROM vnorm v FULL OUTER JOIN knorm k ON v.doc_id = k.doc_id)
+         |SELECT doc_id, round(score, 6) AS score, round(vector_score, 6) AS vector_score,
+         |       round(keyword_score, 6) AS keyword_score
+         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM fused)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q24_langid" -> {
+      val swValues = TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap { case (l, ws) =>
+        ws.map(w => s"('$l', '$w')")
+      }.mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |sw(lang, term) AS (VALUES $swValues),
+         |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS term FROM toks),
+         |hits AS (
+         |  SELECT t.doc_id, s.lang, t.n, count(*) AS h
+         |  FROM tok t JOIN sw s ON t.term = s.term
+         |  GROUP BY t.doc_id, s.lang, t.n),
+         |best AS (
+         |  SELECT doc_id, lang, h * 1.0 / n AS rate,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY h * 1.0 / n DESC, lang) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id,
+         |       coalesce(b.lang, 'unk') AS predicted_lang,
+         |       coalesce(round(b.rate, 6), 0.0) AS hit_rate
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+    },
+
+    "q25_quality" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+        |    length(text) * 1.0 AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 AS punct
+        |  FROM corpus),
+        |c AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+        |    CASE WHEN len(tk) > 0
+        |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+        |         ELSE 0.0 END AS mwl,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+        |  FROM t)
+        |SELECT doc_id, round(
+        |    least(n_chars / 500.0, 1.0) * 0.3
+        |  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+        |  + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+        |  + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+        |FROM c""".stripMargin,
+
+    "q26_token_counts" ->
+      """SELECT source,
+        |  sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS ws_tokens,
+        |  sum(CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0) AS BIGINT)
+        |      + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> x <> ''))) AS bpeish_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q27_dedup_exact" ->
+      s"""WITH $exactDupCorpusSql
+         |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         |       count(*) AS n_dups, min(doc_id) AS keeper_id
+         |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q28_minhash_sig" ->
+      s"""WITH $nearDupCorpusSql,
+         |$tokCte,
+         |$shingleCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min((${Dedup.minhashA(0)} * hv + ${Dedup.minhashB(0)}) % ${Dedup.MinhashP}) AS m0,
+         |    min((${Dedup.minhashA(15)} * hv + ${Dedup.minhashB(15)}) % ${Dedup.MinhashP}) AS m15,
+         |    min((${Dedup.minhashA(31)} * hv + ${Dedup.minhashB(31)}) % ${Dedup.MinhashP}) AS m31
+         |  FROM h GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |       coalesce(s.m0, ${Dedup.MinhashP}) AS m0,
+         |       coalesce(s.m15, ${Dedup.MinhashP}) AS m15,
+         |       coalesce(s.m31, ${Dedup.MinhashP}) AS m31
+         |FROM (SELECT DISTINCT doc_id FROM corpus) c LEFT JOIN sig s USING (doc_id)""".stripMargin,
+
+    "q29_minhash_lsh" ->
+      s"""WITH $nearDupCorpusSql,
+         |$tokCte,
+         |$shingleCte,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+         |perms(i, a, b) AS (VALUES $permValues),
+         |mins AS (
+         |  SELECT h.doc_id, p.i, min((p.a * h.hv + p.b) % ${Dedup.MinhashP}) AS m
+         |  FROM h CROSS JOIN perms p GROUP BY h.doc_id, p.i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS band_sig
+         |  FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |$jaccardVerify""".stripMargin,
+
+    "q30_simhash" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '')) AS token
+        |  FROM corpus),
+        |tfh AS (
+        |  SELECT doc_id, token, count(*) AS tf,
+        |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        |  FROM toks GROUP BY doc_id, token),
+        |bits AS (
+        |  SELECT doc_id, t.b, sum(tf * (((h >> t.b) & 1) * 2 - 1)) AS s
+        |  FROM tfh CROSS JOIN range(60) t(b) GROUP BY doc_id, t.b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH $nearDupCorpusSql,
+         |$tokCte,
+         |$shingleCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |$jaccardVerify""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.functions.vector
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Vector-search coverage beyond the four core kNN queries: batch
+  * throughput shape and normalization (F5). */
+object QueriesVector {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queryBatch(s: SparkSession, dir: String, n: Int): DataFrame =
+    t(s, dir, "embeddings").where(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 at batch width: 50 queries — the reference's batch-GEMM shape
+    // (parallel_search.py:246-311)
+    "q14_knn_batch" -> ((s, dir) =>
+      Knn.knnJoin(queryBatch(s, dir, 50), t(s, dir, "embeddings"), k = 10,
+          metric = "cosine", corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))),
+
+    // F5 l2-normalize: norm + first normalized component per vector
+    "q15_vector_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("_norm",
+          sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)))
+        .withColumn("_normed", vector.l2Normalize(col("embedding")))
+        .select(col("vec_id"), round(col("_norm"), 6).as("norm"),
+          round(element_at(col("_normed"), 1), 6).as("first_elem"))),
+  )
+
+  private val knnOracleCosine50 =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+      |pairs AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+      |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+      |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+      |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+      |  FROM q, embeddings c),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, dist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      |  FROM pairs)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q14_knn_batch" -> knnOracleCosine50,
+    "q15_vector_norm" ->
+      """SELECT vec_id,
+        |  round(norm, 6) AS norm,
+        |  round(CAST(embedding[1] AS DOUBLE) / norm, 6) AS first_elem
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sqrt(sum(x*x)) FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x)) AS norm
+        |  FROM embeddings)""".stripMargin,
+  )
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Change-event semantics (reference realtime.py) + the windowed/sessions
+  * analytics the reference lacks, declared as capability extensions
+  * (SURVEY §2.8).
+  *
+  * Every operator here works identically on a batch DataFrame and a
+  * Structured Streaming DataFrame — the subscription predicate is a
+  * filter, windowed aggregation needs only a watermark added upstream.
+  * The driver's events table schema: (event_id, ts, user_id, event_type,
+  * value, props:json-string).
+  */
+object Events {
+
+  /** Subscription predicate (realtime.py:92-118): event-type set +
+    * metadata (props) equality matches. Missing props key => no match,
+    * mirroring Subscription.matches. */
+  def subscriptionFilter(eventTypes: Seq[String] = Nil,
+                         propsEquals: Map[String, String] = Map.empty): Column = {
+    val typeOk =
+      if (eventTypes.isEmpty) lit(true)
+      else col("event_type").isin(eventTypes: _*)
+    val propsOk = propsEquals.map { case (k, v) =>
+      get_json_object(col("props"), s"$$.$k") === lit(v)
+    }.foldLeft(lit(true))(_ && _)
+    typeOk && propsOk
+  }
+
+  def subscribe(events: DataFrame, eventTypes: Seq[String] = Nil,
+                propsEquals: Map[String, String] = Map.empty): DataFrame =
+    events.where(subscriptionFilter(eventTypes, propsEquals))
+
+  /** Tumbling-window aggregation per event type. Works on batch (group by
+    * the window expr) and streaming (add withWatermark upstream). */
+  def windowedCounts(events: DataFrame, windowDuration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization per user: a new session starts when the gap
+    * from the previous event exceeds `gapMinutes`. Batch implementation
+    * via lag + running sum (both engines in the oracle pair support it);
+    * the streaming twin is session_window / flatMapGroupsWithState in
+    * [[EventStream]]. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("_prev")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_prev", "_new_session")
+  }
+
+  /** Session stats: one row per (user, session). */
+  def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+
+  /** Event-history tail (realtime.py:155-160, 187-190): most recent n. */
+  def historyTail(events: DataFrame, n: Int): DataFrame =
+    events.orderBy(desc("ts"), desc("event_id")).limit(n)
+}
