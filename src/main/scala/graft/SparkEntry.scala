@@ -107,7 +107,10 @@ object SparkEntry {
     base ++ graft.queries.QueriesRelational.defs ++
       graft.queries.QueriesVector.defs ++
       graft.queries.QueriesQuant.defs ++
-      graft.queries.QueriesText.defs
+      graft.queries.QueriesText.defs ++
+      graft.queries.QueriesGraph.defs ++
+      graft.queries.QueriesEvents.defs ++
+      graft.queries.QueriesMultimodal.defs
   }
 
   /** DuckDB oracle SQL, same column names + rounding as the Spark side. */
@@ -176,6 +179,9 @@ object SparkEntry {
     ) ++ graft.queries.QueriesRelational.oracles ++
       graft.queries.QueriesVector.oracles ++
       graft.queries.QueriesQuant.oracles ++
-      graft.queries.QueriesText.oracles
+      graft.queries.QueriesText.oracles ++
+      graft.queries.QueriesGraph.oracles ++
+      graft.queries.QueriesEvents.oracles ++
+      graft.queries.QueriesMultimodal.oracles
   }
 }

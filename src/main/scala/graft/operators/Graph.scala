@@ -74,8 +74,9 @@ object PropertyGraph {
       val next = frontier.join(adj, frontier("end_id") === adj("node_id"))
         .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
         .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
-      frontier = next.join(visited.select(col("start_id"), col("end_id").as("_seen")),
-          next("start_id") === col("start_id") && next("end_id") === col("_seen"), "left_anti")
+      val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
+      frontier = next.join(seen,
+        next("start_id") === seen("_vs") && next("end_id") === seen("_ve"), "left_anti")
       if (frontier.isEmpty) return visited
       visited = visited.unionByName(frontier)
       d += 1

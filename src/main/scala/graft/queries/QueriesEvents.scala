@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-stream coverage (SURVEY §2.8): subscription filters, tumbling
+  * windows, gap sessionization, history tail — batch twins of the
+  * streaming operators (the streaming forms are exercised in the
+  * EventStreamSpec with a memory sink). Timestamps are exported as
+  * unix microseconds so the ns-parquet -> µs truncation agrees across
+  * engines. */
+object QueriesEvents {
+  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to a µs timestamp —
+    * the same ns->µs truncation DuckDB's epoch_us applies. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E2/P8 subscription predicate: type set + props metadata equality
+    "q42_events_filter" -> ((s, dir) =>
+      Events.subscribe(t(s, dir, "events"),
+          eventTypes = Seq("purchase", "signup"),
+          propsEquals = Map("k" -> "12"))
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy("event_id")),
+
+    // Windowed aggregation (capability extension; E-series)
+    "q43_events_window" -> ((s, dir) =>
+      Events.windowedCounts(t(s, dir, "events"), "1 hour")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    // Gap-based sessionization
+    "q44_sessions" -> ((s, dir) =>
+      Events.sessionStats(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"))),
+
+    // E3/T6 history tail
+    "q45_history_tail" -> ((s, dir) =>
+      Events.historyTail(t(s, dir, "events"), 20)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q42_events_filter" ->
+      """SELECT event_id, event_type, user_id, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup')
+        |  AND json_extract_string(props, '$.k') = '12'
+        |ORDER BY event_id""".stripMargin,
+
+    "q43_events_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q44_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec,
+        |         lag(epoch_us(ts) // 1000000) OVER
+        |           (PARTITION BY user_id ORDER BY ts) AS prev_sec
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flags)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       count(*) AS n_events,
+        |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "q45_history_tail" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+  )
+}

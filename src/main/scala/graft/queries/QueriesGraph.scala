@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.functions.vector
+import graft.operators.{Cypher, HybridGraphVector, Knn, PropertyGraph}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Property-graph coverage (SURVEY §2.3 J4-J10, §2.4 A9-A12) over the
+  * graph derived from the TPC-H-ish tables (see GraphData) plus the
+  * deterministic embedding ring for graph+vector hybrids. */
+object QueriesGraph {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J4 1-hop adjacency join
+    "q32_neighbors" -> ((s, dir) =>
+      PropertyGraph.neighbors(GraphData.edges(s, dir),
+          nodeFilter = col("node_id") === "nation_5", direction = "both")
+        .select(col("neighbor_id"), col("edge_type"))
+        .orderBy("neighbor_id", "edge_type")),
+
+    // J5 var-length traversal (customer -> nation -> region)
+    "q33_traverse" -> ((s, dir) => {
+      val seeds = t(s, dir, "customer").where(col("c_custkey") < 20)
+        .select(concat(lit("customer_"), col("c_custkey")).as("id"))
+      PropertyGraph.traverse(GraphData.edges(s, dir), seeds, maxDepth = 2,
+          direction = "out")
+        .select(col("start_id"), col("end_id"), col("depth"))
+    }),
+
+    // J6 BFS shortest paths: suppliers within 3 hops of customer_1
+    "q34_shortest_path" -> ((s, dir) => {
+      val spark = s; import spark.implicits._
+      val seeds = Seq("customer_1").toDF("id")
+      PropertyGraph.shortestPaths(GraphData.edges(s, dir), seeds, maxDepth = 3,
+          direction = "both")
+        .where(col("end_id").startsWith("supplier_"))
+        .select(col("end_id"), col("hops"))
+    }),
+
+    // J7 Cypher relationship pattern + WHERE + RETURN
+    "q35_cypher_match" -> ((s, dir) =>
+      Cypher.query(GraphData.vertices(s, dir), GraphData.edges(s, dir),
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) WHERE n.name = 'NATION_5' RETURN c.name, n.name")),
+
+    // J7 Cypher node pattern with inline props
+    "q36_cypher_node" -> ((s, dir) =>
+      Cypher.query(GraphData.vertices(s, dir), GraphData.edges(s, dir),
+        "MATCH (n:Nation {name: 'NATION_3'}) RETURN n.id, n.name")),
+
+    // J8 hyperedge membership, mode=all (orders involving both suppliers)
+    "q37_hyperedge_all" -> ((s, dir) =>
+      PropertyGraph.hyperedgesForNodes(GraphData.hyperedges(s, dir),
+          Seq("supplier_1", "supplier_2"), mode = "all")
+        .orderBy("id")),
+
+    // A12 graph stats
+    "q38_graph_stats" -> ((s, dir) =>
+      PropertyGraph.stats(GraphData.vertices(s, dir), GraphData.edges(s, dir),
+        Some(GraphData.hyperedges(s, dir)))),
+
+    // A10 trending entities: top parts by lineitem mentions
+    "q39_trending" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("l_partkey")).limit(10)),
+
+    // J9 semantic graph search on the embedding ring
+    "q40_semantic_graph" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.where(col("vec_id") === 42)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val seeds = Knn.knnJoin(queries, embs, k = 20, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("neighbor_id").cast("string").as("node_id"),
+          (lit(1.0) - col("dist")).as("vector_score"))
+      HybridGraphVector.semanticGraphSearch(seeds, GraphData.embeddingRing(s, dir),
+          k = 10, expandHops = 2, vectorWeight = 0.7, graphWeight = 0.3)
+        .select(col("node_id"), col("graph_distance"),
+          round(col("vector_score"), 6).as("vector_score"),
+          round(col("combined_score"), 6).as("combined_score"))
+    }),
+
+    // J10 graph-first traversal + vector rerank on the ring
+    "q41_graph_rerank" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("node_id"), col("embedding").as("vec"))
+      val qv = t(s, dir, "embeddings").where(col("vec_id") === 42)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      HybridGraphVector.graphSearchWithReranking(GraphData.embeddingRing(s, dir),
+          embs, startNodeId = "100", queryVec = qv, maxHops = 3, k = 10)
+        .select(col("node_id"), col("graph_distance"),
+          round(col("vector_score"), 6).as("vector_score"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_neighbors" ->
+      """SELECT neighbor_id, edge_type FROM (
+        |  SELECT 'region_' || n_regionkey AS neighbor_id, 'IN_REGION' AS edge_type
+        |  FROM nation WHERE n_nationkey = 5
+        |  UNION ALL
+        |  SELECT 'customer_' || c_custkey, 'IN_NATION' FROM customer WHERE c_nationkey = 5
+        |  UNION ALL
+        |  SELECT 'supplier_' || s_suppkey, 'IN_NATION' FROM supplier WHERE s_nationkey = 5)
+        |ORDER BY neighbor_id, edge_type""".stripMargin,
+
+    "q33_traverse" ->
+      """SELECT 'customer_' || c_custkey AS start_id,
+        |       'nation_' || c_nationkey AS end_id, 1 AS depth
+        |FROM customer WHERE c_custkey < 20
+        |UNION ALL
+        |SELECT 'customer_' || c_custkey,
+        |       'region_' || n_regionkey, 2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey < 20""".stripMargin,
+
+    "q34_shortest_path" ->
+      """SELECT 'supplier_' || s_suppkey AS end_id, 2 AS hops FROM supplier
+        |WHERE s_nationkey = (SELECT c_nationkey FROM customer WHERE c_custkey = 1)""".stripMargin,
+
+    "q35_cypher_match" ->
+      """SELECT c_name AS c_name, n_name AS n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'""".stripMargin,
+
+    "q36_cypher_node" ->
+      """SELECT 'nation_' || n_nationkey AS n_id, n_name AS n_name
+        |FROM nation WHERE n_name = 'NATION_3'""".stripMargin,
+
+    "q37_hyperedge_all" ->
+      """SELECT DISTINCT 'order_' || l1.l_orderkey AS id, 'ORDER_PARTIES' AS type
+        |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |WHERE l1.l_suppkey = 1 AND l2.l_suppkey = 2
+        |ORDER BY id""".stripMargin,
+
+    "q38_graph_stats" ->
+      """SELECT 'num_nodes' AS stat,
+        |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+        |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS value
+        |UNION ALL
+        |SELECT 'num_edges',
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  + (SELECT count(*) FROM nation) + (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'num_hyperedges', (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'num_labels', 4
+        |UNION ALL
+        |SELECT 'num_edge_types', 3""".stripMargin,
+
+    "q39_trending" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "q40_semantic_graph" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+        |dists AS (
+        |  SELECT c.vec_id,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+        |  FROM embeddings c, q),
+        |seeds AS (
+        |  SELECT vec_id, 1.0 - dist AS vector_score FROM (
+        |    SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rn
+        |    FROM dists) WHERE rn <= 20),
+        |best AS (SELECT max(vector_score) AS b FROM seeds),
+        |reach AS (
+        |  SELECT c.vec_id AS node_id,
+        |         min(least(abs(c.vec_id - s.vec_id),
+        |                   n.cnt - abs(c.vec_id - s.vec_id))) AS graph_distance
+        |  FROM embeddings c CROSS JOIN seeds s CROSS JOIN n
+        |  GROUP BY c.vec_id
+        |  HAVING min(least(abs(c.vec_id - s.vec_id), n.cnt - abs(c.vec_id - s.vec_id))) <= 2),
+        |scored AS (
+        |  SELECT CAST(r.node_id AS VARCHAR) AS node_id, CAST(r.graph_distance AS INT) AS graph_distance,
+        |         CASE WHEN r.graph_distance = 0 THEN s.vector_score
+        |              ELSE best.b / (r.graph_distance + 1.0) END AS vector_score,
+        |         CASE WHEN r.graph_distance = 0 THEN s.vector_score
+        |              ELSE 0.7 * best.b / (r.graph_distance + 1.0) + 0.3 / r.graph_distance
+        |         END AS combined_score
+        |  FROM reach r
+        |  LEFT JOIN seeds s ON s.vec_id = r.node_id
+        |  CROSS JOIN best)
+        |SELECT node_id, graph_distance, round(vector_score, 6) AS vector_score,
+        |       round(combined_score, 6) AS combined_score
+        |FROM (SELECT *, row_number() OVER (ORDER BY combined_score DESC, node_id) AS rn
+        |      FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q41_graph_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+        |n AS (SELECT count(*) AS cnt FROM embeddings),
+        |reach AS (
+        |  SELECT CAST((100 + h.d) % n.cnt AS BIGINT) AS nid, h.d AS graph_distance
+        |  FROM (VALUES (1), (2), (3)) h(d) CROSS JOIN n),
+        |sim AS (
+        |  SELECT CAST(r.nid AS VARCHAR) AS node_id, r.graph_distance,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 0.0
+        |            ELSE sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS vector_score
+        |  FROM reach r JOIN embeddings c ON c.vec_id = r.nid CROSS JOIN q)
+        |SELECT node_id, graph_distance, round(vector_score, 6) AS vector_score
+        |FROM sim ORDER BY vector_score DESC, node_id""".stripMargin,
+  )
+}
