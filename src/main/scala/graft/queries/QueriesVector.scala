@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.vector
-import graft.operators.Knn
+import graft.operators.{Ann, Knn, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -33,6 +33,32 @@ object QueriesVector {
         .withColumn("_normed", vector.l2Normalize(col("embedding")))
         .select(col("vec_id"), round(col("_norm"), 6).as("norm"),
           round(element_at(col("_normed"), 1), 6).as("first_elem"))),
+
+    // IVF approximate kNN: recall@10 vs exact (KMeans centroids are
+    // engine-specific => rows-only check; recall floor asserted in tests)
+    "q48_ivf_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = queryBatch(s, dir, 5)
+      val model = Ann.trainIvf(embs, "embedding", numCells = 16)
+      val approx = Ann.ivfSearch(queries, embs, model, k = 10, nProbe = 4,
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "cosine",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // Random-hyperplane LSH approximate kNN: recall@10 vs exact
+    // (deterministic planes, but bucket-join recall is probabilistic =>
+    // rows-only check + test floor)
+    "q49_lsh_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = queryBatch(s, dir, 5)
+      val approx = Ann.lshSearch(queries, embs, k = 10, numBits = 4, dim = 64,
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "cosine",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
   )
 
   private val knnOracleCosine50 =

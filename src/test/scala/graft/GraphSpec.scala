@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Cypher, PropertyGraph}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b -> c -> d, a -> c (shortcut), d -> a (cycle), plus e isolated
+  private lazy val vertices = Seq(
+    ("a", Seq("Person"), "Alice", 30),
+    ("b", Seq("Person"), "Bob", 25),
+    ("c", Seq("Company"), "Corp", 0),
+    ("d", Seq("Person"), "Dan", 41),
+    ("e", Seq("Person"), "Eve", 19)
+  ).toDF("id", "labels", "name", "age")
+
+  private lazy val edges = Seq(
+    ("e1", "a", "b", "KNOWS"), ("e2", "b", "c", "WORKS_AT"),
+    ("e3", "c", "d", "EMPLOYS"), ("e4", "a", "c", "WORKS_AT"),
+    ("e5", "d", "a", "KNOWS")
+  ).toDF("id", "src", "dst", "type")
+
+  private lazy val hyperedges = Seq(
+    ("h1", Seq("a", "b", "c"), "TEAM"),
+    ("h2", Seq("c", "d"), "TEAM"),
+    ("h3", Seq("a", "d", "e"), "PROJECT")
+  ).toDF("id", "nodes", "type")
+
+  test("neighbors: direction and type filters") {
+    def n(dir: String, t: Option[String] = None) =
+      PropertyGraph.neighbors(edges, col("node_id") === "a", dir, t)
+        .select("neighbor_id").collect().map(_.getString(0)).toSet
+    assert(n("out") === Set("b", "c"))
+    assert(n("in") === Set("d"))
+    assert(n("both") === Set("b", "c", "d"))
+    assert(n("out", Some("KNOWS")) === Set("b"))
+  }
+
+  test("traverse enumerates simple paths with cycle avoidance") {
+    val paths = PropertyGraph.traverse(edges, Seq("a").toDF("id"), maxDepth = 4)
+      .collect().map(r => (r.getAs[String]("end_id"), r.getAs[Int]("depth"),
+        r.getAs[Seq[String]]("path").mkString(">"))).toSet
+    assert(paths.contains(("b", 1, "a>b")))
+    assert(paths.contains(("c", 2, "a>b>c")))
+    assert(paths.contains(("c", 1, "a>c")))
+    assert(paths.contains(("d", 3, "a>b>c>d")))
+    // cycle d->a is not re-entered
+    assert(!paths.exists(_._3.split(">").groupBy(identity).values.exists(_.length > 1)))
+  }
+
+  test("shortestPaths finds minimal hops, undirected") {
+    val sp = PropertyGraph.shortestPaths(edges, Seq("a").toDF("id"), maxDepth = 4)
+      .collect().map(r => r.getAs[String]("end_id") -> r.getAs[Int]("hops")).toMap
+    assert(sp("a") === 0)
+    assert(sp("b") === 1)
+    assert(sp("c") === 1) // via shortcut
+    assert(sp("d") === 1) // via cycle edge, undirected
+    assert(!sp.contains("e"))
+  }
+
+  test("hyperedge membership any vs all") {
+    val any = PropertyGraph.hyperedgesForNodes(hyperedges, Seq("a", "d"), "any")
+      .select("id").collect().map(_.getString(0)).toSet
+    val all = PropertyGraph.hyperedgesForNodes(hyperedges, Seq("a", "d"), "all")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(any === Set("h1", "h2", "h3"))
+    assert(all === Set("h3"))
+  }
+
+  test("cypher: node pattern with props, rel pattern, WHERE, var-length") {
+    val n1 = Cypher.query(vertices, edges, "MATCH (p:Person {name: 'Bob'}) RETURN p.id, p.age")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(n1.toSeq === Seq(("b", 25)))
+
+    val rel = Cypher.query(vertices, edges,
+        "MATCH (p:Person)-[:WORKS_AT]->(c:Company) WHERE p.age > 26 RETURN p.name, c.name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rel.toSeq === Seq(("Alice", "Corp")))
+
+    val varlen = Cypher.query(vertices, edges,
+        "MATCH (x:Person)-[:KNOWS*1..2]->(y) RETURN x.id, y.id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // KNOWS edges: a->b, d->a; 2-hop: d->a->b
+    assert(varlen === Set(("a", "b"), ("d", "a"), ("d", "b")))
+  }
+
+  test("stats counts nodes, edges, labels, types") {
+    val m = PropertyGraph.stats(vertices, edges, Some(hyperedges))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("num_nodes") === 5)
+    assert(m("num_edges") === 5)
+    assert(m("num_hyperedges") === 3)
+    assert(m("num_labels") === 2)
+    assert(m("num_edge_types") === 3)
+  }
+}

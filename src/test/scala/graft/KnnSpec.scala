@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Ann, Filter, Knn, Quantization}
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val queries = embs.where(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("aggregator knnJoin equals window knnJoin on all metrics") {
+    for (m <- Seq("cosine", "l2", "ip")) {
+      val a = Knn.knnJoin(queries, embs, 10, m, corpusId = "vec_id", corpusVec = "embedding")
+      val w = Knn.knnJoinWindow(queries, embs, 10, m, corpusId = "vec_id", corpusVec = "embedding")
+      assert(asSet(a) === asSet(w), s"metric $m")
+    }
+  }
+
+  test("rank 1 under cosine is the query itself at distance ~0") {
+    val top = Knn.knnJoin(queries, embs, 1, "cosine",
+        corpusId = "vec_id", corpusVec = "embedding")
+      .collect()
+    assert(top.length === 5)
+    top.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("dist")) < 1e-9)
+    }
+  }
+
+  test("filtered knn returns only rows passing the filter") {
+    val got = Knn.knnJoin(queries, embs, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding",
+      filter = Some(Filter.In("label", Seq(2, 4))))
+    val labels = got.join(embs, got("neighbor_id") === embs("vec_id"))
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(2, 4)))
+  }
+
+  test("single-query search equals the k first rows of the join") {
+    val q = embs.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val single = Knn.search(embs, q, 5, "l2", corpusId = "vec_id", corpusVec = "embedding")
+      .collect().map(_.getLong(0)).toSeq
+    val joined = Knn.knnJoin(
+        embs.where(col("vec_id") === 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        embs, 5, "l2", corpusId = "vec_id", corpusVec = "embedding")
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(single === joined)
+  }
+
+  test("IVF and LSH reach usable recall vs exact") {
+    val exact = Knn.knnJoin(queries, embs, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding")
+    val ivf = Ann.ivfSearch(queries, embs,
+      Ann.trainIvf(embs, "embedding", numCells = 16), k = 10, nProbe = 4,
+      corpusId = "vec_id", vecCol = "embedding")
+    val ivfRecall = Quantization.recallAtK(ivf, exact, 10)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(ivfRecall > 0.5, s"ivf recall $ivfRecall")
+
+    val lsh = Ann.lshSearch(queries, embs, k = 10, numBits = 4, dim = 64,
+      corpusId = "vec_id", vecCol = "embedding")
+    val lshRecall = Quantization.recallAtK(lsh, exact, 10)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(lshRecall > 0.3, s"lsh recall $lshRecall")
+  }
+}
