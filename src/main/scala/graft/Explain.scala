@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the queries whose
+  * shape matters at 100 TB, so regressions in broadcast/pushdown/partial-agg
+  * are visible. Usage: runMain graft.Explain [sfDir] [query ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q10_knn_cosine", "q13_knn_filtered", "q1_agg", "q22_bm25", "q29_minhash_lsh")
+    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

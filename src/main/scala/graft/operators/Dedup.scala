@@ -65,61 +65,84 @@ object Dedup {
 
   /** LSH banding: candidate pairs whose signatures collide in >= 1 band,
     * then verified with exact shingle-set Jaccard. Returns
-    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * The shingle relation is computed once and reused for hashing,
+    * signatures, sizes, and verification (one persist instead of five
+    * re-tokenizations); candidate pairs stay tiny so verification is two
+    * candidate-sided joins, never an all-pairs pass. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
-    val banded = sigs.select(col(idCol).as("doc"),
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+      .withColumn("h", graft.functions.TextAnalysis.md5Hash32(col("shingle")))
+      .persist()
+    try {
+      val minExprs = (0 until numHashes).map { i =>
+        min(pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
+      }
+      val sigs = sh.groupBy(col("doc"))
+        .agg(minExprs.head, minExprs.tail: _*)
+        .select(col("doc"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      val banded = sigs.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
-    val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, idCol, textCol, candidates, shingleN, threshold)
+      val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
+      val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
+      val candidates = a.join(b, Seq("band", "band_sig"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+      val inter = candidates
+        .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
+        .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   /** Exact n-gram Jaccard similarity join: all pairs sharing >= 1 shingle,
-    * kept if jaccard >= threshold. The oracle for minhashLsh. */
+    * kept if jaccard >= threshold. The oracle for minhashLsh.
+    *
+    * Single-pass shape: the shingle self-join IS the intersection count
+    * (group the collisions by pair), so no candidate materialization and
+    * no second pass over the shingle sets — one shuffle keyed by shingle,
+    * one keyed by pair. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val candidates = sh.select(col("doc").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, idCol, textCol, candidates, shingleN, threshold)
+    val sh = shingleSets(docs, idCol, textCol, shingleN).persist()
+    try {
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.select(col("doc").as("id_a"), col("shingle"))
+        .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("shingle"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
-
-  /** Exact |A∩B| / |A∪B| over distinct shingles for given candidate pairs. */
-  private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
-                            candidates: DataFrame, shingleN: Int,
-                            threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc").as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
-      .where(col("shingle") === col("shingle_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   // ---------------------------------------------------------------- SimHash
 

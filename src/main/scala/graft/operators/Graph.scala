@@ -65,23 +65,31 @@ object PropertyGraph {
                     direction: String = "both",
                     edgeType: Option[String] = None): DataFrame = {
     val adj = neighbors(edges, direction = direction, edgeType = edgeType)
-      .select(col("node_id"), col("neighbor_id"))
+      .select(col("node_id"), col("neighbor_id")).persist()
     var visited = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
-      lit(0).as("hops"))
+      lit(0).as("hops")).persist()
     var frontier = visited
     var d = 0
-    while (d < maxDepth) {
-      val next = frontier.join(adj, frontier("end_id") === adj("node_id"))
-        .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
-        .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
-      val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
-      frontier = next.join(seen,
-        next("start_id") === seen("_vs") && next("end_id") === seen("_ve"), "left_anti")
-      if (frontier.isEmpty) return visited
-      visited = visited.unionByName(frontier)
-      d += 1
-    }
-    visited
+    try {
+      while (d < maxDepth) {
+        val next = frontier.join(adj, frontier("end_id") === adj("node_id"))
+          .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
+          .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
+        val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
+        // persist each frontier/visited generation: the loop would otherwise
+        // recompute the whole join chain per hop and the lineage grows
+        // multiplicatively (SURVEY §7.3 "iterative graph ops" risk)
+        frontier = next.join(seen,
+          next("start_id") === seen("_vs") && next("end_id") === seen("_ve"), "left_anti")
+          .persist()
+        if (frontier.isEmpty) return visited
+        val nextVisited = visited.unionByName(frontier).localCheckpoint(eager = true)
+        visited.unpersist()
+        visited = nextVisited
+        d += 1
+      }
+      visited
+    } finally adj.unpersist()
   }
 
   /** Hyperedge membership (graph.py:457-478, 800-812): hyperedges touching

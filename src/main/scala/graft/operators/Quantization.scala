@@ -128,14 +128,24 @@ object Quantization {
     val dim = vecs.select(size(col(vecCol))).head().getInt(0)
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
     val subDim = dim / numSubspaces
-    val codebooks = (0 until numSubspaces).map { m =>
-      val sub = vecs.select(array_to_vector(
-        transform(slice(col(vecCol), m * subDim + 1, subDim), _.cast("double"))).as("features"))
-      val km = new KMeans().setK(numCentroids).setSeed(seed + m)
-        .setMaxIter(maxIter).setFeaturesCol("features")
-      km.fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
-    PqModel(numSubspaces, subDim, codebooks)
+    val cached = vecs.select(col(vecCol)).persist()
+    try {
+      // the M per-subspace fits are independent Spark jobs — submit them
+      // concurrently so the scheduler interleaves their stages
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val codebooks = Await.result(Future.sequence((0 until numSubspaces).map { m =>
+        Future {
+          val sub = cached.select(array_to_vector(
+            transform(slice(col(vecCol), m * subDim + 1, subDim), _.cast("double"))).as("features"))
+          val km = new KMeans().setK(numCentroids).setSeed(seed + m)
+            .setMaxIter(maxIter).setFeaturesCol("features")
+          km.fit(sub).clusterCenters.map(_.toArray)
+        }
+      }), Duration.Inf).toArray
+      PqModel(numSubspaces, subDim, codebooks)
+    } finally cached.unpersist()
   }
 
   /** Encode: nearest centroid id per subspace (array<int>[M]). Broadcast
