@@ -110,7 +110,8 @@ object SparkEntry {
       graft.queries.QueriesText.defs ++
       graft.queries.QueriesGraph.defs ++
       graft.queries.QueriesEvents.defs ++
-      graft.queries.QueriesMultimodal.defs
+      graft.queries.QueriesMultimodal.defs ++
+      graft.queries.QueriesMisc.defs
   }
 
   /** DuckDB oracle SQL, same column names + rounding as the Spark side. */
@@ -182,6 +183,7 @@ object SparkEntry {
       graft.queries.QueriesText.oracles ++
       graft.queries.QueriesGraph.oracles ++
       graft.queries.QueriesEvents.oracles ++
-      graft.queries.QueriesMultimodal.oracles
+      graft.queries.QueriesMultimodal.oracles ++
+      graft.queries.QueriesMisc.oracles
   }
 }

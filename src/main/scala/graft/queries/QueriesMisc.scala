@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.functions.Embeddings
+import graft.sources.Changelog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining inventory coverage: the deterministic hash embedder (F11) and
+  * batch change-data capture (E5). */
+object QueriesMisc {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F11: deterministic text -> unit vector; export 3 components + norm
+    "q50_mock_embedding" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .withColumn("_e", Embeddings.mockEmbedding(col("text"), 16))
+        .select(col("doc_id"),
+          round(element_at(col("_e"), 1), 6).as("e0"),
+          round(element_at(col("_e"), 8), 6).as("e7"),
+          round(element_at(col("_e"), 16), 6).as("e15"),
+          round(sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0), _ + _)), 6).as("norm"))),
+
+    // E5: CDC diff between orders and a deterministically mutated version
+    "q51_cdc_diff" -> ((s, dir) => {
+      val before = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val after = before
+        .where(col("o_orderkey") % 97 =!= 0) // deletes
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 1.07, 2))
+            .otherwise(col("o_totalprice"))) // updates
+        .unionByName(before.where(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))) // inserts
+      Changelog.diff(before, after, "o_orderkey")
+        .select(col("op"), col("o_orderkey"),
+          round(col("before_o_totalprice"), 2).as("before_price"),
+          round(col("after_o_totalprice"), 2).as("after_price"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_mock_embedding" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), i ->
+        |      ('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0) AS r
+        |  FROM documents WHERE doc_id < 100),
+        |normed AS (
+        |  SELECT doc_id, r,
+        |    sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm
+        |  FROM raw)
+        |SELECT doc_id,
+        |  round(r[1] * (1.0 / nrm), 6) AS e0,
+        |  round(r[8] * (1.0 / nrm), 6) AS e7,
+        |  round(r[16] * (1.0 / nrm), 6) AS e15,
+        |  round(sqrt(list_sum(list_transform(r, x -> (x * (1.0 / nrm)) * (x * (1.0 / nrm))))), 6) AS norm
+        |FROM normed""".stripMargin,
+
+    "q51_cdc_diff" ->
+      """WITH before_t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |after_t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.07, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM before_t WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM before_t WHERE o_orderkey % 97 = 0),
+        |joined AS (
+        |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |         b.o_totalprice AS bp, a.o_totalprice AS ap,
+        |         b.o_orderkey IS NOT NULL AS in_b, a.o_orderkey IS NOT NULL AS in_a,
+        |         (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |           OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice) AS changed
+        |  FROM before_t b FULL OUTER JOIN after_t a ON b.o_orderkey = a.o_orderkey)
+        |SELECT CASE WHEN NOT in_b THEN 'insert'
+        |            WHEN NOT in_a THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |       o_orderkey, round(bp, 2) AS before_price, round(ap, 2) AS after_price
+        |FROM joined WHERE (NOT in_b) OR (NOT in_a) OR changed""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Collection persistence + discovery (SURVEY §2.1 S1-S5, S10): a
+  * collection is a parquet directory plus a `config.json` sidecar — the
+  * Spark-native form of the reference's index.bin/metadata.json/config.json
+  * layout (vectordb.py:269-332).
+  *
+  * Parquet already IS the reference's "binary columnar" format (S4/S5:
+  * magic + header + contiguous float32 block, binary_persistence.py:70-193)
+  * with compression, statistics, and predicate pushdown on top; the
+  * streaming writer (S6/S7) is `df.writeStream.format("parquet")` on the
+  * same directory.
+  */
+object Collections {
+
+  /** Per-collection config mirroring CollectionConfig (vectordb.py:220-229). */
+  final case class Config(name: String, dimensions: Int, metric: String)
+
+  private def configPath(dir: String) = Paths.get(dir, "config.json")
+
+  def save(df: DataFrame, dir: String, config: Config,
+           mode: String = "overwrite"): Unit = {
+    df.write.mode(mode).parquet(s"$dir/data")
+    val json =
+      s"""{"name": "${config.name}", "dimensions": ${config.dimensions}, "metric": "${config.metric}"}"""
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(configPath(dir), json)
+  }
+
+  def load(spark: SparkSession, dir: String): (DataFrame, Config) =
+    (spark.read.parquet(s"$dir/data"), loadConfig(dir))
+
+  def loadConfig(dir: String): Config = {
+    val raw = Files.readString(configPath(dir))
+    def field(k: String): String =
+      s""""$k"\\s*:\\s*("([^"]*)"|[0-9]+)""".r.findFirstMatchIn(raw)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+        .getOrElse(throw new IllegalArgumentException(s"missing $k in config"))
+    Config(field("name"), field("dimensions").toInt, field("metric"))
+  }
+
+  /** Directory scan for collections (S3, vectordb.py:627-646). */
+  def list(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val it = Files.list(p).iterator()
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val child = it.next()
+        if (Files.exists(child.resolve("config.json"))) out += child.getFileName.toString
+      }
+      out.toSeq.sorted
+    }
+  }
+
+  def delete(root: String, name: String): Boolean = {
+    val dir = Paths.get(root, name)
+    if (!Files.isDirectory(dir)) false
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val it = Files.list(p).iterator()
+          while (it.hasNext) rm(it.next())
+        }
+        Files.delete(p)
+      }
+      rm(dir); true
+    }
+  }
+}
+
+/** Batch change-data capture (SURVEY §2.8 E5: the reference's observable
+  * CRUD wrapper, realtime.py:325-442): diff two versions of a keyed table
+  * into insert/update/delete event rows — the write-ahead event table a
+  * streaming subscriber (E1-E3) consumes. */
+object Changelog {
+  import org.apache.spark.sql.Column
+
+  /** Returns (op, key, before-cols..., after-cols...) rows; op in
+    * insert|update|delete. Columns are compared null-safely; presence is
+    * tracked with marker columns so all-null data rows still diff right. */
+  def diff(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
+    val b = dataCols.foldLeft(before)((df, c) => df.withColumnRenamed(c, s"_b_$c"))
+      .withColumn("_b_present", lit(true))
+    val a = dataCols.foldLeft(after)((df, c) => df.withColumnRenamed(c, s"_a_$c"))
+      .withColumn("_a_present", lit(true))
+    val joined = b.join(a, Seq(keyCol), "full_outer")
+    val changed: Column = dataCols.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduce(_ || _)
+    val bPresent = coalesce(col("_b_present"), lit(false))
+    val aPresent = coalesce(col("_a_present"), lit(false))
+    joined
+      .withColumn("op",
+        when(!bPresent && aPresent, lit("insert"))
+          .when(bPresent && !aPresent, lit("delete"))
+          .when(changed, lit("update")))
+      .where(col("op").isNotNull)
+      .select(Seq(col("op"), col(keyCol)) ++
+        dataCols.map(c => col(s"_b_$c").as(s"before_$c")) ++
+        dataCols.map(c => col(s"_a_$c").as(s"after_$c")): _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Filter
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's client behavior suite (tests/test_client.py):
+  * create/get/delete collections, add/query with where-filters,
+  * get/update/upsert/delete-by-filter/peek, persist-and-reload. */
+class ClientSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = java.nio.file.Files
+    .createTempDirectory("graft-client").toString
+  private lazy val client = new GraftClient(spark, root, embedDim = 16)
+
+  private def docs = Seq(
+    ("doc1", "the quick brown fox", "animals", 2020),
+    ("doc2", "lazy dogs sleep all day", "animals", 2021),
+    ("doc3", "spark processes big data", "tech", 2022),
+    ("doc4", "catalyst optimizes query plans", "tech", 2023)
+  ).toDF("id", "document", "category", "year")
+
+  test("create, list, get, delete collections") {
+    client.createCollection("a")
+    client.createCollection("b")
+    assert(client.listCollections === Seq("a", "b"))
+    assert(client.getCollection("a").config.metric === "cosine")
+    assert(client.deleteCollection("b"))
+    assert(client.listCollections === Seq("a"))
+    assert(!client.deleteCollection("nope"))
+  }
+
+  test("add embeds documents and rejects duplicate ids") {
+    val c = client.getOrCreateCollection("docs")
+    c.add(docs)
+    assert(c.count() === 4)
+    val emb = c.get(ids = Seq("doc1")).select("embedding").head().getSeq[Float](0)
+    assert(emb.length === 16)
+    assert(math.abs(emb.map(x => x.toDouble * x).sum - 1.0) < 1e-5) // unit norm
+    // re-adding same ids is a no-op (insert keeps originals)
+    c.add(docs.withColumn("year", lit(1999)))
+    assert(c.count() === 4)
+    assert(c.get(ids = Seq("doc1")).head().getAs[Int]("year") === 2020)
+  }
+
+  test("query by text returns the identical document first") {
+    val c = client.getCollection("docs")
+    val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
+    val top = c.query(q, k = 2).orderBy("rank").collect()
+    assert(top.head.getAs[String]("id") === "doc3")
+    assert(math.abs(top.head.getAs[Double]("distance")) < 1e-6)
+  }
+
+  test("query with where-filter restricts candidates") {
+    val c = client.getCollection("docs")
+    val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
+    val got = c.query(q, k = 4, where = Some(Filter.Eq("category", "animals")))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(got === Set("doc1", "doc2"))
+  }
+
+  test("update, upsert, delete-by-filter, peek, reload") {
+    val c = client.getCollection("docs")
+    c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
+    assert(c.get(ids = Seq("doc2")).head().getAs[Int]("year") === 2024)
+    // update on unknown id is ignored
+    c.update(Seq(("ghost", "x", "y", 1)).toDF("id", "document", "category", "year"))
+    assert(c.count() === 4)
+    // upsert inserts the unknown id
+    c.upsert(Seq(("doc5", "new arrival", "tech", 2025)).toDF("id", "document", "category", "year"))
+    assert(c.count() === 5)
+    c.delete(where = Some(Filter.Eq("category", "tech")))
+    assert(c.get().select("id").collect().map(_.getString(0)).toSet === Set("doc1", "doc2"))
+    assert(c.peek(1).head().getAs[String]("id") === "doc1")
+    // fresh client sees persisted state
+    val again = new GraftClient(spark, root).getCollection("docs")
+    assert(again.count() === 2)
+  }
+}
