@@ -46,11 +46,13 @@ object Dedup {
   def minhashB(i: Int): Long = (7919L * i) % MinhashP
 
   /** MinHash signature: (doc_id, sig: array<long>[numHashes]) over token
-    * n-gram shingles. Empty-shingle docs get sig of all P (sentinel). */
+    * n-gram shingles. Empty-shingle docs get sig of all P (sentinel).
+    * No distinct pass: duplicate shingles cannot change a min, and the
+    * per-row array_distinct is quadratic in shingle count. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
-        explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
+        explode_outer(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
       .withColumn("h", TextAnalysis.md5Hash32(col("shingle")))
     val minExprs = (0 until numHashes).map { i =>
       min(when(col("h").isNotNull,
