@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions so `spark.sql("... cosine_distance
+  * (a, b) ...")` works on any session configured with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or programmatically via `SparkSession.builder().withExtensions`).
+  * This is the (c)-tier extension hook from the build rules — the engine's
+  * operators otherwise stay plain DataFrame transformations that Catalyst
+  * already optimizes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    reg("cosine_distance", es => CosineDistance(es.head, es(1)))
+    reg("l2_distance", es => L2Distance(es.head, es(1)))
+    reg("dot_product", es => DotProduct(es.head, es(1)))
+    reg("l2_normalize", es => L2Normalize(es.head))
+    reg("hamming_distance", es => HammingDistance(es.head, es(1)))
+    reg("pack_bits", es => PackBits(es.head))
+  }
+}

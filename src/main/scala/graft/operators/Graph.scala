@@ -41,21 +41,25 @@ object PropertyGraph {
                direction: String = "out",
                edgeType: Option[String] = None): DataFrame = {
     val adj = neighbors(edges, direction = direction, edgeType = edgeType)
-      .select(col("node_id"), col("neighbor_id"))
+      .select(col("node_id"), col("neighbor_id")).persist()
     var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("depth"), array(col("id").cast("string")).as("path"))
     var all = frontier
     var d = 0
-    while (d < maxDepth) {
-      frontier = frontier.join(adj, frontier("end_id") === adj("node_id"))
-        .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
-        .select(col("start_id"), col("neighbor_id").as("end_id"),
-          (col("depth") + 1).as("depth"),
-          concat(col("path"), array(col("neighbor_id").cast("string"))).as("path"))
-      all = all.unionByName(frontier)
-      d += 1
-    }
-    all.where(col("depth") > 0)
+    try {
+      while (d < maxDepth) {
+        // persist each hop's frontier so hop k+1 does not replay hops 1..k
+        frontier = frontier.join(adj, frontier("end_id") === adj("node_id"))
+          .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
+          .select(col("start_id"), col("neighbor_id").as("end_id"),
+            (col("depth") + 1).as("depth"),
+            concat(col("path"), array(col("neighbor_id").cast("string"))).as("path"))
+          .persist()
+        all = all.unionByName(frontier)
+        d += 1
+      }
+      all.where(col("depth") > 0).localCheckpoint(eager = true)
+    } finally adj.unpersist()
   }
 
   /** BFS shortest path lengths from seeds (graph.py:871-902): Pregel-style

@@ -22,6 +22,28 @@ object QueriesMisc {
           round(element_at(col("_e"), 16), 6).as("e15"),
           round(sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0), _ + _)), 6).as("norm"))),
 
+    // SQL interface parity: the flagship kNN expressed as pure spark.sql
+    // text over temp views + the registered distance function — proves a
+    // reference user can drive the engine from SQL alone.
+    "q52_sql_knn" -> ((s, dir) => {
+      graft.functions.vector.registerSql(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          |           FROM embeddings_v WHERE vec_id < 5),
+          |pairs AS (
+          |  SELECT q.query_id, c.vec_id AS neighbor_id,
+          |         cosine_distance(c.embedding, q.qv) AS dist
+          |  FROM embeddings_v c CROSS JOIN q),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, dist,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+          |  FROM pairs)
+          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+          |       round(dist, 6) AS dist
+          |FROM ranked WHERE rank <= 10""".stripMargin)
+    }),
+
     // E5: CDC diff between orders and a deterministically mutated version
     "q51_cdc_diff" -> ((s, dir) => {
       val before = t(s, dir, "orders")
@@ -42,6 +64,22 @@ object QueriesMisc {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_sql_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+        |  FROM q, embeddings c),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
     "q50_mock_embedding" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+
+/** The analog of the reference's suite-6 performance assertions
+  * (test_comprehensive.py:702-765), restated for a batch engine: floors on
+  * end-to-end throughput at sf0.001, generous enough to never flake on CI
+  * hardware but tight enough to catch an accidentally quadratic plan. */
+class PerfSpec extends SparkSpec {
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("batch kNN: 50 queries x 500 vectors completes in seconds") {
+    embs.count() // warm cache
+    val queries = embs.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val t0 = System.nanoTime()
+    val n = Knn.knnJoin(queries, embs, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n === 500)
+    // 50 queries -> floor of 5 q/s (reference floor is 500 batch QPS on
+    // its native engine; a Spark job carries ~0.5s fixed scheduling cost,
+    // so the floor here guards against plan regressions, not JIT latency)
+    assert(sec < 10.0, s"batch knn took ${sec}s")
+  }
+
+  test("bulk insert path: 100k-row upsert writes in seconds") {
+    import spark.implicits._
+    val base = spark.range(100000).select(col("id"),
+      (col("id") % 97).as("v"))
+    val updates = spark.range(1000).select(col("id"), lit(-1L).as("v"))
+    val t0 = System.nanoTime()
+    val n = graft.operators.Crud.upsert(base, updates, "id").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n === 100000)
+    assert(sec < 10.0, s"upsert took ${sec}s") // >10k rows/s floor
+  }
+
+  test("filter scan throughput on lineitem") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val t0 = System.nanoTime()
+    li.where(col("l_quantity") > 25).agg(sum("l_extendedprice")).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 5.0, s"filter-agg took ${sec}s")
+  }
+}
