@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("l2_normalize", es => L2Normalize(es.head))
     reg("hamming_distance", es => HammingDistance(es.head, es(1)))
     reg("pack_bits", es => PackBits(es.head))
+    ext.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
   }
 }

@@ -91,6 +91,41 @@ object Knn {
         col("_n.dist").as("dist"))
   }
 
+  /** Fused-operator variant: the custom KnnTopK physical plan
+    * (graft.plans.KnnPlan) scores each corpus partition against the query
+    * batch in one pass with bounded heaps — no Q*N row materialization —
+    * then the same bounded aggregator merges the Q*k-per-partition
+    * partials. Semantically identical to [[knnJoin]]. */
+  def knnJoinFused(queries: DataFrame, corpus: DataFrame, k: Int,
+                   metric: String = "cosine",
+                   queryId: String = "query_id", queryVec: String = "query_vec",
+                   corpusId: String = "id", corpusVec: String = "vec",
+                   filter: Option[Filter] = None): DataFrame = {
+    import graft.plans.{KnnStrategy, KnnTopK}
+    import org.apache.spark.sql.graft.Bridge
+    val spark = corpus.sparkSession
+    if (!spark.experimental.extraStrategies.contains(KnnStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ KnnStrategy
+    val qArr = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val filtered = filter.map(f => corpus.where(f.compile)).getOrElse(corpus)
+    val child = filtered
+      .where(col(corpusId).isNotNull && col(corpusVec).isNotNull)
+      .select(col(corpusId).cast("long").as("_cid"),
+        col(corpusVec).cast("array<float>").as("_cvec"))
+    val partial = Bridge.ofRows(spark,
+      KnnTopK(Bridge.logicalPlan(child), qArr, k, metric, idOrdinal = 0, vecOrdinal = 1))
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Neighbor]())
+    partial
+      .groupBy(col("query_id").as(queryId))
+      .agg(topk(col("neighbor_id"), col("dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId), (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
+  }
+
   /** Reference implementation via window row_number over the full cross
     * join — semantically identical to [[knnJoin]]; kept for cross-checking
     * and for corpora whose id column is not castable to Long. Shuffles Q*N

@@ -17,9 +17,10 @@ object QueriesVector {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1 at batch width: 50 queries — the reference's batch-GEMM shape
-    // (parallel_search.py:246-311)
+    // (parallel_search.py:246-311), served by the fused KnnTopK physical
+    // operator (graft.plans) and checked against the same exact oracle
     "q14_knn_batch" -> ((s, dir) =>
-      Knn.knnJoin(queryBatch(s, dir, 50), t(s, dir, "embeddings"), k = 10,
+      Knn.knnJoinFused(queryBatch(s, dir, 50), t(s, dir, "embeddings"), k = 10,
           metric = "cosine", corpusId = "vec_id", corpusVec = "embedding")
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))),
