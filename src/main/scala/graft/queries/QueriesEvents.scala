@@ -48,6 +48,15 @@ object QueriesEvents {
       Events.historyTail(t(s, dir, "events"), 20)
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))),
+
+    // Native session_window (Spark's own gap-session operator) — must
+    // agree with the lag/cumsum formulation in q44
+    "q53_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("_start"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("_start")).as("start_us"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +95,24 @@ object QueriesEvents {
     "q45_history_tail" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    // session_window gap semantics == lag/cumsum sessionization: sessions
+    // close when the next event is > 30min after the PREVIOUS EVENT
+    "q53_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, ts, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, count(*) AS n_events, min(us) AS start_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -44,6 +44,16 @@ object QueriesRelational {
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // parity-plus: hierarchical rollup aggregation (SURVEY §2.4 notes the
+    // reference has no grouping sets; Catalyst provides them natively)
+    "q54_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("qty"))),
+
     // CRUD delete-by-filter (negated-filter scan), checksum result
     "q9_delete" -> ((s, dir) => {
       val f = Filter.Gt("o_totalprice", 150000.0) && Filter.Eq("o_orderstatus", "F")
@@ -79,5 +89,11 @@ object QueriesRelational {
       """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE NOT coalesce(o_totalprice > 150000.0 AND o_orderstatus = 'F', FALSE)""".stripMargin,
+
+    "q54_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
   )
 }
