@@ -63,6 +63,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out.contains((2L, 2L, 1L)))
   }
 
+  test("parquet streaming writer/reader round-trip (S6/S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    mem.addData(mkEvents: _*)
+    // streaming writer: append-only parquet + checkpoint (the reference's
+    // StreamingBinaryWriter, binary_persistence.py:212-274)
+    val q = mem.toDF().writeStream
+      .format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // streaming reader over the written directory
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema)
+      .parquet(s"$dir/data")
+    val out = EventStream.runToMemory(
+      EventStream.subscribe(streamed, eventTypes = Seq("view")), "file_round")
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+  }
+
   test("batch sessionize agrees with the gap definition") {
     val stats = Events.sessionStats(mkEvents.toDF(), gapMinutes = 30)
       .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")),
