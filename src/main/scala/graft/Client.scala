@@ -94,6 +94,36 @@ final class GraftCollection(spark: SparkSession, dir: String,
         col("dist").as("distance"))
   }
 
+  /** Hybrid vector+keyword search over the collection (the reference's
+    * Collection.hybrid_search, hybrid_search.py:355-477): BM25 over the
+    * document column fused with vector similarity at fetch_k = 5*k,
+    * alpha-weighted after per-set max-normalization. One query text per
+    * call (the BM25 side is a scalar query); vector side comes from the
+    * same text through the collection's embedder. */
+  def hybridQuery(queryText: String, k: Int = 10,
+                  alpha: Double = 0.5): DataFrame = {
+    import graft.operators.Bm25
+    val fetchK = k * 5
+    val corpus = df.withColumn("_nid", xxhash64(col("id")))
+    val qvec = corpus.sparkSession.range(1).select(
+      Embeddings.mockEmbedding(lit(queryText), config.dimensions).as("query_vec"),
+      lit(0L).as("query_id"))
+    val vecCand = Knn.knnJoin(qvec, corpus, fetchK, config.metric,
+        corpusId = "_nid", corpusVec = "embedding")
+      .select(col("neighbor_id").as("_nid"), col("dist"))
+      .join(corpus.select(col("_nid"), col("id")), "_nid")
+      .select(col("id").as("doc_id"), col("dist"))
+    val idx = Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document")
+    val kwCand = Bm25.score(idx, queryText)
+      .withColumn("_r", round(col("score"), 6))
+      .orderBy(desc("_r"), col("doc_id")).limit(fetchK).drop("_r")
+    Bm25.hybridFuse(vecCand, kwCand, k, alpha)
+      .join(df.select(col("id").as("doc_id"), col("document")), "doc_id")
+      .select(col("doc_id").as("id"), col("document"), col("score"),
+        col("vector_score"), col("keyword_score"))
+      .orderBy(desc("score"), col("id"))
+  }
+
   /** get by ids and/or metadata filter (client.py:276-355). */
   def get(ids: Seq[String] = Nil, where: Option[Filter] = None,
           limit: Int = Int.MaxValue): DataFrame = {

@@ -115,6 +115,27 @@ object PropertyGraph {
     }
   }
 
+  /** Graph mutations as batch set operations (reference Suite 2 exercises
+    * add/update/delete with hash-index maintenance, graph.py:150-250;
+    * distributed, the "indexes" are the frames themselves so maintenance
+    * is just the Crud algebra — plus the edge cascade the reference
+    * applies on node removal). */
+  def addNodes(vertices: DataFrame, nodes: DataFrame): DataFrame =
+    Crud.insertNew(vertices, nodes, "id")
+
+  def updateNodes(vertices: DataFrame, updates: DataFrame): DataFrame =
+    Crud.upsert(vertices, updates, "id")
+
+  /** Remove nodes AND every edge touching them (graph.py:214-238 removes
+    * incident edges from all adjacency indexes). Returns (vertices, edges). */
+  def removeNodes(vertices: DataFrame, edges: DataFrame,
+                  nodeIds: Seq[String]): (DataFrame, DataFrame) = {
+    val v = vertices.where(!col("id").isin(nodeIds: _*))
+    val e = edges.where(!col("src").isin(nodeIds: _*) &&
+      !col("dst").isin(nodeIds: _*))
+    (v, e)
+  }
+
   /** Graph stats (graph.py:917-926): counts + distinct labels/types. */
   def stats(vertices: DataFrame, edges: DataFrame,
             hyperedges: Option[DataFrame] = None): DataFrame = {

@@ -121,7 +121,7 @@ object Quantization {
 
   def trainPq(vecs: DataFrame, vecCol: String, numSubspaces: Int = 8,
               numCentroids: Int = 16, seed: Long = 42L,
-              maxIter: Int = 20): PqModel = {
+              maxIter: Int = 10): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.functions.array_to_vector

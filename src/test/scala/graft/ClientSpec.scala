@@ -59,6 +59,20 @@ class ClientSpec extends SparkSpec {
     assert(got === Set("doc1", "doc2"))
   }
 
+  test("hybrid query fuses keyword and vector evidence") {
+    val c = client.getCollection("docs")
+    val got = c.hybridQuery("spark big data", k = 4, alpha = 0.5).collect()
+    assert(got.nonEmpty)
+    // the doc containing the query terms must surface with keyword evidence
+    val byId = got.map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.contains("doc3"))
+    assert(byId("doc3").getAs[Double]("keyword_score") > 0.0)
+    // scores are fused: within [0, 1], descending
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0 + 1e-12))
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))

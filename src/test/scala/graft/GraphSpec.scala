@@ -85,6 +85,23 @@ class GraphSpec extends SparkSpec {
     assert(varlen === Set(("a", "b"), ("d", "a"), ("d", "b")))
   }
 
+  test("mutations: add, update, remove-with-edge-cascade") {
+    val newNode = Seq(("f", Seq("Person"), "Frank", 50)).toDF("id", "labels", "name", "age")
+    val v2 = PropertyGraph.addNodes(vertices, newNode)
+    assert(v2.count() === 6)
+    // duplicate add keeps the original
+    val v3 = PropertyGraph.addNodes(v2, Seq(("a", Seq("Robot"), "A2", 1))
+      .toDF("id", "labels", "name", "age"))
+    assert(v3.where(col("id") === "a").head().getAs[String]("name") === "Alice")
+    val v4 = PropertyGraph.updateNodes(v3, Seq(("b", Seq("Person"), "Bobby", 26))
+      .toDF("id", "labels", "name", "age"))
+    assert(v4.where(col("id") === "b").head().getAs[String]("name") === "Bobby")
+    val (v5, e5) = PropertyGraph.removeNodes(v4, edges, Seq("c"))
+    assert(!v5.collect().map(_.getString(0)).contains("c"))
+    // edges e2 (b->c), e3 (c->d), e4 (a->c) cascade away
+    assert(e5.collect().map(_.getString(0)).toSet === Set("e1", "e5"))
+  }
+
   test("stats counts nodes, edges, labels, types") {
     val m = PropertyGraph.stats(vertices, edges, Some(hyperedges))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
