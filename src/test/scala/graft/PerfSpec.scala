@@ -26,6 +26,31 @@ class PerfSpec extends SparkSpec {
     assert(sec < 10.0, s"batch knn took ${sec}s")
   }
 
+  test("reference headline config: 100k x 128d corpus, 20-query batch") {
+    // the reference's benchmark preset (BASELINE.md: 100K x 128d, batch
+    // GEMM 1.66 ms/query). Fused-operator path, deterministic synthetic
+    // corpus at the same shape.
+    val corpus = spark.range(100000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(127)),
+        i => (pmod(xxhash64(col("id") * 131 + i), lit(2000)).cast("float") / 1000.0f - 1.0f))
+        .as("embedding")).cache()
+    corpus.count()
+    val q = corpus.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // warm
+    Knn.knnJoinFused(q, corpus, 10, "cosine", corpusId = "vec_id", corpusVec = "embedding").count()
+    val t0 = System.nanoTime()
+    val n = Knn.knnJoinFused(q, corpus, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    corpus.unpersist()
+    assert(n === 200)
+    info(f"100k x 128d, 20 queries: ${sec}%.2f s total = ${sec * 1000 / 20}%.1f ms/query")
+    // floor: within ~2 orders of the reference's in-memory BLAS number,
+    // generous for a 4-thread test JVM; catches accidental quadratics
+    assert(sec < 20.0, f"batch took ${sec}%.2f s")
+  }
+
   test("bulk insert path: 100k-row upsert writes in seconds") {
     import spark.implicits._
     val base = spark.range(100000).select(col("id"),
