@@ -54,6 +54,18 @@ final case class KnnTopKExec(child: SparkPlan,
     val m = metric
     val (idOrd, vecOrd) = (idOrdinal, vecOrdinal)
     child.execute().mapPartitions { iter =>
+      // hoist per-query invariants: the vectors as primitive arrays and,
+      // for cosine, sqrt of each query norm (the per-pair formula then
+      // reuses sqrt(na)*sqrt(nb) in the same order as the codegen kernel,
+      // so results stay bit-identical to the composed plan)
+      val mcode = m match { case "cosine" => 0; case "l2" => 1; case "ip" => 2
+        case other => throw new IllegalArgumentException(s"metric $other") }
+      val qVecs: Array[Array[Float]] = qs.map(_._2)
+      val qSqrtNorm: Array[Double] = qVecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        math.sqrt(s)
+      }
       // one bounded max-heap per query: worst candidate on top
       val heaps = Array.fill(qs.length)(
         new java.util.PriorityQueue[(Long, Double)](kk + 1,
@@ -64,10 +76,34 @@ final case class KnnTopKExec(child: SparkPlan,
       while (iter.hasNext) {
         val row = iter.next()
         val cid = row.getLong(idOrd)
-        val vec = row.getArray(vecOrd)
+        // one copy to a primitive array per row; all query loops then run
+        // over float[] (JIT-friendly, no ArrayData virtual dispatch), and
+        // the row norm is computed ONCE instead of once per query
+        val varr = row.getArray(vecOrd).toFloatArray()
+        val rowSqrtNorm = if (mcode == 0) {
+          var s = 0.0; var i = 0
+          while (i < varr.length) { s += varr(i).toDouble * varr(i); i += 1 }
+          math.sqrt(s)
+        } else 0.0
         var qi = 0
         while (qi < qs.length) {
-          val d = KnnTopKExec.distance(m, vec, qs(qi)._2)
+          val q = qVecs(qi)
+          val n = math.min(varr.length, q.length)
+          val d = (mcode: @annotation.switch) match {
+            case 0 =>
+              var dot = 0.0; var i = 0
+              while (i < n) { dot += varr(i).toDouble * q(i); i += 1 }
+              val denom = rowSqrtNorm * qSqrtNorm(qi)
+              if (denom == 0.0) 1.0 else 1.0 - dot / denom
+            case 1 =>
+              var s = 0.0; var i = 0
+              while (i < n) { val df = varr(i) - q(i); s += df.toDouble * df; i += 1 }
+              math.sqrt(s)
+            case _ => // ip
+              var s = 0.0; var i = 0
+              while (i < n) { s += varr(i).toDouble * q(i); i += 1 }
+              -s
+          }
           val h = heaps(qi)
           if (h.size < kk) h.add((cid, d))
           else {
