@@ -54,6 +54,19 @@ object QueriesRelational {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("n"), col("qty"))),
 
+    // parity-plus analytic window: per-customer running order stats
+    // (rank/lag/moving frames — none exist in the reference, SURVEY §2.5)
+    "q55_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("moving_sum3"),
+          round(col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("delta_prev"),
+          rank().over(Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"),
+            col("o_orderkey"))).as("price_rank"))
+    }),
+
     // CRUD delete-by-filter (negated-filter scan), checksum result
     "q9_delete" -> ((s, dir) => {
       val f = Filter.Gt("o_totalprice", 150000.0) && Filter.Eq("o_orderstatus", "F")
@@ -95,5 +108,15 @@ object QueriesRelational {
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS n, round(sum(l_quantity), 4) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q55_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3,
+        |  round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+        |        PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 2) AS delta_prev,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
   )
 }
