@@ -31,7 +31,17 @@ sealed trait Filter {
 }
 
 object Filter {
-  private def field(name: String): Column = col(name)
+  private val MapKey = """^(\w+)\[(\w+)\]$""".r
+
+  /** Field resolution covers the reference's schemaless-metadata case
+    * (vectordb.py metadata is a dynamic dict): `name` addresses a typed
+    * column, `name.sub` a struct field (Column's own dot resolution), and
+    * `name[key]` a MapType entry — a missing map key yields null, which the
+    * condition semantics below already treat as false. */
+  private def field(name: String): Column = name match {
+    case MapKey(c, k) => col(c).getItem(k)
+    case _ => col(name)
+  }
 
   final case class Eq(key: String, value: Any) extends Filter {
     def compile: Column = field(key) === lit(value)

@@ -92,6 +92,20 @@ class FilterDSLSpec extends SparkSpec {
     }
   }
 
+  test("map-typed metadata: name[key] addresses entries, missing key => false") {
+    val df = Seq(
+      (1L, Map("color" -> "red", "size" -> "9")),
+      (2L, Map("color" -> "blue")),
+      (3L, Map.empty[String, String])
+    ).toDF("id", "props")
+    def ids(f: Filter) = df.where(f.compile).collect().map(_.getLong(0)).toSet
+    assert(ids(Eq("props[color]", "red")) === Set(1L))
+    assert(ids(Ne("props[color]", "red")) === Set(2L)) // missing key => false
+    assert(ids(In("props[color]", Seq("red", "blue"))) === Set(1L, 2L))
+    assert(ids(!Eq("props[color]", "red")) === Set(2L, 3L)) // Not() null-safe
+    assert(ids(Contains("props[size]", "9")) === Set(1L))
+  }
+
   test("fromMap builds AND-of-equalities") {
     val df = rows.toDF()
     val got = df.where(Filter.fromMap(Map("cat" -> "A", "size" -> 4)).compile).count()
