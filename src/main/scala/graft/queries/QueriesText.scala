@@ -111,6 +111,12 @@ object QueriesText {
     "q31_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(nearDupCorpus(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.5)),
+
+    // Embedding-space near-duplicate pairs (cosine >= 0.4 — tuned to the
+    // corpus so the exact all-pairs join returns a meaningful set)
+    "q56_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)),
   )
 
   // --------------------------------------------------------------- oracles
@@ -347,6 +353,17 @@ object QueriesText {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q56_embedding_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT 1.0 - (CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END)
+        |     FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(b.embedding) AS DOUBLE) AS y)) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+        |FROM p WHERE sim >= 0.4""".stripMargin,
 
     "q31_ngram_jaccard" ->
       s"""WITH $nearDupCorpusSql,
