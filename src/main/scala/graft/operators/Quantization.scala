@@ -26,9 +26,14 @@ object Quantization {
       mins.indices.map(i => { val s = maxs(i) - mins(i); if (s == 0) 1.0 else s }).toArray
   }
 
-  /** One distributed pass: posexplode + per-dim min/max (SURVEY A7). */
-  def trainSq(vecs: DataFrame, vecCol: String): SqModel = {
-    val stats = vecs
+  /** One distributed pass: posexplode + per-dim min/max (SURVEY A7).
+    * At corpus scale pass sampleFraction < 1 — quantizer statistics
+    * converge on a seeded sample and the training pass stops being a
+    * full-corpus shuffle. Default 1.0 keeps oracle-exact behavior. */
+  def trainSq(vecs: DataFrame, vecCol: String,
+              sampleFraction: Double = 1.0, seed: Long = 42L): SqModel = {
+    val src = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    val stats = src
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
@@ -74,12 +79,15 @@ object Quantization {
   // ------------------------------------------------------------ Binary (BQ)
 
   /** Per-dimension median thresholds (quantization.py:307-327). Exact
-    * interpolated percentile == np.median. */
-  def trainBq(vecs: DataFrame, vecCol: String): Array[Double] =
-    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+    * interpolated percentile == np.median; sample like trainSq at scale. */
+  def trainBq(vecs: DataFrame, vecCol: String,
+              sampleFraction: Double = 1.0, seed: Long = 42L): Array[Double] = {
+    val src = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    src.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(expr("percentile(CAST(v AS DOUBLE), 0.5)").as("thr"))
       .orderBy("dim").collect().map(_.getDouble(1))
+  }
 
   /** Unpacked bits (array<int> of 0/1): v > threshold (quantization.py:347). */
   def bqBits(thresholds: Array[Double])(vecCol: Column): Column = {
