@@ -136,17 +136,20 @@ object PropertyGraph {
     (v, e)
   }
 
-  /** Graph stats (graph.py:917-926): counts + distinct labels/types. */
+  /** Graph stats (graph.py:917-926): counts + distinct labels/types —
+    * one lazy union-of-aggregates plan, so the caller pays a single job
+    * instead of five driver-side counts. */
   def stats(vertices: DataFrame, edges: DataFrame,
             hyperedges: Option[DataFrame] = None): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value")).select(lit(name).as("stat"), col("value"))
     val spark = vertices.sparkSession
     import spark.implicits._
-    val rows = Seq(
-      ("num_nodes", vertices.count()),
-      ("num_edges", edges.count()),
-      ("num_hyperedges", hyperedges.map(_.count()).getOrElse(0L)),
-      ("num_labels", vertices.select(explode(col("labels"))).distinct().count()),
-      ("num_edge_types", edges.select("type").distinct().count()))
-    rows.toDF("stat", "value")
+    one("num_nodes", vertices)
+      .unionByName(one("num_edges", edges))
+      .unionByName(hyperedges.map(h => one("num_hyperedges", h))
+        .getOrElse(Seq(("num_hyperedges", 0L)).toDF("stat", "value")))
+      .unionByName(one("num_labels", vertices.select(explode(col("labels"))).distinct()))
+      .unionByName(one("num_edge_types", edges.select("type").distinct()))
   }
 }
