@@ -109,6 +109,24 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))
       }), 1)
 
+  /** Overlapping token-window chunks for embedding pipelines: windows of
+    * `size` tokens advancing by `stride` (stride < size = overlap), last
+    * partial window kept. Returns array<struct<chunk_idx int, chunk
+    * string>>; explode for one row per chunk. Same once-per-row token
+    * binding as [[shingles]]. */
+  def chunks(textCol: Column, windowSize: Int, stride: Int): Column = {
+    require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
+    element_at(
+      transform(array(tokens(textCol)), tk => {
+        // number of windows: 1 + ceil(max(n - windowSize, 0) / stride)
+        val extra = greatest(size(tk) - lit(windowSize), lit(0))
+        val cnt = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+        transform(sequence(lit(0), cnt - 1), i =>
+          struct(i.cast("int").as("chunk_idx"),
+            concat_ws(" ", slice(tk, i * stride + 1, lit(windowSize))).as("chunk")))
+      }), 1)
+  }
+
   /** 32-bit integer hash of a string via md5 prefix — chosen (over
     * xxhash/murmur) because every SQL engine in the oracle loop computes
     * the identical value: parse the first 8 hex chars as a long. */

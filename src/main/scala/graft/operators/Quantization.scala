@@ -129,14 +129,15 @@ object Quantization {
 
   def trainPq(vecs: DataFrame, vecCol: String, numSubspaces: Int = 8,
               numCentroids: Int = 16, seed: Long = 42L,
-              maxIter: Int = 10): PqModel = {
+              maxIter: Int = 10, sampleFraction: Double = 1.0): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val src = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    val dim = src.select(size(col(vecCol))).head().getInt(0)
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
     val subDim = dim / numSubspaces
-    val cached = vecs.select(col(vecCol)).persist()
+    val cached = src.select(col(vecCol)).persist()
     try {
       // the M per-subspace fits are independent Spark jobs — submit them
       // concurrently so the scheduler interleaves their stages

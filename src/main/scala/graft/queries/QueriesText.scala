@@ -117,6 +117,15 @@ object QueriesText {
     "q56_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)),
+
+    // Document chunking (pre-embedding windows: 32 tokens, stride 24)
+    "q57_chunking" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), windowSize = 32, stride = 24)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          md5(col("c.chunk").cast("binary")).as("chunk_md5"),
+          size(Bm25.tokenize(col("c.chunk"))).as("n_tokens"))),
   )
 
   // --------------------------------------------------------------- oracles
@@ -353,6 +362,24 @@ object QueriesText {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q57_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |counted AS (
+        |  SELECT doc_id, tk,
+        |         1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS INT) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |         array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+        |  FROM counted, LATERAL (SELECT unnest(range(0, n_chunks)) AS i))
+        |SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+        |       len(list_filter(regexp_split_to_array(lower(chunk), '[^a-z0-9_]+'),
+        |           x -> x <> '')) AS n_tokens
+        |FROM chunks""".stripMargin,
 
     "q56_embedding_neardup" ->
       """WITH p AS (

@@ -44,6 +44,23 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(twice(2L) - 2 * once(2L)) < 1e-12)
   }
 
+  test("chunking: window/stride arithmetic and overlap") {
+    import graft.functions.TextAnalysis
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val got = doc.select(explode(TextAnalysis.chunks(col("text"), 4, 3)).as("c"))
+      .select(col("c.chunk_idx"), col("c.chunk")).collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    // 10 tokens, size 4, stride 3 -> 1 + ceil(6/3) = 3 chunks
+    assert(got.length === 3)
+    assert(got(0)._2 === "w1 w2 w3 w4")
+    assert(got(1)._2 === "w4 w5 w6 w7") // 1-token overlap
+    assert(got(2)._2 === "w7 w8 w9 w10")
+    // short doc -> single partial chunk
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(explode(TextAnalysis.chunks(col("text"), 4, 3)).as("c")).count()
+    assert(short === 1)
+  }
+
   test("hybrid fusion: vector-only and keyword-only candidates both surface") {
     val vec = Seq((1L, 0.1), (2L, 0.4)).toDF("doc_id", "dist")
     val kw = Seq((2L, 3.0), (3L, 1.5)).toDF("doc_id", "score")
