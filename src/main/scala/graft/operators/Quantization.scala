@@ -148,8 +148,11 @@ object Quantization {
         Future {
           val sub = cached.select(array_to_vector(
             transform(slice(col(vecCol), m * subDim + 1, subDim), _.cast("double"))).as("features"))
+          // random init (seeded): kmeans|| init alone costs several Spark
+          // jobs per subspace; with 8 concurrent fits the scheduling
+          // overhead dominates the tiny fits
           val km = new KMeans().setK(numCentroids).setSeed(seed + m)
-            .setMaxIter(maxIter).setFeaturesCol("features")
+            .setMaxIter(maxIter).setInitMode("random").setFeaturesCol("features")
           km.fit(sub).clusterCenters.map(_.toArray)
         }
       }), Duration.Inf).toArray

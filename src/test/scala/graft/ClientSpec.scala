@@ -30,6 +30,10 @@ class ClientSpec extends SparkSpec {
     assert(!client.deleteCollection("nope"))
   }
 
+  test("getCollection on a missing collection fails loudly") {
+    intercept[Exception] { client.getCollection("does_not_exist") }
+  }
+
   test("add embeds documents and rejects duplicate ids") {
     val c = client.getOrCreateCollection("docs")
     c.add(docs)

@@ -102,6 +102,15 @@ class GraphSpec extends SparkSpec {
     assert(e5.collect().map(_.getString(0)).toSet === Set("e1", "e5"))
   }
 
+  test("cypher rejects malformed input") {
+    intercept[IllegalArgumentException] {
+      Cypher.query(vertices, edges, "SELECT * FROM nodes")
+    }
+    intercept[IllegalArgumentException] {
+      Cypher.query(vertices, edges, "MATCH (a)-[b]-(c) RETURN a") // undirected unsupported
+    }
+  }
+
   test("stats counts nodes, edges, labels, types") {
     val m = PropertyGraph.stats(vertices, edges, Some(hyperedges))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
