@@ -16,16 +16,21 @@ object TextAnalysis {
   /** Word tokens, reference tokenizer semantics (lowercase, `\w+`). */
   def tokens(c: Column): Column = Bm25Tokens.tokens(c)
 
+  /** Explicit whitespace class used everywhere instead of `\s`: Java and
+    * RE2 disagree on what `\s` matches (`\x0B`, Unicode classes), so both
+    * the Spark regex and the DuckDB oracle spell the class out. */
+  val WsClass = "[ \\t\\n\\r\\f\\x0B]"
+
   /** Whitespace token count — the cheap `len(text.split())` estimate. */
   def wsTokenCount(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => t =!= lit("")))
+    size(filter(split(c, WsClass + "+"), t => t =!= lit("")))
 
   /** BPE-ish subword count estimate: word chars grouped ~4 per token plus
     * one token per non-space punctuation run (a public rule-of-thumb
     * approximation of byte-pair tokenizers — NOT a real BPE). */
   def bpeishTokenCount(c: Column): Column = {
     val wordChars = length(regexp_replace(c, "[^A-Za-z0-9]", ""))
-    val punctRuns = size(filter(split(c, "[A-Za-z0-9\\s]+"), t => t =!= lit("")))
+    val punctRuns = size(filter(split(c, "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"), t => t =!= lit("")))
     ceil(wordChars.cast("double") / 4.0).cast("long") + punctRuns.cast("long")
   }
 
@@ -74,7 +79,7 @@ object TextAnalysis {
     val meanWordLen = when(nToks > 0,
       aggregate(transform(toks, t => length(t)), lit(0),
         (acc, x) => acc + x).cast("double") / nToks).otherwise(0.0)
-    val punct = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", "")).cast("double")
+    val punct = length(regexp_replace(textCol, "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(1.0)
     val sw = array(stopwords("en").map(lit): _*)
     val swHits = size(filter(toks, t => array_contains(sw, t))).cast("double")
@@ -90,7 +95,7 @@ object TextAnalysis {
   /** Canonical document fingerprint: md5 of whitespace/case-normalized
     * text. Identical fingerprint == exact near-duplicate modulo spacing. */
   def fingerprint(textCol: Column): Column =
-    md5(trim(regexp_replace(lower(textCol), "\\s+", " ")).cast("binary"))
+    md5(trim(regexp_replace(lower(textCol), WsClass + "+", " ")).cast("binary"))
 
   /** Token n-gram shingles (arrays of n-token strings joined by space).
     *

@@ -127,7 +127,8 @@ object QueriesQuant {
 
     "q17_sq_knn" ->
       s"""$sqKnn
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q18_bq_knn" ->
@@ -169,7 +170,8 @@ object QueriesQuant {
          |  SELECT query_id, neighbor_id, dist,
          |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
          |  FROM exact)
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
          |FROM reranked WHERE rank <= 10""".stripMargin,
   )
 }

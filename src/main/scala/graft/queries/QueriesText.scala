@@ -280,7 +280,7 @@ object QueriesText {
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
         |    length(text) * 1.0 AS n_chars,
-        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 AS punct
+        |    length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) * 1.0 AS punct
         |  FROM corpus),
         |c AS (
         |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
@@ -297,17 +297,20 @@ object QueriesText {
         |  + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
         |FROM c""".stripMargin,
 
+    // Explicit whitespace class (Java vs RE2 `\s` drift) and BIGINT casts:
+    // a raw DuckDB sum(BIGINT) is HUGEINT, which the driver's fetch path
+    // types differently from Spark's int64.
     "q26_token_counts" ->
       """SELECT source,
-        |  sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS ws_tokens,
-        |  sum(CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0) AS BIGINT)
-        |      + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> x <> ''))) AS bpeish_tokens,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0) AS BIGINT)
+        |      + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9 \t\n\r\f\x0B]+'), x -> x <> ''))) AS BIGINT) AS bpeish_tokens,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
 
     "q27_dedup_exact" ->
       s"""WITH $exactDupCorpusSql
-         |SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         |SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
          |       count(*) AS n_dups, min(doc_id) AS keeper_id
          |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 

@@ -75,7 +75,8 @@ object QueriesVector {
       |  SELECT query_id, neighbor_id, dist,
       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
       |  FROM pairs)
-      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(dist, 6) AS dist
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       round(dist, 6) + 0.0 AS dist
       |FROM ranked WHERE rank <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -11,18 +11,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def canon(rows, colnames):
+    # STRICT on purpose: exact repr, -0.0 != 0.0, no rounding. The driver's
+    # hash gate is value-exact; a lenient local gate hides real failures
+    # (round 1 shipped 6 hash-fails that a 9-decimal local compare passed).
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-                if v == -0.0: v = 0.0
-            vals.append(repr(v))
-        out.append("|".join(vals))
-    return sorted(out)
+    return sorted("|".join(repr(r[i]) for i in order) for r in rows)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
