@@ -74,53 +74,89 @@ final class GraftCollection(spark: SparkSession, dir: String,
     write(Crud.upsert(stored, incoming, "id"))
   }
 
+  /** Metadata columns = everything beyond the base schema; the reference
+    * strips `_`-prefixed (internal) keys from results (client.py:253-259). */
+  private def metadataCols: Seq[String] =
+    df.columns.filterNot(Set("id", "document", "embedding"))
+      .filterNot(_.startsWith("_")).toSeq
+
   /** Batch query (client.py:184-274): queries as a DataFrame of
     * (query_id, query_text | query_vec); texts are embedded with the
     * deterministic embedder. Returns (query_id, rank, id, document,
-    * distance). */
+    * distance) — plus the embedding when includeVectors (client.py's
+    * include_vectors, vectordb.py:434-451) and the non-internal metadata
+    * columns when includeMetadata.
+    *
+    * The corpus is keyed by its natural string id throughout (no hash
+    * surrogate — two distinct ids can never merge). */
   def query(queries: DataFrame, k: Int = 10,
-            where: Option[Filter] = None): DataFrame = {
+            where: Option[Filter] = None,
+            includeVectors: Boolean = false,
+            includeMetadata: Boolean = false): DataFrame = {
     val q =
       if (queries.columns.contains("query_vec")) queries
       else queries.withColumn("query_vec",
         Embeddings.mockEmbedding(col("query_text"), config.dimensions))
-    val corpus = df.withColumn("_nid", xxhash64(col("id")))
-    val hits = Knn.knnJoin(q.select(col("query_id"), col("query_vec")),
-      corpus, k, config.metric, corpusId = "_nid", corpusVec = "embedding",
+    val hits = Knn.knnJoinStr(q.select(col("query_id"), col("query_vec")),
+      df, k, config.metric, corpusId = "id", corpusVec = "embedding",
       filter = where)
-    hits.join(corpus.select(col("_nid").as("neighbor_id"), col("id"), col("document")),
-        "neighbor_id")
-      .select(col("query_id"), col("rank"), col("id"), col("document"),
-        col("dist").as("distance"))
+    val extra = (if (includeVectors) Seq("embedding") else Nil) ++
+      (if (includeMetadata) metadataCols else Nil)
+    val side = df.select((Seq(col("id").as("neighbor_id"), col("document")) ++
+      extra.map(col)): _*)
+    hits.join(side, "neighbor_id")
+      .select((Seq(col("query_id"), col("rank"), col("neighbor_id").as("id"),
+        col("document"), col("dist").as("distance")) ++ extra.map(col)): _*)
   }
 
   /** Hybrid vector+keyword search over the collection (the reference's
-    * Collection.hybrid_search, hybrid_search.py:355-477): BM25 over the
-    * document column fused with vector similarity at fetch_k = 5*k,
-    * alpha-weighted after per-set max-normalization. One query text per
-    * call (the BM25 side is a scalar query); vector side comes from the
-    * same text through the collection's embedder. */
+    * hybrid_search, hybrid_search.py:360-477): BM25 over the document
+    * column fused with vector similarity at fetch_k = 5*k, alpha-weighted
+    * after per-set max-normalization. One query text per call (the BM25
+    * side is a scalar query); vector side comes from the same text through
+    * the collection's embedder.
+    *
+    * @param where optional metadata filter. Applied BEFORE both candidate
+    *              fetches (vector side pre-join, BM25 corpus pre-index) —
+    *              stricter than the reference, which post-filters its
+    *              unfiltered fetch_k candidates (hybrid_search.py:455-460)
+    *              and so can silently return fewer than k rows; the
+    *              pre-filter also pushes down to the parquet scan.
+    * @param vectorWeight / keywordWeight explicit weights — when both are
+    *              set they override alpha as vw/(vw+kw)
+    *              (hybrid_search.py:393-396).
+    */
   def hybridQuery(queryText: String, k: Int = 10,
-                  alpha: Double = 0.5): DataFrame = {
+                  alpha: Double = 0.5,
+                  where: Option[Filter] = None,
+                  vectorWeight: Option[Double] = None,
+                  keywordWeight: Option[Double] = None,
+                  includeVectors: Boolean = false): DataFrame = {
     import graft.operators.Bm25
     val fetchK = k * 5
-    val corpus = df.withColumn("_nid", xxhash64(col("id")))
-    val qvec = corpus.sparkSession.range(1).select(
+    val effAlpha = (vectorWeight, keywordWeight) match {
+      case (Some(vw), Some(kw)) if vw + kw > 0 => vw / (vw + kw)
+      case (Some(_), Some(_)) => 0.5
+      case _ => alpha
+    }
+    val base = where.map(f => df.where(f.compile)).getOrElse(df)
+    val qvec = spark.range(1).select(
       Embeddings.mockEmbedding(lit(queryText), config.dimensions).as("query_vec"),
       lit(0L).as("query_id"))
-    val vecCand = Knn.knnJoin(qvec, corpus, fetchK, config.metric,
-        corpusId = "_nid", corpusVec = "embedding")
-      .select(col("neighbor_id").as("_nid"), col("dist"))
-      .join(corpus.select(col("_nid"), col("id")), "_nid")
-      .select(col("id").as("doc_id"), col("dist"))
-    val idx = Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document")
+    val vecCand = Knn.knnJoinStr(qvec, base, fetchK, config.metric,
+        corpusId = "id", corpusVec = "embedding")
+      .select(col("neighbor_id").as("doc_id"), col("dist"))
+    val idx = Bm25.buildIndex(base.where(col("document").isNotNull), "id", "document")
     val kwCand = Bm25.score(idx, queryText)
       .withColumn("_r", round(col("score"), 6))
       .orderBy(desc("_r"), col("doc_id")).limit(fetchK).drop("_r")
-    Bm25.hybridFuse(vecCand, kwCand, k, alpha)
-      .join(df.select(col("id").as("doc_id"), col("document")), "doc_id")
-      .select(col("doc_id").as("id"), col("document"), col("score"),
-        col("vector_score"), col("keyword_score"))
+    val extra = if (includeVectors) Seq("embedding") else Nil
+    val side = df.select((Seq(col("id").as("doc_id"), col("document")) ++
+      extra.map(col)): _*)
+    Bm25.hybridFuse(vecCand, kwCand, k, effAlpha)
+      .join(side, "doc_id")
+      .select((Seq(col("doc_id").as("id"), col("document"), col("score"),
+        col("vector_score"), col("keyword_score")) ++ extra.map(col)): _*)
       .orderBy(desc("score"), col("id"))
   }
 
@@ -180,13 +216,21 @@ final class GraftCollection(spark: SparkSession, dir: String,
   }
 
   private def write(result: DataFrame): Unit = {
-    // rewrite via temp dir: the plan reads the same files it replaces
-    val tmp = s"$dir/data_tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
-    fs.delete(dataPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dataPath)
+    import org.apache.hadoop.fs.Path
+    // rewrite via temp dir: the plan reads the same files it replaces.
+    // Swap order keeps every crash window recoverable: the previous data
+    // dir is renamed aside (not deleted) before the new one moves in, and
+    // only deleted once the swap has succeeded.
+    val tmpPath = new Path(s"$dir/data_tmp")
+    val dataPath = new Path(s"$dir/data")
+    val oldPath = new Path(s"$dir/data_old")
+    // FileSystem of the TARGET path, not the default FS — the collection
+    // root may live on a non-default scheme (s3a://, hdfs://...).
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    result.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
+    if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
+    fs.rename(tmpPath, dataPath)
+    fs.delete(oldPath, true)
   }
 }

@@ -145,7 +145,17 @@ object TextAnalysis {
 
 /** Shared tokenizer (kept separate so Bm25 and TextAnalysis agree). */
 private[graft] object Bm25Tokens {
+  /** Split class for BOTH document and query tokenization: anything not a
+    * word char, accented Latin, or CJK. Query-side Scala code must use the
+    * same class — a narrower (ASCII-only) query split would break non-ASCII
+    * terms into pieces that never match the postings. */
+  val SplitClass = "[^a-z0-9_\\u00c0-\\u024f\\u4e00-\\u9fff]+"
+
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9_\\u00c0-\\u024f\\u4e00-\\u9fff]+"),
-      t => t =!= lit(""))
+    filter(split(lower(c), SplitClass), t => t =!= lit(""))
+
+  /** Driver-side twin of [[tokens]] for query strings. */
+  def tokenize(text: String): Seq[String] =
+    SplitClass.r.split(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+      .filter(_.nonEmpty)
 }

@@ -59,6 +59,28 @@ object Ann {
     assign(vecCol)
   }
 
+  /** Nearest-centroid assignment WITH the distance to that centroid:
+    * struct(cell: int, dist: double). The distance feeds per-cell radius
+    * bounds (see Dedup.embeddingNearDupBlocked's triangle-inequality
+    * cell-pair pruning). */
+  def cellAssign(model: IvfModel)(vecCol: Column): Column = {
+    val cents = model.centroids
+    val assign = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < cents(c).length && j < v.length) {
+          val diff = v(j) - cents(c)(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, math.sqrt(bestD))
+    }
+    assign(vecCol).cast("struct<cell:int,dist:double>")
+  }
+
   /** nProbe nearest cells for each query vector. */
   private def probeCells(model: IvfModel, nProbe: Int)(vecCol: Column): Column = {
     val cents = model.centroids

@@ -49,8 +49,9 @@ object Bm25 {
   def score(index: Index, queryText: String): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val qTerms = "[^a-z0-9_]+".r.split(queryText.toLowerCase).toSeq
-      .filter(_.nonEmpty)
+    // same character class as the document tokenizer — an ASCII-only split
+    // here would shred accented/CJK query terms so they never match postings
+    val qTerms = graft.functions.Bm25Tokens.tokenize(queryText)
       .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
       .toDF("term", "q_mult")
 

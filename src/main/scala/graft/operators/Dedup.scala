@@ -167,11 +167,39 @@ object Dedup {
     sums.select(col(idCol), sketch.as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
-    * All-pairs on the 60-bit sketches (cheap: one long per doc); for
-    * larger corpora block on sketch prefixes first. */
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming —
+    * pigeonhole band blocking (the Manku/Jain/Sarma WWW'07 scheme): split
+    * the 60-bit sketch into maxHamming+1 disjoint bands; two sketches
+    * within Hamming h must agree EXACTLY on at least one band, so
+    * candidates are an equi-join on (band, band_value) and the result is
+    * provably identical to the all-pairs scan. One shuffle keyed on the
+    * band value instead of an O(N^2) cross join. */
   def simhashPairs(sketches: DataFrame, idCol: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8, bits: Int = 60): DataFrame = {
+    val bands = maxHamming + 1
+    val width = (bits + bands - 1) / bands
+    val bandVals = (0 until bands).map { b =>
+      shiftrightunsigned(col("simhash"), b * width)
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = sketches.select(col(idCol).as("_id"), col("simhash").as("_sh"),
+      posexplode(array(bandVals: _*)).as(Seq("_band", "_bval")))
+    val a = banded.select(col("_band"), col("_bval"),
+      col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val b = banded.select(col("_band"), col("_bval"),
+      col("_id").as("id_b"), col("_sh").as("sh_b"))
+    a.join(b, Seq("_band", "_bval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** All-pairs SimHash scan — the test oracle for the banded
+    * [[simhashPairs]]; never the production path. */
+  def simhashPairsExact(sketches: DataFrame, idCol: String,
+                        maxHamming: Int = 8): DataFrame = {
     val a = sketches.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = sketches.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -183,8 +211,8 @@ object Dedup {
   // ---------------------------------------- Embedding-space near-duplicates
 
   /** Pairs of vectors with cosine similarity >= threshold (id_a < id_b).
-    * Exact all-pairs; the LSH/IVF variants in Ann.scala are the scale
-    * path, this is their oracle. */
+    * Exact all-pairs — the test oracle for [[embeddingNearDupBlocked]];
+    * never the production path (O(N^2) rows). */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
@@ -193,5 +221,72 @@ object Dedup {
       .withColumn("cosine_sim", lit(1.0) - vector.cosineDistance(col("v_a"), col("v_b")))
       .where(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /** Embedding near-dup via IVF-cell blocking — same output as the exact
+    * all-pairs scan, provably, but shuffle-joined on cell ids instead of a
+    * cross join.
+    *
+    * Why it is lossless: cosine_sim(a,b) >= t on nonzero vectors means the
+    * L2-normalized points satisfy ||â - b̂|| <= r = sqrt(2 - 2t). With each
+    * point assigned to its nearest KMeans centroid and R_i = the max
+    * point-to-centroid distance inside cell i, the triangle inequality
+    * gives ||c_i - c_j|| <= R_i + R_j + r for any qualifying cross-cell
+    * pair — so joining only cell pairs within that bound (a tiny
+    * numCells^2 driver-side list) cannot drop a qualifying pair, and the
+    * exact cosine verification on the ORIGINAL vectors keeps emitted rows
+    * bit-identical to [[embeddingNearDup]]. Zero vectors are excluded up
+    * front (their cosine similarity is defined as 0 < threshold).
+    *
+    * At 100 TB: write the corpus partitioned by cell id; each cell-pair
+    * join then prunes to two partitions. Pruning power is data-dependent
+    * (clustered corpora prune hard, uniform ones less), correctness never
+    * is. */
+  def embeddingNearDupBlocked(embs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, numCells: Int = 16,
+                              seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0, "cell blocking requires a positive threshold")
+    val spark = embs.sparkSession
+    // + slack for float32 normalization rounding in the radius bound
+    val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold)) + 1e-4
+    val unit = embs
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .where(array_max(transform(col("_v"), x => abs(x))) > 0)
+      .withColumn("_u", vector.l2Normalize(col("_v")))
+    val model = Ann.trainIvf(unit, "_u", numCells, seed)
+    val assigned = unit
+      .withColumn("_a", Ann.cellAssign(model)(col("_u")))
+      .select(col("_id"), col("_v"), col("_a.cell").as("_cell"), col("_a.dist").as("_cd"))
+      .persist()
+    try {
+      val radii = assigned.groupBy("_cell").agg(max("_cd").as("_r"))
+        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+      val cents = model.centroids
+      def cdist(i: Int, j: Int): Double = {
+        var s = 0.0; var d = 0
+        while (d < cents(i).length) {
+          val diff = cents(i)(d) - cents(j)(d); s += diff * diff; d += 1
+        }
+        math.sqrt(s)
+      }
+      val cellPairs = for {
+        i <- cents.indices
+        j <- cents.indices
+        ri <- radii.get(i).toSeq
+        rj <- radii.get(j).toSeq
+        if cdist(i, j) <= ri + rj + r
+      } yield (i, j)
+      val pairsDf = spark.createDataFrame(cellPairs).toDF("_ci", "_cj")
+      val a = assigned.select(col("_cell").as("_ci"),
+        col("_id").as("id_a"), col("_v").as("v_a"))
+      val b = assigned.select(col("_cell").as("_cj"),
+        col("_id").as("id_b"), col("_v").as("v_b"))
+      val out = a.join(broadcast(pairsDf), "_ci").join(b, "_cj")
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine_sim", lit(1.0) - vector.cosineDistance(col("v_a"), col("v_b")))
+        .where(col("cosine_sim") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      out.localCheckpoint(eager = true)
+    } finally assigned.unpersist()
   }
 }

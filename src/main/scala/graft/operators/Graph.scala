@@ -33,67 +33,98 @@ object PropertyGraph {
     dird.where(nodeFilter)
   }
 
+  /** Adjacency rows below this count get broadcast into the per-hop join
+    * (no shuffle per hop); above it the join shuffles on node id. At
+    * cluster scale raise/lower to executor-memory taste. */
+  private val BroadcastAdjRows = 1000000L
+
+  /** Materialized adjacency for the iterative operators: persisted, counted
+    * once (the count also warms the cache), broadcast when small. Returns
+    * (join side, persisted handle to release). */
+  private def materializedAdj(edges: DataFrame, direction: String,
+                              edgeType: Option[String]): (DataFrame, DataFrame) = {
+    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
+      .select(col("node_id"), col("neighbor_id")).persist()
+    val joinSide = if (adj.count() <= BroadcastAdjRows) broadcast(adj) else adj
+    (joinSide, adj)
+  }
+
   /** Var-length traversal (graph.py:844-869): all simple paths from the
     * seed set up to maxDepth hops, cycle-avoidance within each path.
-    * Returns (start_id, end_id, depth, path). Frontier is re-joined per
-    * hop; caller should checkpoint for depths beyond ~10 (lineage). */
+    * Returns (start_id, end_id, depth, path).
+    *
+    * Per-hop frontiers are persisted (hop k+1 must not replay hops 1..k)
+    * and released once the final localCheckpoint has materialized the
+    * result — the caller's frame owns its own storage. */
   def traverse(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                direction: String = "out",
                edgeType: Option[String] = None): DataFrame = {
-    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
-      .select(col("node_id"), col("neighbor_id")).persist()
+    val (adj, adjHandle) = materializedAdj(edges, direction, edgeType)
     var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("depth"), array(col("id").cast("string")).as("path"))
     var all = frontier
+    val hops = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var d = 0
     try {
       while (d < maxDepth) {
-        // persist each hop's frontier so hop k+1 does not replay hops 1..k
         frontier = frontier.join(adj, frontier("end_id") === adj("node_id"))
           .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
           .select(col("start_id"), col("neighbor_id").as("end_id"),
             (col("depth") + 1).as("depth"),
             concat(col("path"), array(col("neighbor_id").cast("string"))).as("path"))
           .persist()
+        hops += frontier
         all = all.unionByName(frontier)
         d += 1
       }
       all.where(col("depth") > 0).localCheckpoint(eager = true)
-    } finally adj.unpersist()
+    } finally {
+      hops.foreach(_.unpersist())
+      adjHandle.unpersist()
+    }
   }
 
   /** BFS shortest path lengths from seeds (graph.py:871-902): Pregel-style
     * frontier expansion with a visited set, capped at maxDepth. Returns
-    * (start_id, end_id, hops) — minimal hops per reachable pair. */
+    * (start_id, end_id, hops) — minimal hops per reachable pair.
+    *
+    * One blocking job per hop: the new frontier is persisted and counted
+    * (the count doubles as both cache materialization and the emptiness
+    * check). The visited set stays a union of the persisted frontiers —
+    * every leaf cached, so no per-hop checkpoint job and no lineage
+    * replay — and is checkpointed ONCE on exit, after which all frontier
+    * storage is released. */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                     direction: String = "both",
                     edgeType: Option[String] = None): DataFrame = {
-    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
-      .select(col("node_id"), col("neighbor_id")).persist()
-    var visited = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
+    val (adj, adjHandle) = materializedAdj(edges, direction, edgeType)
+    val frontiers = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("hops")).persist()
-    var frontier = visited
+    frontiers += frontier
+    var visited = frontier
+    var n = frontier.count()
     var d = 0
     try {
-      while (d < maxDepth) {
-        val next = frontier.join(adj, frontier("end_id") === adj("node_id"))
+      while (d < maxDepth && n > 0) {
+        val expanded = frontier.join(adj, frontier("end_id") === adj("node_id"))
           .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
           .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
         val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
-        // persist each frontier/visited generation: the loop would otherwise
-        // recompute the whole join chain per hop and the lineage grows
-        // multiplicatively (SURVEY §7.3 "iterative graph ops" risk)
-        frontier = next.join(seen,
-          next("start_id") === seen("_vs") && next("end_id") === seen("_ve"), "left_anti")
+        val next = expanded.join(seen,
+          expanded("start_id") === seen("_vs") && expanded("end_id") === seen("_ve"), "left_anti")
           .persist()
-        if (frontier.isEmpty) return visited
-        val nextVisited = visited.unionByName(frontier).localCheckpoint(eager = true)
-        visited.unpersist()
-        visited = nextVisited
+        n = next.count()
+        frontiers += next
+        if (n > 0) visited = visited.unionByName(next)
+        frontier = next
         d += 1
       }
-      visited
-    } finally adj.unpersist()
+      visited.localCheckpoint(eager = true)
+    } finally {
+      frontiers.foreach(_.unpersist())
+      adjHandle.unpersist()
+    }
   }
 
   /** Hyperedge membership (graph.py:457-478, 800-812): hyperedges touching
@@ -125,6 +156,47 @@ object PropertyGraph {
 
   def updateNodes(vertices: DataFrame, updates: DataFrame): DataFrame =
     Crud.upsert(vertices, updates, "id")
+
+  /** PARTIAL node update with the reference's merge semantics
+    * (graph.py:603-640 update_node): property columns present in `updates`
+    * overwrite only where non-null — absent/null keeps the existing value
+    * (the reference merges into the existing dict; it cannot express
+    * set-to-null either) — and update columns new to the graph appear as
+    * new property columns (null elsewhere). Labels: addLabels unioned,
+    * removeLabels removed, on matched nodes only. Non-matching update ids
+    * are ignored (the reference returns False). One broadcast-able left
+    * join; no full-row replacement. */
+  def updateNodesPartial(vertices: DataFrame, updates: DataFrame,
+                         addLabels: Seq[String] = Nil,
+                         removeLabels: Seq[String] = Nil): DataFrame = {
+    val uCols = updates.columns.filterNot(Set("id", "labels")).toSeq
+    val u = updates.select(
+      (col("id").as("_uid") +: uCols.map(c => col(c).as(s"_u_$c"))): _*)
+    val joined = vertices.join(broadcast(u), vertices("id") === u("_uid"), "left")
+    val matched = col("_uid").isNotNull
+    val outCols = vertices.columns.toSeq.map {
+      case "labels" =>
+        val withAdds =
+          if (addLabels.isEmpty) col("labels")
+          else array_union(col("labels"), array(addLabels.map(lit): _*))
+        val merged =
+          if (removeLabels.isEmpty) withAdds
+          else array_except(withAdds, array(removeLabels.map(lit): _*))
+        when(matched, merged).otherwise(col("labels")).as("labels")
+      case c if uCols.contains(c) => coalesce(col(s"_u_$c"), col(c)).as(c)
+      case c => col(c)
+    }
+    val newCols = uCols.filterNot(vertices.columns.contains)
+      .map(c => when(matched, col(s"_u_$c")).as(c))
+    joined.select(outCols ++ newCols: _*)
+  }
+
+  /** Property-range node finder (graph.py:688-702
+    * find_nodes_by_property_range): nodes whose `key` property lies in
+    * [minVal, maxVal] — a plain pushdown-friendly range predicate. */
+  def findNodesByRange(vertices: DataFrame, key: String,
+                       minVal: Any, maxVal: Any): DataFrame =
+    vertices.where(col(key) >= lit(minVal) && col(key) <= lit(maxVal))
 
   /** Remove nodes AND every edge touching them (graph.py:214-238 removes
     * incident edges from all adjacency indexes). Returns (vertices, edges). */

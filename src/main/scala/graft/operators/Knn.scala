@@ -91,6 +91,55 @@ object Knn {
         col("_n.dist").as("dist"))
   }
 
+  case class NeighborS(id: String, dist: Double)
+
+  /** String-id twin of [[TopKAggregator]] — same bounded partial/final
+    * merge, for corpora keyed by a natural string id (the client facade).
+    * Avoids any hash surrogate: two distinct ids can never collide. */
+  class TopKAggregatorS(k: Int) extends Aggregator[NeighborS, ArrayBuffer[NeighborS], Seq[NeighborS]] {
+    private val cap = math.max(4 * k, 64)
+    private def prune(b: ArrayBuffer[NeighborS]): ArrayBuffer[NeighborS] =
+      b.sortInPlaceBy(n => (n.dist, n.id)).take(k)
+    override def zero: ArrayBuffer[NeighborS] = new ArrayBuffer[NeighborS](k + 1)
+    override def reduce(b: ArrayBuffer[NeighborS], a: NeighborS): ArrayBuffer[NeighborS] = {
+      b += a
+      if (b.length > cap) prune(b) else b
+    }
+    override def merge(x: ArrayBuffer[NeighborS], y: ArrayBuffer[NeighborS]): ArrayBuffer[NeighborS] = {
+      x ++= y
+      if (x.length > cap) prune(x) else x
+    }
+    override def finish(b: ArrayBuffer[NeighborS]): Seq[NeighborS] =
+      b.sortInPlaceBy(n => (n.dist, n.id)).take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[NeighborS]] =
+      org.apache.spark.sql.Encoders.kryo[ArrayBuffer[NeighborS]]
+    override def outputEncoder: Encoder[Seq[NeighborS]] = ExpressionEncoder[Seq[NeighborS]]()
+  }
+
+  /** [[knnJoin]] for string corpus ids — identical plan shape (broadcast
+    * queries, map-side bounded top-k, Q*k-row shuffle); ties order by
+    * (dist, id-lexicographic). */
+  def knnJoinStr(queries: DataFrame, corpus: DataFrame, k: Int,
+                 metric: String = "cosine",
+                 queryId: String = "query_id", queryVec: String = "query_vec",
+                 corpusId: String = "id", corpusVec: String = "vec",
+                 filter: Option[Filter] = None): DataFrame = {
+    val filtered = filter.map(f => corpus.where(f.compile)).getOrElse(corpus)
+    val topk = udaf(new TopKAggregatorS(k), ExpressionEncoder[NeighborS]())
+    filtered
+      .select(col(corpusId).cast("string").as("_cid"), col(corpusVec).as("_cvec"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"))))
+      .select(col("_qid"), col("_cid"),
+        vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId),
+        (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"),
+        col("_n.dist").as("dist"))
+  }
+
   /** Fused-operator variant: the custom KnnTopK physical plan
     * (graft.plans.KnnPlan) scores each corpus partition against the query
     * batch in one pass with bounded heaps — no Q*N row materialization —

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 /** Multimodal column handling for training-data pipelines: images/audio/
   * video ride along as opaque BINARY columns with typed metadata, and the
@@ -59,23 +59,15 @@ object Multimodal {
     out.map(_ / n)
   }
 
-  /** Feature extraction as a partition-local map: no shuffle, batches of
-    * rows per partition (the Scala analog of mapInPandas batch shape). */
-  def extractFeatures(mm: DataFrame): DataFrame = {
-    val spark = mm.sparkSession
-    val outSchema = StructType(mm.schema.fields.filterNot(_.name == "content") :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    val contentIdx = mm.schema.fieldIndex("content")
-    val rdd = mm.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val keep = r.toSeq.zipWithIndex.collect {
-          case (v, i) if i != contentIdx => v
-        }
-        Row.fromSeq(keep :+ fakeDecodeFeatures(r.getAs[Array[Byte]](contentIdx)).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  private val decodeFeaturesUdf =
+    udf((bytes: Array[Byte]) => fakeDecodeFeatures(bytes))
+
+  /** Feature extraction as a columnar per-row map (binary -> array<float>):
+    * a Scala UDF keeps the plan inside Tungsten (no RDD hop, no Row
+    * re-encoding) and lets Catalyst prune/push around it; no shuffle. */
+  def extractFeatures(mm: DataFrame): DataFrame =
+    mm.withColumn("features", decodeFeaturesUdf(col("content")))
+      .drop("content")
 
   /** Frame sampling for video-like blobs: every `stride` bytes becomes a
     * "frame" fingerprint (md5 of the window) — pure column algebra, the

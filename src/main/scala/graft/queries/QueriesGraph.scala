@@ -12,6 +12,15 @@ object QueriesGraph {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Customer vertices with typed numeric properties (for the range finder
+    * and partial-update queries). */
+  private def customerVerts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      concat(lit("customer_"), col("c_custkey")).as("id"),
+      array(lit("Customer")).as("labels"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J4 1-hop adjacency join
     "q32_neighbors" -> ((s, dir) =>
@@ -80,6 +89,28 @@ object QueriesGraph {
         .select(col("node_id"), col("graph_distance"),
           round(col("vector_score"), 6).as("vector_score"),
           round(col("combined_score"), 6).as("combined_score"))
+    }),
+
+    // P7 property-range node finder (graph.py:688-702) — raw stored
+    // doubles exported unrounded (no arithmetic, so no rounding drift)
+    "q59_node_range" -> ((s, dir) =>
+      PropertyGraph.findNodesByRange(customerVerts(s, dir),
+          "acctbal", 1000.0, 2000.0)
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy("id")),
+
+    // Partial node update with merge semantics (graph.py:603-640):
+    // acctbal overwritten for matched nodes, name kept (absent from the
+    // update), vip appears as a NEW property column, Vip label added.
+    "q60_node_update" -> ((s, dir) => {
+      val updates = t(s, dir, "customer").where(col("c_custkey") < 50)
+        .select(concat(lit("customer_"), col("c_custkey")).as("id"),
+          lit(9999.0).as("acctbal"), lit(true).as("vip"))
+      PropertyGraph.updateNodesPartial(customerVerts(s, dir), updates,
+          addLabels = Seq("Vip"))
+        .select(col("id"), col("name"), col("acctbal"), col("vip"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy("id")
     }),
 
     // J10 graph-first traversal + vector rerank on the ring
@@ -191,6 +222,18 @@ object QueriesGraph {
         |FROM (SELECT *, row_number() OVER (ORDER BY combined_score DESC, node_id) AS rn
         |      FROM scored)
         |WHERE rn <= 10""".stripMargin,
+
+    "q59_node_range" ->
+      """SELECT 'customer_' || c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal >= 1000.0 AND c_acctbal <= 2000.0
+        |ORDER BY id""".stripMargin,
+
+    "q60_node_update" ->
+      """SELECT 'customer_' || c_custkey AS id, c_name AS name,
+        |       CASE WHEN c_custkey < 50 THEN 9999.0 ELSE c_acctbal END AS acctbal,
+        |       CASE WHEN c_custkey < 50 THEN TRUE ELSE NULL END AS vip,
+        |       CASE WHEN c_custkey < 50 THEN 'Customer,Vip' ELSE 'Customer' END AS labels
+        |FROM customer ORDER BY id""".stripMargin,
 
     "q41_graph_rerank" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),

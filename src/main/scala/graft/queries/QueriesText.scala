@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Bm25, Dedup, Knn}
+import graft.operators.{Bm25, Dedup, Filter, Knn}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -70,6 +70,30 @@ object QueriesText {
           round(col("keyword_score"), 6).as("keyword_score"))
     }),
 
+    // J11 + P1: FILTERED + weighted hybrid search (reference
+    // hybrid_search.py:360-371: filter= + vector_weight=/keyword_weight=).
+    // Metadata filter applied to BOTH candidate sides pre-fetch; explicit
+    // weights 2:1 fold into alpha = 2/3 (hybrid_search.py:393-396).
+    "q58_hybrid_filtered" -> ((s, dir) => {
+      val where = Filter.In("source", Seq("src1", "src2", "src3"))
+      val docs = t(s, dir, "documents").where(where.compile)
+      val embs = t(s, dir, "embeddings")
+        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val queries = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val vecCand = Knn.knnJoin(queries, embs, k = 50, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("neighbor_id").as("doc_id"), col("dist"))
+      val idx = Bm25.buildIndex(docs, "doc_id", "text")
+      val kwCand = Bm25.score(idx, bm25Query)
+        .withColumn("_r", round(col("score"), 6))
+        .orderBy(desc("_r"), col("doc_id")).limit(50).drop("_r")
+      Bm25.hybridFuse(vecCand, kwCand, k = 10, alpha = 2.0 / 3.0)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          round(col("vector_score"), 6).as("vector_score"),
+          round(col("keyword_score"), 6).as("keyword_score"))
+    }),
+
     // Language-ID heuristic
     "q24_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
@@ -113,9 +137,11 @@ object QueriesText {
         shingleN = 3, threshold = 0.5)),
 
     // Embedding-space near-duplicate pairs (cosine >= 0.4 — tuned to the
-    // corpus so the exact all-pairs join returns a meaningful set)
+    // corpus so the join returns a meaningful set). Runs the IVF-cell
+    // blocked plan; the all-pairs oracle below is identical by the
+    // triangle-inequality argument in Dedup.embeddingNearDupBlocked.
     "q56_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Dedup.embeddingNearDupBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)),
 
     // Document chunking (pre-embedding windows: 32 tokens, stride 24)
@@ -246,6 +272,48 @@ object QueriesText {
          |         coalesce(v.vector_score, 0.0) AS vector_score,
          |         coalesce(k.keyword_score, 0.0) AS keyword_score,
          |         0.5 * coalesce(v.vector_score, 0.0) + 0.5 * coalesce(k.keyword_score, 0.0) AS score
+         |  FROM vnorm v FULL OUTER JOIN knorm k ON v.doc_id = k.doc_id)
+         |SELECT doc_id, round(score, 6) AS score, round(vector_score, 6) AS vector_score,
+         |       round(keyword_score, 6) AS keyword_score
+         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM fused)
+         |WHERE rn <= 10""".stripMargin,
+
+    // q23 with a source filter on BOTH candidate sides and weights 2:1
+    // (alpha = 2/3); the vector corpus is the embeddings of filtered docs.
+    "q58_hybrid_filtered" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |                WHERE source IN ('src1', 'src2', 'src3')),
+         |$tokCte,
+         |$bm25Cte,
+         |kw50 AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id, score,
+         |           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+         |    FROM scores) WHERE rn <= 50),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vdist AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q0.qv) AS DOUBLE) AS y)) AS dist
+         |  FROM embeddings c JOIN corpus ON c.vec_id = corpus.doc_id, q0),
+         |v50 AS (
+         |  SELECT doc_id, dist FROM (
+         |    SELECT doc_id, dist, row_number() OVER (ORDER BY dist, doc_id) AS rn
+         |    FROM vdist) WHERE rn <= 50),
+         |vmax AS (SELECT max(dist) AS m FROM v50),
+         |kmax AS (SELECT max(score) AS m FROM kw50),
+         |vnorm AS (SELECT doc_id, CASE WHEN vmax.m > 0 THEN 1.0 - dist/vmax.m ELSE 1.0 END AS vector_score
+         |          FROM v50, vmax),
+         |knorm AS (SELECT doc_id, CASE WHEN kmax.m > 0 THEN score/kmax.m ELSE 0.0 END AS keyword_score
+         |          FROM kw50, kmax),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+         |         coalesce(v.vector_score, 0.0) AS vector_score,
+         |         coalesce(k.keyword_score, 0.0) AS keyword_score,
+         |         (2.0/3.0) * coalesce(v.vector_score, 0.0)
+         |           + (1.0 - 2.0/3.0) * coalesce(k.keyword_score, 0.0) AS score
          |  FROM vnorm v FULL OUTER JOIN knorm k ON v.doc_id = k.doc_id)
          |SELECT doc_id, round(score, 6) AS score, round(vector_score, 6) AS vector_score,
          |       round(keyword_score, 6) AS keyword_score

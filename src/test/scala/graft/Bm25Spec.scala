@@ -44,6 +44,20 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(twice(2L) - 2 * once(2L)) < 1e-12)
   }
 
+  test("non-ASCII query terms tokenize like the indexed documents") {
+    val intl = Seq(
+      (1L, "le café est ouvert"),
+      (2L, "数据 处理 系统"),
+      (3L, "plain ascii words only")).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(intl, "doc_id", "text")
+    // 'café' must stay one token and hit doc 1's postings
+    val cafe = Bm25.score(idx, "Café").collect().map(_.getLong(0)).toSet
+    assert(cafe === Set(1L))
+    // CJK term must match doc 2
+    val cjk = Bm25.score(idx, "数据").collect().map(_.getLong(0)).toSet
+    assert(cjk === Set(2L))
+  }
+
   test("chunking: window/stride arithmetic and overlap") {
     import graft.functions.TextAnalysis
     val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("id", "text")

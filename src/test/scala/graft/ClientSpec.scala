@@ -77,6 +77,39 @@ class ClientSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0 + 1e-12))
   }
 
+  test("query can include vectors and metadata; internal columns stay hidden") {
+    val c = client.getCollection("docs")
+    val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
+    val plain = c.query(q, k = 1)
+    assert(plain.columns.toSeq === Seq("query_id", "rank", "id", "document", "distance"))
+    val full = c.query(q, k = 1, includeVectors = true, includeMetadata = true)
+    assert(full.columns.contains("embedding"))
+    assert(full.columns.contains("category") && full.columns.contains("year"))
+    val row = full.head()
+    assert(row.getSeq[Float](full.columns.indexOf("embedding")).length === 16)
+    assert(row.getAs[String]("category") === "tech")
+  }
+
+  test("hybrid query: metadata filter and explicit weights") {
+    val c = client.getCollection("docs")
+    // filter restricts both candidate sides
+    val animals = c.hybridQuery("quick fox", k = 4,
+        where = Some(Filter.Eq("category", "animals")))
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(animals.nonEmpty && animals.subsetOf(Set("doc1", "doc2")))
+    // vectorWeight/keywordWeight override alpha: all-keyword weights ==
+    // alpha 0 (scores equal keyword_score)
+    val kwOnly = c.hybridQuery("spark big data", k = 4,
+      vectorWeight = Some(0.0), keywordWeight = Some(1.0))
+    val rows = kwOnly.collect()
+    assert(rows.forall(r =>
+      math.abs(r.getAs[Double]("score") - r.getAs[Double]("keyword_score")) < 1e-12))
+    // include_vectors carries the embedding column through fusion
+    val withVec = c.hybridQuery("spark big data", k = 2, includeVectors = true)
+    assert(withVec.columns.contains("embedding"))
+    assert(withVec.head().getSeq[Float](withVec.columns.indexOf("embedding")).length === 16)
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))

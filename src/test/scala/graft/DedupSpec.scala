@@ -50,6 +50,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("banded simhashPairs is identical to the all-pairs scan") {
+    val sketches = Dedup.simhash(docs, "doc_id", "text")
+    for (h <- Seq(2, 8, 20)) {
+      val banded = Dedup.simhashPairs(sketches, "doc_id", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = Dedup.simhashPairsExact(sketches, "doc_id", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === exact, s"maxHamming=$h")
+    }
+  }
+
+  test("IVF-blocked embedding near-dup is identical to all-pairs (incl. zero vector)") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(120)
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val zero = Seq((999999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val embs = base.union(zero)
+    for (t <- Seq(0.2, 0.4, 0.8)) {
+      val blocked = Dedup.embeddingNearDupBlocked(embs, "vec_id", "embedding",
+          threshold = t, numCells = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked === exact, s"threshold=$t")
+    }
+  }
+
   test("embedding near-dup finds self-similar vectors only above threshold") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
     val pairs = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.99)

@@ -102,6 +102,37 @@ class GraphSpec extends SparkSpec {
     assert(e5.collect().map(_.getString(0)).toSet === Set("e1", "e5"))
   }
 
+  test("partial update merges properties, adds columns and labels") {
+    import spark.implicits._
+    // name omitted -> kept; age set where non-null; vip is a new column
+    val updates = Seq(("a", Some(31), true), ("b", None: Option[Int], true))
+      .toDF("id", "age", "vip")
+    val v2 = PropertyGraph.updateNodesPartial(vertices, updates,
+      addLabels = Seq("Vip"), removeLabels = Seq("Person"))
+    val byId = v2.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId("a").getAs[Int]("age") === 31)            // overwritten
+    assert(byId("a").getAs[String]("name") === "Alice")   // kept (absent col)
+    assert(byId("b").getAs[Int]("age") === 25)            // kept (null update)
+    assert(byId("a").getAs[Boolean]("vip") === true)      // new property
+    assert(byId("c").isNullAt(byId("c").fieldIndex("vip"))) // unmatched -> null
+    assert(byId("a").getSeq[String](byId("a").fieldIndex("labels")).contains("Vip"))
+    assert(!byId("a").getSeq[String](byId("a").fieldIndex("labels")).contains("Person"))
+    // unmatched nodes keep their labels untouched
+    assert(byId("c").getSeq[String](byId("c").fieldIndex("labels")).nonEmpty)
+    // unknown update ids are ignored, count unchanged
+    val v3 = PropertyGraph.updateNodesPartial(vertices,
+      Seq(("zz", Some(1), false)).toDF("id", "age", "vip"))
+    assert(v3.count() === vertices.count())
+  }
+
+  test("findNodesByRange returns nodes inside the closed interval") {
+    val got = PropertyGraph.findNodesByRange(vertices, "age", 25, 30)
+      .collect().map(_.getAs[String]("id")).toSet
+    val want = vertices.where(col("age") >= 25 && col("age") <= 30)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("cypher rejects malformed input") {
     intercept[IllegalArgumentException] {
       Cypher.query(vertices, edges, "SELECT * FROM nodes")

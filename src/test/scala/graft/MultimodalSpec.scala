@@ -29,6 +29,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2L).exists(_ != 0.0f))
   }
 
+  test("feature extraction stays columnar (no RDD scan in the plan)") {
+    val mm = Multimodal.fromText(docs, "doc_id", "text")
+    val plan = Multimodal.extractFeatures(mm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    // content is dropped before any downstream exchange
+    assert(!Multimodal.extractFeatures(mm).columns.contains("content"))
+  }
+
   test("frame sampling yields ceil(len/stride) frames") {
     val mm = Multimodal.fromText(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(mm, stride = 100, frameBytes = 32)
