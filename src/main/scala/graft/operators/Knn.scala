@@ -150,22 +150,45 @@ object Knn {
                    queryId: String = "query_id", queryVec: String = "query_vec",
                    corpusId: String = "id", corpusVec: String = "vec",
                    filter: Option[Filter] = None): DataFrame = {
+    val qArr = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    knnJoinFusedArr(qArr, corpus, k, metric, queryId, corpusId, corpusVec, filter)
+  }
+
+  /** Per-partition partial top-k through the fused physical operator:
+    * (query_id, neighbor_id, dist), at most Q*k rows per partition, NO
+    * final merge — single shuffle-free stage. Callers either aggregate
+    * downstream ([[knnJoinFusedArr]]) or merge the tiny partial set
+    * themselves (the reference's `_merge_top_k` shape). */
+  def knnTopKPartial(qArr: Array[(Long, Array[Float])], corpus: DataFrame,
+                     k: Int, metric: String = "cosine",
+                     corpusId: String = "id", corpusVec: String = "vec",
+                     filter: Option[Filter] = None): DataFrame = {
     import graft.plans.{KnnStrategy, KnnTopK}
     import org.apache.spark.sql.graft.Bridge
     val spark = corpus.sparkSession
     if (!spark.experimental.extraStrategies.contains(KnnStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ KnnStrategy
-    val qArr = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val filtered = filter.map(f => corpus.where(f.compile)).getOrElse(corpus)
     val child = filtered
       .where(col(corpusId).isNotNull && col(corpusVec).isNotNull)
       .select(col(corpusId).cast("long").as("_cid"),
         col(corpusVec).cast("array<float>").as("_cvec"))
-    val partial = Bridge.ofRows(spark,
+    Bridge.ofRows(spark,
       KnnTopK(Bridge.logicalPlan(child), qArr, k, metric, idOrdinal = 0, vecOrdinal = 1))
+  }
+
+  /** [[knnJoinFused]] with the query batch already on the driver — callers
+    * issuing many batches over the same corpus skip the per-call collect
+    * job. */
+  def knnJoinFusedArr(qArr: Array[(Long, Array[Float])], corpus: DataFrame,
+                      k: Int, metric: String = "cosine",
+                      queryId: String = "query_id",
+                      corpusId: String = "id", corpusVec: String = "vec",
+                      filter: Option[Filter] = None): DataFrame = {
+    val partial = knnTopKPartial(qArr, corpus, k, metric, corpusId, corpusVec, filter)
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Neighbor]())
     partial
       .groupBy(col("query_id").as(queryId))

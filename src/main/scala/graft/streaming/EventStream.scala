@@ -64,6 +64,36 @@ object EventStream {
       }
   }
 
+  /** A late subscriber's view: the replayed history tail plus the live
+    * stream, split at the connect offset. */
+  final case class Subscription(replay: DataFrame, live: DataFrame)
+
+  /** Replay-on-connect (realtime.py:155-160: a new subscriber is first
+    * sent the last `n` events from the history buffer, then live events).
+    *
+    * Spark cannot union a batch frame into a stream, so the handoff is an
+    * offset split over the persisted event log: `replay` is a batch tail
+    * of the log at connect time (<= maxId), `live` is the streaming
+    * subscription filtered to events AFTER the connect offset — together
+    * they cover the log exactly once. Both sides share the subscription
+    * predicate. */
+  def subscribeWithReplay(spark: SparkSession, logDir: String, n: Int,
+                          eventTypes: Seq[String] = Nil,
+                          propsEquals: Map[String, String] = Map.empty): Subscription = {
+    val history = spark.read.parquet(logDir)
+    val maxId = history.agg(max(col("event_id"))).head().getLong(0)
+    val replay = Events.subscribe(history, eventTypes, propsEquals)
+      .where(col("event_id") <= maxId)
+      .orderBy(desc("ts"), desc("event_id")).limit(n)
+      .withColumn("phase", lit("replay"))
+    val live = subscribe(
+        spark.readStream.schema(history.schema).parquet(logDir),
+        eventTypes, propsEquals)
+      .where(col("event_id") > maxId)
+      .withColumn("phase", lit("live"))
+    Subscription(replay, live)
+  }
+
   /** Memory-sink runner for tests/demos: processes all available input
     * synchronously and returns the sink table. */
   def runToMemory(out: DataFrame, name: String,

@@ -84,6 +84,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
   }
 
+  test("replay-on-connect: history tail then only post-connect live events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    mkEvents.toDF().write.parquet(s"$dir/log")
+    val sub = EventStream.subscribeWithReplay(spark, s"$dir/log", n = 3)
+    // replay = the 3 most recent historical events, marked as replay
+    val replayed = sub.replay.collect()
+    assert(replayed.map(_.getAs[Long]("event_id")).toSet === Set(3L, 4L, 5L))
+    assert(replayed.forall(_.getAs[String]("phase") === "replay"))
+    // append post-connect events to the log; live sees ONLY those
+    Seq(EventStream.Event(6, ts(base + 50 * 60000), 3, "view", 9.0, "{}"),
+        EventStream.Event(7, ts(base + 51 * 60000), 1, "purchase", 2.0, "{}"))
+      .toDF().write.mode("append").parquet(s"$dir/log")
+    val live = EventStream.runToMemory(sub.live, "replay_live")
+      .collect()
+    assert(live.map(_.getAs[Long]("event_id")).toSet === Set(6L, 7L))
+    assert(live.forall(_.getAs[String]("phase") === "live"))
+    // replay + live cover the filtered log exactly once (no overlap)
+    assert(replayed.map(_.getAs[Long]("event_id")).toSet
+      .intersect(live.map(_.getAs[Long]("event_id")).toSet).isEmpty)
+  }
+
   test("batch sessionize agrees with the gap definition") {
     val stats = Events.sessionStats(mkEvents.toDF(), gapMinutes = 30)
       .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")),
