@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Embeddings, vector}
-import graft.operators.{Crud, Filter, Knn}
+import graft.operators.{Bm25, Crud, Filter, Knn}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -65,13 +65,20 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * reference's insert. */
   def add(rows: DataFrame): Unit = {
     val (stored, incoming) = aligned(withEmbedding(rows))
-    write(Crud.insertNew(stored, incoming, "id"))
+    // rows actually inserted = incoming minus existing ids (insert keeps
+    // the stored row on conflict) — the index delta is append-only
+    val fresh = incoming.join(stored.select("id"), Seq("id"), "left_anti")
+    write(Crud.insertNew(stored, incoming, "id")) {
+      indexAppend(fresh)
+    }
   }
 
   /** add-or-replace by id (client.py:161-182). */
   def upsert(rows: DataFrame): Unit = {
     val (stored, incoming) = aligned(withEmbedding(rows))
-    write(Crud.upsert(stored, incoming, "id"))
+    write(Crud.upsert(stored, incoming, "id")) {
+      indexReplace(incoming)
+    }
   }
 
   /** Metadata columns = everything beyond the base schema; the reference
@@ -132,7 +139,6 @@ final class GraftCollection(spark: SparkSession, dir: String,
                   vectorWeight: Option[Double] = None,
                   keywordWeight: Option[Double] = None,
                   includeVectors: Boolean = false): DataFrame = {
-    import graft.operators.Bm25
     val fetchK = k * 5
     val effAlpha = (vectorWeight, keywordWeight) match {
       case (Some(vw), Some(kw)) if vw + kw > 0 => vw / (vw + kw)
@@ -146,7 +152,16 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val vecCand = Knn.knnJoinStr(qvec, base, fetchK, config.metric,
         corpusId = "id", corpusVec = "embedding")
       .select(col("neighbor_id").as("doc_id"), col("dist"))
-    val idx = Bm25.buildIndex(base.where(col("document").isNotNull), "id", "document")
+    // keyword side: the persisted sidecar when present (no re-tokenization
+    // per query; a metadata filter restricts the slim relations by
+    // semi-join — identical values to indexing the filtered corpus),
+    // else index on the fly
+    val idx =
+      if (hasKeywordIndex) {
+        val full = Bm25.loadIndex(spark, indexDir)
+        if (where.isDefined) Bm25.restrict(full, base.select("id")) else full
+      } else
+        Bm25.buildIndex(base.where(col("document").isNotNull), "id", "document")
     val kwCand = Bm25.score(idx, queryText)
       .withColumn("_r", round(col("score"), 6))
       .orderBy(desc("_r"), col("doc_id")).limit(fetchK).drop("_r")
@@ -171,7 +186,9 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def update(rows: DataFrame): Unit = {
     val (stored, incoming) = aligned(withEmbedding(rows))
     val updates = incoming.join(stored.select("id"), Seq("id"), "left_semi")
-    write(Crud.upsert(stored, updates, "id"))
+    write(Crud.upsert(stored, updates, "id")) {
+      indexReplace(updates)
+    }
   }
 
   /** delete by ids or filter (client.py:396-429). */
@@ -183,7 +200,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
       case (is, Some(f)) =>
         df.where(!(col("id").isin(is: _*) || coalesce(f.compile, lit(false))))
     }
-    write(remaining)
+    val removed = df.join(remaining.select("id"), Seq("id"), "left_anti")
+    write(remaining) {
+      indexRemove(removed.select("id"))
+    }
   }
 
   /** peek(limit) (client.py:431-436). */
@@ -215,12 +235,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     (storedPlus, incomingPlus)
   }
 
-  private def write(result: DataFrame): Unit = {
+  /** Rewrite the data dir via temp-dir + rename swap (the plan reads the
+    * same files it replaces — Collections.swapWrite). `maintain` runs
+    * AFTER the new data is staged but BEFORE the swap, so index-delta
+    * plans that read the OLD data dir still can. */
+  private def write(result: DataFrame)(maintain: => Unit = ()): Unit = {
     import org.apache.hadoop.fs.Path
-    // rewrite via temp dir: the plan reads the same files it replaces.
-    // Swap order keeps every crash window recoverable: the previous data
-    // dir is renamed aside (not deleted) before the new one moves in, and
-    // only deleted once the swap has succeeded.
     val tmpPath = new Path(s"$dir/data_tmp")
     val dataPath = new Path(s"$dir/data")
     val oldPath = new Path(s"$dir/data_old")
@@ -228,9 +248,75 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // root may live on a non-default scheme (s3a://, hdfs://...).
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     result.write.mode("overwrite").parquet(tmpPath.toString)
+    maintain
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
+  }
+
+  // ------------------------------------------------- persisted BM25 index
+
+  private def indexDir = s"$dir/index_bm25"
+
+  /** True once [[buildKeywordIndex]] has run; mutations then maintain the
+    * sidecar incrementally and [[hybridQuery]] reads it instead of
+    * re-indexing the corpus per call (reference hybrid_search.py:66-117). */
+  def hasKeywordIndex: Boolean = Bm25.indexExists(indexDir)
+
+  /** Build (or rebuild from scratch) the persisted BM25 sidecar. */
+  def buildKeywordIndex(): Unit =
+    Bm25.saveIndex(
+      Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"),
+      indexDir)
+
+  /** Append-only delta for freshly inserted docs. */
+  private def indexAppend(newRows: DataFrame): Unit = if (hasKeywordIndex) {
+    val (post, dlen) = Bm25.tokenizeDocs(
+      newRows.where(col("document").isNotNull).select("id", "document"),
+      "id", "document")
+    post.write.mode("append").parquet(s"$indexDir/postings")
+    dlen.write.mode("append").parquet(s"$indexDir/doclen")
+    refreshIndexStats()
+  }
+
+  /** Replace the postings of changed ids: anti-join out the old rows of
+    * the slim sidecars, append the re-tokenized replacements — unaffected
+    * documents are never re-tokenized. */
+  private def indexReplace(changedRows: DataFrame): Unit = if (hasKeywordIndex) {
+    val ids = changedRows.select("id")
+    val (post, dlen) = Bm25.tokenizeDocs(
+      changedRows.where(col("document").isNotNull).select("id", "document"),
+      "id", "document")
+    val keyed = ids.withColumnRenamed("id", "doc_id")
+    Collections.swapWrite(
+      spark.read.parquet(s"$indexDir/postings")
+        .join(keyed, Seq("doc_id"), "left_anti").unionByName(post),
+      s"$indexDir/postings")
+    Collections.swapWrite(
+      spark.read.parquet(s"$indexDir/doclen")
+        .join(keyed, Seq("doc_id"), "left_anti").unionByName(dlen),
+      s"$indexDir/doclen")
+    refreshIndexStats()
+  }
+
+  private def indexRemove(removedIds: DataFrame): Unit = if (hasKeywordIndex) {
+    val keyed = removedIds.withColumnRenamed("id", "doc_id")
+    Collections.swapWrite(
+      spark.read.parquet(s"$indexDir/postings")
+        .join(keyed, Seq("doc_id"), "left_anti"),
+      s"$indexDir/postings")
+    Collections.swapWrite(
+      spark.read.parquet(s"$indexDir/doclen")
+        .join(keyed, Seq("doc_id"), "left_anti"),
+      s"$indexDir/doclen")
+    refreshIndexStats()
+  }
+
+  private def refreshIndexStats(): Unit = {
+    val st = spark.read.parquet(s"$indexDir/doclen")
+      .agg(org.apache.spark.sql.functions.count(lit(1)), avg(col("doc_len"))).head()
+    Bm25.writeStats(indexDir, st.getLong(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1))
   }
 }

@@ -1,0 +1,312 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** ANN assignment kernels as native Catalyst expressions.
+  *
+  * These run on the 100 TB ENCODE path — every corpus row is assigned an
+  * IVF cell / LSH bucket exactly once at ingest — so like the distance
+  * kernels (VectorExpressions) they loop over ArrayData primitives inside
+  * generated Java: no Seq[Float] boxing, no UDF serialization, fused into
+  * the surrounding WholeStageCodegen stage. The centroid/hyperplane
+  * matrices ride along as flattened double[] reference objects.
+  *
+  * All kernels accept ARRAY<FLOAT> or ARRAY<DOUBLE> input.
+  */
+abstract class AnnAssignKernel extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+
+  protected def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT>/ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  @inline protected final def get(a: ArrayData, i: Int): Double =
+    if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Java accessor snippet for codegen. */
+  protected final def acc(v: String, i: String): String =
+    if (elemIsFloat) s"(double)$v.getFloat($i)" else s"$v.getDouble($i)"
+}
+
+/** Index of the nearest row of `flatCentroids` (k × dim, row-major) under
+  * squared L2 — the IVF cell id (the partition key at scale). Fully
+  * codegen'd: the hot corpus-encode kernel. */
+case class NearestCell(child: Expression, flatCentroids: Array[Double], dim: Int)
+    extends AnnAssignKernel {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+  private def k: Int = flatCentroids.length / dim
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0; var j = 0
+      while (j < n) { val diff = get(a, j) - flatCentroids(base + j); d += diff * diff; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("cents", flatCentroids, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $base = $c * $dim;
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $diff = ${acc(a, j)} - $cents[$base + $j];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Nearest cell WITH the (euclidean) distance to its centroid:
+  * struct(cell int, dist double). Feeds the triangle-inequality cell-pair
+  * bounds in the blocked near-dup plan. Primitive-loop eval via reference
+  * object (struct construction keeps it off inline codegen; no boxing
+  * either way). */
+case class NearestCellDist(child: Expression, flatCentroids: Array[Double], dim: Int)
+    extends AnnAssignKernel {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_cell_dist"
+  private def k: Int = flatCentroids.length / dim
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0; var j = 0
+      while (j < n) { val diff = get(a, j) - flatCentroids(base + j); d += diff * diff; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    InternalRow(best, math.sqrt(bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("cellAssign", this, classOf[NearestCellDist].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `nProbe` nearest cell ids, ascending by distance — the query-side
+  * probe set (queries are few; primitive-loop eval via reference object). */
+case class ProbeCellIds(child: Expression, flatCentroids: Array[Double], dim: Int,
+                        nProbe: Int) extends AnnAssignKernel {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "probe_cells"
+  private def k: Int = flatCentroids.length / dim
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0; var j = 0
+      while (j < n) { val diff = get(a, j) - flatCentroids(base + j); d += diff * diff; j += 1 }
+      dists(c) = d; c += 1
+    }
+    val order = Array.range(0, k).sortBy(i => (dists(i), i)).take(math.min(nProbe, k))
+    new GenericArrayData(order)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("probeCells", this, classOf[ProbeCellIds].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH bucket: bit h of the result is the sign of the
+  * projection onto hyperplane h (`flatPlanes` is numBits × dim row-major).
+  * Fully codegen'd — runs once per corpus row at ingest. */
+case class LshBucketId(child: Expression, flatPlanes: Array[Double], dim: Int)
+    extends AnnAssignKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+  private def numBits: Int = flatPlanes.length / dim
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var b = 0L; var h = 0
+    while (h < numBits) {
+      val base = h * dim
+      var dot = 0.0; var j = 0
+      while (j < n) { dot += get(a, j) * flatPlanes(base + j); j += 1 }
+      if (dot > 0) b |= (1L << h)
+      h += 1
+    }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("planes", flatPlanes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot"); val b = ctx.freshName("b"); val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long $b = 0L;
+         |for (int $h = 0; $h < $numBits; $h++) {
+         |  int $base = $h * $dim;
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) { $dot += ${acc(a, j)} * $planes[$base + $j]; }
+         |  if ($dot > 0) $b |= (1L << $h);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query multi-probe buckets: the base bucket plus the `nProbe`
+  * perturbation SETS with the smallest summed |projection| margin — true
+  * Lv et al. (VLDB'07) multi-probe, not just single-bit flips. Sets are
+  * generated in nondecreasing score order by the standard shift/expand
+  * priority-queue walk, so probe count is a smooth recall knob: probes
+  * 1-bit flips first, then cheap 2-bit combinations, and so on, without
+  * ever enumerating the 2^numBits subset lattice (query-side only;
+  * primitive-loop eval). */
+case class LshProbeBuckets(child: Expression, flatPlanes: Array[Double], dim: Int,
+                           nProbe: Int) extends AnnAssignKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_probe_buckets"
+  private def numBits: Int = flatPlanes.length / dim
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    val margins = new Array[Double](numBits)
+    var b = 0L; var h = 0
+    while (h < numBits) {
+      val base = h * dim
+      var dot = 0.0; var j = 0
+      while (j < n) { dot += get(a, j) * flatPlanes(base + j); j += 1 }
+      if (dot > 0) b |= (1L << h)
+      margins(h) = math.abs(dot)
+      h += 1
+    }
+    // bits in ascending-margin order; a perturbation set is a set of
+    // POSITIONS into this order, scored by its summed margins
+    val order = Array.range(0, numBits).sortBy(i => (margins(i), i))
+    val maxSets = math.min(nProbe.toLong, (1L << math.min(numBits, 62)) - 1).toInt
+    val out = new Array[Long](maxSets + 1)
+    out(0) = b
+    var emitted = 1
+    if (maxSets > 0) {
+      // entries: (score, xor-mask over REAL bit ids, max position in set)
+      val pq = new java.util.PriorityQueue[(Double, Long, Int)](
+        math.max(2 * maxSets, 4),
+        (x: (Double, Long, Int), y: (Double, Long, Int)) =>
+          java.lang.Double.compare(x._1, y._1))
+      pq.add((margins(order(0)), 1L << order(0), 0))
+      while (emitted <= maxSets && !pq.isEmpty) {
+        val (score, mask, maxPos) = pq.poll()
+        out(emitted) = b ^ mask; emitted += 1
+        if (maxPos + 1 < numBits) {
+          val nextBit = order(maxPos + 1); val curBit = order(maxPos)
+          // expand: add the next position; shift: replace max with next.
+          // Each set is generated exactly once (unique parent), so the
+          // XOR'd buckets are distinct.
+          pq.add((score + margins(nextBit), mask | (1L << nextBit), maxPos + 1))
+          pq.add((score - margins(curBit) + margins(nextBit),
+            mask ^ (1L << curBit) ^ (1L << nextBit), maxPos + 1))
+        }
+      }
+    }
+    new GenericArrayData(if (emitted == out.length) out else out.take(emitted))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("lshProbe", this, classOf[LshProbeBuckets].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level API for the ANN assignment kernels. */
+object ann {
+  private def flatten(m: Array[Array[Double]]): (Array[Double], Int) = {
+    require(m.nonEmpty, "empty matrix")
+    val dim = m(0).length
+    val flat = new Array[Double](m.length * dim)
+    var i = 0
+    while (i < m.length) { System.arraycopy(m(i), 0, flat, i * dim, dim); i += 1 }
+    (flat, dim)
+  }
+
+  def nearestCell(centroids: Array[Array[Double]])(v: Column): Column = {
+    val (flat, dim) = flatten(centroids)
+    Bridge.column(NearestCell(Bridge.expression(v), flat, dim))
+  }
+
+  def nearestCellDist(centroids: Array[Array[Double]])(v: Column): Column = {
+    val (flat, dim) = flatten(centroids)
+    Bridge.column(NearestCellDist(Bridge.expression(v), flat, dim))
+  }
+
+  def probeCells(centroids: Array[Array[Double]], nProbe: Int)(v: Column): Column = {
+    val (flat, dim) = flatten(centroids)
+    Bridge.column(ProbeCellIds(Bridge.expression(v), flat, dim, nProbe))
+  }
+
+  def lshBucket(planes: Array[Array[Double]])(v: Column): Column = {
+    val (flat, dim) = flatten(planes)
+    Bridge.column(LshBucketId(Bridge.expression(v), flat, dim))
+  }
+
+  def lshProbeBuckets(planes: Array[Array[Double]], nProbe: Int)(v: Column): Column = {
+    val (flat, dim) = flatten(planes)
+    Bridge.column(LshProbeBuckets(Bridge.expression(v), flat, dim, nProbe))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.vector
+import graft.functions.{ann, vector}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -15,10 +15,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    `nProbe` nearest cells. At scale: write the corpus bucketed/
   *    partitioned by cell id, and a query's scan prunes to nProbe
   *    partitions — the exact analog of the reference's hash-index point
-  *    lookups but for vector space.
+  *    lookups but for vector space (see [[writePartitionedByCell]] /
+  *    [[ivfSearchPartitioned]]).
   *  - Random-hyperplane LSH: deterministic signed projections give each
-  *    row a bit-bucket; queries only join their own bucket (+ optional
-  *    multi-probe). No training pass.
+  *    row a bit-bucket; queries join their own bucket plus the `nProbe`
+  *    lowest-summed-margin perturbation sets (multi-probe — the recall knob).
+  *
+  * Assignment kernels are native Catalyst expressions over primitive
+  * arrays (graft.functions.ann) — the corpus-side encode is once-per-row
+  * at 100 TB, so it runs inside WholeStageCodegen like the distance
+  * kernels, not as a boxing Seq[Float] UDF.
   *
   * Both validated by recall@k against the exact kNN join (the reference
   * validates its quantizers the same way, quantization.py:692-703).
@@ -31,68 +37,37 @@ object Ann {
     def numCells: Int = centroids.length
   }
 
+  /** Seeded KMeans coarse quantizer. `sampleFraction` < 1 trains on a
+    * deterministic sample — at corpus scale the centroids only need a
+    * statistical sketch of the distribution, not every row. */
   def trainIvf(vecs: DataFrame, vecCol: String, numCells: Int,
-               seed: Long = 42L, maxIter: Int = 20): IvfModel = {
+               seed: Long = 42L, maxIter: Int = 20,
+               sampleFraction: Double = 1.0): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val data = vecs.select(array_to_vector(
+    val base = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    val data = base.select(array_to_vector(
       transform(col(vecCol), _.cast("double"))).as("features"))
     val km = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features")
     IvfModel(km.fit(data).clusterCenters.map(_.toArray))
   }
 
-  /** Nearest-centroid cell id per vector (the partition key at scale). */
-  def cellId(model: IvfModel)(vecCol: Column): Column = {
-    val cents = model.centroids
-    val assign = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var j = 0
-        while (j < cents(c).length) { val diff = v(j) - cents(c)(j); d += diff * diff; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    assign(vecCol)
-  }
+  /** Nearest-centroid cell id per vector (the partition key at scale).
+    * Codegen kernel — the hot once-per-corpus-row encode. */
+  def cellId(model: IvfModel)(vecCol: Column): Column =
+    ann.nearestCell(model.centroids)(vecCol)
 
   /** Nearest-centroid assignment WITH the distance to that centroid:
     * struct(cell: int, dist: double). The distance feeds per-cell radius
     * bounds (see Dedup.embeddingNearDupBlocked's triangle-inequality
     * cell-pair pruning). */
-  def cellAssign(model: IvfModel)(vecCol: Column): Column = {
-    val cents = model.centroids
-    val assign = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var j = 0
-        while (j < cents(c).length && j < v.length) {
-          val diff = v(j) - cents(c)(j); d += diff * diff; j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      (best, math.sqrt(bestD))
-    }
-    assign(vecCol).cast("struct<cell:int,dist:double>")
-  }
+  def cellAssign(model: IvfModel)(vecCol: Column): Column =
+    ann.nearestCellDist(model.centroids)(vecCol)
 
   /** nProbe nearest cells for each query vector. */
-  private def probeCells(model: IvfModel, nProbe: Int)(vecCol: Column): Column = {
-    val cents = model.centroids
-    val probe = udf { (v: Seq[Float]) =>
-      cents.indices.map { c =>
-        var d = 0.0; var j = 0
-        while (j < cents(c).length) { val diff = v(j) - cents(c)(j); d += diff * diff; j += 1 }
-        (c, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-    }
-    probe(vecCol)
-  }
+  private def probeCells(model: IvfModel, nProbe: Int)(vecCol: Column): Column =
+    ann.probeCells(model.centroids, nProbe)(vecCol)
 
   /** IVF approximate kNN: join queries only with corpus rows in probed
     * cells — the join key (cell) prunes the scan; everything downstream is
@@ -101,10 +76,46 @@ object Ann {
                 k: Int, nProbe: Int = 4, metric: String = "cosine",
                 queryId: String = "query_id", queryVec: String = "query_vec",
                 corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
-    val topk = udaf(new Knn.TopKAggregator(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
     val cells = corpus.select(col(corpusId).cast("long").as("_cid"),
       col(vecCol).as("_cvec"), cellId(model)(col(vecCol)).as("_cell"))
+    searchCells(queries, cells, model, k, nProbe, metric, queryId, queryVec)
+  }
+
+  /** Write a corpus PARTITIONED BY IVF cell id — the at-scale layout: a
+    * query touching nProbe cells scans only nProbe directories, exactly
+    * like the reference's hash-index point lookup but for vector space.
+    * Assignment runs in the same codegen stage as the write. */
+  def writePartitionedByCell(corpus: DataFrame, model: IvfModel, path: String,
+                             corpusId: String = "id", vecCol: String = "vec"): Unit =
+    corpus.select(col(corpusId).cast("long").as("_cid"),
+        col(vecCol).cast("array<float>").as("_cvec"),
+        cellId(model)(col(vecCol)).as("_cell"))
+      .write.partitionBy("_cell").mode("overwrite").parquet(path)
+
+  /** IVF search against a cell-partitioned corpus directory written by
+    * [[writePartitionedByCell]]: the probed cell ids become a partition
+    * predicate, so the scan READS only nProbe of the numCells directories
+    * (partition pruning — assert via the scan's "partition filters" or
+    * input-file count). Collects the tiny probe set (|queries| × nProbe
+    * ints) to the driver to form the predicate. */
+  def ivfSearchPartitioned(queries: DataFrame, corpusPath: String, model: IvfModel,
+                           k: Int, nProbe: Int = 4, metric: String = "cosine",
+                           queryId: String = "query_id",
+                           queryVec: String = "query_vec"): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = queries
+      .select(explode(probeCells(model, nProbe)(col(queryVec))).as("_cell"))
+      .distinct().collect().map(_.getInt(0))
+    val cells = spark.read.parquet(corpusPath)
+      .where(col("_cell").isin(probed.toSeq: _*))
+    searchCells(queries, cells, model, k, nProbe, metric, queryId, queryVec)
+  }
+
+  private def searchCells(queries: DataFrame, cells: DataFrame, model: IvfModel,
+                          k: Int, nProbe: Int, metric: String,
+                          queryId: String, queryVec: String): DataFrame = {
+    val topk = udaf(new Knn.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
     val q = queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"),
       explode(probeCells(model, nProbe)(col(queryVec))).as("_cell"))
     cells.join(broadcast(q), "_cell")
@@ -132,36 +143,32 @@ object Ann {
       (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
 
-  /** Bit-bucket id from `numBits` signed projections. */
-  def lshBucket(numBits: Int, dim: Int, seed: Long = 42L)(vecCol: Column): Column = {
-    val planes = Array.tabulate(numBits)(h => hyperplane(seed, h, dim))
-    val bucket = udf { (v: Seq[Float]) =>
-      var b = 0L
-      var h = 0
-      while (h < planes.length) {
-        var dot = 0.0; var j = 0
-        while (j < planes(h).length && j < v.length) { dot += v(j) * planes(h)(j); j += 1 }
-        if (dot > 0) b |= (1L << h)
-        h += 1
-      }
-      b
-    }
-    bucket(vecCol)
-  }
+  private def planes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(numBits)(h => hyperplane(seed, h, dim))
 
-  /** LSH-bucketed approximate kNN under cosine: queries join only their
-    * own bucket. Recall improves with fewer bits / multi-table; this is
-    * the single-table variant. */
+  /** Bit-bucket id from `numBits` signed projections (codegen kernel). */
+  def lshBucket(numBits: Int, dim: Int, seed: Long = 42L)(vecCol: Column): Column =
+    ann.lshBucket(planes(numBits, dim, seed))(vecCol)
+
+  /** LSH-bucketed approximate kNN under cosine. Multi-probe: each query
+    * joins its own bucket PLUS the `nProbe` perturbation-set buckets with
+    * the smallest summed |margin| (Lv et al. VLDB'07 — single-bit flips
+    * first, then low-margin multi-bit combinations) — near neighbors split
+    * by bad hyperplanes land a few flips away, so recall climbs smoothly
+    * with nProbe while the corpus side stays a plain bucket equi-join (the
+    * probe fan-out is query-side only). nProbe=0 is the single-bucket
+    * variant. */
   def lshSearch(queries: DataFrame, corpus: DataFrame, k: Int,
-                numBits: Int, dim: Int, seed: Long = 42L,
+                numBits: Int, dim: Int, seed: Long = 42L, nProbe: Int = 4,
                 queryId: String = "query_id", queryVec: String = "query_vec",
                 corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val ps = planes(numBits, dim, seed)
     val topk = udaf(new Knn.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
     val bucketed = corpus.select(col(corpusId).cast("long").as("_cid"),
-      col(vecCol).as("_cvec"), lshBucket(numBits, dim, seed)(col(vecCol)).as("_bkt"))
+      col(vecCol).as("_cvec"), ann.lshBucket(ps)(col(vecCol)).as("_bkt"))
     val q = queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"),
-      lshBucket(numBits, dim, seed)(col(queryVec)).as("_bkt"))
+      explode(ann.lshProbeBuckets(ps, nProbe)(col(queryVec))).as("_bkt"))
     bucketed.join(broadcast(q), "_bkt")
       .select(col("_qid"), col("_cid"),
         vector.cosineDistance(col("_cvec"), col("_qvec")).as("_dist"))

@@ -33,15 +33,71 @@ object Bm25 {
                          docLengths: DataFrame, // (doc_id, doc_len)
                          nDocs: Long, avgDocLen: Double)
 
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+  /** Postings + doc lengths for a batch of documents — the incremental
+    * maintenance unit shared by [[buildIndex]] and the persisted-index
+    * delta paths. */
+  def tokenizeDocs(docs: DataFrame, idCol: String,
+                   textCol: String): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       tokenize(col(textCol)).as("_toks"))
-    val docLengths = toks.select(col("doc_id"), size(col("_toks")).as("doc_len"))
-    val postings = toks
-      .select(col("doc_id"), explode(col("_toks")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    (toks.select(col("doc_id"), explode(col("_toks")).as("term"))
+       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+     toks.select(col("doc_id"), size(col("_toks")).as("doc_len")))
+  }
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val (postings, docLengths) = tokenizeDocs(docs, idCol, textCol)
     val stats = docLengths.agg(count(lit(1)), avg(col("doc_len"))).head()
-    Index(postings, docLengths, stats.getLong(0), stats.getDouble(1))
+    Index(postings, docLengths, stats.getLong(0),
+      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+  }
+
+  // ------------------------------------------------- persisted index sidecar
+
+  /** The reference maintains its inverted index incrementally on
+    * add/remove (hybrid_search.py:66-117) instead of re-indexing per
+    * query. The batch analog: postings + doc-length relations persisted
+    * NEXT TO the collection (slim parquet sidecars) plus a stats.json, all
+    * maintained by the Crud algebra — hybridQuery then reads them instead
+    * of re-tokenizing the corpus on every call. At scale the postings
+    * sidecar can additionally be bucketed by term. */
+  def indexExists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stats.json"))
+
+  def saveIndex(index: Index, dir: String): Unit = {
+    graft.sources.Collections.swapWrite(index.postings, s"$dir/postings")
+    graft.sources.Collections.swapWrite(index.docLengths, s"$dir/doclen")
+    writeStats(dir, index.nDocs, index.avgDocLen)
+  }
+
+  def writeStats(dir: String, nDocs: Long, avgDocLen: Double): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "stats.json"),
+      s"""{"n_docs": $nDocs, "avg_doc_len": $avgDocLen}""")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "stats.json"))
+    def field(k: String): String =
+      (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(raw).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"missing $k in index stats"))
+    Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclen"),
+      field("n_docs").toLong, field("avg_doc_len").toDouble)
+  }
+
+  /** Restrict an index to the given doc ids (the pre-filtered hybrid
+    * search path): semi-joins the slim relations — no re-tokenization —
+    * and recomputes the two scalar stats over the survivors. Values are
+    * identical to buildIndex over the filtered corpus. */
+  def restrict(index: Index, ids: DataFrame): Index = {
+    val keep = ids.select(col(ids.columns.head).as("doc_id"))
+    val postings = index.postings.join(keep, Seq("doc_id"), "left_semi")
+    val docLengths = index.docLengths.join(keep, Seq("doc_id"), "left_semi")
+    val stats = docLengths.agg(count(lit(1)), avg(col("doc_len"))).head()
+    Index(postings, docLengths, stats.getLong(0),
+      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
   }
 
   /** Score every matching document for a free-text query.
@@ -55,7 +111,14 @@ object Bm25 {
       .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
       .toDF("term", "q_mult")
 
-    val df = index.postings.groupBy("term")
+    // Document frequency for the QUERY's terms only: semi-join the postings
+    // down to query terms BEFORE aggregating. df is per-term, so dropping
+    // other terms cannot change the value — identical results, but the
+    // aggregate (and the broadcast below) is |query terms| rows instead of
+    // the full corpus vocabulary.
+    val df = index.postings
+      .join(broadcast(qTerms.select("term")), "term")
+      .groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = index.nDocs
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))

@@ -33,20 +33,39 @@ object PropertyGraph {
     dird.where(nodeFilter)
   }
 
-  /** Adjacency rows below this count get broadcast into the per-hop join
-    * (no shuffle per hop); above it the join shuffles on node id. At
-    * cluster scale raise/lower to executor-memory taste. */
-  private val BroadcastAdjRows = 1000000L
+  /** Frontier frames at or below this estimated size (bytes, row count ×
+    * schema default width) are broadcast into the per-hop join. The
+    * ADJACENCY is never broadcast: it is the 100TB side — BFS from a few
+    * seeds starts at |seeds| rows, so the frontier is the provably small
+    * side of every early hop. */
+  private val BroadcastFrontierBytes = 8L << 20
 
-  /** Materialized adjacency for the iterative operators: persisted, counted
-    * once (the count also warms the cache), broadcast when small. Returns
-    * (join side, persisted handle to release). */
-  private def materializedAdj(edges: DataFrame, direction: String,
-                              edgeType: Option[String]): (DataFrame, DataFrame) = {
-    val adj = neighbors(edges, direction = direction, edgeType = edgeType)
-      .select(col("node_id"), col("neighbor_id")).persist()
-    val joinSide = if (adj.count() <= BroadcastAdjRows) broadcast(adj) else adj
-    (joinSide, adj)
+  /** Materialized adjacency for the iterative operators: hash-partitioned
+    * by node_id ONCE and persisted. Every hop joins on node_id, so the
+    * cached layout already satisfies the join's distribution — Catalyst
+    * reuses it and only the frontier side ever shuffles (or, when the
+    * frontier is small, broadcasts, moving nothing at all). No count job:
+    * the first hop materializes the cache. */
+  private[graft] def materializedAdj(edges: DataFrame, direction: String,
+                                     edgeType: Option[String]): DataFrame = {
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    neighbors(edges, direction = direction, edgeType = edgeType)
+      .select(col("node_id"), col("neighbor_id"))
+      .repartition(p, col("node_id"))
+      .persist()
+  }
+
+  /** One traversal hop: frontier ⋈ adjacency on end_id = node_id. The
+    * frontier is the broadcast side when its (estimated) size fits the
+    * budget — rowsHint < 0 means unknown, which falls back to the
+    * shuffled join against the pre-partitioned cached adjacency. Either
+    * way the adjacency never moves. */
+  private[graft] def hopJoin(frontier: DataFrame, adj: DataFrame,
+                             rowsHint: Long): DataFrame = {
+    val bytesPerRow = math.max(frontier.schema.defaultSize.toLong, 1L)
+    val f = if (rowsHint >= 0 && rowsHint * bytesPerRow <= BroadcastFrontierBytes)
+      broadcast(frontier) else frontier
+    f.join(adj, f("end_id") === adj("node_id"))
   }
 
   /** Var-length traversal (graph.py:844-869): all simple paths from the
@@ -59,7 +78,7 @@ object PropertyGraph {
   def traverse(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                direction: String = "out",
                edgeType: Option[String] = None): DataFrame = {
-    val (adj, adjHandle) = materializedAdj(edges, direction, edgeType)
+    val adj = materializedAdj(edges, direction, edgeType)
     var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("depth"), array(col("id").cast("string")).as("path"))
     var all = frontier
@@ -67,7 +86,9 @@ object PropertyGraph {
     var d = 0
     try {
       while (d < maxDepth) {
-        frontier = frontier.join(adj, frontier("end_id") === adj("node_id"))
+        // single final action → hop joins share one reused adjacency
+        // exchange; no per-hop count, so no rows hint (shuffled-frontier)
+        frontier = hopJoin(frontier, adj, rowsHint = -1L)
           .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
           .select(col("start_id"), col("neighbor_id").as("end_id"),
             (col("depth") + 1).as("depth"),
@@ -80,7 +101,7 @@ object PropertyGraph {
       all.where(col("depth") > 0).localCheckpoint(eager = true)
     } finally {
       hops.foreach(_.unpersist())
-      adjHandle.unpersist()
+      adj.unpersist()
     }
   }
 
@@ -97,7 +118,7 @@ object PropertyGraph {
   def shortestPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                     direction: String = "both",
                     edgeType: Option[String] = None): DataFrame = {
-    val (adj, adjHandle) = materializedAdj(edges, direction, edgeType)
+    val adj = materializedAdj(edges, direction, edgeType)
     val frontiers = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("hops")).persist()
@@ -107,7 +128,9 @@ object PropertyGraph {
     var d = 0
     try {
       while (d < maxDepth && n > 0) {
-        val expanded = frontier.join(adj, frontier("end_id") === adj("node_id"))
+        // the per-hop emptiness count doubles as the broadcast-size hint:
+        // a seed-limited frontier broadcasts, the cached adjacency never moves
+        val expanded = hopJoin(frontier, adj, rowsHint = n)
           .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
           .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
         val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
@@ -123,7 +146,7 @@ object PropertyGraph {
       visited.localCheckpoint(eager = true)
     } finally {
       frontiers.foreach(_.unpersist())
-      adjHandle.unpersist()
+      adj.unpersist()
     }
   }
 
@@ -206,6 +229,33 @@ object PropertyGraph {
     val e = edges.where(!col("src").isin(nodeIds: _*) &&
       !col("dst").isin(nodeIds: _*))
     (v, e)
+  }
+
+  /** Node removal with the reference's full cascade semantics
+    * (graph.py:625-650 delete_node): cascade=true deletes incident edges
+    * AND every hyperedge CONTAINING a removed node — the whole hyperedge
+    * goes, not just the membership (graph.py:647-650). cascade=false is
+    * the reference's fail-loudly mode (graph.py:640-641): refuse the
+    * delete if any removed node still has an incident edge or hyperedge.
+    * Returns (vertices, edges, hyperedges). */
+  def removeNodes(vertices: DataFrame, edges: DataFrame,
+                  hyperedges: DataFrame, nodeIds: Seq[String],
+                  cascade: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val ids = array(nodeIds.map(lit): _*)
+    val touchedEdge = col("src").isin(nodeIds: _*) || col("dst").isin(nodeIds: _*)
+    val touchedHyper = arrays_overlap(col("nodes"), ids)
+    if (!cascade) {
+      // existence checks, not counts — limit(1) stops each scan at the
+      // first incident row
+      if (edges.where(touchedEdge).limit(1).count() > 0 ||
+          hyperedges.where(touchedHyper).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"cannot delete nodes [${nodeIds.mkString(",")}]: incident " +
+            "edges/hyperedges exist and cascade=false")
+    }
+    (vertices.where(!col("id").isin(nodeIds: _*)),
+      edges.where(!touchedEdge),
+      hyperedges.where(!touchedHyper))
   }
 
   /** Graph stats (graph.py:917-926): counts + distinct labels/types —

@@ -144,15 +144,29 @@ object Knn {
     * (graft.plans.KnnPlan) scores each corpus partition against the query
     * batch in one pass with bounded heaps — no Q*N row materialization —
     * then the same bounded aggregator merges the Q*k-per-partition
-    * partials. Semantically identical to [[knnJoin]]. */
+    * partials. Semantically identical to [[knnJoin]].
+    *
+    * The query batch is collected to the driver ("queries are small" is
+    * the operator's contract, like the reference's in-memory Q×N GEMM) —
+    * ENFORCED: the collect is capped at `maxQueryRows + 1` rows by a limit
+    * (so an oversized frame cannot OOM the driver) and fails loudly past
+    * the cap. Callers with a legitimately larger batch pre-collect via
+    * [[knnJoinFusedArr]] or raise the cap explicitly. */
   def knnJoinFused(queries: DataFrame, corpus: DataFrame, k: Int,
                    metric: String = "cosine",
                    queryId: String = "query_id", queryVec: String = "query_vec",
                    corpusId: String = "id", corpusVec: String = "vec",
-                   filter: Option[Filter] = None): DataFrame = {
-    val qArr = queries
+                   filter: Option[Filter] = None,
+                   maxQueryRows: Int = 65536): DataFrame = {
+    val rows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .limit(maxQueryRows + 1)
+      .collect()
+    require(rows.length <= maxQueryRows,
+      s"knnJoinFused query batch exceeds maxQueryRows=$maxQueryRows: the fused " +
+        "path holds the batch on the driver. Raise maxQueryRows deliberately " +
+        "or use knnJoin (fully distributed) for large query sets.")
+    val qArr = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     knnJoinFusedArr(qArr, corpus, k, metric, queryId, corpusId, corpusVec, filter)
   }
 

@@ -113,6 +113,20 @@ object QueriesGraph {
         .orderBy("id")
     }),
 
+    // Node removal with full cascade (graph.py:625-650 delete_node):
+    // hyperedges CONTAINING a removed node disappear entirely. Output =
+    // surviving ORDER_PARTIES hyperedges in a bounded key range.
+    "q61_node_cascade" -> ((s, dir) => {
+      val (_, _, h2) = PropertyGraph.removeNodes(
+        GraphData.vertices(s, dir), GraphData.edges(s, dir),
+        GraphData.hyperedges(s, dir),
+        Seq("customer_1", "supplier_2"), cascade = true)
+      h2.where(expr("CAST(substring(id, 7) AS BIGINT) < 300"))
+        .select(col("id"), size(col("nodes")).cast("long").as("n_nodes"),
+          col("type"))
+        .orderBy("id")
+    }),
+
     // J10 graph-first traversal + vector rerank on the ring
     "q41_graph_rerank" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -234,6 +248,18 @@ object QueriesGraph {
         |       CASE WHEN c_custkey < 50 THEN TRUE ELSE NULL END AS vip,
         |       CASE WHEN c_custkey < 50 THEN 'Customer,Vip' ELSE 'Customer' END AS labels
         |FROM customer ORDER BY id""".stripMargin,
+
+    "q61_node_cascade" ->
+      """WITH members AS (
+        |  SELECT l_orderkey AS k, 'supplier_' || l_suppkey AS member FROM lineitem
+        |  UNION
+        |  SELECT o_orderkey, 'customer_' || o_custkey FROM orders),
+        |he AS (
+        |  SELECT k, count(DISTINCT member) AS n_nodes,
+        |         bool_or(member IN ('customer_1', 'supplier_2')) AS touched
+        |  FROM members GROUP BY k)
+        |SELECT 'order_' || k AS id, n_nodes, 'ORDER_PARTIES' AS type
+        |FROM he WHERE NOT touched AND k < 300 ORDER BY id""".stripMargin,
 
     "q41_graph_rerank" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),

@@ -43,6 +43,27 @@ object Collections {
     Config(field("name"), field("dimensions").toInt, field("metric"))
   }
 
+  /** Overwrite `dir` with `result` via a temp-dir + rename swap — safe
+    * when the plan READS the same files it replaces. Swap order keeps
+    * every crash window recoverable: the previous dir is renamed aside
+    * (not deleted) before the new one moves in, and only deleted once the
+    * swap has succeeded. */
+  def swapWrite(result: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = result.sparkSession
+    val tmpPath = new Path(s"${dir}_tmp")
+    val dataPath = new Path(dir)
+    val oldPath = new Path(s"${dir}_old")
+    // FileSystem of the TARGET path, not the default FS — the dir may
+    // live on a non-default scheme (s3a://, hdfs://...).
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    result.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
+    if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
+    fs.rename(tmpPath, dataPath)
+    fs.delete(oldPath, true)
+  }
+
   /** Directory scan for collections (S3, vectordb.py:627-646). */
   def list(root: String): Seq[String] = {
     val p = Paths.get(root)

@@ -39,28 +39,51 @@ object EventStream {
         col("n_events"), col("sum_value"))
 
   /** Custom stateful sessionization via mapGroupsWithState: gap-based
-    * sessions per user with a processing-time close. State is one small
-    * record per live (user) key — bounded by active users, not history. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
+    * sessions per user. State is one small record per live (user) key AND
+    * keys RETIRE: an event-time timeout closes a user's session once the
+    * watermark passes its last event + gap (emitting it with closed=true)
+    * and removes the state — at 100× distinct users the store holds only
+    * currently-active users, not every user ever seen. (Event-time, not
+    * processing-time: the close is deterministic under replay, and a
+    * processing-time timeout makes the engine re-trigger batches forever
+    * even with no data.) */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] =
+    sessionizeMs(events, gapMinutes * 60000L)
+
+  /** Millisecond-gap form (tests exercise the timeout without minute-scale
+    * event gaps). */
+  def sessionizeMs(events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
 
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)
       .mapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Long, Long, Long)]) =>
-          // state = (session_id, n_events, start_ms, end_ms)
-          var (sid, n, start, end) =
-            state.getOption.getOrElse((0L, 0L, Long.MinValue, Long.MinValue))
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (start == Long.MinValue) { sid = 1; n = 1; start = t; end = t }
-            else if (t - end > gapMs) { sid += 1; n = 1; start = t; end = t }
-            else { n += 1; end = math.max(end, t) }
+          if (state.hasTimedOut) {
+            // idle gap elapsed (watermark passed end + gap) with no new
+            // events: close and retire the key
+            val (sid, n, start, end) = state.get
+            state.remove()
+            SessionUpdate(userId, sid, n, start, end, closed = true)
+          } else {
+            // state = (session_id, n_events, start_ms, end_ms)
+            var (sid, n, start, end) =
+              state.getOption.getOrElse((0L, 0L, Long.MinValue, Long.MinValue))
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (start == Long.MinValue) { sid = 1; n = 1; start = t; end = t }
+              else if (t - end > gapMs) { sid += 1; n = 1; start = t; end = t }
+              else { n += 1; end = math.max(end, t) }
+            }
+            state.update((sid, n, start, end))
+            // must be strictly past the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(end + gapMs, state.getCurrentWatermarkMs() + 1))
+            SessionUpdate(userId, sid, n, start, end, closed = false)
           }
-          state.update((sid, n, start, end))
-          SessionUpdate(userId, sid, n, start, end, closed = false)
       }
   }
 

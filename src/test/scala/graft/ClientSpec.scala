@@ -110,6 +110,55 @@ class ClientSpec extends SparkSpec {
     assert(withVec.head().getSeq[Float](withVec.columns.indexOf("embedding")).length === 16)
   }
 
+  test("persisted keyword index: no re-tokenization, maintained by every mutation") {
+    val c = client.getOrCreateCollection("kwidx")
+    c.add(docs)
+    val onTheFly = c.hybridQuery("spark big data", k = 4).collect().toSeq
+    c.buildKeywordIndex()
+    assert(c.hasKeywordIndex)
+    val indexed = c.hybridQuery("spark big data", k = 4)
+    // the keyword side reads the sidecar: the plan has NO tokenize stage
+    // (the shared split-class regex is its fingerprint)
+    assert(!indexed.queryExecution.analyzed.toString.contains("[^a-z0-9_"),
+      "hybridQuery must read the stored postings, not re-tokenize the corpus")
+    def canon(rows: Seq[org.apache.spark.sql.Row]): Seq[(String, Long)] =
+      rows.map(r => (r.getAs[String]("id"),
+        math.round(r.getAs[Double]("score") * 1e9)))
+    assert(canon(indexed.collect().toSeq) === canon(onTheFly))
+
+    // every mutation maintains the sidecar incrementally; results always
+    // equal a from-scratch index over the current corpus
+    def oracle(q: String): Seq[(String, Long)] = {
+      val tmp = client.getOrCreateCollection("kwidx_oracle")
+      tmp.delete()
+      tmp.add(c.get())
+      val got = canon(tmp.hybridQuery(q, k = 5).collect().toSeq)
+      client.deleteCollection("kwidx_oracle")
+      got
+    }
+    c.add(Seq(("doc5", "spark streams data too", "tech", 2024))
+      .toDF("id", "document", "category", "year"))
+    assert(canon(c.hybridQuery("spark big data", k = 5).collect().toSeq)
+      === oracle("spark big data"), "after add")
+    c.update(Seq(("doc3", "flink processes big data", "tech", 2022))
+      .toDF("id", "document", "category", "year"))
+    assert(canon(c.hybridQuery("spark big data", k = 5).collect().toSeq)
+      === oracle("spark big data"), "after update")
+    c.upsert(Seq(("doc6", "ducks process small data", "animals", 2026))
+      .toDF("id", "document", "category", "year"))
+    assert(canon(c.hybridQuery("small data", k = 5).collect().toSeq)
+      === oracle("small data"), "after upsert")
+    c.delete(ids = Seq("doc1"))
+    assert(canon(c.hybridQuery("quick brown fox", k = 5).collect().toSeq)
+      === oracle("quick brown fox"), "after delete")
+    // filtered hybrid restricts the stored index by semi-join
+    val filtered = c.hybridQuery("spark big data", k = 5,
+      where = Some(Filter.Eq("category", "tech")))
+    assert(!filtered.queryExecution.analyzed.toString.contains("[^a-z0-9_"))
+    assert(filtered.collect().map(_.getAs[String]("id")).toSet
+      .subsetOf(Set("doc3", "doc4", "doc5")))
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))

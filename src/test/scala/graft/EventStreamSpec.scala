@@ -63,6 +63,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out.contains((2L, 2L, 1L)))
   }
 
+  test("idle sessions close and retire their state after the gap") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    val sessions = EventStream.sessionizeMs(mem.toDS(), gapMs = 300)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_close").outputMode("update").start()
+    mem.addData(EventStream.Event(1, ts(base), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // a later event advances the watermark past user 1's end + gap,
+    // firing its event-time timeout on the following sweep
+    mem.addData(EventStream.Event(2, ts(base + 1000), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_close")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("closed")))
+    assert(out.contains((1L, false))) // open while active
+    assert(out.contains((1L, true)),  // closed (and state retired) once idle
+      s"expected user 1's session to close after the gap, got ${out.mkString(",")}")
+    assert(out.contains((2L, false)))
+  }
+
   test("parquet streaming writer/reader round-trip (S6/S7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }

@@ -142,6 +142,66 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hop join broadcasts the frontier, never the adjacency") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, Exchange, ShuffleExchangeLike}
+    // AQE wraps executed exchanges in leaf QueryStageExec nodes; descend
+    // into them so the assertions see every exchange that actually ran
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[Exchange] =
+      nodes(df.queryExecution.executedPlan).collect { case e: Exchange => e }
+
+    val bigEdges = spark.range(20000).selectExpr(
+      "concat('e', id) as id", "concat('n', id % 5000) as src",
+      "concat('n', (id + 1) % 5000) as dst", "'t' as type")
+    val adj = PropertyGraph.materializedAdj(bigEdges, "both", None)
+    adj.count() // materialize the one-time partitioned cache
+    try {
+      val frontier = Seq(("n0", "n0", 0)).toDF("start_id", "end_id", "hops")
+      // small rows hint -> the FRONTIER side broadcasts; the cached
+      // adjacency moves nothing (no shuffle, no broadcast of adj)
+      val hop = PropertyGraph.hopJoin(frontier, adj, rowsHint = 1L)
+      assert(hop.count() > 0)
+      val ex1 = exchanges(hop)
+      assert(ex1.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "expected a broadcast exchange (frontier side)")
+      assert(!ex1.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "hop join against the pre-partitioned cached adjacency must not shuffle")
+      assert(ex1.forall(_.output.exists(_.name == "start_id")),
+        s"broadcast side must be the frontier, got:\n${ex1.mkString("\n")}")
+      // unknown frontier size -> no hint; the adjacency still never moves:
+      // every exchange (AQE may broadcast the small frontier at runtime,
+      // or shuffle it) is on the frontier side
+      val hop2 = PropertyGraph.hopJoin(frontier, adj, rowsHint = -1L)
+      assert(hop2.count() > 0)
+      val ex2 = exchanges(hop2)
+      assert(ex2.forall(_.output.exists(_.name == "start_id")),
+        s"the adjacency side must never exchange, got:\n${ex2.mkString("\n")}")
+    } finally adj.unpersist()
+  }
+
+  test("removeNodes cascade deletes hyperedges containing the node; non-cascade fails loudly") {
+    val (v2, e2, h2) = PropertyGraph.removeNodes(vertices, edges, hyperedges,
+      Seq("d"), cascade = true)
+    assert(!v2.collect().map(_.getString(0)).contains("d"))
+    assert(e2.collect().map(_.getString(0)).toSet === Set("e1", "e2", "e4"))
+    // h2 (c,d) and h3 (a,d,e) contain d -> whole hyperedges removed
+    assert(h2.collect().map(_.getString(0)).toSet === Set("h1"))
+    intercept[IllegalStateException] {
+      PropertyGraph.removeNodes(vertices, edges, hyperedges, Seq("d"), cascade = false)
+    }
+    // an isolated node deletes fine without cascade
+    val (v3, e3, h3) = PropertyGraph.removeNodes(
+      vertices, edges.where(col("src") =!= "e" && col("dst") =!= "e"),
+      hyperedges.where(!array_contains(col("nodes"), "e")), Seq("e"), cascade = false)
+    assert(v3.count() === 4 && e3.count() === 5 && h3.count() === 2)
+  }
+
   test("stats counts nodes, edges, labels, types") {
     val m = PropertyGraph.stats(vertices, edges, Some(hyperedges))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -64,10 +64,48 @@ class KnnSpec extends SparkSpec {
       .agg(avg("recall")).head().getDouble(0)
     assert(ivfRecall > 0.5, s"ivf recall $ivfRecall")
 
-    val lsh = Ann.lshSearch(queries, embs, k = 10, numBits = 4, dim = 64,
+    // recall climbs monotonically-ish with the probe knob; these synthetic
+    // embeddings are near-uniform (hyperplane bits carry little neighbor
+    // signal — the hard case for LSH), so high recall needs a wide probe
+    def lshRecallAt(nProbe: Int): Double = {
+      val lsh = Ann.lshSearch(queries, embs, k = 10, numBits = 4, dim = 64,
+        nProbe = nProbe, corpusId = "vec_id", vecCol = "embedding")
+      Quantization.recallAtK(lsh, exact, 10)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val singleRecall = lshRecallAt(0)
+    val defRecall = lshRecallAt(4)
+    val wideRecall = lshRecallAt(10)
+    assert(defRecall >= singleRecall,
+      s"multi-probe $defRecall vs single-bucket $singleRecall")
+    assert(wideRecall >= defRecall,
+      s"wide probe $wideRecall vs default $defRecall")
+    assert(wideRecall > 0.8, s"wide multi-probe lsh recall $wideRecall")
+  }
+
+  test("cell-partitioned corpus prunes the scan to the probed partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    })
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-part").toString
+    val model = Ann.trainIvf(embs, "embedding", numCells = 16)
+    Ann.writePartitionedByCell(embs, model, dir,
       corpusId = "vec_id", vecCol = "embedding")
-    val lshRecall = Quantization.recallAtK(lsh, exact, 10)
-      .agg(avg("recall")).head().getDouble(0)
-    assert(lshRecall > 0.3, s"lsh recall $lshRecall")
+    val oneQuery = queries.where(col("query_id") === 3)
+    val pruned = Ann.ivfSearchPartitioned(oneQuery, dir, model, k = 10, nProbe = 2)
+    val direct = Ann.ivfSearch(oneQuery, embs, model, k = 10, nProbe = 2,
+      corpusId = "vec_id", vecCol = "embedding")
+    assert(asSet(pruned) === asSet(direct),
+      "partitioned search must equal the in-memory cell join")
+    // the scan read at most nProbe of the 16 cell directories
+    val scan = nodes(pruned.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the partitioned plan"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= 2, s"expected <= 2 partitions read, got $partsRead")
   }
 }
