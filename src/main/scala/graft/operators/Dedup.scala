@@ -244,7 +244,8 @@ object Dedup {
     * is. */
   def embeddingNearDupBlocked(embs: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, numCells: Int = 16,
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L,
+                              trainFraction: Double = 1.0): DataFrame = {
     require(threshold > 0.0, "cell blocking requires a positive threshold")
     val spark = embs.sparkSession
     // + slack for float32 normalization rounding in the radius bound
@@ -253,7 +254,12 @@ object Dedup {
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .where(array_max(transform(col("_v"), x => abs(x))) > 0)
       .withColumn("_u", vector.l2Normalize(col("_v")))
-    val model = Ann.trainIvf(unit, "_u", numCells, seed)
+    // centroids only need a sketch of the distribution: the blocking
+    // bound is computed from the ACTUAL per-cell radii after assignment,
+    // so a sampled training pass cannot affect correctness, only how
+    // tight the cells (and thus the pruning) are
+    val model = Ann.trainIvf(unit, "_u", numCells, seed,
+      sampleFraction = trainFraction)
     val assigned = unit
       .withColumn("_a", Ann.cellAssign(model)(col("_u")))
       .select(col("_id"), col("_v"), col("_a.cell").as("_cell"), col("_a.dist").as("_cd"))

@@ -54,8 +54,10 @@ object QueriesQuant {
     // KMeans centroids are engine-specific => no SQL oracle (rows-only).
     "q19_pq_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
+      // codebooks train on a 25% sample — at corpus scale the quantizer
+      // needs a sketch of the distribution, not every row
       val model = Quantization.trainPq(embs, "embedding",
-        numSubspaces = 8, numCentroids = 64)
+        numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25)
       val corpus = embs.withColumn("pq_code",
         Quantization.pqEncode(model)(col("embedding")))
       val queries = QueriesVector.queryBatch(s, dir, 5)

@@ -140,9 +140,11 @@ object QueriesText {
     // corpus so the join returns a meaningful set). Runs the IVF-cell
     // blocked plan; the all-pairs oracle below is identical by the
     // triangle-inequality argument in Dedup.embeddingNearDupBlocked.
+    // trainFraction: centroids train on half the corpus — the blocking
+    // stays lossless for ANY centroids, so the oracle is unaffected
     "q56_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4)),
+        threshold = 0.4, trainFraction = 0.5)),
 
     // Document chunking (pre-embedding windows: 32 tokens, stride 24)
     "q57_chunking" -> ((s, dir) =>

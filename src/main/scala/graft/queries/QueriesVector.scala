@@ -40,7 +40,9 @@ object QueriesVector {
     "q48_ivf_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val queries = queryBatch(s, dir, 5)
-      val model = Ann.trainIvf(embs, "embedding", numCells = 16)
+      // coarse centroids from a 25% sample — the scale-path default
+      val model = Ann.trainIvf(embs, "embedding", numCells = 16,
+        sampleFraction = 0.25)
       val approx = Ann.ivfSearch(queries, embs, model, k = 10, nProbe = 4,
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "cosine",

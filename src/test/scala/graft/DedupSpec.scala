@@ -69,8 +69,10 @@ class DedupSpec extends SparkSpec {
     val zero = Seq((999999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
     val embs = base.union(zero)
     for (t <- Seq(0.2, 0.4, 0.8)) {
+      // sampled training must not change the output (blocking is lossless
+      // for any centroids)
       val blocked = Dedup.embeddingNearDupBlocked(embs, "vec_id", "embedding",
-          threshold = t, numCells = 8)
+          threshold = t, numCells = 8, trainFraction = 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
