@@ -270,53 +270,28 @@ final class GraftCollection(spark: SparkSession, dir: String,
       Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"),
       indexDir)
 
-  /** Append-only delta for freshly inserted docs. */
+  /** Append-only delta for freshly inserted docs — lands in the new
+    * docs' term buckets only. */
   private def indexAppend(newRows: DataFrame): Unit = if (hasKeywordIndex) {
     val (post, dlen) = Bm25.tokenizeDocs(
       newRows.where(col("document").isNotNull).select("id", "document"),
       "id", "document")
-    post.write.mode("append").parquet(s"$indexDir/postings")
-    dlen.write.mode("append").parquet(s"$indexDir/doclen")
-    refreshIndexStats()
+    Bm25.appendDelta(indexDir, post, dlen)
   }
 
   /** Replace the postings of changed ids: anti-join out the old rows of
     * the slim sidecars, append the re-tokenized replacements — unaffected
     * documents are never re-tokenized. */
   private def indexReplace(changedRows: DataFrame): Unit = if (hasKeywordIndex) {
-    val ids = changedRows.select("id")
     val (post, dlen) = Bm25.tokenizeDocs(
       changedRows.where(col("document").isNotNull).select("id", "document"),
       "id", "document")
-    val keyed = ids.withColumnRenamed("id", "doc_id")
-    Collections.swapWrite(
-      spark.read.parquet(s"$indexDir/postings")
-        .join(keyed, Seq("doc_id"), "left_anti").unionByName(post),
-      s"$indexDir/postings")
-    Collections.swapWrite(
-      spark.read.parquet(s"$indexDir/doclen")
-        .join(keyed, Seq("doc_id"), "left_anti").unionByName(dlen),
-      s"$indexDir/doclen")
-    refreshIndexStats()
+    Bm25.replaceDelta(indexDir, changedRows.select("id"), post, dlen)
   }
 
   private def indexRemove(removedIds: DataFrame): Unit = if (hasKeywordIndex) {
-    val keyed = removedIds.withColumnRenamed("id", "doc_id")
-    Collections.swapWrite(
-      spark.read.parquet(s"$indexDir/postings")
-        .join(keyed, Seq("doc_id"), "left_anti"),
-      s"$indexDir/postings")
-    Collections.swapWrite(
-      spark.read.parquet(s"$indexDir/doclen")
-        .join(keyed, Seq("doc_id"), "left_anti"),
-      s"$indexDir/doclen")
-    refreshIndexStats()
-  }
-
-  private def refreshIndexStats(): Unit = {
-    val st = spark.read.parquet(s"$indexDir/doclen")
-      .agg(org.apache.spark.sql.functions.count(lit(1)), avg(col("doc_len"))).head()
-    Bm25.writeStats(indexDir, st.getLong(0),
-      if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+    val empty = Bm25.tokenizeDocs(
+      df.select("id", "document").limit(0), "id", "document")
+    Bm25.replaceDelta(indexDir, removedIds, empty._1, empty._2)
   }
 }

@@ -28,10 +28,14 @@ object Bm25 {
     * (shared with TextAnalysis via Bm25Tokens). */
   def tokenize(c: Column): Column = graft.functions.Bm25Tokens.tokens(c)
 
-  /** Index state: one small stats row + two derived relations. */
-  final case class Index(postings: DataFrame,   // (doc_id, term, tf)
+  /** Index state: one small stats row + two derived relations.
+    * `termBuckets` > 0 marks a persisted index whose postings carry a
+    * `_tb` term-hash partition column (see [[saveIndex]]) — [[score]]
+    * then prunes the postings scan to the query's buckets. */
+  final case class Index(postings: DataFrame,   // (doc_id, term, tf[, _tb])
                          docLengths: DataFrame, // (doc_id, doc_len)
-                         nDocs: Long, avgDocLen: Double)
+                         nDocs: Long, avgDocLen: Double,
+                         termBuckets: Int = 0)
 
   /** Postings + doc lengths for a batch of documents — the incremental
     * maintenance unit shared by [[buildIndex]] and the persisted-index
@@ -59,32 +63,93 @@ object Bm25 {
     * query. The batch analog: postings + doc-length relations persisted
     * NEXT TO the collection (slim parquet sidecars) plus a stats.json, all
     * maintained by the Crud algebra — hybridQuery then reads them instead
-    * of re-tokenizing the corpus on every call. At scale the postings
-    * sidecar can additionally be bucketed by term. */
+    * of re-tokenizing the corpus on every call.
+    *
+    * The postings sidecar is PARTITIONED BY a term-hash bucket `_tb` —
+    * the distributed analog of the reference's term-keyed dict
+    * (hybrid_search.py:63-65): a query only reads the <= |query terms|
+    * buckets its terms hash into, so the scan prunes to a fixed number of
+    * directories no matter how large the corpus vocabulary grows. New
+    * docs append into their terms' buckets; replace/delete is a
+    * copy-on-write rewrite preserving the layout. */
   def indexExists(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stats.json"))
 
-  def saveIndex(index: Index, dir: String): Unit = {
-    graft.sources.Collections.swapWrite(index.postings, s"$dir/postings")
+  /** Deterministic term-hash bucket (the postings partition key). */
+  def termBucket(buckets: Int)(term: Column): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  def saveIndex(index: Index, dir: String, termBuckets: Int = 64): Unit = {
+    graft.sources.Collections.swapWrite(
+      index.postings.withColumn("_tb", termBucket(termBuckets)(col("term"))),
+      s"$dir/postings", partitionCols = Seq("_tb"))
     graft.sources.Collections.swapWrite(index.docLengths, s"$dir/doclen")
-    writeStats(dir, index.nDocs, index.avgDocLen)
+    writeStats(dir, index.nDocs, index.avgDocLen, termBuckets)
   }
 
-  def writeStats(dir: String, nDocs: Long, avgDocLen: Double): Unit = {
+  def writeStats(dir: String, nDocs: Long, avgDocLen: Double,
+                 termBuckets: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "stats.json"),
-      s"""{"n_docs": $nDocs, "avg_doc_len": $avgDocLen}""")
+      s"""{"n_docs": $nDocs, "avg_doc_len": $avgDocLen, "term_buckets": $termBuckets}""")
   }
 
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+  private def statsField(dir: String, k: String): String = {
     val raw = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "stats.json"))
-    def field(k: String): String =
-      (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(raw).map(_.group(1))
-        .getOrElse(throw new IllegalArgumentException(s"missing $k in index stats"))
+    (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(raw).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(s"missing $k in index stats"))
+  }
+
+  /** Bucket count of a persisted index (from stats.json). */
+  def indexTermBuckets(dir: String): Int = statsField(dir, "term_buckets").toInt
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
     Index(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclen"),
-      field("n_docs").toLong, field("avg_doc_len").toDouble)
+      statsField(dir, "n_docs").toLong, statsField(dir, "avg_doc_len").toDouble,
+      termBuckets = indexTermBuckets(dir))
+
+  /** Append-only delta for freshly indexed docs: postings land in their
+    * terms' `_tb` partition directories, doc lengths append, stats
+    * refresh. Touches only the new docs' buckets. */
+  def appendDelta(dir: String, postings: DataFrame, docLengths: DataFrame): Unit = {
+    val buckets = indexTermBuckets(dir)
+    postings.withColumn("_tb", termBucket(buckets)(col("term")))
+      .write.mode("append").partitionBy("_tb").parquet(s"$dir/postings")
+    docLengths.write.mode("append").parquet(s"$dir/doclen")
+    refreshStats(docLengths.sparkSession, dir)
+  }
+
+  /** Replace the postings/lengths of changed ids: anti-join out the old
+    * rows, append the re-tokenized replacements — unaffected documents are
+    * never re-tokenized (copy-on-write rewrite preserving the bucket
+    * layout). Pass empty deltas for pure deletion. */
+  def replaceDelta(dir: String, changedIds: DataFrame,
+                   postings: DataFrame, docLengths: DataFrame): Unit = {
+    val spark = changedIds.sparkSession
+    val buckets = indexTermBuckets(dir)
+    val keyed = changedIds.select(col(changedIds.columns.head).as("doc_id"))
+    val fresh = postings.withColumn("_tb", termBucket(buckets)(col("term")))
+    graft.sources.Collections.swapWrite(
+      spark.read.parquet(s"$dir/postings")
+        .join(keyed, Seq("doc_id"), "left_anti").unionByName(fresh),
+      s"$dir/postings", partitionCols = Seq("_tb"))
+    graft.sources.Collections.swapWrite(
+      spark.read.parquet(s"$dir/doclen")
+        .join(keyed, Seq("doc_id"), "left_anti").unionByName(docLengths),
+      s"$dir/doclen")
+    refreshStats(spark, dir)
+  }
+
+  /** Recompute the two scalar stats from the persisted doc lengths,
+    * preserving the bucket count. */
+  def refreshStats(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val buckets = indexTermBuckets(dir)
+    val st = spark.read.parquet(s"$dir/doclen")
+      .agg(count(lit(1)), avg(col("doc_len"))).head()
+    writeStats(dir, st.getLong(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1), buckets)
   }
 
   /** Restrict an index to the given doc ids (the pre-filtered hybrid
@@ -97,7 +162,8 @@ object Bm25 {
     val docLengths = index.docLengths.join(keep, Seq("doc_id"), "left_semi")
     val stats = docLengths.agg(count(lit(1)), avg(col("doc_len"))).head()
     Index(postings, docLengths, stats.getLong(0),
-      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1),
+      termBuckets = index.termBuckets)
   }
 
   /** Score every matching document for a free-text query.
@@ -111,19 +177,31 @@ object Bm25 {
       .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
       .toDF("term", "q_mult")
 
+    // Persisted (term-bucketed) index: the query's terms hash into a handful
+    // of `_tb` partition values, so the postings scan prunes to those
+    // directories — vocabulary-size-independent I/O, like the reference's
+    // term-keyed dict lookup.
+    val postings =
+      if (index.termBuckets > 0) {
+        val bs = qTerms
+          .select(termBucket(index.termBuckets)(col("term")).as("_tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.postings.where(col("_tb").isin(bs: _*))
+      } else index.postings
+
     // Document frequency for the QUERY's terms only: semi-join the postings
     // down to query terms BEFORE aggregating. df is per-term, so dropping
     // other terms cannot change the value — identical results, but the
     // aggregate (and the broadcast below) is |query terms| rows instead of
     // the full corpus vocabulary.
-    val df = index.postings
+    val df = postings
       .join(broadcast(qTerms.select("term")), "term")
       .groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = index.nDocs
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
 
-    index.postings
+    postings
       .join(broadcast(qTerms), "term")
       .join(broadcast(df), "term")
       .join(index.docLengths, "doc_id")

@@ -48,7 +48,8 @@ object Collections {
     * every crash window recoverable: the previous dir is renamed aside
     * (not deleted) before the new one moves in, and only deleted once the
     * swap has succeeded. */
-  def swapWrite(result: DataFrame, dir: String): Unit = {
+  def swapWrite(result: DataFrame, dir: String,
+                partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = result.sparkSession
     val tmpPath = new Path(s"${dir}_tmp")
@@ -57,7 +58,9 @@ object Collections {
     // FileSystem of the TARGET path, not the default FS — the dir may
     // live on a non-default scheme (s3a://, hdfs://...).
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    result.write.mode("overwrite").parquet(tmpPath.toString)
+    val w = result.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmpPath.toString)
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)

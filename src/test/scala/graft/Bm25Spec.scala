@@ -75,6 +75,61 @@ class Bm25Spec extends SparkSpec {
     assert(short === 1)
   }
 
+  test("persisted index is term-bucketed and score prunes the postings scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }) ++ p.children.flatMap(scans) ++
+      p.subqueries.flatMap(scans)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    Bm25.saveIndex(Bm25.buildIndex(docs, "doc_id", "text"), dir, termBuckets = 8)
+    val loaded = Bm25.loadIndex(spark, dir)
+    assert(loaded.termBuckets === 8)
+    // identical scores through the persisted path
+    val mem = Bm25.score(Bm25.buildIndex(docs, "doc_id", "text"), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val persisted = Bm25.score(loaded, "spark data")
+    val got = persisted.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === mem.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - mem(k)) < 1e-12) }
+    // the postings scan carries a partition filter on the term buckets —
+    // I/O is bounded by |query terms|, not vocabulary size
+    val postingsScans = scans(persisted.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingsScans.nonEmpty, "no postings file scan found in the plan")
+    assert(postingsScans.forall(_.partitionFilters.nonEmpty),
+      "postings scan must prune by _tb partition filter")
+
+    // incremental append lands in the new doc's buckets; scores track a
+    // from-scratch index over the widened corpus
+    val more = Seq((5L, "spark lakes")).toDF("doc_id", "text")
+    val (p5, l5) = Bm25.tokenizeDocs(more, "doc_id", "text")
+    Bm25.appendDelta(dir, p5, l5)
+    val all = docs.union(more)
+    val memAll = Bm25.score(Bm25.buildIndex(all, "doc_id", "text"), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotAll = Bm25.score(Bm25.loadIndex(spark, dir), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotAll.keySet === memAll.keySet)
+    gotAll.foreach { case (k, v) => assert(math.abs(v - memAll(k)) < 1e-12) }
+    // copy-on-write replace: change doc 3 so it now matches the query
+    val ch = Seq((3L, "ducks spark data lakes")).toDF("doc_id", "text")
+    val (p3, l3) = Bm25.tokenizeDocs(ch, "doc_id", "text")
+    Bm25.replaceDelta(dir, ch.select("doc_id"), p3, l3)
+    val all2 = all.where(col("doc_id") =!= 3L).union(ch)
+    val memRep = Bm25.score(Bm25.buildIndex(all2, "doc_id", "text"), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotRep = Bm25.score(Bm25.loadIndex(spark, dir), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotRep.keySet === memRep.keySet)
+    gotRep.foreach { case (k, v) => assert(math.abs(v - memRep(k)) < 1e-12) }
+  }
+
   test("hybrid fusion: vector-only and keyword-only candidates both surface") {
     val vec = Seq((1L, 0.1), (2L, 0.4)).toDF("doc_id", "dist")
     val kw = Seq((2L, 3.0), (3L, 1.5)).toDF("doc_id", "score")
