@@ -231,6 +231,51 @@ object PropertyGraph {
     (v, e)
   }
 
+  /** Edge creation with the reference's validation (graph.py:708-727
+    * create_edge): both endpoints must exist, and an existing edge id is
+    * an error. One existence-check job (limit(1)-bounded scans), then a
+    * union — the distributed analog of the reference's dict insert +
+    * adjacency/type index add (the frames ARE the indexes here). */
+  def addEdges(vertices: DataFrame, edges: DataFrame,
+               newEdges: DataFrame): DataFrame = {
+    val vids = vertices.select(col("id"))
+    val missing = newEdges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .join(vids, Seq("id"), "left_anti").limit(1).collect()
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"addEdges: endpoint node '${missing.head.getString(0)}' not found")
+    val dup = newEdges.select("id")
+      .join(edges.select("id"), Seq("id"), "left_semi").limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"addEdges: edge '${dup.head.getString(0)}' already exists")
+    edges.unionByName(newEdges, allowMissingColumns = true)
+  }
+
+  /** Edge deletion by id (graph.py:729-739 delete_edge). */
+  def removeEdges(edges: DataFrame, edgeIds: Seq[String]): DataFrame =
+    edges.where(!col("id").isin(edgeIds: _*))
+
+  /** Hyperedge creation (graph.py:766-779 create_hyperedge): every member
+    * node must exist; duplicate hyperedge id is an error. */
+  def addHyperedges(vertices: DataFrame, hyperedges: DataFrame,
+                    newHyperedges: DataFrame): DataFrame = {
+    val vids = vertices.select(col("id"))
+    val missing = newHyperedges
+      .select(explode(col("nodes")).as("id"))
+      .join(vids, Seq("id"), "left_anti").limit(1).collect()
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"addHyperedges: member node '${missing.head.getString(0)}' not found")
+    val dup = newHyperedges.select("id")
+      .join(hyperedges.select("id"), Seq("id"), "left_semi").limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"addHyperedges: hyperedge '${dup.head.getString(0)}' already exists")
+    hyperedges.unionByName(newHyperedges, allowMissingColumns = true)
+  }
+
+  /** Hyperedge deletion by id (graph.py:785-793 delete_hyperedge). */
+  def removeHyperedges(hyperedges: DataFrame, hyperedgeIds: Seq[String]): DataFrame =
+    hyperedges.where(!col("id").isin(hyperedgeIds: _*))
+
   /** Node removal with the reference's full cascade semantics
     * (graph.py:625-650 delete_node): cascade=true deletes incident edges
     * AND every hyperedge CONTAINING a removed node — the whole hyperedge

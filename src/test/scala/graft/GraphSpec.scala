@@ -202,6 +202,38 @@ class GraphSpec extends SparkSpec {
     assert(v3.count() === 4 && e3.count() === 5 && h3.count() === 2)
   }
 
+  test("edge/hyperedge create validates endpoints and ids; delete by id") {
+    // create: ok
+    val e2 = PropertyGraph.addEdges(vertices, edges,
+      Seq(("e6", "e", "a", "KNOWS")).toDF("id", "src", "dst", "type"))
+    assert(e2.count() === 6)
+    // create: missing endpoint fails loudly (graph.py:714-719)
+    intercept[IllegalArgumentException] {
+      PropertyGraph.addEdges(vertices, edges,
+        Seq(("e7", "a", "zz", "KNOWS")).toDF("id", "src", "dst", "type"))
+    }
+    // create: duplicate id fails loudly (graph.py:711-712)
+    intercept[IllegalArgumentException] {
+      PropertyGraph.addEdges(vertices, edges,
+        Seq(("e1", "a", "b", "KNOWS")).toDF("id", "src", "dst", "type"))
+    }
+    // delete by id (graph.py:729)
+    assert(PropertyGraph.removeEdges(edges, Seq("e1", "e5")).count() === 3)
+
+    val h2 = PropertyGraph.addHyperedges(vertices, hyperedges,
+      Seq(("h4", Seq("a", "e"), "PAIR")).toDF("id", "nodes", "type"))
+    assert(h2.count() === 4)
+    intercept[IllegalArgumentException] {
+      PropertyGraph.addHyperedges(vertices, hyperedges,
+        Seq(("h5", Seq("a", "zz"), "PAIR")).toDF("id", "nodes", "type"))
+    }
+    intercept[IllegalArgumentException] {
+      PropertyGraph.addHyperedges(vertices, hyperedges,
+        Seq(("h1", Seq("a"), "PAIR")).toDF("id", "nodes", "type"))
+    }
+    assert(PropertyGraph.removeHyperedges(hyperedges, Seq("h3")).count() === 2)
+  }
+
   test("stats counts nodes, edges, labels, types") {
     val m = PropertyGraph.stats(vertices, edges, Some(hyperedges))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
