@@ -9,12 +9,14 @@ import org.apache.spark.sql.DataFrame
   * decode / feature-extract / resize / frame-sample stages are
   * partition-local map passes.
   *
-  * The actual codec work (JPEG decode, resampling, ...) requires native
-  * libraries that are NOT in this environment — those kernels are STUBBED
-  * with a deterministic fake (clearly marked below). Everything Spark-side
-  * is real and tested: the schema, the binary plumbing, the mapPartitions
-  * batch shape, size-aware partitioning. Swapping the stub for a real
-  * decoder changes one function.
+  * Decode is REAL for uncompressed container formats — binary PPM images
+  * and 16-bit PCM WAV audio are parsed by pure-JVM decoders below (no
+  * native libraries needed). Compressed codecs (JPEG, H.264, MP3, ...)
+  * require native libraries that are NOT in this environment — that
+  * kernel is STUBBED with a deterministic fake (clearly marked below).
+  * Everything Spark-side is real and tested: the schema, the binary
+  * plumbing, the batch shape, size-aware partitioning. Swapping the stub
+  * for a native decoder changes one function.
   */
 object Multimodal {
 
@@ -43,12 +45,129 @@ object Multimodal {
         lit(null).cast("int").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
 
-  /** STUB decode kernel: a real implementation would decode the codec and
-    * return pixel/sample arrays. The deterministic fake derives an
-    * 8-float feature vector from the bytes so the pipeline shape (binary
-    * in, fixed-width float vector out, batched per partition) is real. */
+  /** Pure-JVM decoders for UNCOMPRESSED container formats — real decode,
+    * no native libraries: binary PPM (P6) images and 16-bit PCM WAV
+    * audio. Compressed codecs (JPEG, H.264, MP3, ...) require native libs
+    * absent from this environment and fall back to the marked stub
+    * kernel below. */
+  private[graft] object Codecs {
+    final case class Image(width: Int, height: Int, rgb: Array[Byte])
+    final case class Audio(sampleRate: Int, channels: Int, samples: Array[Float])
+
+    def isPpm(b: Array[Byte]): Boolean =
+      b.length > 2 && b(0) == 'P' && b(1) == '6' && Character.isWhitespace(b(2))
+
+    def isWav(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Binary PPM (P6): "P6" <w> <h> <maxval> then w*h RGB byte triples;
+      * '#' comments allowed in the header. */
+    def decodePpm(b: Array[Byte]): Image = {
+      var p = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && p < b.length) {
+          if (Character.isWhitespace(b(p))) p += 1
+          else if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        require(p < b.length && b(p) >= '0' && b(p) <= '9', "bad PPM header")
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+        v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      require(maxv == 255, s"only 8-bit PPM supported, maxval=$maxv")
+      p += 1 // single whitespace after maxval
+      require(b.length - p >= w * h * 3, "truncated PPM payload")
+      Image(w, h, java.util.Arrays.copyOfRange(b, p, p + w * h * 3))
+    }
+
+    /** RIFF/WAVE with a PCM "fmt " chunk and 16-bit little-endian
+      * samples in the "data" chunk. */
+    def decodeWav(b: Array[Byte]): Audio = {
+      def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32(i: Int) = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      var p = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var samples: Array[Float] = null
+      while (p + 8 <= b.length) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val sz = u32(p + 4).toInt
+        id match {
+          case "fmt " =>
+            require(u16(p + 8) == 1, "only PCM WAV supported")
+            channels = u16(p + 10); rate = u32(p + 12).toInt; bits = u16(p + 22)
+            require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          case "data" =>
+            val n = math.min(sz, b.length - p - 8) / 2
+            samples = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (u16(p + 8 + 2 * i).toShort) / 32768.0f
+              i += 1
+            }
+          case _ => ()
+        }
+        p += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && samples != null, "missing fmt/data chunk")
+      Audio(rate, channels, samples)
+    }
+  }
+
+  /** 8-dim feature signature from real decoded pixels: normalized dims,
+    * per-channel means, luma variance. */
+  private def imageFeatures(im: Codecs.Image): Array[Float] = {
+    var r = 0.0; var g = 0.0; var bl = 0.0; var luma2 = 0.0; var luma1 = 0.0
+    val n = im.width * im.height
+    var i = 0
+    while (i < n) {
+      val R = im.rgb(3 * i) & 0xff; val G = im.rgb(3 * i + 1) & 0xff
+      val B = im.rgb(3 * i + 2) & 0xff
+      r += R; g += G; bl += B
+      val y = 0.299 * R + 0.587 * G + 0.114 * B
+      luma1 += y; luma2 += y * y
+      i += 1
+    }
+    val mean = luma1 / n
+    Array(im.width / 4096.0f, im.height / 4096.0f,
+      (r / n / 255.0).toFloat, (g / n / 255.0).toFloat, (bl / n / 255.0).toFloat,
+      (math.sqrt(math.max(0.0, luma2 / n - mean * mean)) / 255.0).toFloat,
+      1.0f, 0.0f) // modality tag: image
+  }
+
+  /** 8-dim feature signature from real decoded PCM: duration, rate, RMS,
+    * zero-crossing rate, mean |amplitude|, peak. */
+  private def audioFeatures(au: Codecs.Audio): Array[Float] = {
+    var sum2 = 0.0; var sumAbs = 0.0; var peak = 0.0f; var zc = 0
+    val n = au.samples.length
+    var i = 0
+    while (i < n) {
+      val s = au.samples(i)
+      sum2 += s * s; sumAbs += math.abs(s)
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s >= 0) != (au.samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    val dur = n.toFloat / math.max(au.sampleRate * math.max(au.channels, 1), 1)
+    Array(dur, au.sampleRate / 48000.0f,
+      math.sqrt(sum2 / math.max(n, 1)).toFloat,
+      if (n > 1) zc.toFloat / (n - 1) else 0.0f,
+      (sumAbs / math.max(n, 1)).toFloat, peak,
+      0.0f, 1.0f) // modality tag: audio
+  }
+
+  /** STUB kernel for codec formats that need native libraries (JPEG,
+    * H.264, ...): a deterministic byte-fold keeps the pipeline shape
+    * (binary in, fixed-width float vector out) real and testable. */
   private[graft] def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here; deterministic byte-fold fake below
+    // ??? <- native codec goes here; deterministic byte-fold fake below
     val out = new Array[Float](8)
     var i = 0
     while (i < bytes.length) {
@@ -59,8 +178,18 @@ object Multimodal {
     out.map(_ / n)
   }
 
+  /** Decode dispatch: REAL decoders for uncompressed formats (PPM image,
+    * PCM WAV audio — magic-number sniffed, parse-failure falls through to
+    * the stub), stub for codec formats. */
+  private[graft] def decodeFeatures(bytes: Array[Byte]): Array[Float] =
+    try {
+      if (Codecs.isPpm(bytes)) imageFeatures(Codecs.decodePpm(bytes))
+      else if (Codecs.isWav(bytes)) audioFeatures(Codecs.decodeWav(bytes))
+      else fakeDecodeFeatures(bytes)
+    } catch { case _: IllegalArgumentException => fakeDecodeFeatures(bytes) }
+
   private val decodeFeaturesUdf =
-    udf((bytes: Array[Byte]) => fakeDecodeFeatures(bytes))
+    udf((bytes: Array[Byte]) => decodeFeatures(bytes))
 
   /** Feature extraction as a columnar per-row map (binary -> array<float>):
     * a Scala UDF keeps the plan inside Tungsten (no RDD hop, no Row

@@ -29,6 +29,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2L).exists(_ != 0.0f))
   }
 
+  test("real PPM decode: pixels, dimensions, channel means") {
+    // 2x2 binary PPM: red, green, blue, white
+    val header = "P6\n# comment\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = header ++ px
+    val im = Multimodal.Codecs.decodePpm(ppm)
+    assert(im.width === 2 && im.height === 2)
+    assert(im.rgb.toSeq === px.toSeq)
+    val f = Multimodal.decodeFeatures(ppm)
+    assert(f.length === 8)
+    assert(math.abs(f(0) - 2 / 4096.0f) < 1e-7) // width
+    // mean R = (255 + 0 + 0 + 255)/4/255 = 0.5; same for G and B
+    assert(math.abs(f(2) - 0.5f) < 1e-6)
+    assert(math.abs(f(3) - 0.5f) < 1e-6)
+    assert(math.abs(f(4) - 0.5f) < 1e-6)
+    assert(f(6) === 1.0f) // image modality tag
+    // through the Spark column path
+    val mm = Seq((1L, "image", ppm)).toDF("id", "modality", "content")
+    val got = Multimodal.extractFeatures(mm).select("features")
+      .head().getSeq[Float](0)
+    assert(got === f.toSeq)
+  }
+
+  test("real WAV decode: PCM samples, rate, duration and RMS") {
+    // mono 16-bit PCM, 4 samples at 8000 Hz: 0, +max, 0, -max
+    val samples = Seq[Short](0, 32767, 0, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    val au = Multimodal.Codecs.decodeWav(wav)
+    assert(au.sampleRate === 8000 && au.channels === 1)
+    assert(au.samples.length === 4)
+    assert(math.abs(au.samples(1) - 32767 / 32768.0f) < 1e-7)
+    assert(au.samples(3) === -1.0f)
+    val f = Multimodal.decodeFeatures(wav)
+    assert(math.abs(f(0) - 4 / 8000.0f) < 1e-9)  // duration
+    assert(f(7) === 1.0f)                        // audio modality tag
+    assert(math.abs(f(5) - 1.0f) < 1e-7)         // peak
+  }
+
+  test("non-media bytes and torn headers fall back to the stub kernel") {
+    val text = "P6 but not really a ppm".getBytes
+    assert(Multimodal.decodeFeatures(text).toSeq ===
+      Multimodal.fakeDecodeFeatures(text).toSeq)
+    val torn = "RIFFxxxxWAVE".getBytes // no chunks
+    assert(Multimodal.decodeFeatures(torn).toSeq ===
+      Multimodal.fakeDecodeFeatures(torn).toSeq)
+  }
+
   test("feature extraction stays columnar (no RDD scan in the plan)") {
     val mm = Multimodal.fromText(docs, "doc_id", "text")
     val plan = Multimodal.extractFeatures(mm)
