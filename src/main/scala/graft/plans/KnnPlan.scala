@@ -92,7 +92,71 @@ final case class KnnTopKExec(child: SparkPlan,
           while (i < vlen) { s += varr(i).toDouble * varr(i); i += 1 }
           math.sqrt(s)
         } else 0.0
+        @inline def push(j: Int, d: Double): Unit = {
+          val h = heaps(j)
+          if (h.size < kk) h.add((cid, d))
+          else {
+            val worst = h.peek()
+            if (d < worst._2 || (d == worst._2 && cid < worst._1)) {
+              h.poll(); h.add((cid, d))
+            }
+          }
+        }
+        @inline def cosFin(j: Int, dot: Double): Unit = {
+          val denom = rowSqrtNorm * qSqrtNorm(j)
+          push(j, if (denom == 0.0) 1.0 else 1.0 - dot / denom)
+        }
         var qi = 0
+        // 4-query blocks: one pass over the row vector drives four
+        // INDEPENDENT accumulator chains, overlapping the FP-add latency
+        // a single dot product is bound by (a lone chain leaves the FPU
+        // mostly idle). Each query's own accumulation order is unchanged,
+        // so distances stay bit-identical to the one-query-at-a-time
+        // path (and to the composed codegen plan). Blocks require equal
+        // query dims — the scalar tail handles stragglers/mixed dims.
+        while (qi + 4 <= qs.length && {
+            val l = qVecs(qi).length
+            qVecs(qi + 1).length == l && qVecs(qi + 2).length == l &&
+              qVecs(qi + 3).length == l
+          }) {
+          val q0 = qVecs(qi); val q1 = qVecs(qi + 1)
+          val q2 = qVecs(qi + 2); val q3 = qVecs(qi + 3)
+          val n = math.min(vlen, q0.length)
+          (mcode: @annotation.switch) match {
+            case 0 =>
+              var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+              var i = 0
+              while (i < n) {
+                val v = varr(i).toDouble
+                d0 += v * q0(i); d1 += v * q1(i); d2 += v * q2(i); d3 += v * q3(i)
+                i += 1
+              }
+              cosFin(qi, d0); cosFin(qi + 1, d1); cosFin(qi + 2, d2); cosFin(qi + 3, d3)
+            case 1 =>
+              var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+              var i = 0
+              while (i < n) {
+                val v = varr(i)
+                val f0 = v - q0(i); s0 += f0.toDouble * f0
+                val f1 = v - q1(i); s1 += f1.toDouble * f1
+                val f2 = v - q2(i); s2 += f2.toDouble * f2
+                val f3 = v - q3(i); s3 += f3.toDouble * f3
+                i += 1
+              }
+              push(qi, math.sqrt(s0)); push(qi + 1, math.sqrt(s1))
+              push(qi + 2, math.sqrt(s2)); push(qi + 3, math.sqrt(s3))
+            case _ => // ip
+              var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+              var i = 0
+              while (i < n) {
+                val v = varr(i).toDouble
+                s0 += v * q0(i); s1 += v * q1(i); s2 += v * q2(i); s3 += v * q3(i)
+                i += 1
+              }
+              push(qi, -s0); push(qi + 1, -s1); push(qi + 2, -s2); push(qi + 3, -s3)
+          }
+          qi += 4
+        }
         while (qi < qs.length) {
           val q = qVecs(qi)
           val n = math.min(vlen, q.length)
@@ -111,14 +175,7 @@ final case class KnnTopKExec(child: SparkPlan,
               while (i < n) { s += varr(i).toDouble * q(i); i += 1 }
               -s
           }
-          val h = heaps(qi)
-          if (h.size < kk) h.add((cid, d))
-          else {
-            val worst = h.peek()
-            if (d < worst._2 || (d == worst._2 && cid < worst._1)) {
-              h.poll(); h.add((cid, d))
-            }
-          }
+          push(qi, d)
           qi += 1
         }
       }
