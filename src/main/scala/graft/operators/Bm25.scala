@@ -89,9 +89,15 @@ object Bm25 {
 
   def writeStats(dir: String, nDocs: Long, avgDocLen: Double,
                  termBuckets: Int): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "stats.json"),
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    // write-then-atomic-rename: a crash mid-write never leaves a torn
+    // stats.json (same stance as Collections.swapWrite for the relations)
+    val tmp = Paths.get(dir, ".stats.json.tmp")
+    Files.writeString(tmp,
       s"""{"n_docs": $nDocs, "avg_doc_len": $avgDocLen, "term_buckets": $termBuckets}""")
+    Files.move(tmp, Paths.get(dir, "stats.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def statsField(dir: String, k: String): String = {

@@ -44,4 +44,32 @@ class CrudSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got === Map(1L -> "new", 2L -> "only"))
   }
+
+  test("swapWrite reads its own target and recovers from crash leftovers") {
+    import graft.sources.Collections
+    val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val dir = s"$root/rel"
+    Collections.swapWrite((1L to 5L).toDF("id"), dir)
+    // rewrite FROM a plan that reads the same files it replaces
+    val doubled = spark.read.parquet(dir).withColumn("id", col("id") * 2)
+    Collections.swapWrite(doubled, dir)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 4L, 6L, 8L, 10L))
+    // a crashed prior swap leaves *_old / *_tmp dirs: the next swap must
+    // clear them and land correctly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 3L).toDF("id").write.parquet(s"${dir}_old")
+    (1L to 2L).toDF("id").write.parquet(s"${dir}_tmp")
+    Collections.swapWrite((7L to 9L).toDF("id"), dir)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 8L, 9L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}_old")))
+    // partitioned form round-trips with the partition column recovered
+    val part = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("id", "b")
+    Collections.swapWrite(part, dir, partitionCols = Seq("b"))
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet === Set("id", "b"))
+    assert(back.where(col("b") === 0).count() === 2)
+  }
 }
