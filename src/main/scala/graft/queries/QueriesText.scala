@@ -52,6 +52,20 @@ object QueriesText {
         .orderBy(desc("score"), col("doc_id")).limit(10)
     }),
 
+    // A2-A5 through the PERSISTED index sidecar: build -> saveIndex
+    // (term-hash-bucketed postings) -> loadIndex -> score, which prunes
+    // the postings scan to the query terms' buckets. Hash-checked against
+    // the same DuckDB oracle as q22 — persisted-index scoring must be
+    // value-identical to scoring a freshly built index.
+    "q62_indexed_bm25" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-q62-kwidx")
+      val idx = Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.saveIndex(idx, idxDir.toString)
+      Bm25.score(Bm25.loadIndex(s, idxDir.toString), bm25Query)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+    }),
+
     // J11/F13/F14: weighted vector + keyword fusion
     "q23_hybrid" -> ((s, dir) => {
       val docs = t(s, dir, "documents"); val embs = t(s, dir, "embeddings")
@@ -234,6 +248,17 @@ object QueriesText {
         |ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "q22_bm25" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |$bm25Cte
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, round(score, 6) AS score,
+         |         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+         |  FROM scores) WHERE rn <= 10""".stripMargin,
+
+    // identical oracle to q22: the persisted-index path must produce the
+    // same scores as a fresh in-memory index
+    "q62_indexed_bm25" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$tokCte,
          |$bm25Cte

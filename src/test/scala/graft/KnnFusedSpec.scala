@@ -51,9 +51,13 @@ class KnnFusedSpec extends SparkSpec {
     // warm both paths once
     Knn.knnJoinFused(q, big, 10, "cosine", corpusId = "vec_id", corpusVec = "embedding").count()
     Knn.knnJoin(q, big, 10, "cosine", corpusId = "vec_id", corpusVec = "embedding").count()
-    val tFused = time(Knn.knnJoinFused(q, big, 10, "cosine",
+    // best-of-2, interleaved: this box has ambient load spikes, and a
+    // single timed run per side turns one unlucky scheduling window into
+    // a suite failure (same stance as graft.Bench's best-of-2)
+    def bestOf2(f: => Long): Double = math.min(time(f), time(f))
+    val tFused = bestOf2(Knn.knnJoinFused(q, big, 10, "cosine",
       corpusId = "vec_id", corpusVec = "embedding").count())
-    val tComposed = time(Knn.knnJoin(q, big, 10, "cosine",
+    val tComposed = bestOf2(Knn.knnJoin(q, big, 10, "cosine",
       corpusId = "vec_id", corpusVec = "embedding").count())
     info(f"fused ${tFused}%.2f s vs composed ${tComposed}%.2f s")
     big.unpersist()
