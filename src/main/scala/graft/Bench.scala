@@ -41,7 +41,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query names (exact or prefix) to bench a subset while
+    // iterating; the driver passes none and gets the full battery
+    val selected = if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }.toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(once(name, fn), once(name, fn))
     }
     val loadAfter = loadAvg

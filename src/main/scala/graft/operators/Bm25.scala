@@ -81,7 +81,12 @@ object Bm25 {
 
   def saveIndex(index: Index, dir: String, termBuckets: Int = 64): Unit = {
     graft.sources.Collections.swapWrite(
-      index.postings.withColumn("_tb", termBucket(termBuckets)(col("term"))),
+      index.postings.withColumn("_tb", termBucket(termBuckets)(col("term")))
+        // cluster rows by bucket BEFORE the partitioned write: without this
+        // every write task emits a file into every bucket directory
+        // (tasks × buckets small files); clustered, each directory gets
+        // O(1) files — the layout a 100TB postings relation needs
+        .repartition(col("_tb")),
       s"$dir/postings", partitionCols = Seq("_tb"))
     graft.sources.Collections.swapWrite(index.docLengths, s"$dir/doclen")
     writeStats(dir, index.nDocs, index.avgDocLen, termBuckets)
@@ -122,6 +127,7 @@ object Bm25 {
   def appendDelta(dir: String, postings: DataFrame, docLengths: DataFrame): Unit = {
     val buckets = indexTermBuckets(dir)
     postings.withColumn("_tb", termBucket(buckets)(col("term")))
+      .repartition(col("_tb"))
       .write.mode("append").partitionBy("_tb").parquet(s"$dir/postings")
     docLengths.write.mode("append").parquet(s"$dir/doclen")
     refreshStats(docLengths.sparkSession, dir)
@@ -139,7 +145,8 @@ object Bm25 {
     val fresh = postings.withColumn("_tb", termBucket(buckets)(col("term")))
     graft.sources.Collections.swapWrite(
       spark.read.parquet(s"$dir/postings")
-        .join(keyed, Seq("doc_id"), "left_anti").unionByName(fresh),
+        .join(keyed, Seq("doc_id"), "left_anti").unionByName(fresh)
+        .repartition(col("_tb")),
       s"$dir/postings", partitionCols = Seq("_tb"))
     graft.sources.Collections.swapWrite(
       spark.read.parquet(s"$dir/doclen")
