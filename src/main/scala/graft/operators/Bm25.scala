@@ -79,6 +79,18 @@ object Bm25 {
   def termBucket(buckets: Int)(term: Column): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[termBucket]] — evaluates the SAME Catalyst
+    * xxhash64 expression (seed 42) against a local string, so [[score]]
+    * can turn its (driver-local) query terms into partition values
+    * without running a Spark job. */
+  private[graft] def termBucketLocal(buckets: Int)(term: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42L = the seed functions.xxhash64 plants (hash.scala's default)
+    val h = XxHash64(Seq(Literal.create(term, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
   def saveIndex(index: Index, dir: String, termBuckets: Int = 64): Unit = {
     graft.sources.Collections.swapWrite(
       index.postings.withColumn("_tb", termBucket(termBuckets)(col("term")))
@@ -186,19 +198,18 @@ object Bm25 {
     import spark.implicits._
     // same character class as the document tokenizer — an ASCII-only split
     // here would shred accented/CJK query terms so they never match postings
-    val qTerms = graft.functions.Bm25Tokens.tokenize(queryText)
+    val qTermSeq = graft.functions.Bm25Tokens.tokenize(queryText)
       .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
-      .toDF("term", "q_mult")
+    val qTerms = qTermSeq.toDF("term", "q_mult")
 
     // Persisted (term-bucketed) index: the query's terms hash into a handful
     // of `_tb` partition values, so the postings scan prunes to those
     // directories — vocabulary-size-independent I/O, like the reference's
-    // term-keyed dict lookup.
+    // term-keyed dict lookup. The terms are driver-local, so the bucket
+    // values are computed driver-side (no Spark job for a handful of ints).
     val postings =
       if (index.termBuckets > 0) {
-        val bs = qTerms
-          .select(termBucket(index.termBuckets)(col("term")).as("_tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val bs = qTermSeq.map(t => termBucketLocal(index.termBuckets)(t._1)).distinct
         index.postings.where(col("_tb").isin(bs: _*))
       } else index.postings
 

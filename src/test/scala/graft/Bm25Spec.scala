@@ -86,6 +86,13 @@ class Bm25Spec extends SparkSpec {
     }) ++ p.children.flatMap(scans) ++
       p.subqueries.flatMap(scans)
 
+    // the driver-side bucket twin must agree with the Catalyst column it
+    // mirrors — a drift here silently empties persisted-path results
+    val terms = Seq("spark", "data", "stream", "café", "日本", "x1_y")
+    val viaColumn = terms.toDF("term")
+      .select(Bm25.termBucket(8)(col("term"))).collect().map(_.getInt(0)).toSeq
+    assert(terms.map(Bm25.termBucketLocal(8)) === viaColumn)
+
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
     Bm25.saveIndex(Bm25.buildIndex(docs, "doc_id", "text"), dir, termBuckets = 8)
     val loaded = Bm25.loadIndex(spark, dir)
