@@ -49,6 +49,32 @@ object QueriesEvents {
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))),
 
+    // As-of join (graft.operators.AsOf): label every event with the most
+    // recent order the same user placed at or before the event — one
+    // shuffle by key via tagged-union + running last(), never the
+    // (event x earlier-orders) candidate blowup. Oracle: the equivalent
+    // (quadratic, fine at sf0.01) row_number-over-candidates SQL.
+    "q63_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // orders carries TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is
+      // UTC, so the instant is unchanged) to match the events side and
+      // satisfy unix_micros
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_orderkey"))
+      graft.operators.AsOf.asofJoin(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"),
+          rightTieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          unix_micros(col("o_orderdate")).as("asof_order_us"))
+        .orderBy("event_id")
+    }),
+
     // Native session_window (Spark's own gap-session operator) — must
     // agree with the lag/cumsum formulation in q44
     "q53_session_window" -> ((s, dir) =>
@@ -95,6 +121,20 @@ object QueriesEvents {
     "q45_history_tail" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    "q63_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT e.event_id, e.user_id, c.o_orderkey AS asof_orderkey,
+        |       epoch_us(c.o_orderdate) AS asof_order_us
+        |FROM events e
+        |LEFT JOIN (SELECT event_id, o_orderkey, o_orderdate FROM cand WHERE rn = 1) c
+        |  USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     // session_window gap semantics == lag/cumsum sessionization: sessions
     // close when the next event is > 30min after the PREVIOUS EVENT

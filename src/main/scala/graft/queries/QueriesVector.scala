@@ -15,6 +15,12 @@ object QueriesVector {
     t(s, dir, "embeddings").where(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
+  /** q64's cell-partitioned corpus + its IVF model, keyed by sf dir (laid
+    * out once per JVM — the at-scale corpus layout is written at ingest,
+    * not per query). */
+  private val ivfCorpus =
+    scala.collection.mutable.Map.empty[String, (Ann.IvfModel, String)]
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1 at batch width: 50 queries — the reference's batch-GEMM shape
     // (parallel_search.py:246-311), served by the fused KnnTopK physical
@@ -50,6 +56,33 @@ object QueriesVector {
       Quantization.recallAtK(approx, exact, 10)
     }),
 
+    // IVF against the CELL-PARTITIONED corpus layout (Ann
+    // .writePartitionedByCell -> ivfSearchPartitioned): the probed cells
+    // become a partition predicate on the scan. Probing ALL cells makes
+    // the result exactly the cosine kNN — so this path is hash-checked
+    // against the same exact oracle as q10 (any mis-assignment, lost
+    // partition, or float damage in the layout round-trip would break the
+    // hash), while KnnSpec separately asserts that nProbe < numCells reads
+    // only the probed directories.
+    "q64_ivf_partitioned" -> ((s, dir) => {
+      val (model, path) = ivfCorpus.synchronized {
+        ivfCorpus.getOrElseUpdate(dir, {
+          val embs = t(s, dir, "embeddings")
+          val m = Ann.trainIvf(embs, "embedding", numCells = 16,
+            sampleFraction = 0.25)
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-q64-ivfcorpus").toString
+          Ann.writePartitionedByCell(embs, m, d,
+            corpusId = "vec_id", vecCol = "embedding")
+          (m, d)
+        })
+      }
+      Ann.ivfSearchPartitioned(queryBatch(s, dir, 5), path, model,
+          k = 10, nProbe = model.numCells)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -81,8 +114,12 @@ object QueriesVector {
       |       round(dist, 6) + 0.0 AS dist
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  private val knnOracleCosine5 =
+    knnOracleCosine50.replace("WHERE vec_id < 50", "WHERE vec_id < 5")
+
   val oracles: Map[String, String] = Map(
     "q14_knn_batch" -> knnOracleCosine50,
+    "q64_ivf_partitioned" -> knnOracleCosine5,
     "q15_vector_norm" ->
       """SELECT vec_id,
         |  round(norm, 6) AS norm,
