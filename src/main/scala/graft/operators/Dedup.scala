@@ -141,10 +141,104 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  // -------------------------------------------------------- Decontamination
+
+  /** Benchmark decontamination: training documents whose n-gram Jaccard
+    * against ANY eval/benchmark document reaches `threshold` — the pairs a
+    * training-data pipeline must drop before the eval is meaningful.
+    *
+    * Exact cross-corpus form (the oracle): shingle equi-join between the
+    * two corpora. The eval side is a benchmark — thousands of docs against
+    * a billions-of-docs train side — so its shingle relation is BROADCAST:
+    * the train corpus is read once, never shuffled, and the join degenerates
+    * to a map-side hash probe per train shingle. Returns
+    * (train_id, eval_id, jaccard) with jaccard >= threshold. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // per-doc shingle counts are computed BEFORE exploding (size of the
+    // distinct-shingle array, a per-row expression) so neither corpus is
+    // ever shuffled to learn its own set size
+    val shT = shingleSetsWithSize(train, idCol, textCol, shingleN, "n_t")
+    val shE = shingleSetsWithSize(evalDocs, idCol, textCol, shingleN, "n_e")
+    shT
+      .join(broadcast(shE.select(col("doc").as("eval_id"), col("n_e"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy(col("doc").as("train_id"), col("eval_id"), col("n_t"), col("n_e"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_t") + col("n_e") - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash-banded decontamination for when even one shingle-level pass
+    * over the train corpus per eval release is too much: both corpora get
+    * the SAME deterministic signature permutations, the eval side's banded
+    * signatures are broadcast, and only train docs colliding with an eval
+    * doc in >= 1 band are exact-verified. Output ⊆ [[decontaminate]]
+    * (every emitted pair is exact-verified); banding recall is the
+    * standard 1-(1-s^r)^b curve. */
+  def decontaminateLsh(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def hashed(docs: DataFrame, nCol: String) =
+      shingleSetsWithSize(docs, idCol, textCol, shingleN, nCol)
+        .withColumn("h", TextAnalysis.md5Hash32(col("shingle")))
+    def banded(sh: DataFrame) = {
+      val minExprs = (0 until numHashes).map { i =>
+        min(pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
+      }
+      sh.groupBy(col("doc"))
+        .agg(minExprs.head, minExprs.tail: _*)
+        .select(col("doc"), posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(
+            array((0 until numHashes).map(i => col(s"m$i")): _*),
+            b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "band_sig")))
+    }
+    val shT = hashed(train, "n_t").persist()
+    val shE = hashed(evalDocs, "n_e").persist()
+    try {
+      val candidates = banded(shT).select(col("band"), col("band_sig"), col("doc").as("train_id"))
+        .join(broadcast(banded(shE).select(col("band"), col("band_sig"), col("doc").as("eval_id"))),
+          Seq("band", "band_sig"))
+        .select("train_id", "eval_id").distinct()
+      // exact verification is candidate-sided: the train shingle relation
+      // is semi-joined down to colliding docs before any shuffle
+      val inter = candidates
+        .join(shT.select(col("doc").as("train_id"), col("n_t"), col("shingle")), Seq("train_id"))
+        .join(broadcast(shE.select(col("doc").as("eval_id"), col("n_e"), col("shingle"))),
+          Seq("eval_id", "shingle"))
+        .groupBy("train_id", "eval_id", "n_t", "n_e").agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_t") + col("n_e") - col("n_inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("train_id"), col("eval_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+      out.localCheckpoint(eager = true)
+    } finally { shT.unpersist(); shE.unpersist() }
+  }
+
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
+
+  /** [[shingleSets]] plus the doc's distinct-shingle count as a per-row
+    * column (sized before the explode — no shuffle to learn set sizes). */
+  private def shingleSetsWithSize(docs: DataFrame, idCol: String, textCol: String,
+                                  shingleN: Int, nCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("shs"))
+      .select(col("doc"), size(col("shs")).as(nCol),
+        explode(col("shs")).as("shingle"))
 
   // ---------------------------------------------------------------- SimHash
 

@@ -172,6 +172,20 @@ object QueriesText {
       Dedup.embeddingNearDupBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, trainFraction = 0.5)),
 
+    // Benchmark decontamination: train = the full documents table, eval =
+    // truncated copies of doc_id<25 (a synthetic benchmark whose items
+    // leaked into training). Exact cross-corpus n-gram Jaccard with the
+    // eval shingles broadcast — the train corpus is scanned once and
+    // never shuffled. DedupSpec covers the LSH-prescreened variant.
+    "q65_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text"))
+      Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+    }),
+
     // Document chunking (pre-embedding windows: 32 tokens, stride 24)
     "q57_chunking" -> ((s, dir) =>
       t(s, dir, "documents").where(col("doc_id") < 100)
@@ -420,6 +434,46 @@ object QueriesText {
          |SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
          |       count(*) AS n_dups, min(doc_id) AS keeper_id
          |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q65_decontaminate" ->
+      """WITH evaldocs AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, greatest(length(text) - 20, 10)) AS text
+        |  FROM documents WHERE doc_id < 25),
+        |tk_t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tk_e AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM evaldocs),
+        |sh_t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_t),
+        |sh_e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_e),
+        |sizes_t AS (SELECT doc_id, count(*) AS n FROM sh_t GROUP BY doc_id),
+        |sizes_e AS (SELECT doc_id, count(*) AS n FROM sh_e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_inter
+        |  FROM sh_t t JOIN sh_e e ON t.shingle = e.shingle
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.train_id, i.eval_id,
+        |         i.n_inter * 1.0 / (st.n + se.n - i.n_inter) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes_t st ON st.doc_id = i.train_id
+        |  JOIN sizes_e se ON se.doc_id = i.eval_id)
+        |SELECT train_id, eval_id, round(jaccard, 6) AS jaccard
+        |FROM jac WHERE jaccard >= 0.5""".stripMargin,
 
     "q28_minhash_sig" ->
       s"""WITH $nearDupCorpusSql,

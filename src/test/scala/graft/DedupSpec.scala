@@ -37,6 +37,41 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("decontaminate flags train docs overlapping the eval set, cross-corpus only") {
+    val train = docs
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"), // ~ 1/2/4
+      (101L, "held out benchmark prompt with no training overlap at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, evalSet, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.nonEmpty)
+    assert(hits.forall { case (_, e) => e >= 100L }) // pairs are cross-corpus
+    assert(hits.exists { case (t, e) => t == 2L && e == 100L })
+    assert(!hits.exists { case (t, _) => t == 3L || t == 5L })
+    // eval doc with no counterpart stays clean
+    assert(!hits.exists { case (_, e) => e == 101L })
+  }
+
+  test("LSH decontamination is a subset of exact and catches high-overlap pairs") {
+    val train = docs
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "held out benchmark prompt with no training overlap at all")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(Dedup.decontaminate(train, evalSet, "doc_id", "text", threshold = 0.5))
+    val lsh = pairs(Dedup.decontaminateLsh(train, evalSet, "doc_id", "text", threshold = 0.5))
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    // verified jaccards agree exactly where both found the pair
+    lsh.foreach { case (k, j) => assert(j === exact(k)) }
+    // the standard banding curve makes >= 0.8-jaccard misses vanishingly
+    // rare; on this fixed corpus the outcome is deterministic
+    val high = exact.filter(_._2 >= 0.8).keySet
+    assert(high.subsetOf(lsh.keySet))
+  }
+
   test("simhash: identical docs share the sketch, near-dups are close") {
     val sk = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
