@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling for data-mixture construction: down-weighting
+  * over-represented domains/languages and drawing fixed-size per-group
+  * subsets, reproducibly — rerunning the pipeline (or re-reading a lost
+  * partition) must select the SAME rows, so nothing here uses `rand()`.
+  *
+  * Randomness comes from a 32-bit md5 hash of the row id's string form.
+  * Selection is a comparison of that hash against a precomputed integer
+  * threshold — no floating-point on the hot path and bit-identical results
+  * in any engine that can evaluate md5 (the DuckDB oracles inline the same
+  * thresholds).
+  *
+  * Scale shapes:
+  *  - [[stratifiedSample]] is a pure per-row filter: zero shuffles, maps
+  *    over the scan, trivially parallel at any corpus size.
+  *  - [[quotaSample]] is one exchange keyed by group + a per-group sort.
+  *    For few huge groups (the usual mixture shape: billions of rows,
+  *    dozens of domains) pass `prefilterRate` to cut the sorted volume
+  *    first: a hash-threshold prefilter keeps exactly the LOWEST-hash rows,
+  *    and the quota winners ARE the lowest-hash rows, so the composition is
+  *    exact — identical output, not approximate — whenever each group
+  *    retains at least min(quota, |group|) survivors. Choose the rate with
+  *    margin (e.g. 8 x quota / |group|); SamplingSpec asserts the
+  *    equivalence.
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of the id's string form (engine-portable: DuckDB
+    * computes the identical value as
+    * `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT`). */
+  def hash32(idCol: Column): Column =
+    TextAnalysis.md5Hash32(idCol.cast("string"))
+
+  /** Integer selection threshold for a keep-rate in [0, 1]: a row is kept
+    * iff hash32 < threshold(rate). Exposed so SQL oracles can inline the
+    * exact same literal. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    (rate * 4294967296.0).toLong
+  }
+
+  /** Deterministic per-group Bernoulli sampling: keep a row iff its id
+    * hash clears the group's rate threshold. Groups absent from `rates`
+    * use `defaultRate`. A group's sample at rate r is a SUBSET of its
+    * sample at any r' > r (nested samples — raising a domain's weight
+    * only adds rows, it never reshuffles the ones already selected). */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (k, r)) => when(col(groupCol) === lit(k), lit(threshold(r))).otherwise(acc)
+    }
+    df.where(hash32(col(idCol)) < thr)
+  }
+
+  /** Deterministic fixed-size per-group subset: the `quota` rows with the
+    * smallest (hash, id) per group — a reproducible "random" draw whose
+    * size is exact (min(quota, |group|) rows per group).
+    *
+    * `prefilterRate` < 1 inserts the exact hash-threshold prefilter
+    * described in the object doc before the window sort. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  quota: Int, prefilterRate: Double = 1.0): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val pre =
+      if (prefilterRate >= 1.0) df
+      else df.where(hash32(col(idCol)) < lit(threshold(prefilterRate)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash32(col(idCol)).asc, col(idCol).asc)
+    pre.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= quota)
+      .drop("_rn")
+  }
+}

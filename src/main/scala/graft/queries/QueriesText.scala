@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Bm25, Dedup, Filter, Knn}
+import graft.operators.{Bm25, Dedup, Filter, Knn, Sampling}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -35,6 +35,13 @@ object QueriesText {
   }
 
   private val bm25Query = "spark join merge stream"
+
+  /** q66's language mixture weights (en down-weighted, zh hardest). */
+  private val mixtureRates =
+    Map("en" -> 0.5, "de" -> 0.9, "fr" -> 0.8, "es" -> 1.0, "zh" -> 0.25)
+  private val mixtureCaseSql = mixtureRates
+    .map { case (k, r) => s"WHEN '$k' THEN ${Sampling.threshold(r)}" }
+    .mkString(" ")
 
   /** q62's persisted-index sidecar, keyed by corpus dir (built once per
     * JVM; see the q62 comment). */
@@ -185,6 +192,20 @@ object QueriesText {
       Dedup.decontaminate(docs, evalSet, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
     }),
+
+    // Data-mixture construction: deterministic per-language downsampling
+    // (hash-threshold Bernoulli — a pure per-row filter, zero shuffles)
+    "q66_mixture_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "lang", "doc_id", mixtureRates)),
+
+    // Fixed-size per-source draw: the 10 lowest-(hash, id) docs per source
+    // — reproducible "random" subsets for eval set construction
+    "q67_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", quota = 10)),
 
     // Document chunking (pre-embedding windows: 32 tokens, stride 24)
     "q57_chunking" -> ((s, dir) =>
@@ -434,6 +455,22 @@ object QueriesText {
          |SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
          |       count(*) AS n_dups, min(doc_id) AS keeper_id
          |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q66_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+         |  CASE lang $mixtureCaseSql ELSE ${Sampling.threshold(1.0)} END""".stripMargin,
+
+    "q67_quota_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

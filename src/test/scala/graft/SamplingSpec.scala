@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (0L until 2000L)
+    .map(i => (i, s"g${i % 4}"))
+    .toDF("id", "grp")
+
+  test("stratified sampling is deterministic and respects rate extremes") {
+    val rates = Map("g0" -> 0.0, "g1" -> 1.0, "g2" -> 0.5)
+    val a = Sampling.stratifiedSample(rows, "grp", "id", rates, defaultRate = 0.25)
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedSample(rows, "grp", "id", rates, defaultRate = 0.25)
+      .collect().map(_.getLong(0)).sorted
+    assert(a sameElements b)
+    val byGrp = Sampling.stratifiedSample(rows, "grp", "id", rates, defaultRate = 0.25)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byGrp.contains("g0"))          // rate 0: nothing survives
+    assert(byGrp("g1") === 500L)           // rate 1: everything survives
+    assert(byGrp("g2") > 150L && byGrp("g2") < 350L)  // ~0.5 of 500
+    assert(byGrp("g3") > 50L && byGrp("g3") < 200L)   // default ~0.25 of 500
+  }
+
+  test("samples are nested: raising a rate only adds rows") {
+    def ids(rate: Double) =
+      Sampling.stratifiedSample(rows, "grp", "id", Map.empty, defaultRate = rate)
+        .collect().map(_.getLong(0)).toSet
+    val s30 = ids(0.3)
+    val s60 = ids(0.6)
+    assert(s30.subsetOf(s60))
+    assert(s60.size > s30.size)
+  }
+
+  test("quota sampling draws exactly min(quota, group size) per group") {
+    val skewed = rows.where(col("grp") =!= "g3")
+      .unionByName(Seq((9001L, "g3"), (9002L, "g3")).toDF("id", "grp"))
+    val counts = Sampling.quotaSample(skewed, "grp", "id", quota = 7)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("g0") === 7L)
+    assert(counts("g1") === 7L)
+    assert(counts("g2") === 7L)
+    assert(counts("g3") === 2L)            // group smaller than the quota
+  }
+
+  test("hash-threshold prefilter leaves the quota draw exactly unchanged") {
+    val full = Sampling.quotaSample(rows, "grp", "id", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val pre = Sampling.quotaSample(rows, "grp", "id", quota = 5, prefilterRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pre === full)
+  }
+}
