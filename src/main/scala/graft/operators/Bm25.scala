@@ -56,6 +56,31 @@ object Bm25 {
       if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
   }
 
+  /** Top-k TF-IDF keywords per document: (doc_id, rank, term, tfidf).
+    *
+    * tfidf = tf * ln((N+1)/(df+1)), ranked per doc on the ROUNDED score
+    * (6 decimals, term as tie-break) — ranking on the raw double would let
+    * a last-ulp ln() difference between engines flip ranks at the k
+    * boundary.
+    *
+    * Scale shape: document frequency is one partially-aggregated shuffle
+    * of the postings keyed by term (postings are unique per (doc, term),
+    * so df is a plain count); the df join lands on the SAME term
+    * partitioning — no broadcast of a full-vocabulary relation (the A4
+    * lesson) and no second shuffle of the postings for the join; the
+    * per-doc top-k window is the one remaining exchange, keyed by doc. */
+  def tfidfKeywords(index: Index, topK: Int = 5): DataFrame = {
+    val df = index.postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = index.postings.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(index.nDocs + 1.0) / (col("df") + lit(1.0))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   // ------------------------------------------------- persisted index sidecar
 
   /** The reference maintains its inverted index incrementally on

@@ -193,6 +193,13 @@ object QueriesText {
         shingleN = 3, threshold = 0.5)
     }),
 
+    // Top-3 TF-IDF keywords per document (document fingerprint for search
+    // / clustering): df is one term-keyed partial-agg shuffle, joined back
+    // on the same partitioning — no full-vocabulary broadcast
+    "q68_tfidf_keywords" -> ((s, dir) =>
+      Bm25.tfidfKeywords(
+        Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text"), topK = 3)),
+
     // Data-mixture construction: deterministic per-language downsampling
     // (hash-threshold Bernoulli — a pure per-row filter, zero shuffles)
     "q66_mixture_sample" -> ((s, dir) =>
@@ -455,6 +462,24 @@ object QueriesText {
          |SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
          |       count(*) AS n_dups, min(doc_id) AS keeper_id
          |FROM corpus GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q68_tfidf_keywords" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |tf AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |stats AS (SELECT count(*) AS n FROM corpus),
+         |scored AS (
+         |  SELECT tfc.doc_id, tfc.term,
+         |         round(tfc.tf * ln((s.n + 1.0) / (dfc.df + 1.0)), 6) AS tfidf
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN stats s),
+         |r AS (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3""".stripMargin,
 
     "q66_mixture_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

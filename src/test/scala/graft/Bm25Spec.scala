@@ -37,6 +37,22 @@ class Bm25Spec extends SparkSpec {
     assert(scores.contains(3L) && !scores.contains(5L))
   }
 
+  test("tfidf keywords rank the distinctive term first") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val kw = Bm25.tfidfKeywords(idx, topK = 2).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3))))
+      .toMap
+    // "ducks"/"lakes"/"like" appear only in doc 3 (df=1); "data" is corpus-wide
+    assert(kw(3L).head._2 > kw(3L).last._2 || kw(3L).head._1 < kw(3L).last._1)
+    assert(Set("ducks", "lakes", "like").contains(kw(3L).head._1))
+    assert(kw.values.forall(_.length <= 2))
+    // hand-check doc 2: tf(spark)=2, df(spark)=2, N=4
+    val expected = BigDecimal(2.0 * math.log(5.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kw(2L).find(_._1 == "spark").get._2 === expected)
+  }
+
   test("duplicate query terms count twice (reference loops raw tokens)") {
     val idx = Bm25.buildIndex(docs, "doc_id", "text")
     val once = Bm25.score(idx, "spark").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
