@@ -40,7 +40,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Free cached state between queries (outside the timed window): the
+      // iterative operators eagerly localCheckpoint per hop and several
+      // return checkpoint-backed results; left in place across 68 x 2
+      // runs, the accumulated blocks squeeze the block manager until
+      // late-battery queries measure memory pressure instead of plan
+      // quality (q30: 35 s mid-battery vs 1.1 s alone).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     // optional args: query names (exact or prefix) to bench a subset while
     // iterating; the driver passes none and gets the full battery
