@@ -18,6 +18,7 @@ object Profile {
       val n = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
+    if (args.length > 1 && args(1) == "graph") { profileGraph(spark, sfDir); spark.stop(); return }
     time("warmup") { spark.range(100).count() }
     time("read+count") { docs.count() }
     time("tokenize") { docs.select(explode(TextAnalysis.tokens(col("text")))).count() }
@@ -44,5 +45,57 @@ object Profile {
       sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).count()
     }
     spark.stop()
+  }
+
+  /** BFS stage profiler (q34's shape): where do the per-hop seconds go? */
+  private def profileGraph(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    for (variant <- Seq("warmup", "op", "op2", "baseline", "op3")) {
+      println(s"=== $variant")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      if (variant.startsWith("op")) {
+        time("full operator (q34 shape)") {
+          graft.operators.PropertyGraph.shortestPaths(
+            graft.queries.GraphData.edges(spark, sfDir),
+            Seq("customer_1").toDF("id"), maxDepth = 3, direction = "both")
+            .where(col("end_id").startsWith("supplier_")).count()
+        }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      } else {
+      val edges = graft.queries.GraphData.edges(spark, sfDir)
+      val adj = graft.operators.PropertyGraph.materializedAdj(edges, "both", None)
+      time("adj materialize")(adj.count())
+      val seeds = Seq("customer_1").toDF("id")
+      var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
+        lit(0).as("hops")).persist()
+      var visited = frontier
+      var n = frontier.count()
+      for (d <- 1 to 3) {
+        time(s"hop $d") {
+          val expanded = graft.operators.PropertyGraph.hopJoin(frontier, adj, rowsHint = n)
+            .select(col("start_id"), col("neighbor_id").as("end_id"), (col("hops") + 1).as("hops"))
+            .groupBy("start_id", "end_id").agg(min("hops").as("hops"))
+          val seen = visited.select(col("start_id").as("_vs"), col("end_id").as("_ve"))
+          val next = expanded.join(seen,
+            expanded("start_id") === seen("_vs") && expanded("end_id") === seen("_ve"), "left_anti")
+            .persist()
+          n = next.count()
+          visited = visited.unionByName(next)
+          frontier = next
+          n
+        }
+      }
+      time("final checkpoint")(visited.localCheckpoint(eager = true).count())
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
   }
 }
