@@ -71,6 +71,21 @@ class AsOfSpec extends SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("asofJoin plan shuffles each side once, by key — no pair blowup join") {
+    val probes = Seq((1L, 10L, 100L)).toDF("pid", "k", "t")
+    val facts = Seq((10L, 50L, 7L)).toDF("fk", "ft", "payload")
+    val joined = AsOf.asofJoin(probes, facts,
+      leftKey = "k", rightKey = "fk", leftTime = "t", rightTime = "ft",
+      rightCols = Seq("payload"), rightTieBreak = "payload")
+    // one Exchange for the window's key partitioning (+ possibly one for a
+    // final presentation sort added by callers — none here); critically,
+    // NO join operator at all in the plan: the as-of lookup is a window,
+    // so there is no (probe x earlier-facts) candidate relation anywhere
+    assert(graft.operators.Scale.countShuffles(joined) === 1)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Join"), s"unexpected join in as-of plan:\n$planStr")
+  }
+
   test("asofJoin rejects colliding payload column names") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoin(probes, facts, "k", "k", "t", "t",
