@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.vector
-import graft.operators.{Ann, Knn, Quantization}
+import graft.operators.{Ann, Knn, Pooling, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -83,6 +83,16 @@ object QueriesVector {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // Embedding mean-pooling (chunk -> doc / cluster centroid): one
+    // map-side-partial shuffle of dim-length buffers; exploded back to
+    // (group, pos, value) rows so the oracle also checks array ordering
+    "q69_mean_pool" -> ((s, dir) =>
+      Pooling.meanPool(
+          t(s, dir, "embeddings").select((col("vec_id") % 10).as("g"), col("embedding")),
+          "g", "embedding")
+        .select(col("g"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(col("g"), (col("pos") + 1).as("pos"), round(col("v"), 6).as("v"))),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -120,6 +130,13 @@ object QueriesVector {
   val oracles: Map[String, String] = Map(
     "q14_knn_batch" -> knnOracleCosine50,
     "q64_ivf_partitioned" -> knnOracleCosine5,
+    "q69_mean_pool" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 10 AS g, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT g, pos, round(avg(v), 6) AS v
+        |FROM ex GROUP BY g, pos""".stripMargin,
     "q15_vector_norm" ->
       """SELECT vec_id,
         |  round(norm, 6) AS norm,
