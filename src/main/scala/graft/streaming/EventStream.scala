@@ -117,6 +117,22 @@ object EventStream {
     Subscription(replay, live)
   }
 
+  /** Streaming ingest dedup: drop rows whose key (id, content fingerprint,
+    * ...) was already seen — exactly-once semantics over an at-least-once
+    * source, or content dedup at the door of a training-data ingest.
+    *
+    * State is one entry per key WITHIN THE WATERMARK: Spark's
+    * dropDuplicatesWithinWatermark evicts a key's state once the watermark
+    * passes its event time + delay, so the store is bounded by the key
+    * arrival rate x watermark window — not by all keys ever seen (the
+    * unbounded-state trap of plain dropDuplicates on a stream). Duplicates
+    * farther apart than the watermark delay are the upstream log
+    * compactor's job (batch Dedup.exact), not the ingest filter's. */
+  def dedupByKey(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                 watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Memory-sink runner for tests/demos: processes all available input
     * synchronously and returns the sink table. */
   def runToMemory(out: DataFrame, name: String,

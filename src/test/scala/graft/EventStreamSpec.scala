@@ -134,4 +134,21 @@ class EventStreamSpec extends SparkSpec {
     assert(stats((2L, 1L)) === 1)
     assert(stats((2L, 2L)) === 1)
   }
+
+  test("streaming ingest dedup drops within-watermark duplicates, keeps distinct keys") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[EventStream.Event] }
+    // event 1 delivered three times (at-least-once source), others once
+    mem.addData(
+      EventStream.Event(1, ts(base), 1, "view", 1.0, "{}"),
+      EventStream.Event(1, ts(base), 1, "view", 1.0, "{}"),
+      EventStream.Event(2, ts(base + 1000), 1, "view", 2.0, "{}"),
+      EventStream.Event(1, ts(base + 2000), 1, "view", 1.0, "{}"),
+      EventStream.Event(3, ts(base + 3000), 2, "view", 3.0, "{}"))
+    val deduped = EventStream.dedupByKey(mem.toDF(),
+      keyCols = Seq("event_id"), tsCol = "ts", watermark = "10 seconds")
+    val got = EventStream.runToMemory(deduped, "dedup_out")
+      .groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
