@@ -19,6 +19,20 @@ object Profile {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     if (args.length > 1 && args(1) == "graph") { profileGraph(spark, sfDir); spark.stop(); return }
+    if (args.length > 1 && args(1) == "jaccard") {
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text")))
+      for (round <- 1 to 2) {
+        time(s"plain  exact join (r$round)") {
+          Dedup.ngramJaccard(corpus, "doc_id", "text", threshold = 0.5).count()
+        }
+        time(s"prefix exact join (r$round)") {
+          Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", threshold = 0.5).count()
+        }
+      }
+      spark.stop(); return
+    }
     time("warmup") { spark.range(100).count() }
     time("read+count") { docs.count() }
     time("tokenize") { docs.select(explode(TextAnalysis.tokens(col("text")))).count() }

@@ -141,6 +141,63 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** [[ngramJaccard]] with PREFIX FILTERING (Chaudhuri et al., ICDE'06;
+    * Xiao et al., WWW'08 "ppjoin"): provably the same output, with the
+    * quadratic shingle self-join cut down to each doc's prefix.
+    *
+    * Order every doc's shingle set by a global total order (ascending
+    * document frequency, shingle as tie-break — rare shingles first). If
+    * J(A,B) >= t, the first |A| - ceil(t*|A|) + 1 shingles of A and the
+    * corresponding prefix of B must share an element — so joining only
+    * prefixes loses no qualifying pair, while the corpus's heavy-hitter
+    * shingles (the self-join blowup: a shingle shared by k docs yields k^2
+    * collision rows) sort to the END of each doc and mostly drop out of
+    * the join entirely. Candidates are then verified with the full exact
+    * intersection, candidate-sided.
+    *
+    * Cost shape: + one shuffle for shingle document frequency and one
+    * doc-keyed window to rank; - the self-join volume shrinks from
+    * sum_s df(s)^2 over ALL shingles to the same sum over prefix
+    * occurrences of each shingle. At web scale the first term is the
+    * operator-killer (stopword shingles), the second is bounded.
+    *
+    * Measured crossover: on the low-skew sf0.1 corpus (5k docs, no
+    * heavy-hitter shingles) the plain join wins warm (3.8 s vs 8.2 s,
+    * `graft.Profile <sfDir> jaccard`) — the extra shuffles cost more than
+    * the self-join saves, so q31 stays on [[ngramJaccard]]; reach for
+    * this variant when df(s) is Zipfian (real web text), where
+    * sum df(s)^2 explodes and the prefix cut is the difference between
+    * finishing and not. DedupSpec proves output identity at three
+    * thresholds and on planted real-corpus near-dups. */
+  def ngramJaccardPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSetsWithSize(docs, idCol, textCol, shingleN, "n_sh").persist()
+    try {
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc").orderBy(col("_df").asc, col("shingle").asc)
+      val prefix = sh.join(dfreq, Seq("shingle"))
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+        .select(col("doc"), col("shingle"))
+      val candidates = prefix.select(col("doc").as("id_a"), col("shingle"))
+        .join(prefix.select(col("doc").as("id_b"), col("shingle")), Seq("shingle"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val inter = candidates
+        .join(sh.select(col("doc").as("id_a"), col("n_sh").as("n_a"), col("shingle")), Seq("id_a"))
+        .join(sh.select(col("doc").as("id_b"), col("n_sh").as("n_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist()
+  }
+
   // -------------------------------------------------------- Decontamination
 
   /** Benchmark decontamination: training documents whose n-gram Jaccard

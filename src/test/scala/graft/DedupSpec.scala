@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard join is identical to the plain exact join") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = pairs(Dedup.ngramJaccard(docs, "doc_id", "text", threshold = t))
+      val pref = pairs(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", threshold = t))
+      assert(pref === plain, s"threshold $t")
+    }
+    // and on a real corpus slice with planted near-dups
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = real.unionByName(real.where(col("doc_id") < 10)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 30, 10))").as("text")))
+    val plainR = pairs(Dedup.ngramJaccard(planted, "doc_id", "text", threshold = 0.5))
+    val prefR = pairs(Dedup.ngramJaccardPrefix(planted, "doc_id", "text", threshold = 0.5))
+    assert(prefR === plainR)
+    assert(plainR.nonEmpty)
+  }
+
   test("decontaminate flags train docs overlapping the eval set, cross-corpus only") {
     val train = docs
     val evalSet = Seq(
