@@ -24,10 +24,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Pooling {
 
-  private class MeanVec extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+  private class MeanVec extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
     def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
-    def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
       if (v == null) b
       else {
         val s = if (b._2 == 0L) new Array[Double](v.length) else b._1
@@ -67,8 +67,10 @@ object Pooling {
       ExpressionEncoder[Seq[Double]]()
   }
 
-  /** (groupCol, centroid: array<double>) — one row per group. */
+  /** (groupCol, centroid: array<double>) — one row per group. Accepts any
+    * numeric array column; floats widen to double exactly. */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(udaf(new MeanVec, ExpressionEncoder[Seq[Float]]())(col(vecCol)).as("centroid"))
+      .agg(udaf(new MeanVec, ExpressionEncoder[Seq[Double]]())(
+        col(vecCol).cast("array<double>")).as("centroid"))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.Embeddings
+import graft.functions.{Embeddings, TextAnalysis}
+import graft.operators.Pooling
 import graft.sources.Changelog
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +22,23 @@ object QueriesMisc {
           round(element_at(col("_e"), 8), 6).as("e7"),
           round(element_at(col("_e"), 16), 6).as("e15"),
           round(sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0), _ + _)), 6).as("norm"))),
+
+    // End-to-end document embedding: chunk (32-token windows, stride 24)
+    // -> deterministic chunk embedding -> mean-pool back to one vector per
+    // doc. The full chunk->embed->pool pipeline in ONE declarative plan —
+    // tokenize and embed are per-row expressions, pooling is the single
+    // map-side-partial shuffle — exported long-form so the oracle checks
+    // every component and position.
+    "q70_doc_embedding" -> ((s, dir) => {
+      val chunkEmb = t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), windowSize = 32, stride = 24)).as("c"))
+        .select(col("doc_id"),
+          Embeddings.mockEmbedding(col("c.chunk"), 16).as("emb"))
+      Pooling.meanPool(chunkEmb, "doc_id", "emb")
+        .select(col("doc_id"), posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), round(col("v"), 6).as("v"))
+    }),
 
     // SQL interface parity: the flagship kNN expressed as pure spark.sql
     // text over temp views + the registered distance function — proves a
@@ -97,6 +115,35 @@ object QueriesMisc {
         |  round(r[16] * (1.0 / nrm), 6) AS e15,
         |  round(sqrt(list_sum(list_transform(r, x -> (x * (1.0 / nrm)) * (x * (1.0 / nrm))))), 6) AS norm
         |FROM normed""".stripMargin,
+
+    "q70_doc_embedding" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |counted AS (
+        |  SELECT doc_id, tk,
+        |         1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS INT) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+        |  FROM counted, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)),
+        |raw AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), i ->
+        |      ('0x' || substr(md5(chunk || ':' || i), 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0) AS r
+        |  FROM chunks),
+        |normed AS (
+        |  SELECT doc_id,
+        |    list_transform(r, x ->
+        |      x * (1.0 / sqrt(list_sum(list_transform(r, y -> y * y))))) AS e
+        |  FROM raw),
+        |ex AS (
+        |  SELECT doc_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+        |  FROM normed)
+        |SELECT doc_id, pos, round(avg(v), 6) AS v
+        |FROM ex GROUP BY doc_id, pos""".stripMargin,
 
     "q51_cdc_diff" ->
       """WITH before_t AS (
