@@ -198,6 +198,67 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Duplicate-CLUSTER formation: connected components over a near-dup
+    * pair list — the step between pair generation (minhashLsh /
+    * ngramJaccard / embedding near-dup) and survivor selection. A chain
+    * a~b~c is one duplicate class even when (a,c) itself never collided,
+    * so pairwise output alone under-deletes.
+    *
+    * Min-label propagation: every node starts labeled with the smallest id
+    * among itself and its direct neighbors, then each round takes the min
+    * of its own and its neighbors' labels until a fixpoint — the classic
+    * iterative-join connected components (the same frontier-join stance as
+    * the graph operators; converges in O(component diameter) rounds, and
+    * duplicate clusters are near-cliques, so 2-3 rounds in practice).
+    * Everything is keyed by node id: the edge relation is hash-partitioned
+    * once and each round shuffles only the (|candidate nodes|-sized) label
+    * relation — candidate nodes are the docs in >= 1 pair, a sliver of the
+    * corpus.
+    *
+    * Returns (doc_id, cluster_id) for every doc in >= 1 pair; cluster_id =
+    * min doc id of the component (the deterministic keeper, matching
+    * [[exact]]'s keeper_id convention). */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                        maxIters: Int = 50): DataFrame = {
+    val p = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val eb = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+      .repartition(p, col("a"))
+      .persist()
+    try {
+      // Each round references `labels` TWICE (neighbor lookup + own-label
+      // join), so a persist()-only loop doubles the logical plan per round
+      // — analysis goes exponential around round 20 even though runtime
+      // data is cached. localCheckpoint truncates the plan to the
+      // materialized RDD each round, keeping every round's plan
+      // constant-size (checkpoint blocks are freed with the session /
+      // bench cache reset; rounds are O(component diameter), 2-3 for
+      // near-clique duplicate classes).
+      var labels = eb.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("_nbr"))
+        .select(col("node"), least(col("node"), col("_nbr")).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = eb
+          .join(labels.select(col("node").as("b"), col("cluster_id").as("_nl")), Seq("b"))
+          .groupBy(col("a").as("node")).agg(min(col("_nl")).as("_nbr"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id"))).as("cluster_id"),
+            (col("_nbr") < col("cluster_id")).as("_chg"))
+          .localCheckpoint(eager = true)
+        changed = next.where(col("_chg")).count()
+        labels = next.select(col("node"), col("cluster_id"))
+        it += 1
+      }
+      labels.select(col("node").as("doc_id"), col("cluster_id"))
+        .localCheckpoint(eager = true)
+    } finally eb.unpersist()
+  }
+
   // -------------------------------------------------------- Decontamination
 
   /** Benchmark decontamination: training documents whose n-gram Jaccard

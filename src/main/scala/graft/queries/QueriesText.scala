@@ -179,6 +179,22 @@ object QueriesText {
       Dedup.embeddingNearDupBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, trainFraction = 0.5)),
 
+    // Duplicate clusters: pairs (exact n-gram Jaccard) -> connected
+    // components via min-label propagation. The 3-way corpus (originals +
+    // truncated + verbatim copies of doc_id<25) makes genuinely transitive
+    // classes {d, d+100000, d+200000}; the oracle recomputes components
+    // with a recursive CTE.
+    "q71_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = docs.where(col("doc_id") < 25)
+      val corpus = docs
+        .unionByName(dup.select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text")))
+        .unionByName(dup.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccard(corpus, "doc_id", "text", threshold = 0.5))
+    }),
+
     // Benchmark decontamination: train = the full documents table, eval =
     // truncated copies of doc_id<25 (a synthetic benchmark whose items
     // leaked into training). Exact cross-corpus n-gram Jaccard with the
@@ -496,6 +512,48 @@ object QueriesText {
         |         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    "q71_dup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, greatest(length(text) - 20, 10)) AS text
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 25),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.id_a
+        |  JOIN sizes sb ON sb.doc_id = i.id_b
+        |  WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |eb AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM eb
+        |  UNION
+        |  SELECT rr.node, e.b FROM reach rr JOIN eb e ON e.a = rr.r)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("duplicateClusters merges transitive chains into one component") {
+    // chain 1-2-3-4 (no direct 1~4 pair), separate pair 7-9, singleton-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("duplicateClusters converges on a long path (worst-case diameter)") {
+    val n = 40L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ === 0L))
+  }
+
   test("prefix-filtered jaccard join is identical to the plain exact join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
