@@ -111,6 +111,44 @@ object Ann {
     searchCells(queries, cells, model, k, nProbe, metric, queryId, queryVec)
   }
 
+  /** IVF-PQ: the standard composition for corpus sizes where even the
+    * probed cells' raw vectors are too much to scan (Jegou et al., TPAMI'11
+    * — the FAISS IVFADC layout). Three stages, each already scale-shaped:
+    *
+    *   1. coarse quantizer prunes to nProbe cells (join/partition key);
+    *   2. ADC over PQ CODES scores the survivors — the scan touches
+    *      m bytes per row instead of 4*dim (16x smaller at 128d/m=8), and
+    *      at rest the cell-partitioned corpus stores codes, not vectors;
+    *   3. exact rerank of the fetchK ADC candidates against the raw
+    *      vectors (a candidate-sided id join, reference
+    *      parallel_search.py:895-947) repairs quantization error.
+    *
+    * Returns exact-distance top-k of the ADC-surfaced candidates. */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  ivf: IvfModel, pq: Quantization.PqModel,
+                  k: Int, nProbe: Int = 4, fetchK: Int = 50,
+                  metric: String = "cosine",
+                  queryId: String = "query_id", queryVec: String = "query_vec",
+                  corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val coded = corpus.select(col(corpusId).cast("long").as("_cid"),
+      cellId(ivf)(col(vecCol)).as("_cell"),
+      Quantization.pqEncode(pq)(col(vecCol)).as("_code"))
+    val q = queries.select(col(queryId).as("_qid"),
+      Quantization.pqLut(pq)(col(queryVec)).as("_lut"),
+      explode(probeCells(ivf, nProbe)(col(queryVec))).as("_cell"))
+    val topk = udaf(new Knn.TopKAggregator(fetchK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    val candidates = coded.join(broadcast(q), "_cell")
+      .select(col("_qid"),
+        col("_cid"), Quantization.adcDistance(col("_lut"), col("_code")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), explode(col("_nbrs")).as("_n"))
+      .select(col(queryId), col("_n.id").as("neighbor_id"))
+    Quantization.rerankExact(candidates, queries, corpus, k, metric,
+      queryId, queryVec, corpusId, vecCol)
+  }
+
   private def searchCells(queries: DataFrame, cells: DataFrame, model: IvfModel,
                           k: Int, nProbe: Int, metric: String,
                           queryId: String, queryVec: String): DataFrame = {

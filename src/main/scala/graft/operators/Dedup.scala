@@ -259,6 +259,19 @@ object Dedup {
     } finally eb.unpersist()
   }
 
+  /** Survivor selection: the deduplicated corpus given [[duplicateClusters]]
+    * output — keep every doc that is its own cluster's keeper (cluster_id
+    * == doc_id) or belongs to no cluster. One left join against the
+    * (candidate-sized) cluster relation; the corpus never shuffles when
+    * Spark broadcasts the small cluster side. */
+  def dropDuplicatesByCluster(docs: DataFrame, clusters: DataFrame,
+                              idCol: String): DataFrame = {
+    val c = broadcast(clusters.select(col("doc_id").as(idCol), col("cluster_id")))
+    docs.join(c, Seq(idCol), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
   // -------------------------------------------------------- Decontamination
 
   /** Benchmark decontamination: training documents whose n-gram Jaccard

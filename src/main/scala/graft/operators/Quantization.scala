@@ -184,11 +184,9 @@ object Quantization {
     enc(vecCol)
   }
 
-  /** Asymmetric-distance kNN: per-query LUT of query-subvector-to-centroid
-    * distances, summed over code entries (quantization.py:541-578). */
-  def pqSearch(queries: DataFrame, corpus: DataFrame, model: PqModel, k: Int,
-               queryId: String = "query_id", queryVec: String = "query_vec",
-               corpusId: String = "id", codeCol: String = "pq_code"): DataFrame = {
+  /** Per-query ADC lookup table: [m][c] = squared distance from the
+    * query's m-th subvector to centroid c (quantization.py:541-560). */
+  def pqLut(model: PqModel)(queryVec: Column): Column = {
     val mCount = model.numSubspaces; val subDim = model.subDim
     val books = model.codebooks
     val lutUdf = udf { (q: Seq[Float]) =>
@@ -198,17 +196,30 @@ object Quantization {
         d
       }.map(_.toSeq).toSeq
     }
+    lutUdf(queryVec)
+  }
+
+  /** Asymmetric distance: sum the LUT entries the code selects. */
+  def adcDistance(lutCol: Column, codeCol: Column): Column = {
     val adc = udf { (lut: Seq[Seq[Double]], code: Seq[Int]) =>
       var s = 0.0; var m = 0
       while (m < code.length) { s += lut(m)(code(m)); m += 1 }
       math.sqrt(s)
     }
-    val q = queries.select(col(queryId).as("_qid"), lutUdf(col(queryVec)).as("_lut"))
+    adc(lutCol, codeCol)
+  }
+
+  /** Asymmetric-distance kNN: per-query LUT of query-subvector-to-centroid
+    * distances, summed over code entries (quantization.py:541-578). */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, model: PqModel, k: Int,
+               queryId: String = "query_id", queryVec: String = "query_vec",
+               corpusId: String = "id", codeCol: String = "pq_code"): DataFrame = {
+    val q = queries.select(col(queryId).as("_qid"), pqLut(model)(col(queryVec)).as("_lut"))
     val topk = udaf(new Knn.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
     corpus.select(col(corpusId).cast("long").as("_cid"), col(codeCol).as("_code"))
       .crossJoin(broadcast(q))
-      .select(col("_qid"), col("_cid"), adc(col("_lut"), col("_code")).as("_dist"))
+      .select(col("_qid"), col("_cid"), adcDistance(col("_lut"), col("_code")).as("_dist"))
       .groupBy(col("_qid").as(queryId))
       .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
       .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))

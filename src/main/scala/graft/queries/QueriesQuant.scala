@@ -52,6 +52,25 @@ object QueriesQuant {
 
     // A6 + F8: PQ with seeded MLlib KMeans; recall@10 vs exact (A13).
     // KMeans centroids are engine-specific => no SQL oracle (rows-only).
+    // IVF-PQ composition (coarse prune -> ADC on codes -> exact rerank):
+    // recall@10 vs exact under the same metric. Rows-only (recall floors
+    // asserted in QuantizationSpec); probing ALL cells isolates the
+    // PQ+rerank error from cell-miss error.
+    "q72_ivfpq_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val ivf = graft.operators.Ann.trainIvf(embs, "embedding", numCells = 16,
+        sampleFraction = 0.25)
+      val pq = Quantization.trainPq(embs, "embedding",
+        numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = graft.operators.Ann.ivfPqSearch(queries, embs, ivf, pq,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
     "q19_pq_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // codebooks train on a 25% sample — at corpus scale the quantizer

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ === 0L))
   }
 
+  test("dropDuplicatesByCluster keeps one survivor per class plus all unclustered docs") {
+    val corpus = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y"), (9L, "y"), (50L, "z"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.dropDuplicatesByCluster(corpus, clusters, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 7L, 50L))
+  }
+
   test("prefix-filtered jaccard join is identical to the plain exact join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

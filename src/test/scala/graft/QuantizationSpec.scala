@@ -65,4 +65,22 @@ class QuantizationSpec extends SparkSpec {
     assert(rerankRecall >= rawRecall)
     assert(rerankRecall > 0.7, s"pq+rerank recall $rerankRecall")
   }
+
+  test("IVF-PQ composition: all-cell probe matches PQ+rerank quality; pruned probe stays usable") {
+    val ivf = graft.operators.Ann.trainIvf(embs, "embedding", numCells = 8)
+    val pq = Quantization.trainPq(embs, "embedding", numSubspaces = 8, numCentroids = 64)
+    val exact = Knn.knnJoin(queries, embs, 10, "l2",
+      corpusId = "vec_id", corpusVec = "embedding")
+    def recall(nProbe: Int) = {
+      val approx = graft.operators.Ann.ivfPqSearch(queries, embs, ivf, pq,
+        k = 10, nProbe = nProbe, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      Quantization.recallAtK(approx, exact, 10).agg(avg("recall")).head().getDouble(0)
+    }
+    val all = recall(8)    // no cell-miss error: pure PQ+rerank quality
+    val pruned = recall(2) // 4x scan cut
+    assert(all > 0.7, s"ivf-pq all-cell recall $all")
+    assert(pruned >= 0.4, s"ivf-pq pruned recall $pruned")
+    assert(all >= pruned)
+  }
 }
