@@ -59,6 +59,29 @@ object Sampling {
     df.where(hash32(col(idCol)) < thr)
   }
 
+  /** Deterministic per-group BUDGET sampling: take rows in (hash, id)
+    * order until the group's cumulative weight (token count, byte size)
+    * reaches `budget` — data mixtures are specified in tokens, not doc
+    * counts, and this is the greedy draw that fills each domain's token
+    * budget reproducibly. The row that crosses the budget is kept
+    * (overflow-allowed greedy: every group with any rows contributes at
+    * least one). Same shuffle shape as [[quotaSample]] (one exchange by
+    * group + per-group sort), and the same exact hash-threshold prefilter
+    * applies when a group's total weight dwarfs its budget. */
+  def budgetSample(df: DataFrame, groupCol: String, idCol: String,
+                   weightCol: String, budget: Long,
+                   prefilterRate: Double = 1.0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val pre =
+      if (prefilterRate >= 1.0) df
+      else df.where(hash32(col(idCol)) < lit(threshold(prefilterRate)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash32(col(idCol)).asc, col(idCol).asc)
+    pre.withColumn("_cum", sum(col(weightCol)).over(w))
+      .where(col("_cum") - col(weightCol) < budget)
+      .drop("_cum")
+  }
+
   /** Deterministic fixed-size per-group subset: the `quota` rows with the
     * smallest (hash, id) per group — a reproducible "random" draw whose
     * size is exact (min(quota, |group|) rows per group).

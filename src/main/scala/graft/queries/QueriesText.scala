@@ -230,6 +230,14 @@ object QueriesText {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", quota = 10)),
 
+    // Token-budget mixture draw: fill a 20k-char budget per language in
+    // deterministic hash order (mixtures are specified in tokens/bytes,
+    // not doc counts)
+    "q73_budget_sample" -> ((s, dir) =>
+      Sampling.budgetSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", budget = 20000L)),
+
     // Document chunking (pre-embedding windows: 32 tokens, stride 24)
     "q57_chunking" -> ((s, dir) =>
       t(s, dir, "documents").where(col("doc_id") < 100)
@@ -501,6 +509,18 @@ object QueriesText {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
          |  CASE lang $mixtureCaseSql ELSE ${Sampling.threshold(1.0)} END""".stripMargin,
+
+    "q73_budget_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum - n_chars < 20000""".stripMargin,
 
     "q67_quota_sample" ->
       """WITH h AS (

@@ -48,6 +48,27 @@ class SamplingSpec extends SparkSpec {
     assert(counts("g3") === 2L)            // group smaller than the quota
   }
 
+  test("budget sampling fills each group's weight budget greedily in hash order") {
+    val weighted = rows.withColumn("w", lit(10L) + (col("id") % 5))
+    val got = Sampling.budgetSample(weighted, "grp", "id", "w", budget = 100L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val byGrp = got.groupBy(_._1)
+    // every group contributes; each group's weight sum crosses 100 only via
+    // its LAST row (greedy overflow-allowed), so sum-minus-any-row < 100+max
+    byGrp.foreach { case (g, rs) =>
+      val total = rs.map(_._3).sum
+      assert(total >= 100L, s"group $g under budget: $total")
+      assert(total - rs.map(_._3).max < 100L, s"group $g kept a row past the budget")
+    }
+    // deterministic: second run identical
+    val again = Sampling.budgetSample(weighted, "grp", "id", "w", budget = 100L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // a budget larger than the group total keeps everything
+    val all = Sampling.budgetSample(weighted, "grp", "id", "w", budget = 1000000L)
+    assert(all.count() === weighted.count())
+  }
+
   test("hash-threshold prefilter leaves the quota draw exactly unchanged") {
     val full = Sampling.quotaSample(rows, "grp", "id", quota = 5)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
