@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Embeddings, vector}
-import graft.operators.{Bm25, Crud, Filter, Knn}
+import graft.operators.{Bm25, Crud, Dedup, Filter, Knn}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -208,6 +208,36 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   /** peek(limit) (client.py:431-436). */
   def peek(limit: Int = 10): DataFrame = df.orderBy("id").limit(limit)
+
+  // --------------------------------------------- training-data pipeline ops
+
+  /** Near-duplicate clusters over this collection's documents:
+    * (doc_id, cluster_id) via banded MinHash pairs -> connected
+    * components. */
+  def dedupClusters(threshold: Double = 0.5): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minhashLsh(df.where(col("document").isNotNull),
+        "id", "document", threshold = threshold))
+
+  /** Documents of this collection that near-duplicate any doc of
+    * `evalDocs` (benchmark contamination): (train_id, eval_id, jaccard). */
+  def decontaminate(evalDocs: DataFrame, evalId: String, evalText: String,
+                    threshold: Double = 0.5): DataFrame =
+    Dedup.decontaminate(
+      df.where(col("document").isNotNull).select(col("id"), col("document")),
+      evalDocs.select(col(evalId).as("id"), col(evalText).as("document")),
+      "id", "document", threshold = threshold)
+
+  /** Deterministic mixture sample of this collection keyed on a metadata
+    * column (rates per value, hash-threshold Bernoulli). */
+  def sampleMixture(groupCol: String, rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame =
+    graft.operators.Sampling.stratifiedSample(df, groupCol, "id", rates, defaultRate)
+
+  /** Top-k TF-IDF keywords per document (search/cluster fingerprints). */
+  def keywords(topK: Int = 5): DataFrame =
+    Bm25.tfidfKeywords(
+      Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"), topK)
 
   private def withEmbedding(rows: DataFrame): DataFrame = {
     val withDoc =

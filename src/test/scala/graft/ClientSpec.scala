@@ -176,4 +176,33 @@ class ClientSpec extends SparkSpec {
     val again = new GraftClient(spark, root).getCollection("docs")
     assert(again.count() === 2)
   }
+
+  test("pipeline facade: dedup clusters, decontamination, mixture sample, keywords") {
+    val c = client.getOrCreateCollection("pipeline")
+    c.add(Seq(
+      ("p1", "the quick brown fox jumps over the lazy dog near the river bank", "web"),
+      ("p2", "the quick brown fox jumps over the lazy dog near the river", "web"),  // ~ p1
+      ("p3", "completely different content about database engines", "books"),
+      ("p4", "catalyst turns plans into executable stages", "books")
+    ).toDF("id", "document", "source"))
+
+    val clusters = c.dedupClusters(threshold = 0.5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters === Map("p1" -> "p1", "p2" -> "p1"))
+
+    val hits = c.decontaminate(
+        Seq(("e1", "the quick brown fox jumps over the lazy dog")).toDF("eid", "etext"),
+        "eid", "etext", threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hits.nonEmpty && hits.forall(_._2 == "e1"))
+    assert(hits.map(_._1).subsetOf(Set("p1", "p2")))
+
+    val sampled = c.sampleMixture("source", Map("web" -> 1.0, "books" -> 0.0))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(sampled === Set("p1", "p2"))
+
+    val kw = c.keywords(topK = 2).collect()
+    assert(kw.map(_.getString(0)).distinct.length === 4) // every doc got keywords
+    assert(kw.forall(_.getInt(1) <= 2))
+  }
 }
