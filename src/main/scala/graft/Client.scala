@@ -234,10 +234,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
                     defaultRate: Double = 1.0): DataFrame =
     graft.operators.Sampling.stratifiedSample(df, groupCol, "id", rates, defaultRate)
 
-  /** Top-k TF-IDF keywords per document (search/cluster fingerprints). */
+  /** Top-k TF-IDF keywords per document (search/cluster fingerprints).
+    * Reads the persisted sidecar when one exists — no re-tokenization —
+    * mirroring [[hybridQuery]]'s index reuse. */
   def keywords(topK: Int = 5): DataFrame =
     Bm25.tfidfKeywords(
-      Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"), topK)
+      if (hasKeywordIndex) Bm25.loadIndex(spark, indexDir)
+      else Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"),
+      topK)
 
   private def withEmbedding(rows: DataFrame): DataFrame = {
     val withDoc =

@@ -60,7 +60,11 @@ object AsOf {
       struct(left.columns.map(col): _*).as("_lrow"),
       lit(null).cast(rPayload).as("_rrow"))
     val lPayload = lhs.schema.apply("_lrow").dataType
-    val rhs = right.where(col(rightKey).isNotNull).select(
+    // null-TIME right rows are dropped too: nulls sort first in the window
+    // order, so an unfiltered null-time row would act as "earlier than
+    // everything" and become a returnable match — DuckDB/SQL ASOF semantics
+    // never match a null-time right row
+    val rhs = right.where(col(rightKey).isNotNull && col(rightTime).isNotNull).select(
       col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
       col(rightTieBreak).as("_ord"),
       lit(null).cast(lPayload).as("_lrow"),

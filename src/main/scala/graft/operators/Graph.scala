@@ -81,19 +81,26 @@ object PropertyGraph {
     val adj = materializedAdj(edges, direction, edgeType)
     var frontier = seeds.select(col("id").as("start_id"), col("id").as("end_id"),
       lit(0).as("depth"), array(col("id").cast("string")).as("path"))
+      .persist()
+    // Per-hop count on the persisted frontier, same stance as
+    // shortestPaths: the count triples as (a) cache materialization,
+    // (b) the broadcast-size hint for the NEXT hop — a seed-limited
+    // frontier broadcasts into the join and the cached adjacency moves
+    // nothing — and (c) an early exit when the traversal drains before
+    // maxDepth (a dead frontier previously still paid maxDepth joins).
+    var n = frontier.count()
     var all = frontier
-    val hops = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val hops = scala.collection.mutable.ListBuffer[DataFrame](frontier)
     var d = 0
     try {
-      while (d < maxDepth) {
-        // single final action → hop joins share one reused adjacency
-        // exchange; no per-hop count, so no rows hint (shuffled-frontier)
-        frontier = hopJoin(frontier, adj, rowsHint = -1L)
+      while (d < maxDepth && n > 0) {
+        frontier = hopJoin(frontier, adj, rowsHint = n)
           .where(!array_contains(col("path"), col("neighbor_id").cast("string")))
           .select(col("start_id"), col("neighbor_id").as("end_id"),
             (col("depth") + 1).as("depth"),
             concat(col("path"), array(col("neighbor_id").cast("string"))).as("path"))
           .persist()
+        n = frontier.count()
         hops += frontier
         all = all.unionByName(frontier)
         d += 1
@@ -231,6 +238,18 @@ object PropertyGraph {
     (v, e)
   }
 
+  /** Tagged union of the two limit(1)-bounded validation probes — ONE
+    * blocking job where two ran before (at ingest cadence the per-batch
+    * driver round-trips halve). Each branch is locally limit(1)-bounded,
+    * so either scan still stops at its first violating row. */
+  private def firstViolation(missingMembers: DataFrame,
+                             duplicateIds: DataFrame): Option[(String, String)] =
+    missingMembers.select(lit("missing").as("kind"), col("id"))
+      .limit(1)
+      .unionByName(duplicateIds.select(lit("dup").as("kind"), col("id")).limit(1))
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1)))
+
   /** Edge creation with the reference's validation (graph.py:708-727
     * create_edge): both endpoints must exist, and an existing edge id is
     * an error. One existence-check job (limit(1)-bounded scans), then a
@@ -241,13 +260,15 @@ object PropertyGraph {
     val vids = vertices.select(col("id"))
     val missing = newEdges
       .select(explode(array(col("src"), col("dst"))).as("id"))
-      .join(vids, Seq("id"), "left_anti").limit(1).collect()
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"addEdges: endpoint node '${missing.head.getString(0)}' not found")
+      .join(vids, Seq("id"), "left_anti")
     val dup = newEdges.select("id")
-      .join(edges.select("id"), Seq("id"), "left_semi").limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"addEdges: edge '${dup.head.getString(0)}' already exists")
+      .join(edges.select("id"), Seq("id"), "left_semi")
+    firstViolation(missing, dup).foreach {
+      case ("missing", id) => throw new IllegalArgumentException(
+        s"addEdges: endpoint node '$id' not found")
+      case (_, id) => throw new IllegalArgumentException(
+        s"addEdges: edge '$id' already exists")
+    }
     edges.unionByName(newEdges, allowMissingColumns = true)
   }
 
@@ -256,19 +277,22 @@ object PropertyGraph {
     edges.where(!col("id").isin(edgeIds: _*))
 
   /** Hyperedge creation (graph.py:766-779 create_hyperedge): every member
-    * node must exist; duplicate hyperedge id is an error. */
+    * node must exist; duplicate hyperedge id is an error. Both probes run
+    * as one tagged-union job like [[addEdges]]. */
   def addHyperedges(vertices: DataFrame, hyperedges: DataFrame,
                     newHyperedges: DataFrame): DataFrame = {
     val vids = vertices.select(col("id"))
     val missing = newHyperedges
       .select(explode(col("nodes")).as("id"))
-      .join(vids, Seq("id"), "left_anti").limit(1).collect()
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"addHyperedges: member node '${missing.head.getString(0)}' not found")
+      .join(vids, Seq("id"), "left_anti")
     val dup = newHyperedges.select("id")
-      .join(hyperedges.select("id"), Seq("id"), "left_semi").limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"addHyperedges: hyperedge '${dup.head.getString(0)}' already exists")
+      .join(hyperedges.select("id"), Seq("id"), "left_semi")
+    firstViolation(missing, dup).foreach {
+      case ("missing", id) => throw new IllegalArgumentException(
+        s"addHyperedges: member node '$id' not found")
+      case (_, id) => throw new IllegalArgumentException(
+        s"addHyperedges: hyperedge '$id' already exists")
+    }
     hyperedges.unionByName(newHyperedges, allowMissingColumns = true)
   }
 

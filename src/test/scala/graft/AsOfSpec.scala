@@ -86,6 +86,23 @@ class AsOfSpec extends SparkSpec {
     assert(!planStr.contains("Join"), s"unexpected join in as-of plan:\n$planStr")
   }
 
+  test("asofJoin never matches a null-time right row (SQL ASOF semantics)") {
+    // a null-time fact would sort nulls-first in the window and act as
+    // "earlier than everything" — SQL/DuckDB ASOF never matches it
+    val nullT = Seq(("u1", Option.empty[java.sql.Timestamp], 9L, "z"))
+      .toDF("k", "t", "fact_id", "payload")
+    val got = AsOf.asofJoin(probes, facts.unionByName(nullT),
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+        rightCols = Seq("fact_id", "payload"), rightTieBreak = "fact_id")
+      .select(col("probe_id"), col("fact_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+    // identical to the base expectation: probe 100 (before any fact) stays
+    // unmatched instead of matching the null-time row
+    assert(got.toSeq === Seq((100L, -1L), (101L, 1L), (102L, 3L),
+      (103L, 3L), (104L, 4L), (105L, -1L)))
+  }
+
   test("asofJoin rejects colliding payload column names") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoin(probes, facts, "k", "k", "t", "t",

@@ -204,5 +204,15 @@ class ClientSpec extends SparkSpec {
     val kw = c.keywords(topK = 2).collect()
     assert(kw.map(_.getString(0)).distinct.length === 4) // every doc got keywords
     assert(kw.forall(_.getInt(1) <= 2))
+
+    // once a keyword index exists, keywords() reads the sidecar — same
+    // no-tokenize fingerprint as hybridQuery — with identical output
+    c.buildKeywordIndex()
+    val kwIndexed = c.keywords(topK = 2)
+    assert(!kwIndexed.queryExecution.analyzed.toString.contains("[^a-z0-9_"),
+      "keywords must read the stored postings, not re-tokenize the corpus")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(canon(kwIndexed.collect()) === canon(kw))
   }
 }

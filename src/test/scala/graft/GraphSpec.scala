@@ -142,19 +142,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("hop join broadcasts the frontier, never the adjacency") {
-    import org.apache.spark.sql.execution.SparkPlan
+  // AQE wraps executed exchanges in leaf QueryStageExec nodes, and a
+  // persisted frame hides its compute plan under a leaf InMemoryTableScan;
+  // descend into both so the assertions see every exchange that ran
+  // intoCache descends into cached-plan internals too — only wanted when
+  // the interesting join is hidden under a persisted frame (the cache
+  // BUILD plan legitimately shuffles once, so exchange assertions about
+  // the join itself must not see it by default)
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan,
+                        intoCache: Boolean = false)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, Exchange, ShuffleExchangeLike}
-    // AQE wraps executed exchanges in leaf QueryStageExec nodes; descend
-    // into them so the assertions see every exchange that actually ran
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case _ => p.children.flatMap(nodes)
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan, intoCache)
+      case q: QueryStageExec => planNodes(q.plan, intoCache)
+      case i: InMemoryTableScanExec if intoCache => planNodes(i.relation.cachedPlan, intoCache)
+      case _ => p.children.flatMap(planNodes(_, intoCache))
     })
+  }
+
+  test("hop join broadcasts the frontier, never the adjacency") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, Exchange, ShuffleExchangeLike}
     def exchanges(df: org.apache.spark.sql.DataFrame): Seq[Exchange] =
-      nodes(df.queryExecution.executedPlan).collect { case e: Exchange => e }
+      planNodes(df.queryExecution.executedPlan).collect { case e: Exchange => e }
 
     val bigEdges = spark.range(20000).selectExpr(
       "concat('e', id) as id", "concat('n', id % 5000) as src",
@@ -183,6 +194,45 @@ class GraphSpec extends SparkSpec {
       assert(ex2.forall(_.output.exists(_.name == "start_id")),
         s"the adjacency side must never exchange, got:\n${ex2.mkString("\n")}")
     } finally adj.unpersist()
+  }
+
+  test("traverse broadcasts small frontiers into the hop joins") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    // traverse's per-hop frontier counts are the actions that execute the
+    // hop joins — capture their executed plans and assert the frontier
+    // side (start_id) arrived via a BroadcastExchange, not a shuffle
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val bigEdges = spark.range(20000).selectExpr(
+        "concat('e', id) as id", "concat('n', id % 5000) as src",
+        "concat('n', (id + 1) % 5000) as dst", "'t' as type")
+      val out = PropertyGraph.traverse(bigEdges, Seq("n0").toDF("id"), maxDepth = 2)
+      assert(out.count() > 0)
+      // the count action prunes unused columns, so the broadcast side's
+      // fingerprint is the frontier-only `path`/`end_id` columns (the
+      // adjacency side only has node_id/neighbor_id)
+      def frontierBroadcasts: Int = captured.asScala.toSeq.count(qe =>
+        planNodes(qe.executedPlan, intoCache = true).exists {
+          case b: BroadcastExchangeLike =>
+            b.output.exists(a => a.name == "path" || a.name == "end_id")
+          case _ => false
+        })
+      // listener delivery is async — poll briefly for the hop-count plans
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (frontierBroadcasts < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(frontierBroadcasts >= 2,
+        s"expected every hop of a 1-seed traverse to broadcast its frontier, " +
+          s"saw $frontierBroadcasts broadcast hop plans (captured ${captured.size})")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("removeNodes cascade deletes hyperedges containing the node; non-cascade fails loudly") {
