@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.sources.Collections
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Persisted sidecars for TRAINED models — IVF coarse centroids, PQ
+  * codebooks, SQ min/max stats, BQ thresholds — following the BM25 index
+  * sidecar pattern (Bm25.saveIndex/loadIndex).
+  *
+  * The reference trains its quantizers once on `fit()` and then searches
+  * many times against the stored parameters (quantization.py:85-106 SQ
+  * stats, 480-508 PQ codebooks); at 100 TB that split is non-negotiable —
+  * a KMeans fit is a multi-pass corpus job, a search should cost
+  * scan + ADC + rerank only. Each model is a tiny parquet relation
+  * (exact doubles, engine-portable) written via the crash-safe
+  * temp-dir + rename swap, plus a `model.json` kind marker written LAST —
+  * its presence marks a complete, readable model (the same completion
+  * stance as Bm25's stats.json).
+  */
+object ModelStore {
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "model.json"))
+
+  private def writeMeta(dir: String, kind: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    // write-then-atomic-rename: a crash mid-write never leaves a torn
+    // marker, and the marker lands only after the parquet swap succeeded
+    val tmp = Paths.get(dir, ".model.json.tmp")
+    Files.writeString(tmp, s"""{"kind": "$kind"}""")
+    Files.move(tmp, Paths.get(dir, "model.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def requireKind(dir: String, kind: String): Unit = {
+    require(exists(dir), s"no persisted model at $dir")
+    val raw = Files.readString(Paths.get(dir, "model.json"))
+    require(raw.contains(s""""kind": "$kind""""),
+      s"model at $dir is not a $kind model: $raw")
+  }
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Centroids as (cell, centroid) rows; cell id = codebook row index. */
+  def saveIvf(spark: SparkSession, m: Ann.IvfModel, dir: String): Unit = {
+    import spark.implicits._
+    Collections.swapWrite(
+      m.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid"),
+      s"$dir/data")
+    writeMeta(dir, "ivf")
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): Ann.IvfModel = {
+    requireKind(dir, "ivf")
+    Ann.IvfModel(spark.read.parquet(s"$dir/data").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray))
+  }
+
+  // -------------------------------------------------------------------- PQ
+
+  /** Codebooks as (m, c, centroid) rows; numSubspaces/subDim are derivable
+    * from the rows, so the relation is fully self-describing. */
+  def savePq(spark: SparkSession, m: Quantization.PqModel, dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, mIdx) <- m.codebooks.toSeq.zipWithIndex
+      (cent, c) <- book.toSeq.zipWithIndex
+    } yield (mIdx, c, cent.toSeq)
+    Collections.swapWrite(rows.toDF("m", "c", "centroid"), s"$dir/data")
+    writeMeta(dir, "pq")
+  }
+
+  def loadPq(spark: SparkSession, dir: String): Quantization.PqModel = {
+    requireKind(dir, "pq")
+    val rows = spark.read.parquet(s"$dir/data")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3) }
+      .map(_.toArray).toArray
+    Quantization.PqModel(books.length, books.head.head.length, books)
+  }
+
+  // -------------------------------------------------------------------- SQ
+
+  def saveSq(spark: SparkSession, m: Quantization.SqModel, dir: String): Unit = {
+    import spark.implicits._
+    Collections.swapWrite(
+      m.mins.indices.map(i => (i, m.mins(i), m.maxs(i))).toDF("dim", "mn", "mx"),
+      s"$dir/data")
+    writeMeta(dir, "sq")
+  }
+
+  def loadSq(spark: SparkSession, dir: String): Quantization.SqModel = {
+    requireKind(dir, "sq")
+    val rows = spark.read.parquet(s"$dir/data").orderBy("dim").collect()
+    Quantization.SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  // -------------------------------------------------------------------- BQ
+
+  def saveBq(spark: SparkSession, thresholds: Array[Double], dir: String): Unit = {
+    import spark.implicits._
+    Collections.swapWrite(
+      thresholds.toSeq.zipWithIndex.map { case (t, i) => (i, t) }.toDF("dim", "thr"),
+      s"$dir/data")
+    writeMeta(dir, "bq")
+  }
+
+  def loadBq(spark: SparkSession, dir: String): Array[Double] = {
+    requireKind(dir, "bq")
+    spark.read.parquet(s"$dir/data").orderBy("dim").collect().map(_.getDouble(1))
+  }
+}

@@ -35,9 +35,13 @@ object QueriesMisc {
           explode(TextAnalysis.chunks(col("text"), windowSize = 32, stride = 24)).as("c"))
         .select(col("doc_id"),
           Embeddings.mockEmbedding(col("c.chunk"), 16).as("emb"))
+      // 4 decimals, not 6: pooled means merge partition buffers in
+      // nondeterministic order vs DuckDB's sequential sum — headroom above
+      // summation-order noise keeps the hash gate deterministic
       Pooling.meanPool(chunkEmb, "doc_id", "emb")
         .select(col("doc_id"), posexplode(col("centroid")).as(Seq("pos", "v")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), round(col("v"), 6).as("v"))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          (round(col("v"), 4) + lit(0.0)).as("v"))  // +0.0 folds -0.0
     }),
 
     // SQL interface parity: the flagship kNN expressed as pure spark.sql
@@ -142,7 +146,7 @@ object QueriesMisc {
         |ex AS (
         |  SELECT doc_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
         |  FROM normed)
-        |SELECT doc_id, pos, round(avg(v), 6) AS v
+        |SELECT doc_id, pos, round(avg(v), 4) + 0.0 AS v
         |FROM ex GROUP BY doc_id, pos""".stripMargin,
 
     "q51_cdc_diff" ->
