@@ -204,59 +204,86 @@ object Dedup {
     * a~b~c is one duplicate class even when (a,c) itself never collided,
     * so pairwise output alone under-deletes.
     *
-    * Min-label propagation: every node starts labeled with the smallest id
-    * among itself and its direct neighbors, then each round takes the min
-    * of its own and its neighbors' labels until a fixpoint — the classic
-    * iterative-join connected components (the same frontier-join stance as
-    * the graph operators; converges in O(component diameter) rounds, and
-    * duplicate clusters are near-cliques, so 2-3 rounds in practice).
-    * Everything is keyed by node id: the edge relation is hash-partitioned
-    * once and each round shuffles only the (|candidate nodes|-sized) label
-    * relation — candidate nodes are the docs in >= 1 pair, a sliver of the
-    * corpus.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's larger neighbors (large-star) and then its smaller
+    * neighbors (small-star) to the minimum of the local neighborhood.
+    * The edge relation contracts toward a star per component centered at
+    * the component's MIN node in O(log n) rounds — where min-label
+    * propagation needs O(component diameter) rounds, so a chain-shaped
+    * component at corpus scale would mean hundreds of blocking jobs.
+    * Both steps are plain groupBy-min + self-join on the candidate-pair
+    * relation (docs in >= 1 pair, a sliver of the corpus); each round's
+    * result is localCheckpoint-ed so plans stay constant-size, and the
+    * round-over-round fixpoint test is an exact limit(1)-bounded
+    * symmetric-difference probe, one job per round.
     *
     * Returns (doc_id, cluster_id) for every doc in >= 1 pair; cluster_id =
     * min doc id of the component (the deterministic keeper, matching
     * [[exact]]'s keeper_id convention). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                        maxIters: Int = 50): DataFrame = {
+                        maxIters: Int = 50): DataFrame =
+    duplicateClustersWithRounds(pairs, idA, idB, maxIters)._1
+
+  /** [[duplicateClusters]] plus the number of large-star/small-star rounds
+    * it took to converge (exposed for the O(log n) convergence tests). */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 50): (DataFrame, Int) = {
     val p = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val eb = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+
+    // One large-star + small-star round over edges oriented (u > v).
+    // large-star: every neighbor v > u re-points to min(N(u) ∪ {u});
+    // small-star: every neighbor v <= u re-points to min(N(u) ∪ {u}).
+    // Orientation is preserved by construction (the new target is the
+    // local min), so no re-canonicalization pass is needed.
+    def round(edges: DataFrame): DataFrame = {
+      val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = nbrs.groupBy("u").agg(min("v").as("_m"))
+        .select(col("u"), least(col("u"), col("_m")).as("_m"))
+      val large = nbrs.join(largeMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+      // small-star input edges all have u > v, so min(N(u) ∪ {u}) = min(v)
+      val smallMin = large.groupBy("u").agg(min("v").as("_m"))
+      large.join(smallMin, "u")
+        .select(col("v").as("u"), col("_m").as("v"))
+        .where(col("u") =!= col("v"))
+        .unionByName(smallMin.select(col("u"), col("_m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
-      .repartition(p, col("a"))
-      .persist()
-    try {
-      // Each round references `labels` TWICE (neighbor lookup + own-label
-      // join), so a persist()-only loop doubles the logical plan per round
-      // — analysis goes exponential around round 20 even though runtime
-      // data is cached. localCheckpoint truncates the plan to the
-      // materialized RDD each round, keeping every round's plan
-      // constant-size (checkpoint blocks are freed with the session /
-      // bench cache reset; rounds are O(component diameter), 2-3 for
-      // near-clique duplicate classes).
-      var labels = eb.groupBy(col("a").as("node"))
-        .agg(min(col("b")).as("_nbr"))
-        .select(col("node"), least(col("node"), col("_nbr")).as("cluster_id"))
-        .localCheckpoint(eager = true)
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < maxIters) {
-        val nbrMin = eb
-          .join(labels.select(col("node").as("b"), col("cluster_id").as("_nl")), Seq("b"))
-          .groupBy(col("a").as("node")).agg(min(col("_nl")).as("_nbr"))
-        val next = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id"))).as("cluster_id"),
-            (col("_nbr") < col("cluster_id")).as("_chg"))
-          .localCheckpoint(eager = true)
-        changed = next.where(col("_chg")).count()
-        labels = next.select(col("node"), col("cluster_id"))
-        it += 1
-      }
-      labels.select(col("node").as("doc_id"), col("cluster_id"))
-        .localCheckpoint(eager = true)
-    } finally eb.unpersist()
+      .repartition(p, col("u"))
+      .localCheckpoint(eager = true)
+    var changed = edges.limit(1).count() // skip the loop entirely when no edges
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = round(edges).localCheckpoint(eager = true)
+      // exact fixpoint probe: one limit(1)-bounded job over the symmetric
+      // difference of two candidate-pair-sized relations
+      changed = next.join(edges, Seq("u", "v"), "left_anti").limit(1)
+        .unionByName(edges.join(next, Seq("u", "v"), "left_anti").limit(1))
+        .limit(1).count()
+      edges = next
+      it += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds — " +
+        "output would carry partially-contracted cluster labels")
+    // at the star fixpoint every non-root node has exactly one edge to its
+    // component's min; roots (and self-paired singletons) label themselves
+    val nodes = pairs.select(col(idA).as("doc_id"))
+      .unionByName(pairs.select(col(idB).as("doc_id"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("_c")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_c"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(eager = true)
+    (labels, it)
   }
 
   /** Survivor selection: the deduplicated corpus given [[duplicateClusters]]

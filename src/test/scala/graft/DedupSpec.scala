@@ -46,13 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("duplicateClusters converges on a long path (worst-case diameter)") {
-    val n = 40L
+  test("duplicateClusters converges on a long path in O(log n) rounds") {
+    // a 1000-node path is the worst case for min-label propagation
+    // (O(diameter) = ~1000 rounds); large-star/small-star contracts it in
+    // O(log n) — assert the iteration counter, not just the labels
+    val n = 1000L
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === n)
     assert(got.values.forall(_ === 0L))
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
   }
 
   test("dropDuplicatesByCluster keeps one survivor per class plus all unclustered docs") {
