@@ -9,14 +9,16 @@ import org.apache.spark.sql.DataFrame
   * decode / feature-extract / resize / frame-sample stages are
   * partition-local map passes.
   *
-  * Decode is REAL for uncompressed container formats — binary PPM images
-  * and 16-bit PCM WAV audio are parsed by pure-JVM decoders below (no
-  * native libraries needed). Compressed codecs (JPEG, H.264, MP3, ...)
-  * require native libraries that are NOT in this environment — that
-  * kernel is STUBBED with a deterministic fake (clearly marked below).
-  * Everything Spark-side is real and tested: the schema, the binary
-  * plumbing, the batch shape, size-aware partitioning. Swapping the stub
-  * for a native decoder changes one function.
+  * Decode is REAL for every format the JVM can read without native
+  * libraries: binary PPM images and 16-bit PCM WAV audio via the pure-JVM
+  * parsers below, and compressed JPEG/PNG/BMP/GIF via `javax.imageio`
+  * (those readers ship inside every standard JDK). Only video and
+  * compressed-audio codecs (H.264, MP3, ...) genuinely require native
+  * libraries absent from this environment — that kernel is STUBBED with a
+  * deterministic fake (clearly marked below). Everything Spark-side is
+  * real and tested: the schema, the binary plumbing, the batch shape,
+  * size-aware partitioning. Swapping the stub for a native decoder
+  * changes one function.
   */
 object Multimodal {
 
@@ -60,6 +62,38 @@ object Multimodal {
     def isWav(b: Array[Byte]): Boolean =
       b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Magic sniff for the compressed image formats the JDK's bundled
+      * `javax.imageio` readers decode (JPEG/PNG/BMP/GIF) — checked BEFORE
+      * handing bytes to ImageIO so non-image blobs never pay reader
+      * discovery. */
+    def isImageIoFormat(b: Array[Byte]): Boolean =
+      b.length > 8 && (
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // PNG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+        (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
+    /** JPEG/PNG/BMP/GIF via the JDK's own ImageIO readers — real decode,
+      * zero native dependencies. Returns None when no reader accepts the
+      * bytes (corrupt payload). The in-memory cache flag avoids ImageIO's
+      * default temp-file spill on every executor-side decode. */
+    def decodeImageIO(b: Array[Byte]): Option[Image] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = ((px(i) >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (px(i) & 0xff).toByte
+          i += 1
+        }
+        Image(w, h, rgb)
+      }
+    }
 
     /** Binary PPM (P6): "P6" <w> <h> <maxval> then w*h RGB byte triples;
       * '#' comments allowed in the header. */
@@ -163,9 +197,10 @@ object Multimodal {
       0.0f, 1.0f) // modality tag: audio
   }
 
-  /** STUB kernel for codec formats that need native libraries (JPEG,
-    * H.264, ...): a deterministic byte-fold keeps the pipeline shape
-    * (binary in, fixed-width float vector out) real and testable. */
+  /** STUB kernel for codec formats that need native libraries (video and
+    * compressed audio: H.264, MP3, ...): a deterministic byte-fold keeps
+    * the pipeline shape (binary in, fixed-width float vector out) real
+    * and testable. */
   private[graft] def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     // ??? <- native codec goes here; deterministic byte-fold fake below
     val out = new Array[Float](8)
@@ -178,13 +213,16 @@ object Multimodal {
     out.map(_ / n)
   }
 
-  /** Decode dispatch: REAL decoders for uncompressed formats (PPM image,
-    * PCM WAV audio — magic-number sniffed, parse-failure falls through to
-    * the stub), stub for codec formats. */
+  /** Decode dispatch: REAL decoders for PPM/WAV (pure-JVM parsers) and
+    * JPEG/PNG/BMP/GIF (JDK ImageIO) — magic-number sniffed, parse-failure
+    * falls through to the stub — stub only for native-codec formats. */
   private[graft] def decodeFeatures(bytes: Array[Byte]): Array[Float] =
     try {
       if (Codecs.isPpm(bytes)) imageFeatures(Codecs.decodePpm(bytes))
       else if (Codecs.isWav(bytes)) audioFeatures(Codecs.decodeWav(bytes))
+      else if (Codecs.isImageIoFormat(bytes))
+        Codecs.decodeImageIO(bytes).map(imageFeatures)
+          .getOrElse(fakeDecodeFeatures(bytes))
       else fakeDecodeFeatures(bytes)
     } catch { case _: IllegalArgumentException => fakeDecodeFeatures(bytes) }
 

@@ -76,6 +76,62 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(5) - 1.0f) < 1e-7)         // peak
   }
 
+  // deterministic 8x4 test image: full-channel gradient patterns
+  private def testImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 32) << 16) | ((y * 64) << 8) | (x * y * 8))
+    img
+  }
+
+  private def encode(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(testImage(), fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("compressed-image decode via JDK ImageIO: PNG round-trips pixels exactly") {
+    val png = encode("png")
+    assert(Multimodal.Codecs.isImageIoFormat(png))
+    val im = Multimodal.Codecs.decodeImageIO(png).get
+    assert(im.width === 8 && im.height === 4)
+    // PNG is lossless: decoded RGB matches the source image byte-for-byte
+    val src = testImage()
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val i = (y * 8 + x) * 3
+      val p = src.getRGB(x, y)
+      assert((im.rgb(i) & 0xff) === ((p >> 16) & 0xff))
+      assert((im.rgb(i + 1) & 0xff) === ((p >> 8) & 0xff))
+      assert((im.rgb(i + 2) & 0xff) === (p & 0xff))
+    }
+    // features flow through the real image kernel (modality tag = image),
+    // NOT the byte-fold stub
+    val f = Multimodal.decodeFeatures(png)
+    assert(f(6) === 1.0f && f(7) === 0.0f)
+    assert(math.abs(f(0) - 8 / 4096.0f) < 1e-7)
+    assert(f.toSeq !== Multimodal.fakeDecodeFeatures(png).toSeq)
+    // and through the Spark column path
+    val mm = Seq((1L, "image", png)).toDF("id", "modality", "content")
+    val got = Multimodal.extractFeatures(mm).select("features")
+      .head().getSeq[Float](0)
+    assert(got === f.toSeq)
+  }
+
+  test("compressed-image decode via JDK ImageIO: JPEG decodes near the source pixels") {
+    val jpg = encode("jpg")
+    assert(Multimodal.Codecs.isImageIoFormat(jpg))
+    val im = Multimodal.Codecs.decodeImageIO(jpg).get
+    assert(im.width === 8 && im.height === 4)
+    // JPEG is lossy: channel means land near the lossless PNG's
+    val fJpg = Multimodal.decodeFeatures(jpg)
+    val fPng = Multimodal.decodeFeatures(encode("png"))
+    assert(fJpg(6) === 1.0f)
+    for (i <- 2 to 4)
+      assert(math.abs(fJpg(i) - fPng(i)) < 0.05,
+        s"channel-mean feature $i drifted: jpeg=${fJpg(i)} png=${fPng(i)}")
+  }
+
   test("non-media bytes and torn headers fall back to the stub kernel") {
     val text = "P6 but not really a ppm".getBytes
     assert(Multimodal.decodeFeatures(text).toSeq ===
@@ -83,6 +139,11 @@ class MultimodalSpec extends SparkSpec {
     val torn = "RIFFxxxxWAVE".getBytes // no chunks
     assert(Multimodal.decodeFeatures(torn).toSeq ===
       Multimodal.fakeDecodeFeatures(torn).toSeq)
+    // PNG magic + garbage: ImageIO yields no image, stub takes over
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++
+      "garbage body that is not a png".getBytes
+    assert(Multimodal.decodeFeatures(corrupt).toSeq ===
+      Multimodal.fakeDecodeFeatures(corrupt).toSeq)
   }
 
   test("feature extraction stays columnar (no RDD scan in the plan)") {
