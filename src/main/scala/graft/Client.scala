@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Embeddings, vector}
+import graft.functions.Embedder
 import graft.operators.{Bm25, Crud, Dedup, Filter, Knn}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
@@ -14,23 +14,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Collection layout on disk = Collections (parquet + config.json).
   * Document schema: (id: string, document: string, embedding: array<float>,
   * plus arbitrary typed metadata columns).
+  *
+  * @param embedders provider registry by config name (reference
+  *                  embeddings.py:157-371 exposes OpenAI/Cohere/Mock behind
+  *                  one interface); collections record their provider name
+  *                  and resolve it here on open, so add and query always
+  *                  embed with the same provider
   */
 final class GraftClient(val spark: SparkSession, root: String,
-                        embedDim: Int = 64) {
+                        embedDim: Int = 64,
+                        embedders: Map[String, Int => Embedder] = Embedder.builtin) {
 
   def createCollection(name: String, metric: String = "cosine",
-                       dimensions: Int = 0): GraftCollection = {
+                       dimensions: Int = 0,
+                       embedder: String = "mock"): GraftCollection = {
     val dim = if (dimensions > 0) dimensions else embedDim
+    require(embedders.contains(embedder),
+      s"unknown embedder '$embedder'; registered: ${embedders.keys.mkString(", ")}")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       GraftCollection.baseSchema)
-    Collections.save(empty, s"$root/$name", Collections.Config(name, dim, metric))
+    Collections.save(empty, s"$root/$name",
+      Collections.Config(name, dim, metric, embedder))
     getCollection(name)
   }
 
   def getCollection(name: String): GraftCollection = {
     val cfg = Collections.loadConfig(s"$root/$name")
-    new GraftCollection(spark, s"$root/$name", cfg)
+    val mk = embedders.getOrElse(cfg.embedder, throw new IllegalArgumentException(
+      s"collection '$name' uses embedder '${cfg.embedder}' which is not registered"))
+    new GraftCollection(spark, s"$root/$name", cfg, mk(cfg.dimensions))
   }
 
   def getOrCreateCollection(name: String, metric: String = "cosine"): GraftCollection =
@@ -52,9 +65,12 @@ object GraftCollection {
 
 /** One named collection. Mutations rewrite the parquet data dir (the batch
   * engine's transaction unit); reads are plain scans so Catalyst prunes
-  * and pushes down into them. */
+  * and pushes down into them. All text embedding — add-time corpus
+  * embedding and query-time text embedding — flows through the
+  * collection's configured [[Embedder]]. */
 final class GraftCollection(spark: SparkSession, dir: String,
-                            val config: Collections.Config) {
+                            val config: Collections.Config,
+                            val embedder: Embedder) {
 
   def df: DataFrame = spark.read.parquet(s"$dir/data")
 
@@ -102,8 +118,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
             includeMetadata: Boolean = false): DataFrame = {
     val q =
       if (queries.columns.contains("query_vec")) queries
-      else queries.withColumn("query_vec",
-        Embeddings.mockEmbedding(col("query_text"), config.dimensions))
+      else embedder.embed(queries, "query_text", "query_vec")
     val hits = Knn.knnJoinStr(q.select(col("query_id"), col("query_vec")),
       df, k, config.metric, corpusId = "id", corpusVec = "embedding",
       filter = where)
@@ -146,9 +161,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
       case _ => alpha
     }
     val base = where.map(f => df.where(f.compile)).getOrElse(df)
-    val qvec = spark.range(1).select(
-      Embeddings.mockEmbedding(lit(queryText), config.dimensions).as("query_vec"),
-      lit(0L).as("query_id"))
+    val qvec = embedder.embed(
+        spark.range(1).select(lit(queryText).as("_qtext"), lit(0L).as("query_id")),
+        "_qtext", "query_vec")
+      .select(col("query_vec"), col("query_id"))
     val vecCand = Knn.knnJoinStr(qvec, base, fetchK, config.metric,
         corpusId = "id", corpusVec = "embedding")
       .select(col("neighbor_id").as("doc_id"), col("dist"))
@@ -247,13 +263,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val withDoc =
       if (rows.columns.contains("document")) rows
       else rows.withColumn("document", lit(null).cast("string"))
-    if (withDoc.columns.contains("embedding"))
-      withDoc.withColumn("embedding",
-        coalesce(col("embedding").cast("array<float>"),
-          Embeddings.mockEmbedding(col("document"), config.dimensions).cast("array<float>")))
-    else
-      withDoc.withColumn("embedding",
-        Embeddings.mockEmbedding(col("document"), config.dimensions).cast("array<float>"))
+    val embedded = embedder.embed(withDoc, "document", "_emb")
+    (if (withDoc.columns.contains("embedding"))
+       // rows that arrive with a vector keep it; only the rest embed
+       embedded.withColumn("embedding",
+         coalesce(col("embedding").cast("array<float>"),
+           col("_emb").cast("array<float>")))
+     else
+       embedded.withColumn("embedding", col("_emb").cast("array<float>")))
+      .drop("_emb")
+      // normalize column order (a batched embedder's join may reorder)
+      .select(withDoc.columns.filterNot(_ == "embedding").map(col).toSeq
+        :+ col("embedding"): _*)
   }
 
   /** Align both sides to the union of their schemas (new metadata columns

@@ -17,8 +17,12 @@ import java.nio.file.{Files, Paths}
   */
 object Collections {
 
-  /** Per-collection config mirroring CollectionConfig (vectordb.py:220-229). */
-  final case class Config(name: String, dimensions: Int, metric: String)
+  /** Per-collection config mirroring CollectionConfig (vectordb.py:220-229)
+    * plus the embedding PROVIDER name, recorded like the reference records
+    * its model in collection config (vectordb.py:322-332) — a reopened
+    * collection embeds queries with the provider that embedded its corpus. */
+  final case class Config(name: String, dimensions: Int, metric: String,
+                          embedder: String = "mock")
 
   private def configPath(dir: String) = Paths.get(dir, "config.json")
 
@@ -26,7 +30,7 @@ object Collections {
            mode: String = "overwrite"): Unit = {
     df.write.mode(mode).parquet(s"$dir/data")
     val json =
-      s"""{"name": "${config.name}", "dimensions": ${config.dimensions}, "metric": "${config.metric}"}"""
+      s"""{"name": "${config.name}", "dimensions": ${config.dimensions}, "metric": "${config.metric}", "embedder": "${config.embedder}"}"""
     Files.createDirectories(Paths.get(dir))
     Files.writeString(configPath(dir), json)
   }
@@ -36,11 +40,14 @@ object Collections {
 
   def loadConfig(dir: String): Config = {
     val raw = Files.readString(configPath(dir))
-    def field(k: String): String =
+    def opt(k: String): Option[String] =
       s""""$k"\\s*:\\s*("([^"]*)"|[0-9]+)""".r.findFirstMatchIn(raw)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
-        .getOrElse(throw new IllegalArgumentException(s"missing $k in config"))
-    Config(field("name"), field("dimensions").toInt, field("metric"))
+    def field(k: String): String = opt(k)
+      .getOrElse(throw new IllegalArgumentException(s"missing $k in config"))
+    Config(field("name"), field("dimensions").toInt, field("metric"),
+      // absent in configs written before providers were pluggable
+      opt("embedder").getOrElse("mock"))
   }
 
   /** Overwrite `dir` with `result` via a temp-dir + rename swap — safe

@@ -1,7 +1,23 @@
 package graft
 
+import graft.functions.{BatchedEmbedder, Embedder}
 import graft.operators.Filter
 import org.apache.spark.sql.functions._
+
+/** Non-default provider for the pluggable-embedder test: a batched
+  * embedder (the remote-API contract) with vectors deliberately different
+  * from MockEmbedder's. Top-level class so Spark task closures don't drag
+  * the suite along. */
+class TestBatchEmbedder(val dimensions: Int) extends BatchedEmbedder {
+  def name: String = "testbatch"
+  override def batchSize: Int = 2
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    val raw = Array.tabulate(dimensions)(i =>
+      1.0f + math.abs((t.reverse + ":" + i).hashCode % 1000) / 1000.0f)
+    val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+    raw.map(_ / n)
+  }
+}
 
 /** Mirrors the reference's client behavior suite (tests/test_client.py):
   * create/get/delete collections, add/query with where-filters,
@@ -157,6 +173,35 @@ class ClientSpec extends SparkSpec {
     assert(!filtered.queryExecution.analyzed.toString.contains("[^a-z0-9_"))
     assert(filtered.collect().map(_.getAs[String]("id")).toSet
       .subsetOf(Set("doc3", "doc4", "doc5")))
+  }
+
+  test("pluggable embedder: add and query flow through the configured provider") {
+    val registry = Embedder.builtin +
+      ("testbatch" -> ((d: Int) => new TestBatchEmbedder(d): Embedder))
+    val root2 = java.nio.file.Files.createTempDirectory("graft-embedder").toString
+    val cl = new GraftClient(spark, root2, embedDim = 16, embedders = registry)
+    val c = cl.createCollection("custom", embedder = "testbatch")
+    c.add(Seq(("d1", "alpha beta"), ("d2", "gamma delta")).toDF("id", "document"))
+    // stored vectors are the provider's output, not the mock's
+    val stored = c.get(ids = Seq("d1")).select("embedding").head().getSeq[Float](0)
+    assert(stored === new TestBatchEmbedder(16).embedBatch(Seq("alpha beta")).head.toSeq)
+    val mock = graft.functions.MockEmbedder(16)
+      .embed(Seq("alpha beta").toDF("t"), "t", "e").select("e").head().getSeq[Float](0)
+    assert(stored !== mock)
+    // query text embeds through the SAME provider: the exact document wins
+    val hit = cl.getCollection("custom")
+      .query(Seq((0L, "gamma delta")).toDF("query_id", "query_text"), k = 1)
+    assert(hit.head().getAs[String]("id") === "d2")
+    // provider name persists in config.json and resolves on reopen
+    assert(new GraftClient(spark, root2, 16, registry)
+      .getCollection("custom").config.embedder === "testbatch")
+    // a client without the provider registered fails loudly
+    intercept[IllegalArgumentException] {
+      new GraftClient(spark, root2, 16).getCollection("custom")
+    }
+    intercept[IllegalArgumentException] {
+      cl.createCollection("nope", embedder = "no_such_provider")
+    }
   }
 
   test("update, upsert, delete-by-filter, peek, reload") {
