@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Embedder
-import graft.operators.{Bm25, Crud, Dedup, Filter, Knn}
+import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -308,6 +308,46 @@ final class GraftCollection(spark: SparkSession, dir: String,
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
+  }
+
+  // -------------------------------------------- persisted IVF vector index
+
+  private def ivfDir = s"$dir/index_ivf"
+
+  /** True once [[buildVectorIndex]] has run. */
+  def hasVectorIndex: Boolean = ModelStore.exists(ivfDir)
+
+  /** Train and persist the IVF coarse quantizer for this collection — the
+    * reference's fit-once/search-many split (quantization.py:85-106) with
+    * the model stored as a ModelStore sidecar next to the data like the
+    * BM25 index. The model is a statistical sketch of the vector
+    * distribution: mutations do not invalidate it (new vectors are
+    * assigned to cells at query time), so there is no per-write
+    * maintenance; rebuild after the distribution shifts materially. */
+  def buildVectorIndex(numCells: Int = 64, sampleFraction: Double = 1.0,
+                       seed: Long = 42L): Unit =
+    ModelStore.saveIvf(spark,
+      Ann.trainIvf(df.where(col("embedding").isNotNull), "embedding",
+        numCells, seed, sampleFraction = sampleFraction),
+      ivfDir)
+
+  /** Approximate batch query through the persisted IVF index: each query
+    * scores only its nProbe nearest cells' rows instead of the whole
+    * collection (the scale path when [[query]]'s exact scan is too much).
+    * Same input/output shape as [[query]]. */
+  def annQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    require(hasVectorIndex,
+      s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+    val model = ModelStore.loadIvf(spark, ivfDir)
+    val q =
+      if (queries.columns.contains("query_vec")) queries
+      else embedder.embed(queries, "query_text", "query_vec")
+    Ann.ivfSearchStr(q.select(col("query_id"), col("query_vec")),
+        df.where(col("embedding").isNotNull), model, k, nProbe, config.metric,
+        corpusId = "id", vecCol = "embedding")
+      .join(df.select(col("id").as("neighbor_id"), col("document")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("id"),
+        col("document"), col("dist").as("distance"))
   }
 
   // ------------------------------------------------- persisted BM25 index

@@ -149,6 +149,30 @@ object Ann {
       queryId, queryVec, corpusId, vecCol)
   }
 
+  /** IVF approximate kNN with STRING corpus ids — the collection facade's
+    * id type (no hash surrogate: two distinct ids can never merge). Same
+    * plan shape as [[ivfSearch]]: cell equi-join prunes the scan, bounded
+    * per-query top-k aggregation downstream. */
+  def ivfSearchStr(queries: DataFrame, corpus: DataFrame, model: IvfModel,
+                   k: Int, nProbe: Int = 4, metric: String = "cosine",
+                   queryId: String = "query_id", queryVec: String = "query_vec",
+                   corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val topk = udaf(new Knn.TopKAggregatorS(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.NeighborS]())
+    val cells = corpus.select(col(corpusId).cast("string").as("_cid"),
+      col(vecCol).as("_cvec"), cellId(model)(col(vecCol)).as("_cell"))
+    val q = queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"),
+      explode(probeCells(model, nProbe)(col(queryVec))).as("_cell"))
+    cells.join(broadcast(q), "_cell")
+      .select(col("_qid"), col("_cid"),
+        vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId), (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
+  }
+
   private def searchCells(queries: DataFrame, cells: DataFrame, model: IvfModel,
                           k: Int, nProbe: Int, metric: String,
                           queryId: String, queryVec: String): DataFrame = {

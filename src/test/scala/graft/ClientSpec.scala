@@ -204,6 +204,35 @@ class ClientSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF vector index: annQuery prunes to probed cells, exact on self-match") {
+    val c = client.getOrCreateCollection("ann")
+    c.add((0 until 40).map(i => (s"v$i", s"unique document number $i body"))
+      .toDF("id", "document"))
+    intercept[IllegalArgumentException] { c.annQuery(docs, k = 1) } // no index yet
+    c.buildVectorIndex(numCells = 4)
+    assert(c.hasVectorIndex)
+    // a query identical to a stored document always lands in its own cell:
+    // rank 1 is the document itself at distance ~0
+    val hits = c.annQuery(
+      Seq((7L, "unique document number 7 body")).toDF("query_id", "query_text"),
+      k = 3, nProbe = 1)
+    val top = hits.where(col("rank") === 1).head()
+    assert(top.getAs[String]("id") === "v7")
+    assert(math.abs(top.getAs[Double]("distance")) < 1e-6)
+    // probing every cell makes the result the exact kNN
+    val annAll = c.annQuery(
+        Seq((7L, "unique document number 7 body")).toDF("query_id", "query_text"),
+        k = 5, nProbe = 4)
+      .select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    val exact = c.query(
+        Seq((7L, "unique document number 7 body")).toDF("query_id", "query_text"),
+        k = 5)
+      .select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(annAll.sortBy(_._1) === exact.sortBy(_._1))
+    // a reopened collection sees the persisted index
+    assert(new GraftClient(spark, root, 16).getCollection("ann").hasVectorIndex)
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
