@@ -132,6 +132,83 @@ object TextAnalysis {
       }), 1)
   }
 
+  // ------------------------------------------------- repetition signals
+
+  /** Trimmed non-empty lines of a document (split on `\n`). */
+  private def lines(textCol: Column): Column =
+    filter(transform(split(textCol, "\n"), l => trim(l)), l => l =!= lit(""))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", table A1
+    * repetition filters — public paper, no reference-repo counterpart):
+    *
+    *  - `dup_line_frac`: fraction of lines that are duplicates of an
+    *    earlier line (1 - distinct/total).
+    *  - `dup_trigram_frac`: same over token 3-gram shingles.
+    *  - `top_bigram` / `top_bigram_frac`: the most frequent token 2-gram
+    *    (count desc, bigram asc tie-break) and the fraction of document
+    *    characters its occurrences cover (count * len / n_chars).
+    *
+    * Line/trigram fractions are pure per-row column algebra (zero
+    * shuffles); the bigram mode is one explode + doc-keyed partial-agg
+    * shuffle — no pairwise work, safe at any corpus scale.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = lines(col(textCol))
+    val tri = shingles(col(textCol), 3)
+    val base = docs.select(
+      col(idCol),
+      length(col(textCol)).cast("double").as("_nc"),
+      when(size(ls) > 0,
+        lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+        .otherwise(0.0).as("dup_line_frac"),
+      when(size(tri) > 0,
+        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+        .otherwise(0.0).as("dup_trigram_frac"),
+      shingles(col(textCol), 2).as("_bi"))
+    val counts = base
+      .select(col(idCol), col("_nc"), explode(col("_bi")).as("bigram"))
+      .groupBy(col(idCol), col("_nc"), col("bigram"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("_cnt"), col("bigram"))
+    val top = counts.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(idCol), col("bigram").as("top_bigram"),
+        (col("_cnt") * length(col("bigram")).cast("double") / col("_nc"))
+          .as("top_bigram_frac"))
+    base.select(col(idCol), col("dup_line_frac"), col("dup_trigram_frac"))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns written to parse identically under Java regex (Spark)
+    * and RE2 (DuckDB oracle): explicit classes, greedy quantifiers, no
+    * `\b` / lookaround (RE2 lacks lookaround; `\b` semantics drift). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+
+  /** Replace emails, IPv4s, and phone numbers with typed placeholders.
+    * Order matters: emails first (their local/domain parts contain dots
+    * and digits that the narrower patterns could clip), then IPs, then
+    * phones. Pure codegen'd regexp_replace chain — per-row, shuffle-free. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** 32-bit integer hash of a string via md5 prefix — chosen (over
     * xxhash/murmur) because every SQL engine in the oracle loop computes
     * the identical value: parse the first 8 hex chars as a long. */

@@ -302,4 +302,40 @@ object Bm25 {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09 —
+    * public literature; the reference only ships weighted score fusion):
+    * `score(d) = Σ_lists 1/(k0 + rank_d)`. Rank-based, so immune to the
+    * score-scale mismatch between BM25 and vector distance that
+    * [[hybridFuse]] has to max-normalize away.
+    *
+    * Ranks use deterministic tie-breaks — (dist asc, doc_id) on the
+    * vector side, (round(score,6) desc, doc_id) on the keyword side, the
+    * same orderings the candidate fetches use. The single-partition rank
+    * windows are fine at any corpus scale because both inputs are already
+    * top-fetch_k candidate lists (O(k) rows), not corpora.
+    *
+    * @param vectorResults (doc_id, dist) — top fetch_k by vector distance
+    * @param keywordResults (doc_id, score) — top fetch_k by BM25
+    */
+  def rrfFuse(vectorResults: DataFrame, keywordResults: DataFrame,
+              k: Int, k0: Int = 60): DataFrame = {
+    val vWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dist"), col("doc_id"))
+    val kWin = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("_r"), col("doc_id"))
+    val v = vectorResults
+      .withColumn("vec_rank", row_number().over(vWin))
+      .select(col("doc_id"), col("vec_rank"))
+    val kw = keywordResults
+      .withColumn("_r", round(col("score"), 6))
+      .withColumn("kw_rank", row_number().over(kWin))
+      .select(col("doc_id"), col("kw_rank"))
+    v.join(kw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("vec_rank"), col("kw_rank"),
+        (coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("kw_rank")), lit(0.0))).as("rrf_score"))
+      .orderBy(desc("rrf_score"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -299,6 +299,61 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Corpus-level duplicated-paragraph detection — the CCNet/RefinedWeb
+    * paragraph-dedup primitive (public papers; no reference-repo
+    * counterpart): explode trimmed non-empty lines, hash-group them
+    * corpus-wide, keep paragraphs seen in >= `minDocs` distinct documents.
+    * One explode + one fingerprint-keyed partial-agg shuffle; boilerplate
+    * paragraphs are found without any pairwise document comparison, so the
+    * plan survives any corpus size (the group key is the paragraph hash,
+    * and AQE handles the one genuinely hot key class — empty-ish
+    * boilerplate — via skew-aware post-shuffle coalescing). */
+  def duplicatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("_doc"),
+        explode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= lit(""))).as("para"))
+      .groupBy(md5(col("para").cast("binary")).as("para_md5"))
+      .agg(min(col("para")).as("para"),
+        count(lit(1)).as("n_total"),
+        countDistinct(col("_doc")).as("n_docs"),
+        min(col("_doc")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** N-gram-overlap contamination score, the PaLM/GPT-4-report style
+    * membership check (public papers): for each eval document, the
+    * fraction of its DISTINCT n-gram shingles that appear anywhere in the
+    * training corpus. Differs from [[decontaminate]] (per-PAIR Jaccard):
+    * this is per-eval-doc containment against the train corpus as a set.
+    *
+    * The train shingle set is deduplicated corpus-wide and hit via one
+    * shuffle equi-join on the shingle; the train corpus is scanned once
+    * and there is no train-doc-id in the join key, so no pairwise blowup
+    * — output cardinality is exactly |eval docs|. */
+  def contaminationOverlap(train: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3): DataFrame = {
+    val trainSh = train
+      .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val evalSh = evalDocs
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    val agg = evalSh.join(trainSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_matched"))
+    evalDocs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            col("n_matched").cast("double") / col("n_shingles"))
+          .otherwise(0.0), 6).as("overlap_frac"))
+  }
+
   // -------------------------------------------------------- Decontamination
 
   /** Benchmark decontamination: training documents whose n-gram Jaccard

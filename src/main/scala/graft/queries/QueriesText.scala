@@ -246,6 +246,78 @@ object QueriesText {
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           md5(col("c.chunk").cast("binary")).as("chunk_md5"),
           size(Bm25.tokenize(col("c.chunk"))).as("n_tokens"))),
+
+    // Gopher-style repetition quality signals. The driver corpus is
+    // single-line, so lines are derived deterministically: every
+    // " table " occurrence becomes a line break (plain string replace —
+    // identical left-to-right non-overlapping semantics in both engines).
+    "q74_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+        t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " table ", "\n").as("text")),
+        "doc_id", "text")),
+
+    // Corpus-level paragraph dedup over the exact-dup corpus (originals +
+    // verbatim copies of doc_id<25) with the same derived line breaks:
+    // shared paragraphs exist by construction.
+    "q75_paragraph_dedup" -> ((s, dir) =>
+      Dedup.duplicatedParagraphs(
+        exactDupCorpus(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), " table ", "\n").as("text")),
+        "doc_id", "text", minDocs = 2)),
+
+    // PII detection + redaction. The corpus has no PII, so docs with
+    // doc_id % 7 == 0 get a deterministic synthetic suffix carrying one
+    // email, one IPv4, and one phone number (pure integer arithmetic —
+    // identical in both engines).
+    "q76_pii" -> ((s, dir) => {
+      val suffix = concat(
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com ip 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" call "),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-555-"),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), suffix))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).cast("long").as("n_emails"),
+          TextAnalysis.ipv4Count(col("text")).cast("long").as("n_ips"),
+          TextAnalysis.phoneCount(col("text")).cast("long").as("n_phones"),
+          md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_md5"))
+    }),
+
+    // Reciprocal-rank fusion over the same candidate lists as q23 —
+    // rank-based hybrid, no score normalization.
+    "q77_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents"); val embs = t(s, dir, "embeddings")
+      val queries = embs.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val vecCand = Knn.knnJoin(queries, embs, k = 50, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("neighbor_id").as("doc_id"), col("dist"))
+      val kwCand = Bm25.score(Bm25.buildIndex(docs, "doc_id", "text"), bm25Query)
+        .withColumn("_r", round(col("score"), 6))
+        .orderBy(desc("_r"), col("doc_id")).limit(50).drop("_r")
+      Bm25.rrfFuse(vecCand, kwCand, k = 10)
+        .select(col("doc_id"), col("vec_rank"), col("kw_rank"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+    }),
+
+    // N-gram-overlap contamination: eval = truncated copies of doc_id<25
+    // (leaked, overlap ~1) + reversed-text copies of doc_id<10 (clean,
+    // overlap 0) scored for shingle containment against the train corpus.
+    "q78_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text"))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.contaminationOverlap(docs, evalSet, "doc_id", "text", shingleN = 3)
+    }),
   )
 
   // --------------------------------------------------------------- oracles
@@ -704,5 +776,158 @@ object QueriesText {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+
+    // Derived multi-line corpus (every " table " becomes a line break);
+    // trigram/bigram shingles mirror the Spark shingles() definition.
+    "q74_repetition" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents),
+         |$tokCte,
+         |ls AS (
+         |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+         |         x -> trim(x)), x -> x <> '') AS l
+         |  FROM corpus),
+         |tri AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+         |         i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+         |         ELSE [] END AS sh
+         |  FROM toks),
+         |bi AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |         i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |         ELSE [] END AS sh
+         |  FROM toks),
+         |base AS (
+         |  SELECT c.doc_id, length(c.text) * 1.0 AS nc,
+         |    CASE WHEN len(l.l) > 0
+         |         THEN 1.0 - len(list_distinct(l.l)) * 1.0 / len(l.l) ELSE 0.0 END AS dup_line_frac,
+         |    CASE WHEN len(t.sh) > 0
+         |         THEN 1.0 - len(list_distinct(t.sh)) * 1.0 / len(t.sh) ELSE 0.0 END AS dup_trigram_frac
+         |  FROM corpus c JOIN ls l USING (doc_id) JOIN tri t USING (doc_id)),
+         |bic AS (SELECT doc_id, unnest(sh) AS bigram FROM bi),
+         |bcount AS (SELECT doc_id, bigram, count(*) AS cnt FROM bic GROUP BY 1, 2),
+         |btop AS (
+         |  SELECT doc_id, bigram, cnt,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+         |  FROM bcount)
+         |SELECT b.doc_id,
+         |       round(b.dup_line_frac, 6) AS dup_line_frac,
+         |       round(b.dup_trigram_frac, 6) AS dup_trigram_frac,
+         |       coalesce(t.bigram, '') AS top_bigram,
+         |       round(coalesce(t.cnt * length(t.bigram) * 1.0 / b.nc, 0.0), 6) AS top_bigram_frac
+         |FROM base b LEFT JOIN (SELECT * FROM btop WHERE rn = 1) t USING (doc_id)""".stripMargin,
+
+    "q75_paragraph_dedup" ->
+      """WITH corpus0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25),
+        |corpus AS (
+        |  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM corpus0),
+        |paras AS (
+        |  SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)),
+        |         x -> trim(x)), x -> x <> '')) AS para
+        |  FROM corpus)
+        |SELECT md5(para) AS para_md5, min(para) AS para, count(*) AS n_total,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM paras GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag (Spark's replaces all
+    // matches by default); counts are computed on the un-redacted text.
+    "q76_pii" -> {
+      val email = graft.functions.TextAnalysis.EmailRe
+      val ip = graft.functions.TextAnalysis.Ipv4Re
+      val phone = graft.functions.TextAnalysis.PhoneRe
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text
+         |      || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.'
+         |      || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+         |      || ' call ' || (doc_id % 900 + 100)::VARCHAR || '-555-'
+         |      || (doc_id % 9000 + 1000)::VARCHAR
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM synth""".stripMargin
+    },
+
+    "q77_rrf" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$tokCte,
+         |$bm25Cte,
+         |kw AS (
+         |  SELECT doc_id, kw_rank FROM (
+         |    SELECT doc_id,
+         |           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS kw_rank
+         |    FROM scores) WHERE kw_rank <= 50),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vdist AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q0.qv) AS DOUBLE) AS y)) AS dist
+         |  FROM embeddings c, q0),
+         |v AS (
+         |  SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS vec_rank
+         |    FROM vdist) WHERE vec_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+         |         CAST(v.vec_rank AS INT) AS vec_rank,
+         |         CAST(k.kw_rank AS INT) AS kw_rank,
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0)
+         |           + coalesce(CAST(1.0 AS DOUBLE) / (60 + k.kw_rank), 0.0) AS rrf
+         |  FROM v FULL OUTER JOIN kw k ON v.doc_id = k.doc_id)
+         |SELECT doc_id, vec_rank, kw_rank, round(rrf, 6) AS rrf_score
+         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q78_contamination" ->
+      """WITH evaldocs AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, greatest(length(text) - 20, 10)) AS text
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id < 10),
+        |tk_t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tk_e AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM evaldocs),
+        |sh_t AS (
+        |  SELECT DISTINCT
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_t),
+        |sh_e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_e),
+        |agg AS (
+        |  SELECT e.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |  FROM sh_e e LEFT JOIN sh_t t USING (shingle)
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_shingles, 0) AS n_shingles,
+        |       coalesce(a.n_matched, 0) AS n_matched,
+        |       round(CASE WHEN a.n_shingles > 0
+        |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
+        |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
   )
 }

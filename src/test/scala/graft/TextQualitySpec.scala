@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Bm25, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Round-5 text-quality battery: Gopher repetition signals, PII
+  * detection/redaction, corpus-level paragraph dedup, n-gram-overlap
+  * contamination, reciprocal-rank fusion. */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: duplicate lines, duplicate trigrams, top bigram") {
+    // "a b a b a b": trigrams = [aba, bab, aba, bab] -> dup 0.5;
+    // bigrams = [a b]x3 + [b a]x2 -> top "a b", frac = 3*3/11
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x\nx\ny"),
+      (3L, "one")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getDouble(1) == 0.0)                     // one line, no dups
+    assert(r(1).getDouble(2) == 0.5)                     // dup_trigram_frac
+    assert(r(1).getString(3) == "a b")
+    assert(math.abs(r(1).getDouble(4) - 9.0 / 11.0) < 1e-6)
+    assert(math.abs(r(2).getDouble(1) - (1.0 - 2.0 / 3.0)) < 1e-6) // x,x,y
+    assert(r(3).getDouble(2) == 0.0)                     // <3 tokens
+    assert(r(3).getString(3) == "")                      // <2 tokens
+    assert(r(3).getDouble(4) == 0.0)
+  }
+
+  test("PII counts and redaction") {
+    val df = Seq(
+      (1L, "mail a.b-c@ex-1.org and x@y.io, ip 10.0.255.7, call 212-555-0187"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("e"),
+        TextAnalysis.ipv4Count(col("text")).as("i"),
+        TextAnalysis.phoneCount(col("text")).as("p"),
+        TextAnalysis.redactPii(col("text")).as("red"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getInt(1) == 2 && r(1).getInt(2) == 1 && r(1).getInt(3) == 1)
+    assert(r(1).getString(4) == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>")
+    assert(r(2).getInt(1) == 0 && r(2).getInt(2) == 0 && r(2).getInt(3) == 0)
+    assert(r(2).getString(4) == "no pii here")
+  }
+
+  test("duplicatedParagraphs finds cross-document boilerplate") {
+    val docs = Seq(
+      (1L, "unique one\nshared footer"),
+      (2L, "unique two\nshared footer"),
+      (3L, "shared footer\nshared footer"),   // twice within one doc
+      (4L, "only here")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedParagraphs(docs, "doc_id", "text", minDocs = 2)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("para") == "shared footer")
+    assert(row.getAs[Long]("n_total") == 4)
+    assert(row.getAs[Long]("n_docs") == 3)
+    assert(row.getAs[Long]("first_doc") == 1L)
+  }
+
+  test("contaminationOverlap: contained eval doc scores 1, disjoint scores 0") {
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "quick brown fox jumps"),     // all 2 trigrams in train
+      (11L, "totally different words entirely"),
+      (12L, "xy")).toDF("doc_id", "text") // too short for trigrams
+    val r = Dedup.contaminationOverlap(train, evalSet, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(10).getAs[Double]("overlap_frac") == 1.0)
+    assert(r(10).getAs[Long]("n_shingles") == 2 && r(10).getAs[Long]("n_matched") == 2)
+    assert(r(11).getAs[Double]("overlap_frac") == 0.0)
+    assert(r(12).getAs[Long]("n_shingles") == 0 && r(12).getAs[Double]("overlap_frac") == 0.0)
+  }
+
+  test("rrfFuse: score is sum of reciprocal ranks, missing side contributes 0") {
+    val vec = Seq((100L, 0.1), (200L, 0.2), (300L, 0.3)).toDF("doc_id", "dist")
+    val kw = Seq((200L, 9.0), (400L, 5.0)).toDF("doc_id", "score")
+    val r = Bm25.rrfFuse(vec, kw, k = 10).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("rrf_score")).toMap
+    assert(math.abs(r(200L) - (1.0 / 62 + 1.0 / 61)) < 1e-12) // vec rank 2, kw rank 1
+    assert(math.abs(r(100L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(r(400L) - 1.0 / 62) < 1e-12)
+    assert(math.abs(r(300L) - 1.0 / 63) < 1e-12)
+    // fused ordering: 200 first (two lists beat any single-list score here)
+    val top = Bm25.rrfFuse(vec, kw, k = 1).collect().head.getLong(0)
+    assert(top == 200L)
+  }
+}
