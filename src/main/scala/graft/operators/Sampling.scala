@@ -100,4 +100,73 @@ object Sampling {
       .where(col("_rn") <= quota)
       .drop("_rn")
   }
+
+  // ------------------------------------------------------ corpus assembly
+
+  /** Deterministic corpus shuffle + sharding — the pre-training export
+    * step ("globally shuffle the corpus, split into N shard files") made
+    * reproducible: `shard = hash32(id) % numShards`, `seq` = rank of
+    * (hash, id) within the shard, 0-based. Re-running (or recomputing a
+    * lost partition) assigns identical positions, unlike `rand()`-based
+    * shuffles.
+    *
+    * Scale shape: one exchange keyed by shard + a per-shard sort; shards
+    * sort independently, so the layout holds at any corpus size. Writing
+    * with `partitionBy("shard")` aligns the file layout with the
+    * assignment. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", hash32(col(idCol)))
+      .withColumn("shard", (col("_h") % numShards).cast("int"))
+      .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
+
+  /** Concat-and-chunk sequence packing — the standard LLM pre-training
+    * batcher: lay documents out in deterministic shuffle order,
+    * concatenate, cut every `seqLen` tokens. Documents crossing a cut are
+    * split across training sequences, exactly what the packed-batch
+    * loader does, so what matters is each document's absolute token span:
+    * this emits `first_seq`/`last_seq`/`offset_in_seq` per document.
+    *
+    * Packing is PER SHARD (as real pipelines pack per output file), so
+    * the running token sum is a per-shard window — never a global
+    * single-partition pass. Integer `div`/`%` only: no floating point
+    * anywhere, bit-identical across engines. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    numShards: Int, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(col("shard")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shuffleShards(df, idCol, numShards)
+      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("start_tok", col("_cum") - col(tokenCol))
+      .withColumn("first_seq", expr(s"start_tok div $seqLen"))
+      .withColumn("last_seq", expr(s"(_cum - 1) div $seqLen"))
+      .withColumn("offset_in_seq", col("start_tok") % seqLen)
+      .drop("_cum")
+  }
+
+  /** Exact per-group nearest-rank percentiles: the value at rank
+    * `ceil(q * n)` in value order. No interpolation — the result is an
+    * actual data value picked by integer rank, so it is bit-identical in
+    * any engine (interpolating percentile definitions differ subtly
+    * between engines and on float summation order).
+    *
+    * One exchange keyed by group + per-group sort; each quantile is a
+    * rank filter over the same sorted pass, so asking for 10 quantiles
+    * costs the same shuffle as asking for one. */
+  def percentilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("_rn") === ceil(col("q") * col("_n")))
+      .select(col(groupCol), col("q"), col(valueCol).as("value"))
+  }
 }

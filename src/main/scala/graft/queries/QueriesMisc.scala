@@ -83,6 +83,27 @@ object QueriesMisc {
           round(col("before_o_totalprice"), 2).as("before_price"),
           round(col("after_o_totalprice"), 2).as("after_price"))
     }),
+
+    // Deterministic corpus shuffle-sharding (training-data export layout)
+    "q79_shuffle_shards" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleShards(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("seq"))),
+
+    // Concat-and-chunk sequence packing per shard (2048-token contexts,
+    // n_chars as the token proxy)
+    "q80_pack_sequences" -> ((s, dir) =>
+      graft.operators.Sampling.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", numShards = 8, seqLen = 2048)
+        .select(col("doc_id"), col("shard"), col("start_tok"),
+          col("first_seq"), col("last_seq"), col("offset_in_seq"))),
+
+    // Exact nearest-rank length percentiles per language
+    "q81_length_percentiles" -> ((s, dir) =>
+      graft.operators.Sampling.percentilesDisc(
+        t(s, dir, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars", qs = Seq(0.25, 0.5, 0.9, 0.99))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +193,44 @@ object QueriesMisc {
         |            ELSE 'update' END AS op,
         |       o_orderkey, round(bp, 2) AS before_price, round(ap, 2) AS after_price
         |FROM joined WHERE (NOT in_b) OR (NOT in_a) OR changed""".stripMargin,
+
+    "q79_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS seq
+        |FROM h""".stripMargin,
+
+    // CAST the window sum: DuckDB sum(BIGINT) is HUGEINT, which would
+    // type-mismatch Spark's int64 cum
+    "q80_pack_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, hv, CAST(hv % 8 AS INT) AS shard FROM h),
+        |c AS (
+        |  SELECT doc_id, shard, n_chars,
+        |         CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY hv, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT doc_id, shard, cum - n_chars AS start_tok,
+        |       (cum - n_chars) // 2048 AS first_seq,
+        |       (cum - 1) // 2048 AS last_seq,
+        |       (cum - n_chars) % 2048 AS offset_in_seq
+        |FROM c""".stripMargin,
+
+    "q81_length_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |                 (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+        |SELECT lang, q, n_chars AS value
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
   )
 }

@@ -76,4 +76,49 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(pre === full)
   }
+
+  test("shuffleShards: partition of the corpus, dense 0-based seq, deterministic") {
+    val s = Sampling.shuffleShards(rows, "id", numShards = 4)
+      .select(col("id"), col("shard"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(s.length == rows.count())                     // every row placed once
+    assert(s.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    s.groupBy(_._2).foreach { case (_, rs) =>            // seq dense per shard
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    val again = Sampling.shuffleShards(rows, "id", numShards = 4)
+      .select(col("id"), col("shard"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(s.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("packSequences: contiguous token spans per shard, correct seq cuts") {
+    val weighted = rows.withColumn("w", lit(10L) + (col("id") % 7))
+    val p = Sampling.packSequences(weighted, "id", "w", numShards = 2, seqLen = 64)
+      .select(col("shard"), col("seq"), col("w"), col("start_tok"),
+        col("first_seq"), col("last_seq"), col("offset_in_seq")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    p.groupBy(_._1).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._2)
+      // spans tile the shard's token stream with no gaps or overlaps
+      inOrder.foldLeft(0L) { case (expectedStart, (_, _, w, start, fs, ls, off)) =>
+        assert(start == expectedStart)
+        assert(fs == start / 64 && off == start % 64)
+        assert(ls == (start + w - 1) / 64)
+        start + w
+      }
+    }
+  }
+
+  test("percentilesDisc picks exact nearest-rank values") {
+    val df = (1 to 100).map(i => (if (i <= 40) "a" else "b", i.toLong))
+      .toDF("grp", "v")
+    val r = Sampling.percentilesDisc(df, "grp", "v", qs = Seq(0.25, 0.5, 1.0))
+      .collect().map(x => (x.getString(0), x.getDouble(1)) -> x.getLong(2)).toMap
+    // group a = 1..40: ceil(.25*40)=10th -> 10; ceil(.5*40)=20th -> 20; max 40
+    assert(r(("a", 0.25)) == 10L && r(("a", 0.5)) == 20L && r(("a", 1.0)) == 40L)
+    // group b = 41..100 (n=60): ceil(15)=15th -> 55; 30th -> 70; max 100
+    assert(r(("b", 0.25)) == 55L && r(("b", 0.5)) == 70L && r(("b", 1.0)) == 100L)
+  }
 }
