@@ -160,6 +160,38 @@ final class GraftCollection(spark: SparkSession, dir: String,
       case (Some(_), Some(_)) => 0.5
       case _ => alpha
     }
+    val (vecCand, kwCand) = hybridCandidates(queryText, fetchK, where)
+    val extra = if (includeVectors) Seq("embedding") else Nil
+    val side = df.select((Seq(col("id").as("doc_id"), col("document")) ++
+      extra.map(col)): _*)
+    Bm25.hybridFuse(vecCand, kwCand, k, effAlpha)
+      .join(side, "doc_id")
+      .select((Seq(col("doc_id").as("id"), col("document"), col("score"),
+        col("vector_score"), col("keyword_score")) ++ extra.map(col)): _*)
+      .orderBy(desc("score"), col("id"))
+  }
+
+  /** Rank-based hybrid twin of [[hybridQuery]]: reciprocal-rank fusion
+    * over the same candidate lists — no score normalization, immune to
+    * scale mismatch between the two evidence channels. */
+  def hybridQueryRrf(queryText: String, k: Int = 10, k0: Int = 60,
+                     where: Option[Filter] = None): DataFrame = {
+    val (vecCand, kwCand) = hybridCandidates(queryText, k * 5, where)
+    Bm25.rrfFuse(vecCand, kwCand, k, k0)
+      .join(df.select(col("id").as("doc_id"), col("document")), "doc_id")
+      .select(col("doc_id").as("id"), col("document"),
+        col("rrf_score").as("score"), col("vec_rank"), col("kw_rank"))
+      .orderBy(desc("score"), col("id"))
+  }
+
+  /** Shared candidate fetch for the hybrid fusion modes: top-fetchK
+    * vector candidates + top-fetchK BM25 candidates. The keyword side
+    * reads the persisted sidecar when present (no re-tokenization per
+    * query; a metadata filter restricts the slim relations by semi-join —
+    * identical values to indexing the filtered corpus), else indexes on
+    * the fly. */
+  private def hybridCandidates(queryText: String, fetchK: Int,
+                               where: Option[Filter]): (DataFrame, DataFrame) = {
     val base = where.map(f => df.where(f.compile)).getOrElse(df)
     val qvec = embedder.embed(
         spark.range(1).select(lit(queryText).as("_qtext"), lit(0L).as("query_id")),
@@ -168,10 +200,6 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val vecCand = Knn.knnJoinStr(qvec, base, fetchK, config.metric,
         corpusId = "id", corpusVec = "embedding")
       .select(col("neighbor_id").as("doc_id"), col("dist"))
-    // keyword side: the persisted sidecar when present (no re-tokenization
-    // per query; a metadata filter restricts the slim relations by
-    // semi-join — identical values to indexing the filtered corpus),
-    // else index on the fly
     val idx =
       if (hasKeywordIndex) {
         val full = Bm25.loadIndex(spark, indexDir)
@@ -181,14 +209,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val kwCand = Bm25.score(idx, queryText)
       .withColumn("_r", round(col("score"), 6))
       .orderBy(desc("_r"), col("doc_id")).limit(fetchK).drop("_r")
-    val extra = if (includeVectors) Seq("embedding") else Nil
-    val side = df.select((Seq(col("id").as("doc_id"), col("document")) ++
-      extra.map(col)): _*)
-    Bm25.hybridFuse(vecCand, kwCand, k, effAlpha)
-      .join(side, "doc_id")
-      .select((Seq(col("doc_id").as("id"), col("document"), col("score"),
-        col("vector_score"), col("keyword_score")) ++ extra.map(col)): _*)
-      .orderBy(desc("score"), col("id"))
+    (vecCand, kwCand)
   }
 
   /** get by ids and/or metadata filter (client.py:276-355). */
@@ -258,6 +279,43 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (hasKeywordIndex) Bm25.loadIndex(spark, indexDir)
       else Bm25.buildIndex(df.where(col("document").isNotNull), "id", "document"),
       topK)
+
+  /** Per-document quality signals: the composite heuristic score plus the
+    * Gopher-style repetition battery (dup-line/dup-trigram fractions, top
+    * bigram coverage). */
+  def qualitySignals(): DataFrame = {
+    val base = df.where(col("document").isNotNull)
+    graft.functions.TextAnalysis.repetitionSignals(base, "id", "document")
+      .join(base.select(col("id"),
+        graft.functions.TextAnalysis.qualityScore(col("document")).as("quality")),
+        Seq("id"))
+  }
+
+  /** PII scan + redaction: per-doc email/IPv4/phone counts and the
+    * redacted document text. */
+  def piiScan(): DataFrame = {
+    import graft.functions.TextAnalysis._
+    df.where(col("document").isNotNull)
+      .select(col("id"),
+        emailCount(col("document")).as("n_emails"),
+        ipv4Count(col("document")).as("n_ips"),
+        phoneCount(col("document")).as("n_phones"),
+        redactPii(col("document")).as("redacted"))
+  }
+
+  /** Fraction of each eval document's n-gram shingles present anywhere in
+    * this collection (training-set membership / contamination check). */
+  def contamination(evalDocs: DataFrame, evalId: String, evalText: String,
+                    shingleN: Int = 3): DataFrame =
+    Dedup.contaminationOverlap(
+      df.where(col("document").isNotNull).select(col("id"), col("document")),
+      evalDocs.select(col(evalId).as("id"), col(evalText).as("document")),
+      "id", "document", shingleN)
+
+  /** Deterministic shuffle-shard layout for exporting this collection as
+    * training shards (reproducible shard + in-shard position per doc). */
+  def exportShards(numShards: Int): DataFrame =
+    graft.operators.Sampling.shuffleShards(df, "id", numShards)
 
   private def withEmbedding(rows: DataFrame): DataFrame = {
     val withDoc =

@@ -289,4 +289,41 @@ class ClientSpec extends SparkSpec {
       rows.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     assert(canon(kwIndexed.collect()) === canon(kw))
   }
+
+  test("pipeline facade: quality signals, PII scan, contamination, shards, RRF") {
+    val c = client.getOrCreateCollection("pipeline2")
+    c.add(Seq(
+      ("r1", "spark spark spark spark", "web"),
+      ("r2", "reach me at bob@corp.io or 415-555-0100", "web"),
+      ("r3", "the quick brown fox jumps over the lazy dog", "books"),
+      ("r4", "plain unremarkable text with no repeats", "books")
+    ).toDF("id", "document", "source"))
+
+    val q = c.qualitySignals().collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(q.size === 4)
+    assert(q("r1").getAs[Double]("dup_trigram_frac") === 0.5) // 1 distinct of 2 trigrams
+    assert(q("r1").getAs[String]("top_bigram") === "spark spark")
+    assert(q.values.forall(r => r.getAs[Double]("quality") >= 0.0))
+
+    val pii = c.piiScan().collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(pii("r2").getAs[Int]("n_emails") === 1)
+    assert(pii("r2").getAs[Int]("n_phones") === 1)
+    assert(pii("r2").getAs[String]("redacted") === "reach me at <EMAIL> or <PHONE>")
+    assert(pii("r4").getAs[Int]("n_emails") === 0)
+
+    val cont = c.contamination(
+        Seq(("e1", "quick brown fox jumps"), ("e2", "nothing shared here at all"))
+          .toDF("eid", "etext"), "eid", "etext")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("overlap_frac")).toMap
+    assert(cont("e1") === 1.0 && cont("e2") === 0.0)
+
+    val shards = c.exportShards(numShards = 2).select("id", "shard", "seq").collect()
+    assert(shards.length === 4)
+    assert(shards.map(_.getInt(1)).forall(s => s == 0 || s == 1))
+
+    val rrf = c.hybridQueryRrf("quick brown fox", k = 2).collect()
+    assert(rrf.nonEmpty && rrf.head.getAs[String]("id") === "r3")
+    assert(rrf.head.getAs[Double]("score") > 0.0)
+  }
 }
