@@ -253,4 +253,103 @@ object Multimodal {
     mm.withColumn("_sz", octet_length(col("content")))
       .repartitionByRange(numPartitions, col("_sz"), col("id"))
       .drop("_sz")
+
+  // --------------------------------------------------- perceptual hashing
+
+  /** 56-bit difference hash (dHash — the public perceptual-hash
+    * technique) of a decoded image: box-average luma onto an 8x8 grid,
+    * set bit `gy*7 + gx` iff grid(gx,gy) > grid(gx+1,gy). Near-duplicate
+    * images (recompression, format conversion, mild edits) land within a
+    * few Hamming bits; 56 bits (not the classic 64) keeps the sketch in a
+    * signed int64's positive range for SQL-engine parity, same reasoning
+    * as the 60-bit SimHash. */
+  private[graft] def dHash(im: Codecs.Image): Long = {
+    val gridW = 8; val gridH = 8 // 7 comparisons per row x 8 rows = 56 bits
+    val acc = new Array[Double](gridW * gridH)
+    val cnt = new Array[Int](gridW * gridH)
+    var y = 0
+    while (y < im.height) {
+      val gy = y * gridH / im.height
+      var x = 0
+      while (x < im.width) {
+        val gx = x * gridW / im.width
+        val i = y * im.width + x
+        val r = im.rgb(3 * i) & 0xff
+        val g = im.rgb(3 * i + 1) & 0xff
+        val b = im.rgb(3 * i + 2) & 0xff
+        acc(gy * gridW + gx) += 0.299 * r + 0.587 * g + 0.114 * b
+        cnt(gy * gridW + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var gy = 0
+    while (gy < gridH) {
+      var gx = 0
+      while (gx < gridW - 1) {
+        val l = acc(gy * gridW + gx) / math.max(cnt(gy * gridW + gx), 1)
+        val r = acc(gy * gridW + gx + 1) / math.max(cnt(gy * gridW + gx + 1), 1)
+        if (l > r) h |= 1L << (gy * (gridW - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  private val perceptualHashUdf = udf((bytes: Array[Byte]) =>
+    try {
+      if (Codecs.isPpm(bytes)) Some(dHash(Codecs.decodePpm(bytes)))
+      else if (Codecs.isImageIoFormat(bytes)) Codecs.decodeImageIO(bytes).map(dHash)
+      else None
+    } catch { case _: IllegalArgumentException => None })
+
+  /** (id, phash) for every decodable image blob; null phash otherwise.
+    * Per-row decode+hash, shuffle-free — the hash is 8 bytes however big
+    * the image, so downstream dedup never moves pixels. */
+  def perceptualHash(mm: DataFrame): DataFrame =
+    mm.select(col("id"), perceptualHashUdf(col("content")).as("phash"))
+
+  /** Perceptual near-duplicate image pairs: banded Hamming self-join on
+    * the dHash (Manku pigeonhole banding — lossless for distances up to
+    * `maxHamming` — then exact bit_count verification), delegated to
+    * [[Dedup.simhashPairs]] over the 56-bit sketches. The LAION-style
+    * image-dedup primitive: candidate generation touches only (id, int64)
+    * rows, never pixel data. */
+  def imageNearDup(mm: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      perceptualHash(mm).where(col("phash").isNotNull)
+        .select(col("id"), col("phash").as("simhash")),
+      "id", maxHamming, bits = 56)
+
+  /** Deterministic 8x8 grayscale P6 PPM generator for tests/oracles:
+    * pixel i (row-major) has R=G=B = (seed*37 + i*i*11 + i*seed) mod 251
+    * (nonlinear in i with a seed interaction, so distinct seeds hash
+    * near-randomly — no accidental near-dup pairs), and
+    * `tweakCol` rows get pixel 0 bumped by one (a 1-pixel edit — a
+    * near-duplicate within 1 Hamming bit of its original). The closed
+    * pixel formula lets a SQL oracle recompute the expected dHash without
+    * parsing PPM. */
+  def syntheticPpm(ids: DataFrame, idCol: String, seedCol: String,
+                   tweakCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("id"),
+      lit("image").as("modality"),
+      syntheticPpmUdf(col(seedCol).cast("long"), col(tweakCol)).as("content"),
+      struct(lit(8).cast("int").as("width"), lit(8).cast("int").as("height"),
+        lit(null).cast("int").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+
+  private val syntheticPpmUdf = udf((seed: Long, tweak: Boolean) => {
+    val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](8 * 8 * 3)
+    var i = 0
+    while (i < 8 * 8) {
+      var v = ((seed * 37 + i.toLong * i * 11 + i * seed) % 251).toInt
+      if (tweak && i == 0) v = (v + 1) % 251
+      px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
+      i += 1
+    }
+    header ++ px
+  })
 }

@@ -28,6 +28,24 @@ object QueriesMultimodal {
         t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
       Multimodal.frameSample(mm, stride = 100, frameBytes = 32)
     }),
+
+    // Perceptual (dHash) image near-dup: REAL P6 decode + 56-bit dHash +
+    // banded Hamming join in Spark, checked hash-exact against a DuckDB
+    // oracle that recomputes the expected hashes from the synthetic
+    // images' closed pixel formula — an independent end-to-end check of
+    // the whole decode->hash->band->verify path. doc_id<25 get 1-pixel-
+    // edited copies (near-dups within 1 bit by construction).
+    "q82_image_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") < 200)
+        .select(col("doc_id").as("img_id"), col("doc_id").as("seed"),
+          lit(false).as("tweak"))
+      val dups = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("img_id"), col("doc_id").as("seed"),
+          lit(true).as("tweak"))
+      val mm = Multimodal.syntheticPpm(base.unionByName(dups), "img_id", "seed", "tweak")
+      Multimodal.imageNearDup(mm, maxHamming = 3)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -45,5 +63,34 @@ object QueriesMultimodal {
         |FROM documents,
         |     LATERAL (SELECT unnest(range(0, greatest((length(text) - 1) // 100, 0) + 1)) AS i)
         |WHERE doc_id < 50""".stripMargin,
+
+    // Recompute each synthetic image's dHash from the pixel formula
+    // (grayscale => luma ordering == pixel-value ordering), then all-pairs
+    // Hamming — the banded Spark path must find exactly these pairs.
+    "q82_image_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, doc_id AS seed, FALSE AS tweak
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id AS seed, TRUE AS tweak
+        |  FROM documents WHERE doc_id < 25),
+        |px AS (
+        |  SELECT id, i,
+        |    CASE WHEN tweak AND i = 0 THEN ((seed * 37 + i * i * 11 + i * seed) % 251 + 1) % 251
+        |         ELSE (seed * 37 + i * i * 11 + i * seed) % 251 END AS v
+        |  FROM imgs, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+        |bits AS (
+        |  SELECT l.id, (l.i // 8) * 7 + (l.i % 8) AS b
+        |  FROM px l JOIN px r ON r.id = l.id AND r.i = l.i + 1
+        |  WHERE l.i % 8 < 7 AND l.v > r.v),
+        |hashes AS (
+        |  SELECT i.id,
+        |         coalesce(CAST(sum(1::BIGINT << CAST(b.b AS INT)) AS BIGINT), 0) AS h
+        |  FROM imgs i LEFT JOIN bits b ON b.id = i.id
+        |  GROUP BY i.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
   )
 }

@@ -170,4 +170,32 @@ class MultimodalSpec extends SparkSpec {
     assert(parted.rdd.getNumPartitions === 2)
     assert(parted.count() === 3)
   }
+
+  test("dHash is format-invariant: PNG and BMP of the same pixels hash equal") {
+    // lossless formats decode to identical RGB -> identical dHash; the
+    // hash depends on pixel content, not the container
+    val hPng = Multimodal.dHash(Multimodal.Codecs.decodeImageIO(encode("png")).get)
+    val hBmp = Multimodal.dHash(Multimodal.Codecs.decodeImageIO(encode("bmp")).get)
+    assert(hPng === hBmp)
+    assert(hPng >= 0L && hPng < (1L << 56)) // 56-bit sketch, positive int64
+  }
+
+  test("imageNearDup pairs a 1-pixel edit with its original, not with others") {
+    val imgs = Seq(
+      (1L, 10L, false), (2L, 10L, true),      // near-dup pair (1 px edit)
+      (3L, 77L, false), (4L, 123L, false))    // unrelated seeds
+      .toDF("img_id", "seed", "tweak")
+    val mm = Multimodal.syntheticPpm(imgs, "img_id", "seed", "tweak")
+    val pairs = Multimodal.imageNearDup(mm, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 <= 1) // a pixel-0 edit flips at most bit 0
+    // phash null for non-image bytes: no crash, row excluded
+    val mixed = mm.unionByName(Seq((9L, "audio",
+        "not an image".getBytes, null))
+      .toDF("id", "modality", "content", "meta")
+      .select(col("id"), col("modality"), col("content"),
+        lit(null).cast(Multimodal.metaSchema).as("meta")))
+    assert(Multimodal.perceptualHash(mixed).where(col("phash").isNull).count() === 1)
+  }
 }
