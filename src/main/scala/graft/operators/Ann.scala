@@ -240,4 +240,32 @@ object Ann {
       .select(col(queryId), (col("_pos") + 1).cast("int").as("rank"),
         col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
   }
+
+  /** Matryoshka retrieval funnel (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — public paper; prefix-truncatable
+    * embeddings): coarse top-`rerankK` kNN over only the FIRST `dims`
+    * components of every vector, then exact rerank of those candidates on
+    * the full vectors.
+    *
+    * The scale lever: the coarse pass scans dims/D of the vector bytes
+    * (with a column-pruned prefix materialized at rest, it is also the
+    * only thing read), and the full vectors are fetched for just
+    * rerankK*|queries| rows. For MRL-trained embeddings the prefix
+    * preserves neighborhood structure, so modest rerankK recovers exact
+    * top-k; the rerank step makes the final ordering exact over the
+    * candidate set either way. */
+  def matryoshkaSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                       dims: Int, rerankK: Int,
+                       metric: String = "cosine",
+                       queryId: String = "query_id", queryVec: String = "query_vec",
+                       corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    require(dims > 0, s"dims must be positive: $dims")
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val coarse = Knn.knnJoin(
+      queries.select(col(queryId), slice(col(queryVec), 1, dims).as(queryVec)),
+      corpus.select(col(corpusId), slice(col(vecCol), 1, dims).as(vecCol)),
+      rerankK, metric, queryId, queryVec, corpusId, vecCol)
+    Quantization.rerankExact(coarse, queries, corpus, k, metric,
+      queryId, queryVec, corpusId, vecCol)
+  }
 }

@@ -103,6 +103,17 @@ object QueriesQuant {
       Quantization.recallAtK(approx, exact, 10)
     }),
 
+    // Matryoshka funnel: coarse cosine top-50 on the 32-dim PREFIX of
+    // every vector, exact rerank to top-10 on the full 128 dims. No
+    // trained model — fully deterministic, so hash-checked end to end
+    // (unlike the recall-floor ANN queries).
+    "q83_matryoshka" -> ((s, dir) =>
+      Ann.matryoshkaSearch(QueriesVector.queryBatch(s, dir, 5),
+          t(s, dir, "embeddings"), k = 10, dims = 32, rerankK = 50,
+          metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))),
+
     "q19_pq_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // codebooks trained on a 25% sample, persisted, and LOADED here —
@@ -225,5 +236,36 @@ object QueriesQuant {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |       round(dist, 6) + 0.0 AS dist
          |FROM reranked WHERE rank <= 10""".stripMargin,
+
+    "q83_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(list_slice(c.embedding, 1, 32)) AS DOUBLE) AS x,
+        |                  CAST(unnest(list_slice(q.qv, 1, 32)) AS DOUBLE) AS y)) AS cdist
+        |  FROM q, embeddings c),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cdist, neighbor_id) AS rn
+        |    FROM coarse) WHERE rn <= 50),
+        |exact AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+        |  FROM cand
+        |  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        |  JOIN q ON q.query_id = cand.query_id),
+        |reranked AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM exact)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       round(dist, 6) + 0.0 AS dist
+        |FROM reranked WHERE rank <= 10""".stripMargin,
   )
 }

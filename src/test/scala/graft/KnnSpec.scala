@@ -108,4 +108,29 @@ class KnnSpec extends SparkSpec {
     val partsRead = scan.metrics("numPartitions").value
     assert(partsRead <= 2, s"expected <= 2 partitions read, got $partsRead")
   }
+
+  test("matryoshka funnel: exhaustive rerank equals exact; prefix recall is high") {
+    val exact = Knn.knnJoin(queries, embs, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding")
+    // rerankK = corpus size: candidates are everything, so the exact
+    // rerank must reproduce exact kNN whatever the prefix loses
+    val n = embs.count().toInt
+    val exhaustive = Ann.matryoshkaSearch(queries, embs, k = 10, dims = 16,
+      rerankK = n, corpusId = "vec_id", vecCol = "embedding")
+    assert(asSet(exhaustive) === asSet(exact))
+    // practical funnel: 32 of 128 dims, 5x over-fetch. These are RANDOM
+    // embeddings (no MRL training concentrates signal in the prefix), so
+    // recall is structurally modest — assert a floor and that the
+    // rerankK knob climbs toward exact
+    def recallAt(rerankK: Int): Double = {
+      val funnel = Ann.matryoshkaSearch(queries, embs, k = 10, dims = 32,
+        rerankK = rerankK, corpusId = "vec_id", vecCol = "embedding")
+      Quantization.recallAtK(funnel, exact, 10).agg(avg("recall")).head().getDouble(0)
+    }
+    val r50 = recallAt(50)
+    assert(r50 >= 0.5, s"matryoshka recall@10 too low: $r50")
+    val r200 = recallAt(200)
+    assert(r200 >= r50, s"recall must climb with rerankK: $r50 -> $r200")
+    assert(r200 >= 0.8, s"wide funnel recall@10 too low: $r200")
+  }
 }
