@@ -343,4 +343,85 @@ object PropertyGraph {
       .unionByName(one("num_labels", vertices.select(explode(col("labels"))).distinct()))
       .unionByName(one("num_edge_types", edges.select("type").distinct()))
   }
+
+  // ------------------------------------------------------- graph analytics
+
+  /** PageRank in the normalized (probability) formulation: ranks start
+    * at 1/N, each round `rank = (1-d)/N + d·Σ_in rank_src/outdeg_src`;
+    * dangling-node mass is not redistributed. Fixed iteration count —
+    * deterministic, oracle-checkable. (Normalized on purpose: with the
+    * unnormalized GraphX convention every rank on an integer-out-degree
+    * graph is a terminating decimal, which can sit EXACTLY on a rounding
+    * boundary and flip under cross-engine summation-order noise; 1/N
+    * makes the values non-terminating, so boundaries are hit with
+    * probability ~0.)
+    *
+    * Scale shape: the adjacency (edge list + out-degree) is partitioned
+    * by src and cached ONCE; each round re-shuffles only the rank vector
+    * (one src-keyed join, one dst-keyed aggregate — the two-exchange
+    * round every distributed PageRank pays). Per-round eager
+    * localCheckpoint keeps the plan flat across rounds (the rank frame
+    * feeds both the join and the next round). */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations > 0, s"iterations must be positive: $iterations")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("_outdeg")), "src")
+      .repartition(nparts, col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    try {
+      val n = nodes.count().toDouble
+      // teleport written as (1.0 - d)/n IN COLUMN ALGEBRA so an SQL
+      // oracle computing literally (1.0 - 0.85)/n gets the identical
+      // double (1 - 0.85 as a double subtraction != the literal 0.15)
+      val teleport = (lit(1.0) - lit(damping)) / lit(n)
+      var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to iterations) {
+        val inflow = adj
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
+          .groupBy("id").agg(sum(col("_c")).as("_inflow"))
+        ranks = nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (teleport + lit(damping) * coalesce(col("_inflow"), lit(0.0)))
+              .as("rank"))
+          .localCheckpoint(eager = true)
+      }
+      ranks
+    } finally { adj.unpersist(); nodes.unpersist() }
+  }
+
+  /** Per-node triangle participation counts over an undirected edge list:
+    * canonicalize every edge to (a < b), build a<b<c wedges with one
+    * self-join, close them against the edge list with a second join —
+    * each triangle enumerated exactly once, the textbook distributed
+    * formulation. Both joins are equi-joins on node ids (shuffle-
+    * partitioned, no broadcast of the edge list), so the plan carries to
+    * any graph that fits a shuffle. Returns (id, triangles) for every
+    * node incident to at least one edge. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    try {
+      val wedges = und
+        .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+        .select(col("a"), col("b"), col("c"))
+      val tris = wedges.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val nodes = und.select(col("a").as("id"))
+        .unionByName(und.select(col("b").as("id"))).distinct()
+      val counts = tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      nodes.join(counts, Seq("id"), "left")
+        .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .localCheckpoint(eager = true)
+    } finally { und.unpersist() }
+  }
 }

@@ -138,6 +138,30 @@ object QueriesGraph {
         .select(col("node_id"), col("graph_distance"),
           round(col("vector_score"), 6).as("vector_score"))
     }),
+
+    // PageRank over the full derived graph, 5 fixed iterations, rounded
+    // to 6 decimals — wide headroom over cross-engine summation-order
+    // noise (~1e-14 absolute on 1/N-scale ranks; see the operator doc
+    // for why the normalized form is the boundary-safe one).
+    "q84_pagerank" -> ((s, dir) =>
+      PropertyGraph.pageRank(GraphData.edges(s, dir), iterations = 5)
+        .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
+
+    // Triangle counts over the supplier co-location graph (suppliers in
+    // the same nation are linked). The oracle never runs the joins: in a
+    // co-location clique every supplier in an n-supplier nation sits in
+    // exactly C(n-1, 2) triangles — a closed form the generic two-join
+    // enumeration must reproduce.
+    "q85_triangles" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val coloc = sup.as("a")
+        .join(sup.as("b"), col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(concat(lit("supplier_"), col("a.s_suppkey")).as("src"),
+          concat(lit("supplier_"), col("b.s_suppkey")).as("dst"))
+      PropertyGraph.triangleCounts(coloc)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +300,43 @@ object QueriesGraph {
         |  FROM reach r JOIN embeddings c ON c.vec_id = r.nid CROSS JOIN q)
         |SELECT node_id, graph_distance, round(vector_score, 6) AS vector_score
         |FROM sim ORDER BY vector_score DESC, node_id""".stripMargin,
+
+    // Power iteration unrolled as one CTE per round (recursive CTEs
+    // cannot aggregate per step); same GraphX convention as the Spark op.
+    "q84_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.id,
+           |         (1.0 - 0.85) / ns.n + 0.85 * coalesce(s.inflow, 0.0) AS rank
+           |  FROM nodes n CROSS JOIN nstat ns LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / e.outdeg) AS inflow
+           |    FROM edeg e JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |edeg AS (
+         |  SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+         |    ON d.src = e.src),
+         |nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |pr0 AS (SELECT id, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns),
+         |$rounds
+         |SELECT id, round(rank, 6) + 0.0 AS rank FROM pr5""".stripMargin
+    },
+
+    "q85_triangles" ->
+      """WITH cnt AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT 'supplier_' || s_suppkey AS id,
+        |       CAST(((n - 1) * (n - 2)) // 2 AS BIGINT) AS triangles
+        |FROM supplier JOIN cnt USING (s_nationkey)
+        |WHERE n >= 2""".stripMargin,
   )
 }

@@ -293,4 +293,33 @@ class GraphSpec extends SparkSpec {
     assert(m("num_labels") === 2)
     assert(m("num_edge_types") === 3)
   }
+
+  test("pageRank: closed-form check on a star, mass conservation on a cycle") {
+    import spark.implicits._
+    // 3-cycle: perfectly symmetric, every rank stays exactly 1/3
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val pc = PropertyGraph.pageRank(cycle, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    // star x->hub, y->hub, z->hub (4 nodes): after round 1 the leaves
+    // hold (1-d)/4 forever; the hub converges to (1-d)/4 + d*3*(1-d)/4
+    val star = Seq(("x", "hub"), ("y", "hub"), ("z", "hub")).toDF("src", "dst")
+    val ps = PropertyGraph.pageRank(star, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val leaf = 0.15 / 4
+    assert(math.abs(ps("x") - leaf) < 1e-12)
+    assert(math.abs(ps("hub") - (leaf + 0.85 * 3 * leaf)) < 1e-12)
+  }
+
+  test("triangleCounts: K4 has 3 per node, a pendant edge has none") {
+    import spark.implicits._
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b)
+      yield (a, b)
+    // pendant node e hangs off a; duplicate + reversed edges must not
+    // inflate counts (canonicalization dedups them)
+    val edges = (k4 ++ Seq(("a", "e"), ("e", "a"), ("a", "b"))).toDF("src", "dst")
+    val t = PropertyGraph.triangleCounts(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t === Map("a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3, "e" -> 0))
+  }
 }
