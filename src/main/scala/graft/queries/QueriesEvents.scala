@@ -49,6 +49,12 @@ object QueriesEvents {
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))),
 
+    // Ordered conversion funnel: view -> click -> purchase, earliest-
+    // completion semantics (step i = first event of that type strictly
+    // after the user's step i-1 time)
+    "q86_funnel" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+
     // As-of join (graft.operators.AsOf): label every event with the most
     // recent order the same user placed at or before the event — one
     // shuffle by key via tagged-union + running last(), never the
@@ -154,5 +160,23 @@ object QueriesEvents {
         |  FROM flags)
         |SELECT user_id, count(*) AS n_events, min(us) AS start_us
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q86_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN t0 ON t0.user_id = e.user_id AND e.ts > t0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM t0
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM t1
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM t2""".stripMargin,
   )
 }

@@ -74,4 +74,35 @@ object Events {
   /** Event-history tail (realtime.py:155-160, 187-190): most recent n. */
   def historyTail(events: DataFrame, n: Int): DataFrame =
     events.orderBy(desc("ts"), desc("event_id")).limit(n)
+
+  /** Ordered conversion funnel: how many users performed `steps` in
+    * sequence (each step strictly after the one before — the standard
+    * earliest-completion semantics: a user's step-i time is the earliest
+    * event of that type after their step-(i-1) time). Returns one row per
+    * step: (step, event_type, users).
+    *
+    * Each step is a per-user min-aggregation gated on the previous
+    * step's time — k steps = k groupBy-user passes over the (filtered)
+    * event stream, all hash-partitioned by user, no windows over the full
+    * history and no per-user event sorting. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null
+    val stepFrames = steps.zipWithIndex.map { case (st, i) =>
+      reached =
+        if (i == 0)
+          events.where(col(typeCol) === st)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        else
+          events.where(col(typeCol) === st)
+            .join(reached.select(col(userCol), col("_t").as("_prev")), userCol)
+            .where(col(tsCol) > col("_prev"))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      reached.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"), col("users"))
+    }
+    stepFrames.reduce(_ unionByName _)
+  }
 }

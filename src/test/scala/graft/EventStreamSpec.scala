@@ -151,4 +151,17 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("funnel counts only in-order completions") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),   // click BEFORE view: step 2 not reached
+      (3L, ts(5), "view"),                          // stops at step 1
+      (4L, ts(1), "purchase"))                      // never starts
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
 }
