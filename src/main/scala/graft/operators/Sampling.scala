@@ -169,4 +169,28 @@ object Sampling {
       .where(col("_rn") === ceil(col("q") * col("_n")))
       .select(col(groupCol), col("q"), col(valueCol).as("value"))
   }
+
+  /** Robust per-group outlier detection via median/MAD: flag rows with
+    * |x - median| > k·MAD (median absolute deviation). Both medians are
+    * nearest-rank picks ([[percentilesDisc]]), so on integer columns the
+    * whole predicate is integer-exact except the final k· comparison —
+    * no mean/stddev float accumulation, and robust to the very outliers
+    * being hunted (the classic advantage over z-scores). Two group-keyed
+    * sorted passes; the tiny per-group (median, MAD) relations broadcast
+    * back onto the row stream. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val med = percentilesDisc(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("_med"))
+    val dev = df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = percentilesDisc(dev, groupCol, "_dev", Seq(0.5))
+      .select(col(groupCol), col("value").as("_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .where(col("_dev") > lit(k) * col("_mad"))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("_med").as("median"), col("_mad").as("mad"))
+  }
 }

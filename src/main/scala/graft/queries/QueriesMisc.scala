@@ -104,6 +104,13 @@ object QueriesMisc {
       graft.operators.Sampling.percentilesDisc(
         t(s, dir, "documents").select(col("lang"), col("n_chars")),
         "lang", "n_chars", qs = Seq(0.25, 0.5, 0.9, 0.99))),
+
+    // Robust per-language length outliers: |n_chars - median| > 2*MAD
+    // (integer-exact medians, no float accumulation)
+    "q88_mad_outliers" -> ((s, dir) =>
+      graft.operators.Sampling.madOutliers(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "n_chars", "doc_id", k = 2.0)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +239,29 @@ object QueriesMisc {
         |                 (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
         |SELECT lang, q, n_chars AS value
         |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
+
+    "q88_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |med AS (SELECT lang, n_chars AS m FROM r
+        |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |dev AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, med.m,
+        |         abs(d.n_chars - med.m) AS dv
+        |  FROM documents d JOIN med USING (lang)),
+        |r2 AS (
+        |  SELECT lang, dv,
+        |         row_number() OVER (PARTITION BY lang ORDER BY dv) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM dev),
+        |mad AS (SELECT lang, dv AS mad FROM r2
+        |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+        |SELECT dev.lang, dev.doc_id, dev.n_chars,
+        |       dev.m AS median, mad.mad AS mad
+        |FROM dev JOIN mad USING (lang)
+        |WHERE dev.dv > 2.0 * mad.mad""".stripMargin,
   )
 }

@@ -54,6 +54,16 @@ object QueriesRelational {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("n"), col("qty"))),
 
+    // Full CUBE (all 4 grouping sets, vs rollup's 3) — the OLAP twin of
+    // q54 with the (ALL, status) slice the rollup lacks
+    "q87_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("qty"))),
+
     // parity-plus analytic window: per-customer running order stats
     // (rank/lag/moving frames — none exist in the reference, SURVEY §2.5)
     "q55_moving_avg" -> ((s, dir) => {
@@ -108,6 +118,12 @@ object QueriesRelational {
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       count(*) AS n, round(sum(l_quantity), 4) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q87_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q55_moving_avg" ->
       """SELECT o_custkey, o_orderkey,

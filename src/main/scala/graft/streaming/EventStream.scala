@@ -87,6 +87,39 @@ object EventStream {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long, reached: Int, step_ts_ms: Long)
+
+  /** Streaming twin of [[Events.funnel]]: per-user ordered-step progress
+    * via mapGroupsWithState. State is two numbers per user (highest step
+    * reached + its event time); each micro-batch advances greedily over
+    * its events in (ts, event_id) order — greedy first-match IS the batch
+    * op's earliest-completion semantics, so on an in-order stream the
+    * final `reached` levels equal the batch funnel's (the spec asserts
+    * it). Late events older than the recorded step time cannot
+    * retroactively advance a step — replay through the batch op is the
+    * deterministic truth, as with the other streaming twins. */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Int, Long), FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Int, Long)]) =>
+          var (reached, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (reached < stepArr.length && e.event_type == stepArr(reached) &&
+                e.ts.getTime > lastTs) {
+              reached += 1
+              lastTs = e.ts.getTime
+            }
+          }
+          state.update((reached, lastTs))
+          FunnelUpdate(userId, reached, lastTs)
+      }
+  }
+
   /** A late subscriber's view: the replayed history tail plus the live
     * stream, split at the connect offset. */
   final case class Subscription(replay: DataFrame, live: DataFrame)

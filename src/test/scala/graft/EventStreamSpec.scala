@@ -164,4 +164,37 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(got === Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
   }
+
+  test("streaming funnel progress matches the batch funnel across batches") {
+    def ev(id: Long, u: Long, s: Int, t: String) = EventStream.Event(
+      id, java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d"), u, t, 0.0, "{}")
+    // u1 completes across TWO micro-batches; u2's click precedes its view
+    val batch1 = Seq(ev(1, 1, 1, "view"), ev(2, 1, 2, "click"),
+      ev(3, 2, 1, "click"), ev(4, 2, 2, "view"))
+    val batch2 = Seq(ev(5, 1, 3, "purchase"), ev(6, 2, 3, "view"))
+    val mem = MemoryStream[EventStream.Event](spark)
+    val out = EventStream.funnelProgress(mem.toDS(),
+      Seq("view", "click", "purchase")).toDF()
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // last update per user = final reached level
+    val fin = spark.table("funnel_out")
+      .groupBy("user_id").agg(max(col("reached")).as("r")) // reached is monotone
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin === Map(1L -> 3, 2L -> 1))
+    // equals the batch op's reachability on the same events
+    val batchDf = (batch1 ++ batch2)
+      .map(e => (e.user_id, e.ts, e.event_type)).toDF("user_id", "ts", "event_type")
+    val batchCounts = Events.funnel(batchDf, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batchCounts === Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+    // streaming levels imply the same per-step counts
+    assert(fin.values.count(_ >= 1) === batchCounts(1))
+    assert(fin.values.count(_ >= 2) === batchCounts(2))
+    assert(fin.values.count(_ >= 3) === batchCounts(3))
+  }
 }

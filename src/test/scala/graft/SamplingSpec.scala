@@ -111,6 +111,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers flags only |x - median| > k*MAD") {
+    // group g: values 1..9 plus outlier 100 -> median 5 (10 values,
+    // ceil(0.5*10)=5th), deviations {0..4, 95} sorted {0,1,1,2,2,3,3,4,4,95}
+    // -> MAD 2; k=3 flags |x-5| > 6: only 100
+    val df = ((1L to 9L) :+ 100L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    val out = Sampling.madOutliers(df, "grp", "v", "id", k = 3.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("v") === 100L)
+    assert(out.head.getAs[Long]("median") === 5L)
+    assert(out.head.getAs[Long]("mad") === 2L)
+  }
+
   test("percentilesDisc picks exact nearest-rank values") {
     val df = (1 to 100).map(i => (if (i <= 40) "a" else "b", i.toLong))
       .toDF("grp", "v")
