@@ -101,6 +101,29 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Temperature-balanced mixture sampling, the multilingual-pretraining
+    * rebalance (XLM-R-style, temperature fixed at tau = 0.5): group g is
+    * kept at rate sqrt(N_min / N_g), so post-sample sizes are
+    * proportional to sqrt(N_g) — heavy domains are damped, the smallest
+    * group is kept whole. Rates are DERIVED FROM THE DATA (one count
+    * aggregate), then applied as the same zero-shuffle hash-threshold
+    * filter as [[stratifiedSample]].
+    *
+    * tau is fixed at 0.5 deliberately: sqrt and division are correctly-
+    * rounded IEEE ops (identical in every engine), while pow() is libm-
+    * dependent — an arbitrary-tau rate could differ in the last ulp
+    * across engines and flip a row at the threshold. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val nmin = counts.agg(min(col("_n")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol),
+        sqrt(col("_nmin").cast("double") / col("_n")).as("_rate"))
+    df.join(broadcast(rates), groupCol)
+      .where(hash32(col(idCol)).cast("double") < col("_rate") * 4294967296.0)
+      .drop("_rate")
+  }
+
   // ------------------------------------------------------ corpus assembly
 
   /** Deterministic corpus shuffle + sharding — the pre-training export

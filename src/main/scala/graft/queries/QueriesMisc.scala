@@ -111,6 +111,12 @@ object QueriesMisc {
       graft.operators.Sampling.madOutliers(
         t(s, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars")),
         "lang", "n_chars", "doc_id", k = 2.0)),
+
+    // Temperature-balanced mixture (sqrt-temperature language rebalance)
+    "q89_temperature_sample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -263,5 +269,14 @@ object QueriesMisc {
         |       dev.m AS median, mad.mad AS mad
         |FROM dev JOIN mad USING (lang)
         |WHERE dev.dv > 2.0 * mad.mad""".stripMargin,
+
+    "q89_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, sqrt(CAST(m.nmin AS DOUBLE) / c.n) AS rate FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS DOUBLE)
+        |      < r.rate * 4294967296.0""".stripMargin,
   )
 }

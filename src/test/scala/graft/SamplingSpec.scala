@@ -124,6 +124,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.head.getAs[Long]("mad") === 2L)
   }
 
+  test("temperatureSample keeps the smallest group whole, damps the big one") {
+    // groups: small = 100 rows, big = 1600 rows -> rates 1.0 and 0.25
+    val df = ((0L until 100L).map(i => ("small", i)) ++
+      (100L until 1700L).map(i => ("big", i))).toDF("grp", "id")
+    val got = Sampling.temperatureSample(df, "grp", "id")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("small") === 100L)                   // rate 1.0: everything
+    assert(got("big") > 250 && got("big") < 550,    // rate sqrt(1/16)=0.25
+      s"expected ~400 of 1600 at rate 0.25, got ${got("big")}")
+    // deterministic
+    val again = Sampling.temperatureSample(df, "grp", "id")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("percentilesDisc picks exact nearest-rank values") {
     val df = (1 to 100).map(i => (if (i <= 40) "a" else "b", i.toLong))
       .toDF("grp", "v")
