@@ -299,6 +299,25 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Quality-aware survivor selection: keep the highest-`scoreCol` doc of
+    * each duplicate cluster ((score desc, id asc) tie-break) instead of
+    * [[dropDuplicatesByCluster]]'s lowest-id representative — the policy
+    * real curation pipelines want (keep the longest/cleanest copy, drop
+    * the rest). Unclustered docs are their own singleton cluster and
+    * always survive. One window over the cluster key; the cluster map is
+    * duplicate-docs-only and broadcasts. */
+  def survivorByScore(docs: DataFrame, clusters: DataFrame,
+                      idCol: String, scoreCol: String): DataFrame = {
+    val c = broadcast(clusters.select(col("doc_id").as(idCol), col("cluster_id")))
+    val tagged = docs.join(c, Seq(idCol), "left")
+      .withColumn("_ck", coalesce(col("cluster_id"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_ck")).orderBy(desc(scoreCol), col(idCol))
+    tagged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_ck", "_rn", "cluster_id")
+  }
+
   /** Corpus-level duplicated-paragraph detection — the CCNet/RefinedWeb
     * paragraph-dedup primitive (public papers; no reference-repo
     * counterpart): explode trimmed non-empty lines, hash-group them

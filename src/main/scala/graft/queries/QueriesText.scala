@@ -195,6 +195,30 @@ object QueriesText {
         Dedup.ngramJaccard(corpus, "doc_id", "text", threshold = 0.5))
     }),
 
+    // Quality-aware survivor selection: whitespace-doubled copies of
+    // doc_id<25 share the original's normalized fingerprint (so they land
+    // in the same exact-dup cluster) but are LONGER — score = raw length
+    // makes the padded copy survive, proving the policy really differs
+    // from q27's min-id keeper.
+    "q90_survivor_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 25)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            expr("replace(text, ' ', '  ')").as("text")))
+      val fp = corpus.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val clusters = fp.join(
+          fp.groupBy("fp").agg(min(col("doc_id")).as("cluster_id"),
+            count(lit(1)).as("n")).where(col("n") >= 2),
+          Seq("fp"))
+        .select(col("doc_id"), col("cluster_id"))
+      Dedup.survivorByScore(
+          corpus.withColumn("score", length(col("text")).cast("long")),
+          clusters, "doc_id", "score")
+        .select(col("doc_id"), col("score"))
+    }),
+
     // Benchmark decontamination: train = the full documents table, eval =
     // truncated copies of doc_id<25 (a synthetic benchmark whose items
     // leaked into training). Exact cross-corpus n-gram Jaccard with the
@@ -646,6 +670,29 @@ object QueriesText {
         |  SELECT rr.node, e.b FROM reach rr JOIN eb e ON e.a = rr.r)
         |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q90_survivor_select" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') AS text
+        |  FROM documents WHERE doc_id < 25),
+        |f AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+        |         md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |cl AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS n
+        |       FROM f GROUP BY fp),
+        |tagged AS (
+        |  SELECT f.doc_id, f.score,
+        |         CASE WHEN cl.n >= 2 THEN cl.cluster_id ELSE f.doc_id END AS ck
+        |  FROM f JOIN cl USING (fp)),
+        |r AS (
+        |  SELECT doc_id, score, ck,
+        |         row_number() OVER (PARTITION BY ck
+        |           ORDER BY score DESC, doc_id) AS rn
+        |  FROM tagged)
+        |SELECT doc_id, score FROM r WHERE rn = 1""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

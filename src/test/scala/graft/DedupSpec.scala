@@ -69,6 +69,19 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 7L, 50L))
   }
 
+  test("survivorByScore keeps the highest-scoring member, min-id on ties") {
+    val corpus = Seq((1L, "x", 10L), (2L, "x", 30L), (3L, "x", 30L),
+        (7L, "y", 5L), (9L, "y", 4L), (50L, "z", 1L))
+      .toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.survivorByScore(corpus, clusters, "doc_id", "score")
+      .collect().map(_.getLong(0)).toSet
+    // cluster 1: 2 and 3 tie at 30 -> lower id 2; cluster 7: 7 (5 > 4);
+    // 50 is unclustered and always survives
+    assert(kept === Set(2L, 7L, 50L))
+  }
+
   test("prefix-filtered jaccard join is identical to the plain exact join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
