@@ -216,4 +216,37 @@ object Sampling {
       .select(col(groupCol), col(idCol), col(valueCol),
         col("_med").as("median"), col("_mad").as("mad"))
   }
+
+  /** EXACT frequency heavy hitters without a vocabulary-wide shuffle.
+    *
+    * Pass 1 folds the value stream into a Count-Min sketch (Cormode &
+    * Muthukrishnan '05) — merged per partition, so the driver receives one
+    * `O(1/eps)`-sized array, never the counts. Pass 2 re-scans, keeps only
+    * rows whose sketch estimate clears `minCount` (a broadcast probe,
+    * map-side, zero shuffle), and exact-counts the survivors. CMS only
+    * ever OVER-estimates, so every true heavy hitter survives the
+    * prefilter — the candidate set is a provable superset and the final
+    * `HAVING cnt >= minCount` makes the composition exact, not
+    * approximate.
+    *
+    * Scale shape: the naive `GROUP BY value HAVING count >= T` shuffles
+    * the full keyspace — for web-corpus tokens/n-grams that is a
+    * billions-of-keys exchange dominated by the long tail that the HAVING
+    * then throws away. Here the exchange carries only candidate rows
+    * (map-side combine collapses them to one partial per candidate per
+    * partition); tail keys never leave the scan. Two scans beat one
+    * vocabulary-sized shuffle at any real corpus size. */
+  def heavyHitters(df: DataFrame, valueCol: String, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minCount > 0, s"minCount must be positive: $minCount")
+    val sketch = df.stat.countMinSketch(valueCol, eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val estimate = udf { (v: String) =>
+      if (v == null) 0L else bc.value.estimateCount(v)
+    }
+    df.where(estimate(col(valueCol)) >= minCount)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
 }

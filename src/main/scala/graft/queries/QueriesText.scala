@@ -219,6 +219,18 @@ object QueriesText {
         .select(col("doc_id"), col("score"))
     }),
 
+    // Exact heavy hitters via Count-Min candidate prefilter: terms whose
+    // count clears 0.2% of total token mass (relative threshold keeps the
+    // result size sf-stable). Exact counts — the CMS pass only bounds
+    // which keys reach the shuffle.
+    "q91_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(Bm25.tokenize(col("text"))).as("term"))
+      val minCount = math.max(1L, toks.count() / 500)
+      graft.operators.Sampling.heavyHitters(toks, "term", minCount)
+        .select(col("term"), col("cnt"))
+    }),
+
     // Benchmark decontamination: train = the full documents table, eval =
     // truncated copies of doc_id<25 (a synthetic benchmark whose items
     // leaked into training). Exact cross-corpus n-gram Jaccard with the
@@ -693,6 +705,14 @@ object QueriesText {
         |           ORDER BY score DESC, doc_id) AS rn
         |  FROM tagged)
         |SELECT doc_id, score FROM r WHERE rn = 1""".stripMargin,
+
+    "q91_heavy_hitters" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |        '[^a-z0-9_]+'), x -> x <> '')) AS term FROM corpus),
+        |tot AS (SELECT greatest(1, count(*) // 500) AS t FROM tok)
+        |SELECT term, count(*) AS cnt FROM tok, tot
+        |GROUP BY term, tot.t HAVING count(*) >= tot.t""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

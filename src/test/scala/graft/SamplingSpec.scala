@@ -151,4 +151,28 @@ class SamplingSpec extends SparkSpec {
     // group b = 41..100 (n=60): ceil(15)=15th -> 55; 30th -> 70; max 100
     assert(r(("b", 0.25)) == 55L && r(("b", 0.5)) == 70L && r(("b", 1.0)) == 100L)
   }
+
+  test("heavyHitters is exactly the groupBy-HAVING answer on a skewed stream") {
+    // Zipf-ish: token k appears ~3000/k times; long tail of singletons.
+    val values = (1 to 30).flatMap(k => Seq.fill(3000 / k)(s"tok$k")) ++
+      (0 until 5000).map(i => s"tail$i")
+    val df = values.toDF("v")
+    for (minCount <- Seq(1000L, 300L, 101L)) {
+      val got = Sampling.heavyHitters(df, "v", minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want, s"mismatch at minCount=$minCount")
+      assert(got.nonEmpty)
+    }
+    // a deliberately sloppy sketch still yields exact results — only the
+    // candidate-set size (cost), never correctness, depends on eps
+    val sloppy = Sampling.heavyHitters(df, "v", 300L, eps = 0.01, confidence = 0.9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sloppy === exact)
+  }
 }
