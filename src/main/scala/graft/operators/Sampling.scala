@@ -217,6 +217,36 @@ object Sampling {
         col("_med").as("median"), col("_mad").as("mad"))
   }
 
+  /** Per-group distribution drift: KL(P_group || P_corpus) over a term
+    * column — the mixture-monitoring metric ("which source's token
+    * distribution diverges most from the blend?") that guards a training
+    * mix against a source going off-distribution between snapshots.
+    *
+    * Input is the exploded (group, term) stream. Scale shape: one
+    * map-side-combined count keyed by (group, term); corpus term totals
+    * aggregate from THOSE counts (|groups| x |vocab| pairs, never the raw
+    * stream) and stay partitioned by term for a co-partitioned join back;
+    * group totals and the grand total are tiny and broadcast. The raw
+    * stream is read exactly once.
+    *
+    * Returns (group, kl) with kl unrounded; KL >= 0, and 0 iff the group
+    * matches the corpus distribution exactly. Every group term appears in
+    * the corpus by construction, so q > 0 and the log is always finite. */
+  def klDivergence(df: DataFrame, groupCol: String, termCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol), col(termCol)).agg(count(lit(1)).as("_c"))
+    val g = c.groupBy(col(groupCol)).agg(sum(col("_c")).as("_ng"))
+    val t = c.groupBy(col(termCol)).agg(sum(col("_c")).as("_ct"))
+    val n = g.agg(sum(col("_ng")).as("_n"))
+    c.join(t, termCol)
+      .join(broadcast(g), groupCol)
+      .crossJoin(broadcast(n))
+      .groupBy(col(groupCol))
+      .agg(sum(
+        (col("_c") / col("_ng")) *
+          log((col("_c") / col("_ng")) / (col("_ct") / col("_n")))
+      ).as("kl"))
+  }
+
   /** EXACT frequency heavy hitters without a vocabulary-wide shuffle.
     *
     * Pass 1 folds the value stream into a Count-Min sketch (Cormode &

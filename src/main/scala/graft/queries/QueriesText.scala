@@ -231,6 +231,17 @@ object QueriesText {
         .select(col("term"), col("cnt"))
     }),
 
+    // Mixture drift: KL(source || corpus) over token distributions.
+    // Rounded to 4 decimals (not 6): the per-source sum spans thousands of
+    // ln() terms whose partial-aggregation order differs from DuckDB's
+    // sequential sum.
+    "q92_source_divergence" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(Bm25.tokenize(col("text"))).as("term"))
+      graft.operators.Sampling.klDivergence(toks, "source", "term")
+        .select(col("source"), (round(col("kl"), 4) + lit(0.0)).as("kl"))
+    }),
+
     // Benchmark decontamination: train = the full documents table, eval =
     // truncated copies of doc_id<25 (a synthetic benchmark whose items
     // leaked into training). Exact cross-corpus n-gram Jaccard with the
@@ -713,6 +724,20 @@ object QueriesText {
         |tot AS (SELECT greatest(1, count(*) // 500) AS t FROM tok)
         |SELECT term, count(*) AS cnt FROM tok, tot
         |GROUP BY term, tot.t HAVING count(*) >= tot.t""".stripMargin,
+
+    "q92_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM c GROUP BY 1),
+        |t AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM g)
+        |SELECT c.source,
+        |       round(sum((c.c / g.ng) * ln((c.c / g.ng) / (t.ct / n.n))), 4)
+        |         + 0.0 AS kl
+        |FROM c JOIN g USING (source) JOIN t USING (term) CROSS JOIN n
+        |GROUP BY c.source""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

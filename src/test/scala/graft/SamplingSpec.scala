@@ -152,6 +152,26 @@ class SamplingSpec extends SparkSpec {
     assert(r(("b", 0.25)) == 55L && r(("b", 0.5)) == 70L && r(("b", 1.0)) == 100L)
   }
 
+  test("klDivergence matches the hand-computed value; 0 for a corpus-shaped group") {
+    // group A: 30xx 10xy | group B: 10xx 30xy -> corpus: 40/40.
+    // Both groups: KL = .75*ln(.75/.5) + .25*ln(.25/.5)
+    val df = (Seq.fill(30)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(30)(("B", "y")))
+      .toDF("grp", "term")
+    val kl = Sampling.klDivergence(df, "grp", "term")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert(math.abs(kl("A") - expected) < 1e-12)
+    assert(math.abs(kl("B") - expected) < 1e-12)
+    // a group distributed exactly like the corpus has zero divergence
+    val uniform = (Seq.fill(6)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq.fill(3)(("B", "x")) ++ Seq.fill(1)(("B", "y")))
+      .toDF("grp", "term")
+    val kl2 = Sampling.klDivergence(uniform, "grp", "term")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(kl2("A")) < 1e-12 && math.abs(kl2("B")) < 1e-12)
+  }
+
   test("heavyHitters is exactly the groupBy-HAVING answer on a skewed stream") {
     // Zipf-ish: token k appears ~3000/k times; long tail of singletons.
     val values = (1 to 30).flatMap(k => Seq.fill(3000 / k)(s"tok$k")) ++
