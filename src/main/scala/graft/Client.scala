@@ -317,6 +317,23 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def exportShards(numShards: Int): DataFrame =
     graft.operators.Sampling.shuffleShards(df, "id", numShards)
 
+  /** Exact heavy-hitter terms across this collection's documents (terms
+    * with >= minCount occurrences), Count-Min-prefiltered so the shuffle
+    * never carries the vocabulary tail. */
+  def heavyTerms(minCount: Long): DataFrame =
+    graft.operators.Sampling.heavyHitters(
+      df.where(col("document").isNotNull)
+        .select(explode(Bm25.tokenize(col("document"))).as("term")),
+      "term", minCount)
+
+  /** Distribution drift of each metadata group's token mix against the
+    * whole collection: (group, kl) with KL(group || corpus). */
+  def sourceDrift(groupCol: String): DataFrame =
+    graft.operators.Sampling.klDivergence(
+      df.where(col("document").isNotNull)
+        .select(col(groupCol), explode(Bm25.tokenize(col("document"))).as("term")),
+      groupCol, "term")
+
   private def withEmbedding(rows: DataFrame): DataFrame = {
     val withDoc =
       if (rows.columns.contains("document")) rows

@@ -325,5 +325,15 @@ class ClientSpec extends SparkSpec {
     val rrf = c.hybridQueryRrf("quick brown fox", k = 2).collect()
     assert(rrf.nonEmpty && rrf.head.getAs[String]("id") === "r3")
     assert(rrf.head.getAs[Double]("score") > 0.0)
+
+    val heavy = c.heavyTerms(minCount = 4L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(heavy === Map("spark" -> 4L))  // only r1's repeated token clears 4
+
+    val drift = c.sourceDrift("source").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift.keySet === Set("web", "books"))
+    // disjoint vocabularies -> strictly positive divergence both ways
+    assert(drift.values.forall(_ > 0.0))
   }
 }
