@@ -233,7 +233,12 @@ object Sampling {
     * matches the corpus distribution exactly. Every group term appears in
     * the corpus by construction, so q > 0 and the log is always finite. */
   def klDivergence(df: DataFrame, groupCol: String, termCol: String): DataFrame = {
+    // Materialized once: g, t and n all derive from c, and without the
+    // persist each would re-scan and re-count the raw stream (Catalyst
+    // does not reuse the exchange across the three aggregates — the
+    // join-side null filters make the subtrees non-canonical).
     val c = df.groupBy(col(groupCol), col(termCol)).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = c.groupBy(col(groupCol)).agg(sum(col("_c")).as("_ng"))
     val t = c.groupBy(col(termCol)).agg(sum(col("_c")).as("_ct"))
     val n = g.agg(sum(col("_ng")).as("_n"))
@@ -268,9 +273,26 @@ object Sampling {
     * vocabulary-sized shuffle at any real corpus size. */
   def heavyHitters(df: DataFrame, valueCol: String, minCount: Long,
                    eps: Double = 1e-4, confidence: Double = 0.99,
-                   seed: Int = 42): DataFrame = {
+                   seed: Int = 42): DataFrame =
+    heavyHitters(df, valueCol,
+      frequencySketch(df, valueCol, eps, confidence, seed), minCount)
+
+  /** One-pass Count-Min sketch of a column — the reusable artifact behind
+    * [[heavyHitters]]. Build once per corpus snapshot (its `totalCount`
+    * doubles as the stream length, so relative thresholds like "0.2% of
+    * token mass" need no extra counting pass), then answer many
+    * heavy-hitter queries against it via the overload below. */
+  def frequencySketch(df: DataFrame, valueCol: String, eps: Double = 1e-4,
+                      confidence: Double = 0.99,
+                      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(valueCol, eps, confidence, seed)
+
+  /** [[heavyHitters]] against a prebuilt sketch: one scan — broadcast
+    * probe prefilter, then the exact candidate-only count. */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   sketch: org.apache.spark.util.sketch.CountMinSketch,
+                   minCount: Long): DataFrame = {
     require(minCount > 0, s"minCount must be positive: $minCount")
-    val sketch = df.stat.countMinSketch(valueCol, eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(sketch)
     val estimate = udf { (v: String) =>
       if (v == null) 0L else bc.value.estimateCount(v)

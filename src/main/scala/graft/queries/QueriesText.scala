@@ -222,12 +222,14 @@ object QueriesText {
     // Exact heavy hitters via Count-Min candidate prefilter: terms whose
     // count clears 0.2% of total token mass (relative threshold keeps the
     // result size sf-stable). Exact counts — the CMS pass only bounds
-    // which keys reach the shuffle.
+    // which keys reach the shuffle, and its totalCount doubles as the
+    // stream length, so no separate counting pass.
     "q91_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(explode(Bm25.tokenize(col("text"))).as("term"))
-      val minCount = math.max(1L, toks.count() / 500)
-      graft.operators.Sampling.heavyHitters(toks, "term", minCount)
+      val sketch = graft.operators.Sampling.frequencySketch(toks, "term")
+      graft.operators.Sampling.heavyHitters(toks, "term", sketch,
+          math.max(1L, sketch.totalCount() / 500))
         .select(col("term"), col("cnt"))
     }),
 

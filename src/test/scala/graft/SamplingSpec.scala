@@ -194,5 +194,12 @@ class SamplingSpec extends SparkSpec {
       .where(col("cnt") >= 300L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sloppy === exact)
+    // prebuilt sketch: totalCount is the exact stream length (so relative
+    // thresholds need no separate count pass) and yields the same answer
+    val sk = Sampling.frequencySketch(df, "v")
+    assert(sk.totalCount() === values.size.toLong)
+    val viaSketch = Sampling.heavyHitters(df, "v", sk, 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSketch === exact)
   }
 }
