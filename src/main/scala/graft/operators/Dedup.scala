@@ -405,6 +405,23 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental ingest dedup: the rows of a NEW `batch` that do NOT
+    * near-duplicate (n-gram Jaccard >= threshold) any document already in
+    * `corpus` — the "new crawl snapshot" operation, deduplicating an
+    * increment against an existing corpus WITHOUT re-clustering the
+    * corpus. Same asymmetric shape as [[decontaminate]] (batch shingles
+    * broadcast, corpus scanned once and never shuffled), then one
+    * anti-join of the batch against the (batch-sized, broadcastable)
+    * duplicate-id set. Batch-internal duplicates are out of scope here —
+    * run the symmetric dedup on the survivors if needed. */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val dupIds = decontaminate(corpus, batch, idCol, textCol, shingleN, threshold)
+      .select(col("eval_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-banded decontamination for when even one shingle-level pass
     * over the train corpus per eval release is too much: both corpora get
     * the SAME deterministic signature permutations, the eval side's banded

@@ -244,6 +244,23 @@ object QueriesText {
         .select(col("source"), (round(col("kl"), 4) + lit(0.0)).as("kl"))
     }),
 
+    // Incremental ingest dedup: the batch mixes truncated near-copies of
+    // doc_id<30 (duplicate the corpus -> dropped) with 20 synthetic docs
+    // whose shingles exist nowhere in the corpus (-> survive). Survivors
+    // are whatever exact cross-corpus Jaccard says is below 0.5.
+    "q93_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 20, 10))").as("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("qqx"), col("doc_id"), lit(" freshdoc qqx"),
+              col("doc_id"), lit(" freshdoc")).as("text")))
+      Dedup.dedupAgainstCorpus(docs, batch, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    }),
+
     // Benchmark decontamination: train = the full documents table, eval =
     // truncated copies of doc_id<25 (a synthetic benchmark whose items
     // leaked into training). Exact cross-corpus n-gram Jaccard with the
@@ -740,6 +757,51 @@ object QueriesText {
         |         + 0.0 AS kl
         |FROM c JOIN g USING (source) JOIN t USING (term) CROSS JOIN n
         |GROUP BY c.source""".stripMargin,
+
+    "q93_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         substr(text, 1, greatest(length(text) - 20, 10)) AS text
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |         'qqx' || doc_id || ' freshdoc qqx' || doc_id || ' freshdoc' AS text
+        |  FROM documents WHERE doc_id < 20),
+        |tk_t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM corpus),
+        |tk_e AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM batch),
+        |sh_t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_t),
+        |sh_e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+        |           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |           ELSE [] END) AS shingle
+        |  FROM tk_e),
+        |sizes_t AS (SELECT doc_id, count(*) AS n FROM sh_t GROUP BY doc_id),
+        |sizes_e AS (SELECT doc_id, count(*) AS n FROM sh_e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_inter
+        |  FROM sh_t t JOIN sh_e e ON t.shingle = e.shingle
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT i.eval_id AS doc_id
+        |  FROM inter i
+        |  JOIN sizes_t st ON st.doc_id = i.train_id
+        |  JOIN sizes_e se ON se.doc_id = i.eval_id
+        |  WHERE i.n_inter * 1.0 / (st.n + se.n - i.n_inter) >= 0.5)
+        |SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars
+        |FROM batch b WHERE b.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
     "q65_decontaminate" ->
       """WITH evaldocs AS (

@@ -118,6 +118,22 @@ class DedupSpec extends SparkSpec {
     assert(!hits.exists { case (_, e) => e == 101L })
   }
 
+  test("dedupAgainstCorpus keeps exactly the batch docs with no corpus near-dup") {
+    val corpus = docs
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river"), // near-dup of corpus
+      (201L, "held out fresh snapshot document with wholly novel content"),
+      (202L, "another genuinely new page from the incremental crawl run")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(201L, 202L))
+    // threshold 1.0+epsilon-like strictness: nothing is an exact copy, all survive
+    val keptAll = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text", threshold = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAll === Set(200L, 201L, 202L))
+  }
+
   test("LSH decontamination is a subset of exact and catches high-overlap pairs") {
     val train = docs
     val evalSet = Seq(
