@@ -373,6 +373,62 @@ object Dedup {
           .otherwise(0.0), 6).as("overlap_frac"))
   }
 
+  /** Cross-document duplicate SPAN detection — the ExactSubstr dedup of
+    * Lee et al. '22 ("Deduplicating Training Data Makes Language Models
+    * Better") at word-n-gram granularity: find every maximal token span
+    * that is covered by n-grams occurring in >= 2 distinct documents, and
+    * summarize per document (span count, duplicated-token count/fraction).
+    * Unlike document-level Jaccard this localizes WHICH passage is
+    * boilerplate, so a pipeline can cut the span and keep the document.
+    *
+    * Plan shape (no suffix array needed):
+    *  1. one pass emits (doc, start, md5(n-gram)) — the 32-hex md5 is the
+    *     join/group key, so long n-gram strings never shuffle;
+    *  2. cross-doc n-grams = one count-distinct-docs groupBy on the hash
+    *     (map-side combined), joined back on the same key partitioning;
+    *  3. span merge is gaps-and-islands per document: a window keyed by
+    *     doc — embarrassingly parallel across docs, no global sort.
+    * Within-doc repeats (same n-gram twice in ONE doc) do NOT flag a span;
+    * the signal is cross-document duplication.
+    *
+    * Returns (idCol, n_spans, dup_tokens, total_tokens, dup_frac) for
+    * documents containing at least one duplicated span. */
+  def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    require(n >= 2, s"span n-gram order must be >= 2: $n")
+    val w = org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(idCol), Bm25.tokenize(col(textCol)).as("_tk"))
+    // 1-based n-gram start positions, md5-keyed (positions stay with the row)
+    val ng = tk.where(size(col("_tk")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', slice(_tk, i, $n)))")))
+      .select(col(idCol), (col("pos") + 1).as("_start"),
+        md5(col("col").cast("binary")).as("_key"))
+    val dupKeys = ng.groupBy(col("_key"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= 2).select(col("_key"))
+    val hits = ng.join(dupKeys, Seq("_key"))
+      .select(col(idCol), col("_start")).distinct()
+    // gaps-and-islands: a new span starts when this n-gram neither overlaps
+    // nor touches the running max end of the preceding hits
+    val byDoc = w.partitionBy(col(idCol)).orderBy(col("_start"))
+    val prevEnd = max(col("_start") + lit(n - 1))
+      .over(byDoc.rowsBetween(w.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("_new", when(prevEnd.isNull || col("_start") > prevEnd + 1, 1)
+        .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(byDoc.rowsBetween(w.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_start")).as("_s"), (max(col("_start")) + lit(n - 1)).as("_e"))
+    val totals = tk.select(col(idCol), size(col("_tk")).cast("long").as("total_tokens"))
+    spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_e") - col("_s") + 1).cast("long").as("dup_tokens"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("total_tokens"),
+        round(col("dup_tokens") * lit(1.0) / col("total_tokens"), 6).as("dup_frac"))
+  }
+
   // -------------------------------------------------------- Decontamination
 
   /** Benchmark decontamination: training documents whose n-gram Jaccard

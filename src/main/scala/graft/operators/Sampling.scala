@@ -287,6 +287,94 @@ object Sampling {
                       seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
     df.stat.countMinSketch(valueCol, eps, confidence, seed)
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS '23 "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram bag is,
+    * `logw(doc) = sum_tokens ln(p_target(bucket) / p_raw(bucket))`,
+    * with add-one smoothing over `buckets` hash buckets. Selecting the
+    * top-weight docs (or Gumbel-resampling on logw) yields a corpus
+    * distributionally closer to the target — the standard cheap
+    * quality-targeting step before training.
+    *
+    * Scale shape: tokens never shuffle as strings — each side folds to
+    * per-bucket counts (map-side combined, `buckets`-sized output); the
+    * bucket log-ratio relation is tiny and BROADCAST back onto the per-doc
+    * bucket counts, so the raw corpus is read twice (once for the global
+    * bucket LM, once for per-doc counts) and shuffled only as (doc, bucket)
+    * partials. The hash is the engine-portable md5-32 ([[hash32]]).
+    *
+    * Returns (idCol, n_tokens, logw) per raw document with >= 1 token;
+    * logw is unrounded (callers round for cross-engine compares). */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toBuckets = (df: DataFrame) => df
+      .select(col(idCol), explode(Bm25.tokenize(col(textCol))).as("_t"))
+      .select(col(idCol), (TextAnalysis.md5Hash32(col("_t")) % buckets).as("_b"))
+    val docB = toBuckets(raw).groupBy(col(idCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCnt = docB.groupBy(col("_b")).agg(sum(col("_c")).as("_cr"))
+    val tgtCnt = toBuckets(target).groupBy(col("_b")).agg(count(lit(1)).as("_ct"))
+    val rawTot = rawCnt.agg(sum(col("_cr")).as("_tr"))
+    val tgtTot = tgtCnt.agg(sum(col("_ct")).as("_tt"))
+    // every raw bucket gets a ratio; target-absent buckets smooth to 1/(tt+B)
+    val ratios = rawCnt.join(tgtCnt, Seq("_b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("_b"),
+        (log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / (col("_tt") + lit(buckets))) -
+          log((col("_cr") + lit(1.0)) / (col("_tr") + lit(buckets)))).as("_lr"))
+    docB.join(broadcast(ratios), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).cast("long").as("n_tokens"),
+        sum(col("_c") * col("_lr")).as("logw"))
+  }
+
+  /** Deterministic stratified train/val/test assignment: split on
+    * `hash32(stratum || ':' || id) % 100` so (a) membership is a pure
+    * per-row map — zero shuffles, reproducible under re-runs and partition
+    * recomputes, (b) proportions hold WITHIN each stratum (hashing the
+    * stratum into the key decorrelates strata), and (c) an id's split never
+    * changes when other rows arrive — the property rand()-splits lose.
+    * `trainPct`/`valPct` are integer percents; the rest is test. */
+  def assignSplits(df: DataFrame, idCol: String, strataCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents: train=$trainPct val=$valPct")
+    val h = hash32(concat(col(strataCol), lit(":"), col(idCol).cast("string"))) % 100
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Curriculum export order: rank documents within each group (source,
+    * domain) by ascending difficulty, then interleave groups round-robin —
+    * position `ord = (rank - 1) * n_groups + group_index`, so training
+    * consumes easy documents first while every batch stays source-mixed.
+    *
+    * The position is COMPUTED, not sorted-for: per-group rank is a window
+    * keyed by the group (parallel across groups), and the group index
+    * comes from a tiny broadcast relation — there is no global sort or
+    * single-partition window anywhere, so the order assignment scales to
+    * any corpus size (write with `sortWithinPartitions(ord)` after a range
+    * repartition to materialize). `ord` has gaps once short groups
+    * exhaust; consumers stream in ord order, so gaps are harmless. */
+  def curriculumInterleave(df: DataFrame, idCol: String, groupCol: String,
+                           difficultyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(difficultyCol), col(idCol))
+    val groups = df.select(col(groupCol)).distinct()
+      .withColumn("_gi", row_number().over(
+        Window.orderBy(col(groupCol))).cast("long"))
+    val n = groups.agg(count(lit(1)).as("_ng"))
+    df.withColumn("_rn", row_number().over(w))
+      .join(broadcast(groups), Seq(groupCol))
+      .crossJoin(broadcast(n))
+      .withColumn("ord", (col("_rn") - 1).cast("long") * col("_ng") + col("_gi"))
+      .drop("_rn", "_gi", "_ng")
+  }
+
   /** [[heavyHitters]] against a prebuilt sketch: one scan — broadcast
     * probe prefilter, then the exact candidate-only count. */
   def heavyHitters(df: DataFrame, valueCol: String,

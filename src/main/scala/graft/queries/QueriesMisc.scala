@@ -117,6 +117,25 @@ object QueriesMisc {
       graft.operators.Sampling.temperatureSample(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id")),
+
+    // Deterministic stratified train/val/test split (80/10/10 within each
+    // language) — per-stratum tallies prove the stratification
+    "q96_stratified_split" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplits(
+          t(s, dir, "documents"), "doc_id", "lang")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Curriculum export order: easy-first (n_chars ascending) within each
+    // source, sources interleaved round-robin — computed position, no
+    // global sort
+    "q97_curriculum" -> ((s, dir) =>
+      graft.operators.Sampling.curriculumInterleave(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "source", "n_chars")
+        .select(col("ord"), col("doc_id"), col("source"), col("n_chars"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +297,34 @@ object QueriesMisc {
         |FROM documents d JOIN r USING (lang)
         |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS DOUBLE)
         |      < r.rate * 4294967296.0""".stripMargin,
+
+    "q96_stratified_split" ->
+      """WITH a AS (
+        |  SELECT lang, n_chars,
+        |         ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 100 AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_chars,
+        |         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM a)
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q97_curriculum" ->
+      """WITH g AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) AS gi
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ng FROM g),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST(r.rn - 1 AS BIGINT) * n.ng + g.gi AS ord,
+        |       r.doc_id, r.source, r.n_chars
+        |FROM r JOIN g USING (source) CROSS JOIN n""".stripMargin,
   )
 }

@@ -384,6 +384,26 @@ object QueriesText {
             reverse(col("text")).as("text")))
       Dedup.contaminationOverlap(docs, evalSet, "doc_id", "text", shingleN = 3)
     }),
+
+    // Cross-document duplicate 5-gram SPANS (ExactSubstr shape, Lee et
+    // al. '22): which passages are boilerplate, per document — natural
+    // corpus, no synthetic injection (the sf generator's word-salad text
+    // repeats 5-grams across ~14% of docs).
+    "q94_dup_spans" -> ((s, dir) =>
+      Dedup.dupNgramSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)),
+
+    // DSIR importance weights: target = the English slice, raw = the full
+    // corpus; hashed-unigram bucket LM ratio per doc. Docs whose token
+    // distribution looks English-like score high. Round 4 (order-dependent
+    // per-doc ln() sum).
+    "q95_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.importanceWeights(
+          docs, docs.where(col("lang") === "en"), "doc_id", "text",
+          buckets = 1024)
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("logw"), 4) + lit(0.0)).as("logw"))
+    }),
   )
 
   // --------------------------------------------------------------- oracles
@@ -1085,5 +1105,68 @@ object QueriesText {
         |       round(CASE WHEN a.n_shingles > 0
         |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
         |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q94_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(1, len(tk) - 3)) AS INT) AS start,
+        |         md5(unnest(list_transform(range(1, len(tk) - 3),
+        |             i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS key
+        |  FROM toks WHERE len(tk) >= 5),
+        |dupk AS (
+        |  SELECT key FROM (
+        |    SELECT key, count(DISTINCT doc_id) AS nd FROM ng GROUP BY key)
+        |  WHERE nd >= 2),
+        |hits AS (SELECT DISTINCT doc_id, start FROM ng JOIN dupk USING (key)),
+        |marked AS (
+        |  SELECT doc_id, start,
+        |         CASE WHEN max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR start > max(start + 4) OVER (PARTITION BY doc_id ORDER BY start
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |         THEN 1 ELSE 0 END AS new_isl
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, g, min(start) AS s, max(start) + 4 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |summ AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens FROM toks)
+        |SELECT summ.doc_id, n_spans, dup_tokens, total_tokens,
+        |       round(dup_tokens * 1.0 / total_tokens, 6) AS dup_frac
+        |FROM summ JOIN tot USING (doc_id)""".stripMargin,
+
+    "q95_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(
+        |         lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b
+        |      FROM toks),
+        |db AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+        |cr AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY b),
+        |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM cr),
+        |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM ct),
+        |lr AS (
+        |  SELECT cr.b,
+        |         ln((coalesce(ct.ct, 0) + 1.0) / (tt.tt + 1024)) -
+        |         ln((cr.cr + 1.0) / (tr.tr + 1024)) AS lr
+        |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tr CROSS JOIN tt)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(sum(c * lr), 4) + 0.0 AS logw
+        |FROM db JOIN lr USING (b) GROUP BY doc_id""".stripMargin,
   )
 }

@@ -204,4 +204,32 @@ class DedupSpec extends SparkSpec {
     val some = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = -1.0)
     assert(some.count() === 100L * 99 / 2) // every pair passes at -1
   }
+
+  test("dupNgramSpans merges overlapping/adjacent spans, ignores within-doc repeats") {
+    import spark.implicits._
+    // docs 1+2 share tokens 1..6 ("a b c d e f": 3-gram starts 1..4 merge
+    // into ONE span) and tokens 9..11 ("x y z": a second span, separated by
+    // unique filler). doc 3 repeats "r s t" twice WITHIN itself only.
+    val docs = Seq(
+      (1L, "a b c d e f u1 u2 x y z"),
+      (2L, "a b c d e f v1 v2 x y z"),
+      (3L, "r s t w1 w2 r s t")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // within-doc-only duplication must not flag doc 3
+    assert(!out.contains(3L))
+    // docs 1 and 2: two maximal spans (1..6 and 9..11), 9 dup tokens of 11
+    assert(out(1L) === ((2L, 9L, 11L)))
+    assert(out(2L) === ((2L, 9L, 11L)))
+    // adjacency merge: "p q r s t u" vs "p q r" + "s t u" in another doc —
+    // starts 1 and 4 with n=3 touch (ends 3, starts 4) and merge
+    val adj = Seq(
+      (10L, "p q r s t u"),
+      (11L, "p q r zz1 zz2 zz3"),
+      (12L, "s t u zz4 zz5 zz6")).toDF("doc_id", "text")
+    val spans = Dedup.dupNgramSpans(adj, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans(10L) === 1L) // one merged span covering 1..6
+  }
 }

@@ -202,4 +202,61 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaSketch === exact)
   }
+
+  test("importanceWeights ranks target-like docs above off-target docs") {
+    // target speaks {alpha..delta}; off-target docs speak {omega..}; a
+    // mixed doc sits between. DSIR log-weights must order them.
+    val tgtWords = Seq("alpha", "beta", "gamma", "delta")
+    val offWords = Seq("omega", "psi", "chi", "phi")
+    val mk = (id: Long, ws: Seq[String]) => (id, Seq.fill(12)(ws).flatten.mkString(" "))
+    val raw = Seq(
+      mk(1L, tgtWords), mk(2L, offWords),
+      (3L, (Seq.fill(6)(tgtWords).flatten ++ Seq.fill(6)(offWords).flatten).mkString(" ")))
+      .toDF("id", "text")
+    val target = Seq(mk(10L, tgtWords), mk(11L, tgtWords)).toDF("id", "text")
+    val w = Sampling.importanceWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    // rerun is bit-identical (hash buckets, no rand())
+    val w2 = Sampling.importanceWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w === w2)
+  }
+
+  test("assignSplits: per-stratum proportions, deterministic, exhaustive") {
+    val docs = (0L until 3000L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val s = Sampling.assignSplits(docs, "id", "lang")
+    assert(s.count() === 3000L)                       // pure map: no row loss
+    val byStratum = s.groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (l <- Seq("lang0", "lang1", "lang2")) {
+      val tr = byStratum.getOrElse((l, "train"), 0L)
+      assert(tr > 700L && tr < 900L, s"$l train=$tr")  // ~80% of 1000
+      assert(byStratum.getOrElse((l, "val"), 0L) > 40L)
+      assert(byStratum.getOrElse((l, "test"), 0L) > 40L)
+    }
+    // membership is stable under re-runs and unaffected by other rows
+    val subset = Sampling.assignSplits(docs.where(col("id") < 100), "id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = s.where(col("id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset === full)
+  }
+
+  test("curriculumInterleave: easy-first within groups, round-robin across") {
+    val docs = (0L until 120L).map(i => (i, s"s${i % 4}", 1000L - i)).toDF("id", "src", "diff")
+    val out = Sampling.curriculumInterleave(docs, "id", "src", "diff")
+      .orderBy("ord").collect()
+    assert(out.length === 120)
+    // equal-size groups: ord is dense 1..120 and the first 4 positions
+    // cover all 4 sources with each group's easiest doc
+    assert(out.map(_.getAs[Long]("ord")).toSeq === (1L to 120L))
+    val firstFour = out.take(4)
+    assert(firstFour.map(_.getAs[String]("src")).toSet.size === 4)
+    // within each source, difficulty is non-decreasing along ord
+    for (src <- Seq("s0", "s1", "s2", "s3")) {
+      val diffs = out.filter(_.getAs[String]("src") == src).map(_.getAs[Long]("diff")).toSeq
+      assert(diffs === diffs.sorted, s"$src not easy-first")
+    }
+  }
 }
