@@ -334,6 +334,33 @@ final class GraftCollection(spark: SparkSession, dir: String,
         .select(col(groupCol), explode(Bm25.tokenize(col("document"))).as("term")),
       groupCol, "term")
 
+  /** Cross-document duplicate n-gram SPANS in this collection: per doc,
+    * the merged passages covered by n-grams shared with other docs
+    * (ExactSubstr-style localization — cut the span, keep the doc). */
+  def dupSpans(n: Int = 5): DataFrame =
+    Dedup.dupNgramSpans(df.where(col("document").isNotNull), "id", "document", n)
+
+  /** DSIR importance weight of every document against a target corpus
+    * (hashed-unigram bucket LM log-ratio; higher = more target-like). */
+  def importanceWeights(target: DataFrame, targetText: String,
+                        buckets: Int = 1024): DataFrame =
+    graft.operators.Sampling.importanceWeights(
+      df.where(col("document").isNotNull),
+      target.select(col(targetText).as("document"))
+        .withColumn("id", monotonically_increasing_id()),
+      "id", "document", buckets)
+
+  /** Deterministic stratified train/val/test assignment keyed on a
+    * metadata column (per-stratum 80/10/10 by portable hash). */
+  def assignSplits(strataCol: String, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame =
+    graft.operators.Sampling.assignSplits(df, "id", strataCol, trainPct, valPct)
+
+  /** Curriculum export order: easy-first within each group, groups
+    * interleaved round-robin (computed position — no global sort). */
+  def curriculum(groupCol: String, difficultyCol: String): DataFrame =
+    graft.operators.Sampling.curriculumInterleave(df, "id", groupCol, difficultyCol)
+
   private def withEmbedding(rows: DataFrame): DataFrame = {
     val withDoc =
       if (rows.columns.contains("document")) rows

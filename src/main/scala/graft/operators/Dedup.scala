@@ -398,17 +398,20 @@ object Dedup {
     require(n >= 2, s"span n-gram order must be >= 2: $n")
     val w = org.apache.spark.sql.expressions.Window
     val tk = docs.select(col(idCol), Bm25.tokenize(col(textCol)).as("_tk"))
-    // 1-based n-gram start positions, md5-keyed (positions stay with the row)
+    // 1-based n-gram start positions, md5-keyed (positions stay with the
+    // row). The doc's token count rides along so the corpus is scanned
+    // exactly ONCE — every output doc has >= 1 n-gram, and for those
+    // total_tokens is recoverable from any n-gram row.
     val ng = tk.where(size(col("_tk")) >= n)
-      .select(col(idCol), posexplode(expr(
+      .select(col(idCol), size(col("_tk")).cast("long").as("_len"), posexplode(expr(
         s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', slice(_tk, i, $n)))")))
-      .select(col(idCol), (col("pos") + 1).as("_start"),
+      .select(col(idCol), col("_len"), (col("pos") + 1).as("_start"),
         md5(col("col").cast("binary")).as("_key"))
     val dupKeys = ng.groupBy(col("_key"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .where(col("_nd") >= 2).select(col("_key"))
     val hits = ng.join(dupKeys, Seq("_key"))
-      .select(col(idCol), col("_start")).distinct()
+      .select(col(idCol), col("_len"), col("_start")).distinct()
     // gaps-and-islands: a new span starts when this n-gram neither overlaps
     // nor touches the running max end of the preceding hits
     val byDoc = w.partitionBy(col(idCol)).orderBy(col("_start"))
@@ -419,12 +422,12 @@ object Dedup {
         .otherwise(0))
       .withColumn("_isl", sum(col("_new")).over(byDoc.rowsBetween(w.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("_isl"))
-      .agg(min(col("_start")).as("_s"), (max(col("_start")) + lit(n - 1)).as("_e"))
-    val totals = tk.select(col(idCol), size(col("_tk")).cast("long").as("total_tokens"))
+      .agg(min(col("_start")).as("_s"), (max(col("_start")) + lit(n - 1)).as("_e"),
+        first(col("_len")).as("_len"))
     spans.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("_e") - col("_s") + 1).cast("long").as("dup_tokens"))
-      .join(totals, Seq(idCol))
+        sum(col("_e") - col("_s") + 1).cast("long").as("dup_tokens"),
+        first(col("_len")).as("total_tokens"))
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("total_tokens"),
         round(col("dup_tokens") * lit(1.0) / col("total_tokens"), 6).as("dup_frac"))
   }

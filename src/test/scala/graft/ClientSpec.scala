@@ -336,4 +336,32 @@ class ClientSpec extends SparkSpec {
     // disjoint vocabularies -> strictly positive divergence both ways
     assert(drift.values.forall(_ > 0.0))
   }
+
+  test("pipeline facade: dup spans, importance weights, splits, curriculum") {
+    val c = client.getOrCreateCollection("pipeline3")
+    c.add(Seq(
+      ("a1", "one two three four five tail1 tail2", "web"),
+      ("a2", "one two three four five other6 other7", "web"),
+      ("a3", "completely different words here entirely", "books"),
+      ("a4", "the quick brown fox jumps again", "books")
+    ).toDF("id", "document", "source"))
+
+    val spans = c.dupSpans(n = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(spans === Map("a1" -> 5L, "a2" -> 5L)) // shared 5-token prefix
+
+    val target = Seq("quick brown fox", "brown fox jumps").toDF("txt")
+    val w = c.importanceWeights(target, "txt").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w("a4") > w("a1")) // fox-speak doc is most target-like
+
+    val splits = c.assignSplits("source").select("id", "split").collect()
+    assert(splits.length === 4)
+    assert(splits.forall(r => Set("train", "val", "test")(r.getString(1))))
+
+    val cur = c.curriculum("source", "id").orderBy("ord").collect()
+    assert(cur.length === 4)
+    // round-robin: first two positions are one doc from each source group
+    assert(cur.take(2).map(_.getAs[String]("source")).toSet === Set("web", "books"))
+  }
 }
