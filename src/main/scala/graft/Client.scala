@@ -414,6 +414,35 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   // -------------------------------------------- persisted IVF vector index
 
+  private def dedupDir = s"$dir/index_dedup"
+
+  /** True once [[buildDedupIndex]] has run. */
+  def hasDedupIndex: Boolean = Dedup.dedupIndexExists(dedupDir)
+
+  /** Persist this collection's dedup sidecar (banded MinHash signatures +
+    * hashed shingle sets, bucket-partitioned) so [[dedupIngest]] never
+    * re-shingles the standing corpus. */
+  def buildDedupIndex(numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3): Unit =
+    Dedup.saveDedupIndex(
+      df.where(col("document").isNotNull).select(col("id"), col("document")),
+      "id", "document", dedupDir, numHashes, bands, shingleN)
+
+  /** Incremental ingest dedup: batch docs with no near-duplicate in this
+    * collection (LSH candidates from the persisted index, exact-verified
+    * at `threshold`). Pass `accept = true` to also append the survivors'
+    * signatures to the index, keeping it current for the next batch. */
+  def dedupIngest(batch: DataFrame, batchId: String, batchText: String,
+                  threshold: Double = 0.5, accept: Boolean = false): DataFrame = {
+    require(hasDedupIndex,
+      s"collection '${config.name}' has no dedup index; run buildDedupIndex() first")
+    val survivors = Dedup.dedupAgainstIndex(
+      batch.select(col(batchId).as("id"), col(batchText).as("document")),
+      "id", "document", dedupDir, threshold)
+    if (accept) Dedup.appendDedupIndex(dedupDir, survivors, "id", "document")
+    survivors
+  }
+
   private def ivfDir = s"$dir/index_ivf"
 
   /** True once [[buildVectorIndex]] has run. */

@@ -534,6 +534,177 @@ object Dedup {
     } finally { shT.unpersist(); shE.unpersist() }
   }
 
+  // ---------------------------------------------- persisted dedup index
+
+  /** Parameters of a persisted dedup sidecar (see [[saveDedupIndex]]). */
+  final case class DedupIndexStats(numHashes: Int, bands: Int, shingleN: Int,
+                                   bandBuckets: Int, docBuckets: Int,
+                                   nDocs: Long)
+
+  def dedupIndexExists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stats.json"))
+
+  private def bandBucket(buckets: Int)(band: Column, sig: Column): Column =
+    pmod(xxhash64(band, sig), lit(buckets.toLong)).cast("int")
+
+  private def docBucket(buckets: Int)(doc: Column): Column =
+    pmod(xxhash64(doc), lit(buckets.toLong)).cast("int")
+
+  /** Hashed distinct shingle sets: (doc, n_sh, h) with h = md5-32 of the
+    * shingle and n_sh = |distinct h| (set semantics at the HASH level, so
+    * every engine computing the same md5 agrees end to end). */
+  private def hashedShingleSets(docs: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleN),
+          s => TextAnalysis.md5Hash32(s))).as("_hs"))
+      .select(col("doc"), size(col("_hs")).cast("long").as("n_sh"),
+        explode(col("_hs")).as("h"))
+
+  /** (doc, band, band_sig) LSH banding of the minhash signature computed
+    * from a hashed shingle stream — the shared kernel of [[minhashLsh]],
+    * [[decontaminateLsh]] and the persisted index. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val minExprs = (0 until numHashes).map { i =>
+      min(pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
+    }
+    sh.groupBy(col("doc"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(
+          array((0 until numHashes).map(i => col(s"m$i")): _*),
+          b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "band_sig")))
+  }
+
+  /** Persist the corpus's dedup state as a collection sidecar — the BM25
+    * sidecar pattern (Bm25.saveIndex) applied to dedup, so incremental
+    * ingest does NOT re-minhash the standing corpus per batch (q93's
+    * [[dedupAgainstCorpus]] shape re-shingles everything every call;
+    * at 100 TB the corpus pass dwarfs any batch).
+    *
+    * Layout: `dir/bands` = (doc, band, band_sig) partitioned by a
+    * 64-bucket hash of (band, band_sig) — a batch's probe keys prune the
+    * read to their buckets; `dir/shingles` = (doc, n_sh, h) partitioned
+    * by a hash of doc — exact verification reads only the candidate
+    * docs' buckets; `stats.json` pins the signature parameters so every
+    * later batch hashes identically. */
+  def saveDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, numHashes: Int = 32, bands: Int = 8,
+                     shingleN: Int = 3, bandBuckets: Int = 64,
+                     docBuckets: Int = 64): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = hashedShingleSets(docs, idCol, textCol, shingleN).persist()
+    try {
+      graft.sources.Collections.swapWrite(
+        bandedSignatures(sh, numHashes, bands)
+          .withColumn("_bb", bandBucket(bandBuckets)(col("band"), col("band_sig")))
+          .repartition(col("_bb")),
+        s"$dir/bands", partitionCols = Seq("_bb"))
+      graft.sources.Collections.swapWrite(
+        sh.withColumn("_db", docBucket(docBuckets)(col("doc")))
+          .repartition(col("_db")),
+        s"$dir/shingles", partitionCols = Seq("_db"))
+      writeDedupStats(dir, DedupIndexStats(numHashes, bands, shingleN,
+        bandBuckets, docBuckets, sh.select("doc").distinct().count()))
+    } finally sh.unpersist()
+  }
+
+  /** Accepted-batch maintenance: append the new docs' bands and shingles
+    * into their partition directories (touches only those buckets) and
+    * refresh n_docs — the standing corpus is never re-read. */
+  def appendDedupIndex(dir: String, newDocs: DataFrame, idCol: String,
+                       textCol: String): Unit = {
+    val st = readDedupStats(dir)
+    val sh = hashedShingleSets(newDocs, idCol, textCol, st.shingleN).persist()
+    try {
+      bandedSignatures(sh, st.numHashes, st.bands)
+        .withColumn("_bb", bandBucket(st.bandBuckets)(col("band"), col("band_sig")))
+        .repartition(col("_bb"))
+        .write.mode("append").partitionBy("_bb").parquet(s"$dir/bands")
+      sh.withColumn("_db", docBucket(st.docBuckets)(col("doc")))
+        .repartition(col("_db"))
+        .write.mode("append").partitionBy("_db").parquet(s"$dir/shingles")
+      writeDedupStats(dir, st.copy(
+        nDocs = st.nDocs + sh.select("doc").distinct().count()))
+    } finally sh.unpersist()
+  }
+
+  /** Incremental ingest dedup against a PERSISTED index: batch docs whose
+    * exact hashed-shingle Jaccard against any LSH-candidate corpus doc
+    * stays below `threshold`. Candidates come from band collisions (the
+    * standard 1-(1-s^r)^b recall curve); every emitted duplicate is
+    * exact-verified, so false collisions never drop a clean doc.
+    *
+    * Scale shape: the batch side is small — its banded signatures and
+    * shingle sets BROADCAST; the corpus index is read partition-PRUNED
+    * (probe buckets for bands, candidate-doc buckets for shingles), so a
+    * batch touches O(batch) index bytes, never the corpus. */
+  def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                        dir: String, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val st = readDedupStats(dir)
+    val shB = hashedShingleSets(batch, idCol, textCol, st.shingleN).persist()
+    val bandsB = bandedSignatures(shB, st.numHashes, st.bands)
+      .withColumn("_bb", bandBucket(st.bandBuckets)(col("band"), col("band_sig")))
+      .persist()
+    try {
+      val probeBuckets = bandsB.select("_bb").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cand = spark.read.parquet(s"$dir/bands")
+        .where(col("_bb").isin(probeBuckets: _*))
+        .join(broadcast(bandsB.select(col("_bb"), col("band"), col("band_sig"),
+          col("doc").as("_bdoc"))), Seq("_bb", "band", "band_sig"))
+        .select(col("doc").as("_cdoc"), col("_bdoc")).distinct()
+        .persist()
+      try {
+        val candBuckets = cand
+          .select(docBucket(st.docBuckets)(col("_cdoc")).as("_db"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val corpusSh = spark.read.parquet(s"$dir/shingles")
+          .where(col("_db").isin(candBuckets: _*))
+        val dupIds = cand
+          .join(corpusSh.select(col("doc").as("_cdoc"),
+            col("n_sh").as("_nc"), col("h")), Seq("_cdoc"))
+          .join(broadcast(shB.select(col("doc").as("_bdoc"),
+            col("n_sh").as("_nb"), col("h"))), Seq("_bdoc", "h"))
+          .groupBy(col("_cdoc"), col("_bdoc"), col("_nc"), col("_nb"))
+          .agg(count(lit(1)).as("_ni"))
+          .where(col("_ni").cast("double") /
+            (col("_nc") + col("_nb") - col("_ni")) >= threshold)
+          .select(col("_bdoc").as(idCol)).distinct()
+        batch.join(dupIds, Seq(idCol), "left_anti")
+          .localCheckpoint(eager = true)
+      } finally cand.unpersist()
+    } finally { shB.unpersist(); bandsB.unpersist() }
+  }
+
+  private def writeDedupStats(dir: String, st: DedupIndexStats): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, ".stats.json.tmp")
+    Files.writeString(tmp,
+      s"""{"num_hashes": ${st.numHashes}, "bands": ${st.bands}, """ +
+        s""""shingle_n": ${st.shingleN}, "band_buckets": ${st.bandBuckets}, """ +
+        s""""doc_buckets": ${st.docBuckets}, "n_docs": ${st.nDocs}}""")
+    Files.move(tmp, Paths.get(dir, "stats.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readDedupStats(dir: String): DedupIndexStats = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "stats.json"))
+    def f(k: String): Long =
+      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(raw).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"missing $k in dedup stats"))
+    DedupIndexStats(f("num_hashes").toInt, f("bands").toInt,
+      f("shingle_n").toInt, f("band_buckets").toInt, f("doc_buckets").toInt,
+      f("n_docs"))
+  }
+
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc"),

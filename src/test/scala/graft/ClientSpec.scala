@@ -364,4 +364,29 @@ class ClientSpec extends SparkSpec {
     // round-robin: first two positions are one doc from each source group
     assert(cur.take(2).map(_.getAs[String]("source")).toSet === Set("web", "books"))
   }
+
+  test("persisted dedup index: ingest drops near-copies, accept maintains") {
+    val c = client.getOrCreateCollection("dedupix")
+    c.add(Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog tonight", "web"),
+      ("d2", "completely different content about spark partitions here", "web")
+    ).toDF("id", "document", "source"))
+    assert(!c.hasDedupIndex)
+    c.buildDedupIndex()
+    assert(c.hasDedupIndex)
+
+    val batch = Seq(
+      ("b1", "the quick brown fox jumps over the lazy dog"),   // near-copy of d1
+      ("b2", "fresh unique sentence with brand new words entirely")
+    ).toDF("bid", "btext")
+    val s1 = c.dedupIngest(batch, "bid", "btext", accept = true)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(s1 === Set("b2"))
+    // accept=true appended b2's signatures: a copy of b2 is now caught
+    val s2 = c.dedupIngest(
+      Seq(("b3", "fresh unique sentence with brand new words entirely"))
+        .toDF("bid", "btext"), "bid", "btext")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(s2 === Set.empty[String])
+  }
 }

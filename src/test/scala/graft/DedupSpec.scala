@@ -205,6 +205,52 @@ class DedupSpec extends SparkSpec {
     assert(some.count() === 100L * 99 / 2) // every pair passes at -1
   }
 
+  test("persisted dedup index: round-trip equals in-memory LSH, append maintains") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = corpus.where($"doc_id" < 15)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 10))").as("text"))
+      .unionByName(Seq((200001L, "zzz fresh unique alpha zzz fresh unique beta"),
+        (200002L, "yyy other unique gamma yyy other unique delta"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupix").toString
+    Dedup.saveDedupIndex(corpus, "doc_id", "text", dir)
+    assert(Dedup.dedupIndexExists(dir))
+    val st = Dedup.readDedupStats(dir)
+    assert(st.numHashes === 32 && st.bands === 8 && st.nDocs === corpus.count())
+
+    val survivors = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same semantics as the in-memory banded path: candidates from band
+    // collisions, exact-verified at threshold
+    val dupIds = Dedup.decontaminateLsh(corpus, batch, "doc_id", "text")
+      .select($"eval_id").collect().map(_.getLong(0)).toSet
+    val expected = batch.collect().map(_.getLong(0)).toSet -- dupIds
+    assert(survivors === expected)
+    assert(survivors.contains(200001L) && survivors.contains(200002L))
+    assert((survivors -- Set(200001L, 200002L)).size < 15) // near-copies drop
+
+    // bands land in bucket-partitioned directories (pruned reads at probe)
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("_bb=")).map(_.getName)
+    assert(bandDirs.nonEmpty && bandDirs.length <= st.bandBuckets)
+
+    // append the fresh survivors, then a near-copy of one must be caught
+    Dedup.appendDedupIndex(dir,
+      Seq((200001L, "zzz fresh unique alpha zzz fresh unique beta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(Dedup.readDedupStats(dir).nDocs === st.nDocs + 1)
+    val recheck = Dedup.dedupAgainstIndex(
+      Seq((300001L, "zzz fresh unique alpha zzz fresh unique beta extra"),
+        (300002L, "totally unrelated words qqq www eee rrr ttt yyy uuu iii"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recheck === Set(300002L))
+  }
+
   test("dupNgramSpans merges overlapping/adjacent spans, ignores within-doc repeats") {
     import spark.implicits._
     // docs 1+2 share tokens 1..6 ("a b c d e f": 3-gram starts 1..4 merge
