@@ -382,10 +382,13 @@ object Dedup {
     * boilerplate, so a pipeline can cut the span and keep the document.
     *
     * Plan shape (no suffix array needed):
-    *  1. one pass emits (doc, start, md5(n-gram)) — the 32-hex md5 is the
+    *  1. each pass emits (doc, start, md5(n-gram)) — the 32-hex md5 is the
     *     join/group key, so long n-gram strings never shuffle;
     *  2. cross-doc n-grams = one count-distinct-docs groupBy on the hash
-    *     (map-side combined), joined back on the same key partitioning;
+    *     (map-side combined) whose >=2-doc survivors BROADCAST back onto a
+    *     second n-gram pass (two corpus scans by design: persisting the
+    *     exploded n-gram stream would cost ~n x corpus in memory/disk,
+    *     strictly worse than re-scanning the source at any real scale);
     *  3. span merge is gaps-and-islands per document: a window keyed by
     *     doc — embarrassingly parallel across docs, no global sort.
     * Within-doc repeats (same n-gram twice in ONE doc) do NOT flag a span;
@@ -399,9 +402,9 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
     val tk = docs.select(col(idCol), Bm25.tokenize(col(textCol)).as("_tk"))
     // 1-based n-gram start positions, md5-keyed (positions stay with the
-    // row). The doc's token count rides along so the corpus is scanned
-    // exactly ONCE — every output doc has >= 1 n-gram, and for those
-    // total_tokens is recoverable from any n-gram row.
+    // row). The doc's token count rides along so there is no separate
+    // totals scan or join — every output doc has >= 1 n-gram, and for
+    // those total_tokens is recoverable from any n-gram row.
     val ng = tk.where(size(col("_tk")) >= n)
       .select(col(idCol), size(col("_tk")).cast("long").as("_len"), posexplode(expr(
         s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', slice(_tk, i, $n)))")))

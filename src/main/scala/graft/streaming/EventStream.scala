@@ -176,4 +176,38 @@ object EventStream {
     q.stop()
     out.sparkSession.table(name)
   }
+
+  /** Continuous near-dup ingest against a PERSISTED dedup index (the
+    * streaming twin of Dedup.dedupAgainstIndex): each micro-batch is
+    * LSH-probed against the index's pruned buckets, exact-verified, the
+    * survivors written to `outDir` AND appended to the index — so later
+    * batches (and later duplicates of THIS batch's docs) are checked
+    * against everything accepted so far. [[dedupByKey]] is the exact-key
+    * gate bounded by a watermark; this is the content-similarity gate
+    * with durable, unbounded memory — the state lives in the index
+    * sidecar, not the state store, so a restart resumes checking against
+    * the full accepted corpus for free.
+    *
+    * foreachBatch is the right harness: per batch this is exactly the
+    * batch operator (same pruned reads, same broadcast batch side), and
+    * the index append is transactional per micro-batch. Near-dups WITHIN
+    * one micro-batch are not mutually checked (same as the batch
+    * operator); callers needing that run Dedup.minhashLsh on the batch
+    * first. */
+  def dedupIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, outDir: String,
+                        checkpointDir: String,
+                        threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.operators.Dedup
+          .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
+          .persist()
+        try {
+          survivors.write.mode("append").parquet(outDir)
+          graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
+        } finally survivors.unpersist()
+      }
+      .start()
 }

@@ -152,6 +152,38 @@ class EventStreamSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("continuous ingest dedup: index-backed, survivors append across batches") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, String)] }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamdedup")
+    val (ixDir, outDir, ckDir) =
+      (s"$tmp/ix", s"$tmp/out", s"$tmp/ck")
+    graft.operators.Dedup.saveDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "spark partitions shuffle broadcast join exchange plan"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+
+    val q = EventStream.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ixDir, outDir, ckDir)
+    try {
+      // batch 1: a near-copy of corpus doc 1 (dropped) + a fresh doc (kept)
+      mem.addData((101L, "the quick brown fox jumps over the lazy dog"),
+        (102L, "fresh unique sentence with brand new words entirely"))
+      q.processAllAvailable()
+      // batch 2: a copy of batch 1's accepted doc — caught ONLY because the
+      // index was appended; plus another fresh doc
+      mem.addData((201L, "fresh unique sentence with brand new words entirely"),
+        (202L, "unrelated corpus of totally different tokens qqq www"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(102L, 202L))
+    // the index now remembers all accepted docs across both batches
+    assert(graft.operators.Dedup.readDedupStats(ixDir).nDocs === 4L)
+  }
+
   test("funnel counts only in-order completions") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     val events = Seq(
