@@ -34,11 +34,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val loadBefore = loadAvg
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // Free cached state between queries (outside the timed window): the
@@ -47,9 +49,12 @@ object Bench {
       // runs, the accumulated blocks squeeze the block manager until
       // late-battery queries measure memory pressure instead of plan
       // quality (q30: 35 s mid-battery vs 1.1 s alone).
+      // blocking=true: a non-blocking unpersist leaves block-cleanup
+      // threads contending with the NEXT measured run (q84's [11.6 s,
+      // 40.4 s] second-run cliff) — wait for removal outside the timer
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       dt
     }
     // optional args: query names (exact or prefix) to bench a subset while
@@ -69,7 +74,11 @@ object Bench {
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
+    // failed queries are listed explicitly: their per-query numbers are
+    // time-to-exception, not query time — a reader must not mistake a
+    // 0.07 s "speedup" for a win (round-5 artifact did exactly that)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
     spark.stop()
   }
 }

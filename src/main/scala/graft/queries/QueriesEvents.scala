@@ -11,14 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unix microseconds so the ns-parquet -> µs truncation agrees across
   * engines. */
 object QueriesEvents {
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to a µs timestamp —
-    * the same ns->µs truncation DuckDB's epoch_us applies. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/$name.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Schema-adaptive events read — see [[Events.readTimestamped]]: the
+    * testdata has shipped `ts` as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS); the reader inspects the on-disk type. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Events.readTimestamped(s, s"$dir/$name.parquet")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E2/P8 subscription predicate: type set + props metadata equality

@@ -15,6 +15,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Events {
 
+  /** Schema-adaptive read of a parquet table carrying a `ts` event-time
+    * column. The driver's testdata has shipped `ts` as both
+    * TIMESTAMP(NANOS) (older generations — Spark's vectorized reader
+    * rejects it, so we read nanos-as-long and truncate to µs, matching
+    * DuckDB's epoch_us) and TIMESTAMP(MICROS)/TIMESTAMP_NTZ (current).
+    * Inspect what is actually on disk and adapt, so the engine reads
+    * every generation of the data rather than assuming one. */
+  def readTimestamped(s: org.apache.spark.sql.SparkSession, path: String,
+                      tsCol: String = "ts"): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    raw.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) surfaced as long nanos: truncate to µs
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case _ =>
+        // TIMESTAMP / TIMESTAMP_NTZ: session TZ is UTC, instant unchanged
+        raw.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    }
+  }
+
   /** Subscription predicate (realtime.py:92-118): event-type set +
     * metadata (props) equality matches. Missing props key => no match,
     * mirroring Subscription.matches. */

@@ -41,12 +41,12 @@ class AsOfSpec extends SparkSpec {
 
   test("asofJoin equals the quadratic candidate formulation on real data") {
     val s = spark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.streaming.Events.readTimestamped(s, s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"), col("ts"))
     val orders = s.read.parquet(s"$sfDir/orders.parquet")
-      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
 
     val fast = AsOf.asofJoin(events, orders,
         leftKey = "user_id", rightKey = "o_custkey",

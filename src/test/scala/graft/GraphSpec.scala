@@ -322,4 +322,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(t === Map("a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3, "e" -> 0))
   }
+
+  test("triangleCounts wedge volume stays O(m) on a star — degree-ordered orientation") {
+    import spark.implicits._
+    // Star K1,200 with the HUB holding the LOWEST id: the id-ordered
+    // formulation would center every wedge at the hub — C(200,2) = 19,900
+    // wedge rows for 200 edges. Degree ordering orients every edge
+    // leaf->hub, so the hub has out-degree 0 and wedge volume is 0.
+    val n = 200
+    val star = (1 to n).map(i => ("a_hub", f"leaf_$i%03d")).toDF("src", "dst")
+    val und = star
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val oriented = PropertyGraph.orientByDegree(und)
+    // wedge volume = Σ_u C(outdeg(u), 2)
+    val wedgeVolume = oriented.groupBy("u").agg(count(lit(1)).as("d"))
+      .select(sum(expr("d * (d - 1) div 2")).as("w"))
+      .collect()(0).getLong(0)
+    assert(wedgeVolume === 0L, s"star wedge volume must be 0, got $wedgeVolume")
+    // and the counts themselves: a star has no triangles
+    val t = PropertyGraph.triangleCounts(star)
+      .agg(sum(col("triangles"))).collect()(0).getLong(0)
+    assert(t === 0L)
+  }
 }
