@@ -205,7 +205,7 @@ object Ann {
       (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
 
-  private def planes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+  private[graft] def planes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(numBits)(h => hyperplane(seed, h, dim))
 
   /** Bit-bucket id from `numBits` signed projections (codegen kernel). */

@@ -17,13 +17,22 @@ private[queries] object TrainedModels {
     roots.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-models").toString)
 
+  // The most recently loaded models, kept so the recall-oracle SQL can
+  // inline the SAME parameters the queries searched with (oracleSql is
+  // accessed after the query battery runs — Verify's flow). One dir per
+  // JVM in practice; last-wins is the matching behavior for a subset run.
+  @volatile private[queries] var lastIvf: Option[Ann.IvfModel] = None
+  @volatile private[queries] var lastPq: Option[Quantization.PqModel] = None
+
   def ivf(s: SparkSession, dir: String): Ann.IvfModel = synchronized {
     val d = s"${root(dir)}/ivf16"
     if (!ModelStore.exists(d))
       ModelStore.saveIvf(s, Ann.trainIvf(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
         numCells = 16, sampleFraction = 0.25), d)
-    ModelStore.loadIvf(s, d)
+    val m = ModelStore.loadIvf(s, d)
+    lastIvf = Some(m)
+    m
   }
 
   def pq(s: SparkSession, dir: String): Quantization.PqModel = synchronized {
@@ -32,7 +41,9 @@ private[queries] object TrainedModels {
       ModelStore.savePq(s, Quantization.trainPq(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
         numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25), d)
-    ModelStore.loadPq(s, d)
+    val m = ModelStore.loadPq(s, d)
+    lastPq = Some(m)
+    m
   }
 }
 
@@ -180,7 +191,11 @@ object QueriesQuant {
        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
        |  FROM pairs)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: the q19/q72 recall oracles inline the PQ/IVF model
+    * parameters loaded by the query run (see RecallOracles) — present
+    * once the models are in memory, which Verify's queries-then-oracles
+    * flow guarantees for the full battery. */
+  def oracles: Map[String, String] = dynamicOracles ++ Map(
     "q16_sq_stats" ->
       s"""WITH $sqCte
          |SELECT s.dim, round(s.mn, 6) AS mn, round(s.mx, 6) AS mx,
@@ -268,4 +283,11 @@ object QueriesQuant {
         |       round(dist, 6) + 0.0 AS dist
         |FROM reranked WHERE rank <= 10""".stripMargin,
   )
+
+  private def dynamicOracles: Map[String, String] =
+    TrainedModels.lastPq.map(pm =>
+      "q19_pq_recall" -> RecallOracles.pqRecallSql(pm, k = 10)).toMap ++
+    (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
+      "q72_ivfpq_recall" -> RecallOracles.ivfPqRecallSql(
+        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap
 }

@@ -131,7 +131,14 @@ object QueriesVector {
   private val knnOracleCosine5 =
     knnOracleCosine50.replace("WHERE vec_id < 50", "WHERE vec_id < 5")
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, not `val`: the q48 recall oracle inlines the IVF centroids
+    * loaded by the query run, so it exists only once the model is in
+    * memory (always true in Verify's full-battery flow — queries run
+    * before oracle_sql.json is written). q49's planes are a pure hash, so
+    * its oracle is unconditionally present. */
+  def oracles: Map[String, String] = Map(
+    "q49_lsh_recall" -> RecallOracles.lshRecallSql(
+      numBits = 4, dim = 64, seed = 42L, nProbe = 4, k = 10),
     "q14_knn_batch" -> knnOracleCosine50,
     "q64_ivf_partitioned" -> knnOracleCosine5,
     "q69_mean_pool" ->
@@ -149,5 +156,6 @@ object QueriesVector {
         |  SELECT vec_id, embedding,
         |    (SELECT sqrt(sum(x*x)) FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x)) AS norm
         |  FROM embeddings)""".stripMargin,
-  )
+  ) ++ TrainedModels.lastIvf.map(m =>
+    "q48_ivf_recall" -> RecallOracles.ivfRecallSql(m, nProbe = 4, k = 10))
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.operators.{Ann, Quantization}
+
+/** DuckDB oracle SQL for the approximate-nearest-neighbor RECALL queries
+  * (q19/q48/q49/q72) — closing the last `no_oracle` rows.
+  *
+  * The engine's ANN paths are deterministic end to end: the IVF/PQ models
+  * are seeded, trained once, and persisted as sidecars (ModelStore); the
+  * LSH hyperplanes are a pure splitmix hash of (seed, bit, dim). So the
+  * oracle can RE-EXECUTE the whole approximate search independently —
+  * cell assignment, probe selection, banding, ADC, rerank — from the same
+  * model parameters, inlined into the SQL as literal VALUES rows (the
+  * models are tiny: 16×128 centroids, 8×64×16 codebooks, 4×64 planes).
+  * Only the recall@k table (query_id, recall) is hash-compared; the
+  * reference validates its quantizers the same way
+  * (quantization.py:692-703: ground-truth top-k vs approximate top-k).
+  *
+  * Every ordering decision matches the Scala kernels: cell argmin ties
+  * break by cell id (AnnExpressions.NearestCell), probe ranking by
+  * (dist, cell) (ProbeCellIds), top-k by (dist, neighbor_id)
+  * (Knn.TopKAggregator), PQ encode argmin by (d2, c) (strict `<` keeps
+  * the first/lowest centroid), rerank by (dist, neighbor_id)
+  * (Quantization.rerankExact). Distances reuse the position-aligned
+  * unnest formulation proven hash-exact by q10-q14.
+  */
+object RecallOracles {
+
+  /** Shortest round-trip decimal: DuckDB parses it back to the same
+    * double, so the inlined model is bit-identical to the engine's. */
+  private def d(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e") || s.contains(".")) s else s + ".0"
+  }
+
+  private def arr(a: Array[Double]): String = a.map(d).mkString("[", ", ", "]")
+
+  /** (cell, centroid) VALUES rows for an IVF model. */
+  private def centValues(m: Ann.IvfModel): String =
+    m.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${arr(c)})" }.mkString(",\n  ")
+
+  /** (m, c, centroid) VALUES rows for a PQ model. */
+  private def bookValues(pm: Quantization.PqModel): String =
+    (for {
+      (book, m) <- pm.codebooks.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield s"($m, $c, ${arr(cent)})").mkString(",\n  ")
+
+  /** (h, plane) VALUES rows for the LSH hyperplanes. */
+  private def planeValues(ps: Array[Array[Double]]): String =
+    ps.zipWithIndex.map { case (p, h) => s"($h, ${arr(p)})" }.mkString(",\n  ")
+
+  private def cosine(cVec: String, qVec: String): String =
+    s"""(SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+       |        ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+       | FROM (SELECT CAST(unnest($cVec) AS DOUBLE) AS x,
+       |              CAST(unnest($qVec) AS DOUBLE) AS y))""".stripMargin
+
+  private def l2(cVec: String, qVec: String): String =
+    s"""(SELECT sqrt(sum((x-y)*(x-y)))
+       | FROM (SELECT CAST(unnest($cVec) AS DOUBLE) AS x,
+       |              CAST(unnest($qVec) AS DOUBLE) AS y))""".stripMargin
+
+  /** Squared L2 against an already-DOUBLE[] model row (no sqrt: argmin
+    * and rank orderings are sqrt-invariant). */
+  private def sq2(vec: String, modelVec: String): String =
+    s"""(SELECT sum((x-y)*(x-y))
+       | FROM (SELECT CAST(unnest($vec) AS DOUBLE) AS x,
+       |              unnest($modelVec) AS y))""".stripMargin
+
+  private val qCte =
+    "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)"
+
+  /** Exact-side CTEs: full-corpus kNN top-k under `dist`, named `exact`. */
+  private def exactCtes(distExpr: String, k: Int): String =
+    s"""pairs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, $distExpr AS dist
+       |  FROM q, embeddings c),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM pairs) WHERE rk <= $k)""".stripMargin
+
+  /** recall@k = |approx ∩ exact| / k per query; inner join + group-by, so
+    * a query with zero overlap emits NO row — recallAtK's exact shape. */
+  private def recallSelect(k: Int): String =
+    s"""SELECT a.query_id, CAST(count(*) AS DOUBLE) / $k AS recall
+       |FROM approx a JOIN exact e
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY a.query_id""".stripMargin
+
+  /** IVF cell-assignment + probe CTEs shared by q48/q72: `corpus_cell`
+    * (vec_id, embedding, cell) and `probed` (query_id, cell). */
+  private def ivfCtes(m: Ann.IvfModel, nProbe: Int): String =
+    s"""cent(cell, cv) AS (VALUES
+       |  ${centValues(m)}),
+       |ccd AS (
+       |  SELECT c.vec_id, c.embedding, cent.cell,
+       |         ${sq2("c.embedding", "cent.cv")} AS d2
+       |  FROM embeddings c, cent),
+       |corpus_cell AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ccd) WHERE rn = 1),
+       |qpd AS (
+       |  SELECT q.query_id, cent.cell, ${sq2("q.qv", "cent.cv")} AS d2
+       |  FROM q, cent),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rn
+       |    FROM qpd) WHERE rn <= $nProbe)""".stripMargin
+
+  /** PQ encode + query-LUT CTEs shared by q19/q72: `codes` (vec_id, m, c)
+    * and `lut` (query_id, m, c, d2). Subvector m spans 1-based slice
+    * [m*subDim+1, (m+1)*subDim]. */
+  private def pqCtes(pm: Quantization.PqModel): String = {
+    val sd = pm.subDim
+    s"""bk(m, c, cv) AS (VALUES
+       |  ${bookValues(pm)}),
+       |cd AS (
+       |  SELECT v.vec_id, bk.m, bk.c,
+       |         ${sq2(s"v.embedding[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM embeddings v, bk),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.query_id, bk.m, bk.c,
+       |         ${sq2(s"q.qv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM q, bk)""".stripMargin
+  }
+
+  /** q48: IVF probe -> cosine top-10 on survivors -> recall vs exact. */
+  def ivfRecallSql(m: Ann.IvfModel, nProbe: Int = 4, k: Int = 10): String =
+    s"""WITH $qCte,
+       |${ivfCtes(m, nProbe)},
+       |cand AS (
+       |  SELECT p.query_id, s.vec_id AS neighbor_id,
+       |         ${cosine("s.embedding", "q.qv")} AS dist
+       |  FROM probed p
+       |  JOIN corpus_cell s ON s.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM cand) WHERE rk <= $k),
+       |${exactCtes(cosine("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+
+  /** q19: PQ-encode corpus, ADC rank all rows, top-10 -> recall vs exact
+    * L2. ADC dist = sqrt(Σ_m lut[m][code[m]]); rank by the (monotone)
+    * un-rooted sum. */
+  def pqRecallSql(pm: Quantization.PqModel, k: Int = 10): String =
+    s"""WITH $qCte,
+       |${pqCtes(pm)},
+       |adc AS (
+       |  SELECT l.query_id, cs.vec_id AS neighbor_id, sum(l.d2) AS s
+       |  FROM codes cs JOIN lut l ON l.m = cs.m AND l.c = cs.c
+       |  GROUP BY l.query_id, cs.vec_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rk
+       |    FROM adc) WHERE rk <= $k),
+       |${exactCtes(l2("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+
+  /** q72: IVF probe -> ADC top-fetchK on probed cells' codes -> exact-L2
+    * rerank to top-10 -> recall vs exact L2. */
+  def ivfPqRecallSql(im: Ann.IvfModel, pm: Quantization.PqModel,
+                     nProbe: Int = 4, fetchK: Int = 50, k: Int = 10): String =
+    s"""WITH $qCte,
+       |${ivfCtes(im, nProbe)},
+       |${pqCtes(pm)},
+       |adc AS (
+       |  SELECT p.query_id, cc.vec_id AS neighbor_id, sum(l.d2) AS s
+       |  FROM probed p
+       |  JOIN corpus_cell cc ON cc.cell = p.cell
+       |  JOIN codes cs ON cs.vec_id = cc.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = cs.m AND l.c = cs.c
+       |  GROUP BY p.query_id, cc.vec_id),
+       |fetched AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $fetchK),
+       |rr AS (
+       |  SELECT f.query_id, f.neighbor_id, ${l2("c.embedding", "q.qv")} AS dist
+       |  FROM fetched f
+       |  JOIN embeddings c ON c.vec_id = f.neighbor_id
+       |  JOIN q ON q.query_id = f.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM rr) WHERE rk <= $k),
+       |${exactCtes(l2("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+
+  /** q49: multi-probe LSH under cosine. Bucket bit h = sign of the dot
+    * with plane h over the first `dim` components; probes = base bucket +
+    * the nProbe non-empty bit-flip masks with the smallest summed
+    * |margin| (with numBits=4 the full 15-mask lattice is enumerable, so
+    * ranking masks by score reproduces the priority-queue walk's
+    * nondecreasing-score order). No trained model — the planes are a pure
+    * hash, so this oracle is fully static. */
+  def lshRecallSql(numBits: Int = 4, dim: Int = 64, seed: Long = 42L,
+                   nProbe: Int = 4, k: Int = 10): String = {
+    val ps = Ann.planes(numBits, dim, seed)
+    val nMasks = (1 << numBits) - 1
+    s"""WITH $qCte,
+       |pl(h, pv) AS (VALUES
+       |  ${planeValues(ps)}),
+       |cdot AS (
+       |  SELECT c.vec_id, pl.h,
+       |         (SELECT sum(x*y) FROM (SELECT CAST(unnest(c.embedding[1:$dim]) AS DOUBLE) AS x,
+       |                                       unnest(pl.pv) AS y)) AS dot
+       |  FROM embeddings c, pl),
+       |cbkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM cdot GROUP BY vec_id),
+       |qdot AS (
+       |  SELECT q.query_id, pl.h,
+       |         (SELECT sum(x*y) FROM (SELECT CAST(unnest(q.qv[1:$dim]) AS DOUBLE) AS x,
+       |                                       unnest(pl.pv) AS y)) AS dot
+       |  FROM q, pl),
+       |qbase AS (
+       |  SELECT query_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM qdot GROUP BY query_id),
+       |mscore AS (
+       |  SELECT d.query_id, masks.mask, sum(CASE WHEN (masks.mask >> d.h) & 1 = 1
+       |                                          THEN abs(d.dot) ELSE 0 END) AS score
+       |  FROM qdot d, (SELECT unnest(range(1, ${nMasks + 1})) AS mask) masks
+       |  GROUP BY d.query_id, masks.mask),
+       |probes AS (
+       |  SELECT query_id, mask FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score, mask) AS rn
+       |    FROM mscore) WHERE rn <= $nProbe),
+       |qbkts AS (
+       |  SELECT query_id, bkt FROM qbase
+       |  UNION
+       |  SELECT p.query_id, xor(b.bkt, CAST(p.mask AS BIGINT))
+       |  FROM probes p JOIN qbase b ON b.query_id = p.query_id),
+       |cand AS (
+       |  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+       |         ${cosine("c.embedding", "q.qv")} AS dist
+       |  FROM qbkts qb
+       |  JOIN cbkt cb ON cb.bkt = qb.bkt
+       |  JOIN embeddings c ON c.vec_id = cb.vec_id
+       |  JOIN q ON q.query_id = qb.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM cand) WHERE rk <= $k),
+       |${exactCtes(cosine("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+  }
+}
