@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed packed-matrix vector index: the Spark analog of the
+  * reference's resident float32 corpus matrix (vectordb.py:495-561 holds
+  * NumPy `self.vectors` and scores a query batch with one GEMM;
+  * parallel_search.py:246-311 chunks the same matrix across workers).
+  *
+  * [[pack]] converts a (id, vec) DataFrame into an `RDD[Block]` with ONE
+  * object per partition — ids, a row-major float matrix, and per-row
+  * norms — persisted deserialized. A search then runs one task per
+  * partition: a blocked `sgemm` (netlib VectorBLAS when the JVM has
+  * `jdk.incubator.vector`, pure-Java fallback otherwise) scores the whole
+  * partition against the query batch, a bounded per-query heap keeps k,
+  * and the driver merges the <= parts*Q*k partials — the reference's
+  * `_search_chunk` + `_merge_top_k` (parallel_search.py:137-156, 313-368)
+  * with the chunk scoring done by real BLAS.
+  *
+  * Scale shape: the corpus never moves after pack (no shuffle, no
+  * per-search scan of parquet), task results are Q*k rows, and block
+  * memory is exactly n*dim*4 bytes plus ids/norms — the same footprint
+  * the reference pays single-node, here spread over executors. Distances
+  * accumulate in float32 inside the GEMM, matching the reference's
+  * float32 matrix math; callers needing the engine's bit-exact
+  * double-accumulation contract (the oracle-checked kNN queries) use
+  * [[Knn.knnJoin]] / [[Knn.knnJoinFused]] instead.
+  */
+object PackedKnn {
+
+  /** One partition's corpus slab: `mat` is row-major `rows x dim`;
+    * `sqrtNorms(i)` caches sqrt(sum sq) of row i for cosine/l2. */
+  final case class Block(ids: Array[Long], mat: Array[Float], dim: Int,
+                         sqrtNorms: Array[Double]) {
+    def rows: Int = ids.length
+  }
+
+  /** A packed, persisted corpus. `unpersist()` releases executor memory. */
+  final class PackedCorpus(val blocks: RDD[Block], val dim: Int) {
+    def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+  }
+
+  // One BLAS handle per executor JVM. VectorBLAS needs the incubator
+  // vector module (build.sbt adds --add-modules=jdk.incubator.vector);
+  // without it netlib silently falls back to Java11BLAS — still correct.
+  @transient private lazy val blas: dev.ludovic.netlib.blas.BLAS =
+    dev.ludovic.netlib.blas.BLAS.getInstance()
+
+  /** Pack `corpus` into per-partition matrix blocks and persist them.
+    * Rows with null id/vec are dropped; every vector must have the same
+    * length (fail-loud — a ragged corpus would silently zero-pad in the
+    * GEMM). */
+  def pack(corpus: DataFrame, idCol: String = "id", vecCol: String = "vec",
+           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus = {
+    val src = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    val packed: RDD[Block] = src.queryExecution.toRdd.mapPartitions { iter =>
+      val ids = new ArrayBuffer[Long]()
+      var mat = new Array[Float](0)
+      var used = 0
+      var dim = -1
+      while (iter.hasNext) {
+        val row = iter.next()
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        if (dim < 0) dim = n
+        require(n == dim, s"PackedKnn.pack: ragged corpus (saw dims $dim and $n)")
+        if (mat.length - used < n) {
+          val grown = new Array[Float](math.max(mat.length * 2, used + n * 1024))
+          System.arraycopy(mat, 0, grown, 0, used)
+          mat = grown
+        }
+        var i = 0
+        while (i < n) { mat(used + i) = arr.getFloat(i); i += 1 }
+        used += n
+        ids += row.getLong(0)
+      }
+      if (ids.isEmpty) Iterator.empty
+      else {
+        val m = java.util.Arrays.copyOf(mat, used)
+        val norms = new Array[Double](ids.length)
+        var r = 0
+        while (r < ids.length) {
+          var s = 0.0; var i = r * dim
+          val end = i + dim
+          while (i < end) { s += m(i).toDouble * m(i); i += 1 }
+          norms(r) = math.sqrt(s)
+          r += 1
+        }
+        Iterator.single(Block(ids.toArray, m, dim, norms))
+      }
+    }.persist(storage)
+    packed.count() // materialize so searches never pay the parquet scan
+    val dim = packed.take(1).headOption.map(_.dim).getOrElse(0)
+    new PackedCorpus(packed, dim)
+  }
+
+  /** Exact batch top-k over a packed corpus. Returns, per query id, the k
+    * nearest (neighbor_id, dist) sorted by (dist, id) — merged on the
+    * driver like the reference's `_merge_top_k`. O(parts*Q*k) driver
+    * memory. */
+  def search(pc: PackedCorpus, queries: Array[(Long, Array[Float])], k: Int,
+             metric: String = "cosine"): Array[(Long, Array[(Long, Double)])] = {
+    require(queries.nonEmpty, "empty query batch")
+    val sc = pc.blocks.sparkContext
+    val partials: Array[Array[(Int, Long, Double)]] =
+      sc.runJob(pc.blocks, (it: Iterator[Block]) => {
+        val out = new ArrayBuffer[(Int, Long, Double)]()
+        while (it.hasNext) out ++= searchBlock(it.next(), queries, k, metric)
+        out.toArray
+      })
+    val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
+    queries.indices.map { qi =>
+      val merged = byQuery.getOrElse(qi, Array.empty)
+        .map(t => (t._2, t._3))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+      (queries(qi)._1, merged)
+    }.toArray
+  }
+
+  /** Score one block against the query batch with chunked sgemm; bounded
+    * heaps keep k per query. Emits (queryIndex, neighborId, dist). */
+  private[operators] def searchBlock(b: Block, queries: Array[(Long, Array[Float])],
+                                     k: Int, metric: String): Array[(Int, Long, Double)] = {
+    val nq = queries.length
+    val dim = b.dim
+    val mcode = metric match {
+      case "cosine" => 0; case "l2" => 1; case "ip" => 2
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
+    // queries packed row-major [nq][dim] == column-major dim x nq
+    val qMat = new Array[Float](nq * dim)
+    val qSqrtNorm = new Array[Double](nq)
+    var qi = 0
+    while (qi < nq) {
+      val qv = queries(qi)._2
+      require(qv.length == dim,
+        s"query dim ${qv.length} != corpus dim $dim")
+      System.arraycopy(qv, 0, qMat, qi * dim, dim)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += qv(i).toDouble * qv(i); i += 1 }
+      qSqrtNorm(qi) = math.sqrt(s)
+      qi += 1
+    }
+    val heaps = Array.fill(nq)(
+      new java.util.PriorityQueue[(Long, Double)](k + 1,
+        (x: (Long, Double), y: (Long, Double)) => {
+          val c = java.lang.Double.compare(y._2, x._2)
+          if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+        }))
+    @inline def push(j: Int, cid: Long, d: Double): Unit = {
+      val h = heaps(j)
+      if (h.size < k) h.add((cid, d))
+      else {
+        val worst = h.peek()
+        if (d < worst._2 || (d == worst._2 && cid < worst._1)) {
+          h.poll(); h.add((cid, d))
+        }
+      }
+    }
+    // chunk the corpus rows so the score buffer stays cache-sized
+    val chunk = math.max(1, math.min(b.rows, 8192))
+    val scores = new Array[Float](nq * chunk)
+    var r0 = 0
+    while (r0 < b.rows) {
+      val rows = math.min(chunk, b.rows - r0)
+      // C (nq x rows, col-major) = Q^T (nq x dim) * corpusChunk (dim x rows)
+      blas.sgemm("T", "N", nq, rows, dim, 1.0f,
+        qMat, 0, dim, b.mat, r0 * dim, dim, 0.0f, scores, 0, nq)
+      var r = 0
+      while (r < rows) {
+        val cid = b.ids(r0 + r)
+        val cNorm = b.sqrtNorms(r0 + r)
+        var j = 0
+        while (j < nq) {
+          val dot = scores(r * nq + j).toDouble
+          val d = (mcode: @annotation.switch) match {
+            case 0 =>
+              val denom = cNorm * qSqrtNorm(j)
+              if (denom == 0.0) 1.0 else 1.0 - dot / denom
+            case 1 =>
+              val sq = cNorm * cNorm + qSqrtNorm(j) * qSqrtNorm(j) - 2.0 * dot
+              math.sqrt(math.max(sq, 0.0))
+            case _ => -dot
+          }
+          push(j, cid, d)
+          j += 1
+        }
+        r += 1
+      }
+      r0 += rows
+    }
+    val out = new ArrayBuffer[(Int, Long, Double)](nq * k)
+    var j = 0
+    while (j < nq) {
+      val h = heaps(j)
+      while (!h.isEmpty) { val e = h.poll(); out += ((j, e._1, e._2)) }
+      j += 1
+    }
+    out.toArray
+  }
+}
