@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Embedder
-import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore}
+import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -410,6 +410,63 @@ final class GraftCollection(spark: SparkSession, dir: String,
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
+    releasePackedIndex() // resident matrix no longer reflects the data
+  }
+
+  // ------------------------------------------- resident packed-matrix index
+
+  @transient private var packedIdx: Option[PackedKnn.PackedCorpus[String]] = None
+
+  /** Pack the collection's embeddings into the distributed resident-matrix
+    * index (operators.PackedKnn — per-partition float32 slabs scored by
+    * BLAS sgemm, the reference's in-RAM matrix contract spread over
+    * executors). Lives for this client session; any mutation releases it.
+    * Call again after bulk loads for the fastest repeated-search path. */
+  def buildPackedIndex(): Unit = {
+    releasePackedIndex()
+    packedIdx = Some(PackedKnn.packStr(
+      df.where(col("embedding").isNotNull), "id", "embedding"))
+  }
+
+  def hasPackedIndex: Boolean = packedIdx.isDefined
+
+  def releasePackedIndex(): Unit = {
+    packedIdx.foreach(_.unpersist())
+    packedIdx = None
+  }
+
+  /** Batch query through the resident packed index ([[buildPackedIndex]]
+    * on first use): same shape as [[query]] — (query_id, rank, id,
+    * document, distance) — with distances from the float32 GEMM kernel
+    * (the reference's batch-GEMM precision, vs [[query]]'s bit-exact
+    * double path). Query ids of any type are preserved. */
+  def packedQuery(queries: DataFrame, k: Int = 10): DataFrame = {
+    if (packedIdx.isEmpty) buildPackedIndex()
+    val pc = packedIdx.get
+    val q =
+      if (queries.columns.contains("query_vec")) queries
+      else embedder.embed(queries, "query_text", "query_vec")
+    val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
+    val qArr = qRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Float](1).toArray) }
+    val res = PackedKnn.search(pc, qArr, k, config.metric)
+    val qidType = q.schema("query_id").dataType
+    val outRows: Seq[org.apache.spark.sql.Row] = res.toSeq.flatMap { case (qi, nbrs) =>
+      val qid = qRows(qi.toInt).get(0)
+      nbrs.zipWithIndex.map { case ((nid, d), pos) =>
+        org.apache.spark.sql.Row(qid, pos + 1, nid, d)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("distance", org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(outRows.asJava, schema)
+      .join(df.select(col("id").as("neighbor_id"), col("document")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("id"),
+        col("document"), col("distance"))
   }
 
   // -------------------------------------------- persisted IVF vector index

@@ -89,7 +89,7 @@ object Sweep {
       // --- scheduling floor: an empty job over the same partitions ---
       def runFloor(): Double = {
         val t0 = System.nanoTime()
-        spark.sparkContext.runJob(pc.blocks, (it: Iterator[PackedKnn.Block]) => 0)
+        spark.sparkContext.runJob(pc.blocks, (it: Iterator[PackedKnn.Block[Long]]) => 0)
         (System.nanoTime() - t0) / 1e9
       }
       runFloor()

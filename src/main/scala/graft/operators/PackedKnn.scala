@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
 
 /** Distributed packed-matrix vector index: the Spark analog of the
   * reference's resident float32 corpus matrix (vectordb.py:495-561 holds
@@ -28,20 +29,24 @@ import scala.collection.mutable.ArrayBuffer
   * the reference pays single-node, here spread over executors. Distances
   * accumulate in float32 inside the GEMM, matching the reference's
   * float32 matrix math; callers needing the engine's bit-exact
-  * double-accumulation contract (the oracle-checked kNN queries) use
-  * [[Knn.knnJoin]] / [[Knn.knnJoinFused]] instead.
+  * double-accumulation contract either rerank the over-fetched candidates
+  * exactly (q99_packed_knn) or use [[Knn.knnJoin]] / [[Knn.knnJoinFused]].
+  *
+  * Ids are generic: Long for surrogate-keyed corpora, String for the
+  * client facade's natural document ids — the labels live inside the
+  * blocks (distributed), never in a driver-side dictionary.
   */
 object PackedKnn {
 
   /** One partition's corpus slab: `mat` is row-major `rows x dim`;
     * `sqrtNorms(i)` caches sqrt(sum sq) of row i for cosine/l2. */
-  final case class Block(ids: Array[Long], mat: Array[Float], dim: Int,
-                         sqrtNorms: Array[Double]) {
+  final case class Block[I](ids: Array[I], mat: Array[Float], dim: Int,
+                            sqrtNorms: Array[Double]) {
     def rows: Int = ids.length
   }
 
   /** A packed, persisted corpus. `unpersist()` releases executor memory. */
-  final class PackedCorpus(val blocks: RDD[Block], val dim: Int) {
+  final class PackedCorpus[I](val blocks: RDD[Block[I]], val dim: Int) {
     def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
   }
 
@@ -51,17 +56,26 @@ object PackedKnn {
   @transient private lazy val blas: dev.ludovic.netlib.blas.BLAS =
     dev.ludovic.netlib.blas.BLAS.getInstance()
 
-  /** Pack `corpus` into per-partition matrix blocks and persist them.
-    * Rows with null id/vec are dropped; every vector must have the same
-    * length (fail-loud — a ragged corpus would silently zero-pad in the
-    * GEMM). */
+  /** Pack `corpus` (long-castable id column) into per-partition matrix
+    * blocks and persist them. */
   def pack(corpus: DataFrame, idCol: String = "id", vecCol: String = "vec",
-           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus = {
+           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[Long] =
+    packBy[Long](corpus, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[pack]] keyed by a natural string id (the client facade's corpora;
+    * no surrogate, so distinct ids can never collide). */
+  def packStr(corpus: DataFrame, idCol: String = "id", vecCol: String = "vec",
+              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[String] =
+    packBy[String](corpus, idCol, "string", vecCol, storage)(_.getUTF8String(0).toString)
+
+  private def packBy[I: ClassTag](corpus: DataFrame, idCol: String, idType: String,
+                                  vecCol: String, storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedCorpus[I] = {
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-    val packed: RDD[Block] = src.queryExecution.toRdd.mapPartitions { iter =>
-      val ids = new ArrayBuffer[Long]()
+      .select(col(idCol).cast(idType), col(vecCol).cast("array<float>"))
+    val packed: RDD[Block[I]] = src.queryExecution.toRdd.mapPartitions { iter =>
+      val ids = new ArrayBuffer[I]()
       var mat = new Array[Float](0)
       var used = 0
       var dim = -1
@@ -79,7 +93,7 @@ object PackedKnn {
         var i = 0
         while (i < n) { mat(used + i) = arr.getFloat(i); i += 1 }
         used += n
-        ids += row.getLong(0)
+        ids += getId(row)
       }
       if (ids.isEmpty) Iterator.empty
       else {
@@ -105,19 +119,20 @@ object PackedKnn {
     * nearest (neighbor_id, dist) sorted by (dist, id) — merged on the
     * driver like the reference's `_merge_top_k`. O(parts*Q*k) driver
     * memory. */
-  def search(pc: PackedCorpus, queries: Array[(Long, Array[Float])], k: Int,
-             metric: String = "cosine"): Array[(Long, Array[(Long, Double)])] = {
+  def search[I: ClassTag: Ordering](pc: PackedCorpus[I],
+                                    queries: Array[(Long, Array[Float])], k: Int,
+                                    metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
     require(queries.nonEmpty, "empty query batch")
     val sc = pc.blocks.sparkContext
-    val partials: Array[Array[(Int, Long, Double)]] =
-      sc.runJob(pc.blocks, (it: Iterator[Block]) => {
-        val out = new ArrayBuffer[(Int, Long, Double)]()
+    val partials: Array[Array[(Int, I, Double)]] =
+      sc.runJob(pc.blocks, (it: Iterator[Block[I]]) => {
+        val out = new ArrayBuffer[(Int, I, Double)]()
         while (it.hasNext) out ++= searchBlock(it.next(), queries, k, metric)
         out.toArray
       })
     val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
     queries.indices.map { qi =>
-      val merged = byQuery.getOrElse(qi, Array.empty)
+      val merged = byQuery.getOrElse(qi, Array.empty[(Int, I, Double)])
         .map(t => (t._2, t._3))
         .sortBy { case (id, d) => (d, id) }
         .take(k)
@@ -127,8 +142,9 @@ object PackedKnn {
 
   /** Score one block against the query batch with chunked sgemm; bounded
     * heaps keep k per query. Emits (queryIndex, neighborId, dist). */
-  private[operators] def searchBlock(b: Block, queries: Array[(Long, Array[Float])],
-                                     k: Int, metric: String): Array[(Int, Long, Double)] = {
+  private[operators] def searchBlock[I: Ordering](b: Block[I], queries: Array[(Long, Array[Float])],
+                                                  k: Int, metric: String): Array[(Int, I, Double)] = {
+    val idOrd = implicitly[Ordering[I]]
     val nq = queries.length
     val dim = b.dim
     val mcode = metric match {
@@ -149,19 +165,24 @@ object PackedKnn {
       qSqrtNorm(qi) = math.sqrt(s)
       qi += 1
     }
+    // one bounded max-heap per query, worst candidate on top; exact-tie
+    // survival matches the composed join's (dist, id) order
+    final case class Cand(row: Int, d: Double)
+    val bids = b.ids
+    @inline def idLt(a: Int, b: Int): Boolean = idOrd.lt(bids(a), bids(b))
     val heaps = Array.fill(nq)(
-      new java.util.PriorityQueue[(Long, Double)](k + 1,
-        (x: (Long, Double), y: (Long, Double)) => {
-          val c = java.lang.Double.compare(y._2, x._2)
-          if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+      new java.util.PriorityQueue[Cand](k + 1,
+        (x: Cand, y: Cand) => {
+          val c = java.lang.Double.compare(y.d, x.d)
+          if (c != 0) c else { if (idLt(y.row, x.row)) 1 else if (idLt(x.row, y.row)) -1 else 0 }
         }))
-    @inline def push(j: Int, cid: Long, d: Double): Unit = {
+    @inline def push(j: Int, row: Int, d: Double): Unit = {
       val h = heaps(j)
-      if (h.size < k) h.add((cid, d))
+      if (h.size < k) h.add(Cand(row, d))
       else {
         val worst = h.peek()
-        if (d < worst._2 || (d == worst._2 && cid < worst._1)) {
-          h.poll(); h.add((cid, d))
+        if (d < worst.d || (d == worst.d && idLt(row, worst.row))) {
+          h.poll(); h.add(Cand(row, d))
         }
       }
     }
@@ -176,7 +197,6 @@ object PackedKnn {
         qMat, 0, dim, b.mat, r0 * dim, dim, 0.0f, scores, 0, nq)
       var r = 0
       while (r < rows) {
-        val cid = b.ids(r0 + r)
         val cNorm = b.sqrtNorms(r0 + r)
         var j = 0
         while (j < nq) {
@@ -190,18 +210,18 @@ object PackedKnn {
               math.sqrt(math.max(sq, 0.0))
             case _ => -dot
           }
-          push(j, cid, d)
+          push(j, r0 + r, d)
           j += 1
         }
         r += 1
       }
       r0 += rows
     }
-    val out = new ArrayBuffer[(Int, Long, Double)](nq * k)
+    val out = new ArrayBuffer[(Int, I, Double)](nq * k)
     var j = 0
     while (j < nq) {
       val h = heaps(j)
-      while (!h.isEmpty) { val e = h.poll(); out += ((j, e._1, e._2)) }
+      while (!h.isEmpty) { val e = h.poll(); out += ((j, b.ids(e.row), e.d)) }
       j += 1
     }
     out.toArray

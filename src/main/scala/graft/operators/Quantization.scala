@@ -166,14 +166,20 @@ object Quantization {
     val mCount = model.numSubspaces; val subDim = model.subDim
     val books = model.codebooks
     val enc = udf { (v: Seq[Float]) =>
+      // one unboxed copy up front: indexing the boxed Seq inside the
+      // m*c*subDim loop was ~8k boxed reads PER ROW (the whole-corpus
+      // encode spent seconds in Float.valueOf at sf0.1)
+      val va = v.toArray
       Array.tabulate(mCount) { m =>
         val book = books(m)
+        val base = m * subDim
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < book.length) {
+          val cent = book(c)
           var d = 0.0; var j = 0
           while (j < subDim) {
-            val diff = v(m * subDim + j) - book(c)(j); d += diff * diff; j += 1
+            val diff = va(base + j) - cent(j); d += diff * diff; j += 1
           }
           if (d < bestD) { bestD = d; best = c }
           c += 1

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.vector
-import graft.operators.{Ann, Knn, Pooling, Quantization}
+import graft.operators.{Ann, Knn, PackedKnn, Pooling, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -97,6 +97,32 @@ object QueriesVector {
         .select(col("g"), (col("pos") + 1).as("pos"),
           (round(col("v"), 4) + lit(0.0)).as("v"))),  // +0.0 folds -0.0
 
+    // Packed-matrix BLAS search (operators.PackedKnn — the resident
+    // float32 matrix layout the reference's batch GEMM uses): over-fetch
+    // top-20 under the float32 sgemm kernel, then exact double rerank to
+    // top-10. Hash-checked against the SAME exact oracle as q10 — the
+    // packed candidate set must contain the true top-10 (float32 error is
+    // orders of magnitude below the #10/#21 separation) and the rerank
+    // restores exact distances and order.
+    "q99_packed_knn" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val qdf = queryBatch(s, dir, 5)
+      val qArr = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
+      val cand =
+        try PackedKnn.search(pc, qArr, 20, "cosine")
+        finally pc.unpersist()
+      import s.implicits._
+      val candDF = cand.toSeq
+        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
+        .toDF("query_id", "neighbor_id")
+      Quantization.rerankExact(candDF, qdf, embs, k = 10, metric = "cosine",
+          corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -141,6 +167,7 @@ object QueriesVector {
       numBits = 4, dim = 64, seed = 42L, nProbe = 4, k = 10),
     "q14_knn_batch" -> knnOracleCosine50,
     "q64_ivf_partitioned" -> knnOracleCosine5,
+    "q99_packed_knn" -> knnOracleCosine5,
     "q69_mean_pool" ->
       """WITH ex AS (
         |  SELECT vec_id % 10 AS g, unnest(embedding) AS v,

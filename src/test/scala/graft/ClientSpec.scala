@@ -71,6 +71,34 @@ class ClientSpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("distance")) < 1e-6)
   }
 
+  test("packedQuery matches exact query order; mutation invalidates the index") {
+    val c = client.getCollection("docs")
+    val q = Seq((1L, "spark processes big data"), (2L, "lazy dogs sleep all day"))
+      .toDF("query_id", "query_text")
+    val exact = c.query(q, k = 3).orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("id")))
+    val packed = c.packedQuery(q, k = 3).orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("id")))
+    assert(packed.toSeq === exact.toSeq)
+    assert(c.hasPackedIndex)
+    // distances agree within float32 GEMM tolerance
+    val dP = c.packedQuery(q, k = 1).orderBy("query_id").collect()
+      .map(_.getAs[Double]("distance"))
+    val dE = c.query(q, k = 1).orderBy("query_id").collect()
+      .map(_.getAs[Double]("distance"))
+    dP.zip(dE).foreach { case (p, e) => assert(math.abs(p - e) < 1e-4) }
+    // a mutation drops the resident index; next packedQuery rebuilds and
+    // sees the new row
+    c.upsert(Seq(("doc9", "spark processes big data", "tech", 2024))
+      .toDF("id", "document", "category", "year"))
+    assert(!c.hasPackedIndex)
+    val after = c.packedQuery(q, k = 2).orderBy("query_id", "rank").collect()
+      .map(_.getAs[String]("id"))
+    assert(after.take(2).toSet === Set("doc3", "doc9")) // both identical texts
+    c.delete(ids = Seq("doc9"))
+    assert(c.count() === 4)
+  }
+
   test("query with where-filter restricts candidates") {
     val c = client.getCollection("docs")
     val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
