@@ -115,6 +115,133 @@ object PackedKnn {
     new PackedCorpus(packed, dim)
   }
 
+  // ------------------------------------------------- IVF-partitioned packing
+
+  /** A packed corpus laid out one IVF CELL per partition: probing p of C
+    * cells runs a job on exactly p partitions ([[searchIvf]] passes the
+    * probed partition ids to `runJob`) — the resident-memory analog of
+    * [[Ann.writePartitionedByCell]]'s directory pruning. */
+  final class PackedIvfCorpus[I](val blocks: RDD[Block[I]], val dim: Int,
+                                 val model: Ann.IvfModel) {
+    def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+  }
+
+  private final class CellPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Pack `corpus` into per-CELL matrix blocks (partition i = IVF cell i).
+    * Cell assignment runs in the same codegen stage as the scan (the
+    * once-per-row encode); the one-time shuffle routes each row to its
+    * cell's partition. */
+  def packIvf(corpus: DataFrame, model: Ann.IvfModel,
+              idCol: String = "id", vecCol: String = "vec",
+              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[Long] =
+    packIvfBy[Long](corpus, model, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  private def packIvfBy[I: ClassTag](corpus: DataFrame, model: Ann.IvfModel,
+                                     idCol: String, idType: String, vecCol: String,
+                                     storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedIvfCorpus[I] = {
+    val src = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast(idType), col(vecCol).cast("array<float>"),
+        Ann.cellId(model)(col(vecCol)).as("_cell"))
+    val keyed: RDD[(Int, (I, Array[Float]))] =
+      src.queryExecution.toRdd.mapPartitions { iter =>
+        iter.map { row =>
+          val arr = row.getArray(1)
+          val n = arr.numElements()
+          val v = new Array[Float](n)
+          var i = 0
+          while (i < n) { v(i) = arr.getFloat(i); i += 1 }
+          (row.getInt(2), (getId(row), v))
+        }
+      }
+    val packed: RDD[Block[I]] = keyed
+      .partitionBy(new CellPartitioner(model.numCells))
+      .mapPartitions { iter =>
+        val ids = new ArrayBuffer[I]()
+        val vecs = new ArrayBuffer[Array[Float]]()
+        while (iter.hasNext) {
+          val (_, (id, v)) = iter.next()
+          ids += id; vecs += v
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val dim = vecs.head.length
+          val m = new Array[Float](ids.length * dim)
+          val norms = new Array[Double](ids.length)
+          var r = 0
+          while (r < ids.length) {
+            val v = vecs(r)
+            require(v.length == dim, s"PackedKnn.packIvf: ragged corpus (saw dims $dim and ${v.length})")
+            System.arraycopy(v, 0, m, r * dim, dim)
+            var s = 0.0; var i = 0
+            while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+            norms(r) = math.sqrt(s)
+            r += 1
+          }
+          Iterator.single(Block(ids.toArray, m, dim, norms))
+        }
+      }.persist(storage)
+    packed.count()
+    val dim = packed.take(1).headOption.map(_.dim).getOrElse(0)
+    new PackedIvfCorpus(packed, dim, model)
+  }
+
+  /** Approximate batch top-k through the cell-partitioned packed corpus:
+    * each query probes its `nProbe` nearest cells (same squared-L2 /
+    * tie-by-cell ranking as the codegen ProbeCellIds kernel, so results
+    * match [[Ann.ivfSearch]] on the same model), and the job runs ONLY on
+    * the union of probed partitions — at 1000 cells and nProbe=4, a
+    * 20-query batch touches at most 80 partitions, not 1000. */
+  def searchIvf[I: ClassTag: Ordering](pc: PackedIvfCorpus[I],
+                                       queries: Array[(Long, Array[Float])],
+                                       k: Int, nProbe: Int,
+                                       metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
+    require(queries.nonEmpty, "empty query batch")
+    val cents = pc.model.centroids
+    val probes: Array[Array[Int]] = queries.map { case (_, qv) =>
+      val dists = cents.map { c =>
+        val n = math.min(qv.length, c.length)
+        var d = 0.0; var j = 0
+        while (j < n) { val diff = qv(j).toDouble - c(j); d += diff * diff; j += 1 }
+        d
+      }
+      Array.range(0, cents.length).sortBy(i => (dists(i), i))
+        .take(math.min(nProbe, cents.length))
+    }
+    val byCell: Map[Int, Array[Int]] = probes.zipWithIndex
+      .flatMap { case (cells, qi) => cells.map(c => (c, qi)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val partIds = byCell.keys.toArray.sorted
+    val sc = pc.blocks.sparkContext
+    val qs = queries
+    val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pc.blocks,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[Block[I]]) => {
+        val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
+        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
+        else {
+          val sub = qIdxs.map(qs)
+          val out = new ArrayBuffer[(Int, I, Double)]()
+          while (it.hasNext)
+            out ++= searchBlock(it.next(), sub, k, metric)
+              .map { case (local, id, d) => (qIdxs(local), id, d) }
+          out.toArray
+        }
+      }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
+    val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
+    queries.indices.map { qi =>
+      val merged = byQuery.getOrElse(qi, Array.empty[(Int, I, Double)])
+        .map(t => (t._2, t._3))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+      (queries(qi)._1, merged)
+    }.toArray
+  }
+
   /** Exact batch top-k over a packed corpus. Returns, per query id, the k
     * nearest (neighbor_id, dist) sorted by (dist, id) — merged on the
     * driver like the reference's `_merge_top_k`. O(parts*Q*k) driver

@@ -123,6 +123,34 @@ object QueriesVector {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // IVF-PACKED resident index (PackedKnn.packIvf/searchIvf): one IVF
+    // cell per partition, a probe launches tasks ONLY on probed
+    // partitions (runJob partition subset — the resident-memory analog of
+    // q64's directory pruning; PackedKnnSpec asserts the task count).
+    // Probing ALL cells makes it exact, so like q64/q99 it hash-checks
+    // against the q10 oracle through the over-fetch + exact-rerank
+    // funnel; the pruned-probe path is asserted equal to Ann.ivfSearch
+    // in PackedKnnSpec.
+    "q100_packed_ivf" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val qdf = queryBatch(s, dir, 5)
+      val qArr = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val model = TrainedModels.ivf(s, dir)
+      val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
+      val cand =
+        try PackedKnn.searchIvf(pi, qArr, 20, nProbe = model.numCells)
+        finally pi.unpersist()
+      import s.implicits._
+      val candDF = cand.toSeq
+        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
+        .toDF("query_id", "neighbor_id")
+      Quantization.rerankExact(candDF, qdf, embs, k = 10, metric = "cosine",
+          corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -168,6 +196,7 @@ object QueriesVector {
     "q14_knn_batch" -> knnOracleCosine50,
     "q64_ivf_partitioned" -> knnOracleCosine5,
     "q99_packed_knn" -> knnOracleCosine5,
+    "q100_packed_ivf" -> knnOracleCosine5,
     "q69_mean_pool" ->
       """WITH ex AS (
         |  SELECT vec_id % 10 AS g, unnest(embedding) AS v,

@@ -61,6 +61,57 @@ class PackedKnnSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  private lazy val ivfModel = graft.operators.Ann.trainIvf(embs, "embedding", numCells = 8)
+
+  test("IVF-packed search: all-cells probe equals exact; pruned probe equals ivfSearch") {
+    val model = ivfModel
+    val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
+    try {
+      // probing every cell = exact search (modulo float32 dist)
+      val all = PackedKnn.searchIvf(pi, qArr, 10, nProbe = model.numCells).toMap
+      val exact = Knn.knnJoin(queryDF, embs, 10, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      for ((qid, nbrs) <- all)
+        assert(nbrs.map(_._1).toSeq === exact(qid), s"query $qid all-cells")
+      // pruned probe agrees with the composed IVF join on the same model
+      val pruned = PackedKnn.searchIvf(pi, qArr, 10, nProbe = 4).toMap
+      val composed = graft.operators.Ann.ivfSearch(queryDF, embs, model, 10,
+          nProbe = 4, metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      for ((qid, nbrs) <- pruned)
+        assert(nbrs.map(_._1).toSeq === composed(qid), s"query $qid nProbe=4")
+    } finally pi.unpersist(blocking = true)
+  }
+
+  test("IVF-packed search launches tasks only on probed partitions") {
+    val model = ivfModel
+    val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
+    try {
+      val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskCount.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val one = qArr.take(1)
+        PackedKnn.searchIvf(pi, one, 10, nProbe = 2)
+        // listener events are async; poll until the count stabilizes
+        val deadline = System.nanoTime() + 5_000_000_000L
+        while (taskCount.get < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+        Thread.sleep(200) // would catch EXTRA (unprobed) tasks arriving
+        // 1 query x nProbe=2 -> exactly 2 partitions touched, not numCells
+        assert(taskCount.get === 2,
+          s"expected 2 tasks (probed cells), saw ${taskCount.get} of ${model.numCells} cells")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally pi.unpersist(blocking = true)
+  }
+
   test("pack rejects a ragged corpus") {
     import spark.implicits._
     val ragged = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f, 2f)))
