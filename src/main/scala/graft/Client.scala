@@ -433,6 +433,39 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def releasePackedIndex(): Unit = {
     packedIdx.foreach(_.unpersist())
     packedIdx = None
+    packedIvfIdx.foreach(_.unpersist())
+    packedIvfIdx = None
+  }
+
+  @transient private var packedIvfIdx: Option[PackedKnn.PackedIvfCorpus[String]] = None
+
+  /** [[buildPackedIndex]] laid out one IVF cell per partition, so
+    * [[packedAnnQuery]] probes launch tasks only on probed partitions.
+    * Requires the persisted IVF model ([[buildVectorIndex]]). */
+  def buildPackedAnnIndex(): Unit = {
+    require(hasVectorIndex,
+      s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+    packedIvfIdx.foreach(_.unpersist())
+    packedIvfIdx = Some(PackedKnn.packIvfStr(
+      df.where(col("embedding").isNotNull),
+      ModelStore.loadIvf(spark, ivfDir), "id", "embedding"))
+  }
+
+  /** [[annQuery]] through the resident cell-partitioned packed index
+    * ([[buildPackedAnnIndex]] on first use): each query scores only its
+    * nProbe probed cells, and the job touches only those partitions.
+    * Same output shape as [[query]]/[[annQuery]]. */
+  def packedAnnQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    if (packedIvfIdx.isEmpty) buildPackedAnnIndex()
+    val pi = packedIvfIdx.get
+    val q =
+      if (queries.columns.contains("query_vec")) queries
+      else embedder.embed(queries, "query_text", "query_vec")
+    val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
+    val qArr = qRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Float](1).toArray) }
+    packedResult(q, qRows,
+      PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
   }
 
   /** Batch query through the resident packed index ([[buildPackedIndex]]
@@ -449,7 +482,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
     val qArr = qRows.zipWithIndex.map { case (r, i) =>
       (i.toLong, r.getSeq[Float](1).toArray) }
-    val res = PackedKnn.search(pc, qArr, k, config.metric)
+    packedResult(q, qRows, PackedKnn.search(pc, qArr, k, config.metric))
+  }
+
+  /** Shared result assembly for the packed paths: positional query index
+    * back to the caller's query_id (any type), join documents. */
+  private def packedResult(q: DataFrame, qRows: Array[org.apache.spark.sql.Row],
+                           res: Array[(Long, Array[(String, Double)])]): DataFrame = {
     val qidType = q.schema("query_id").dataType
     val outRows: Seq[org.apache.spark.sql.Row] = res.toSeq.flatMap { case (qi, nbrs) =>
       val qid = qRows(qi.toInt).get(0)

@@ -140,6 +140,12 @@ object PackedKnn {
               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[Long] =
     packIvfBy[Long](corpus, model, idCol, "long", vecCol, storage)(_.getLong(0))
 
+  /** [[packIvf]] keyed by a natural string id (the client facade). */
+  def packIvfStr(corpus: DataFrame, model: Ann.IvfModel,
+                 idCol: String = "id", vecCol: String = "vec",
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[String] =
+    packIvfBy[String](corpus, model, idCol, "string", vecCol, storage)(_.getUTF8String(0).toString)
+
   private def packIvfBy[I: ClassTag](corpus: DataFrame, model: Ann.IvfModel,
                                      idCol: String, idType: String, vecCol: String,
                                      storage: StorageLevel)(

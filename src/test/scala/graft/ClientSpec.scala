@@ -261,6 +261,28 @@ class ClientSpec extends SparkSpec {
     assert(new GraftClient(spark, root, 16).getCollection("ann").hasVectorIndex)
   }
 
+  test("packedAnnQuery agrees with annQuery on the same model and probes") {
+    val c = client.getCollection("ann") // index built in the previous test
+    val q = Seq((7L, "unique document number 7 body"),
+        (8L, "unique document number 8 body"))
+      .toDF("query_id", "query_text")
+    for (nProbe <- Seq(1, 4)) {
+      val viaJoin = c.annQuery(q, k = 3, nProbe = nProbe)
+        .select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaPacked = c.packedAnnQuery(q, k = 3, nProbe = nProbe)
+        .select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(viaPacked === viaJoin, s"nProbe=$nProbe")
+    }
+    // mutation releases the resident cell-partitioned index too
+    c.upsert(Seq(("vX", "unique document number X body")).toDF("id", "document"))
+    assert(!c.hasPackedIndex)
+    val after = c.packedAnnQuery(q, k = 1, nProbe = 4).collect()
+    assert(after.nonEmpty) // rebuilt over the mutated corpus
+    c.delete(ids = Seq("vX"))
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
