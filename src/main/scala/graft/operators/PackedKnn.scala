@@ -68,6 +68,22 @@ object PackedKnn {
               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[String] =
     packBy[String](corpus, idCol, "string", vecCol, storage)(_.getUTF8String(0).toString)
 
+  /** Append a batch to a packed corpus WITHOUT repacking the standing
+    * blocks: the batch packs into its own partitions and the search RDD
+    * becomes the union — the append-only ingest path (the standing
+    * 100 TB matrix never moves; each batch adds O(batch) resident bytes).
+    * Returns the combined corpus; the original remains valid (blocks are
+    * shared, so unpersist only the final handle). */
+  def append(pc: PackedCorpus[Long], batch: DataFrame,
+             idCol: String = "id", vecCol: String = "vec",
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[Long] = {
+    val add = packBy[Long](batch, idCol, "long", vecCol, storage)(_.getLong(0))
+    require(pc.dim == 0 || add.dim == 0 || pc.dim == add.dim,
+      s"PackedKnn.append: batch dim ${add.dim} != corpus dim ${pc.dim}")
+    new PackedCorpus(pc.blocks.union(add.blocks),
+      if (pc.dim != 0) pc.dim else add.dim)
+  }
+
   private def packBy[I: ClassTag](corpus: DataFrame, idCol: String, idType: String,
                                   vecCol: String, storage: StorageLevel)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedCorpus[I] = {

@@ -112,6 +112,24 @@ class PackedKnnSpec extends SparkSpec {
     } finally pi.unpersist(blocking = true)
   }
 
+  test("append searches old and new rows without repacking the standing blocks") {
+    import spark.implicits._
+    val base = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
+    val pc = PackedKnn.pack(base)
+    val baseBlocks = pc.blocks
+    val grown = PackedKnn.append(pc,
+      Seq((3L, Array(0.9f, 0.1f))).toDF("id", "vec"))
+    try {
+      assert(grown.blocks.partitions.length > baseBlocks.partitions.length)
+      val res = PackedKnn.search(grown, Array((9L, Array(1f, 0f))), 2, "cosine")
+      assert(res.head._2.map(_._1).toSeq === Seq(1L, 3L)) // new row ranked 2nd
+      // dim mismatch fails loudly
+      intercept[IllegalArgumentException] {
+        PackedKnn.append(grown, Seq((4L, Array(1f, 2f, 3f))).toDF("id", "vec"))
+      }
+    } finally grown.unpersist(blocking = true)
+  }
+
   test("pack rejects a ragged corpus") {
     import spark.implicits._
     val ragged = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f, 2f)))
