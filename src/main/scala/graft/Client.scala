@@ -420,8 +420,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Pack the collection's embeddings into the distributed resident-matrix
     * index (operators.PackedKnn — per-partition float32 slabs scored by
     * BLAS sgemm, the reference's in-RAM matrix contract spread over
-    * executors). Lives for this client session; any mutation releases it.
-    * Call again after bulk loads for the fastest repeated-search path. */
+    * executors). Lives for THIS GraftCollection handle; a mutation through
+    * this handle releases it, but a mutation through a DIFFERENT handle of
+    * the same collection cannot (the resident state is handle-scoped, like
+    * the reference's per-process in-RAM matrix) — in multi-writer flows,
+    * rebuild after external writes. Call again after bulk loads for the
+    * fastest repeated-search path. */
   def buildPackedIndex(): Unit = {
     releasePackedIndex()
     packedIdx = Some(PackedKnn.packStr(
@@ -429,6 +433,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
   }
 
   def hasPackedIndex: Boolean = packedIdx.isDefined
+
+  def hasPackedAnnIndex: Boolean = packedIvfIdx.isDefined
 
   def releasePackedIndex(): Unit = {
     packedIdx.foreach(_.unpersist())
@@ -463,6 +469,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
       else embedder.embed(queries, "query_text", "query_vec")
     val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
     val qArr = qRows.zipWithIndex.map { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"packed query: query_vec is null for query_id=${r.get(0)}")
       (i.toLong, r.getSeq[Float](1).toArray) }
     packedResult(q, qRows,
       PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
@@ -481,6 +489,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
       else embedder.embed(queries, "query_text", "query_vec")
     val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
     val qArr = qRows.zipWithIndex.map { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"packed query: query_vec is null for query_id=${r.get(0)}")
       (i.toLong, r.getSeq[Float](1).toArray) }
     packedResult(q, qRows, PackedKnn.search(pc, qArr, k, config.metric))
   }
@@ -552,11 +562,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * assigned to cells at query time), so there is no per-write
     * maintenance; rebuild after the distribution shifts materially. */
   def buildVectorIndex(numCells: Int = 64, sampleFraction: Double = 1.0,
-                       seed: Long = 42L): Unit =
+                       seed: Long = 42L): Unit = {
     ModelStore.saveIvf(spark,
       Ann.trainIvf(df.where(col("embedding").isNotNull), "embedding",
         numCells, seed, sampleFraction = sampleFraction),
       ivfDir)
+    // the resident cell-partitioned packing was laid out by the OLD
+    // model — serving from it would silently diverge from annQuery
+    releasePackedIndex()
+  }
 
   /** Approximate batch query through the persisted IVF index: each query
     * scores only its nProbe nearest cells' rows instead of the whole

@@ -45,9 +45,16 @@ object PackedKnn {
     def rows: Int = ids.length
   }
 
-  /** A packed, persisted corpus. `unpersist()` releases executor memory. */
-  final class PackedCorpus[I](val blocks: RDD[Block[I]], val dim: Int) {
-    def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+  /** A packed, persisted corpus. `unpersist()` releases executor memory —
+    * including every persisted constituent of an [[append]] union (the
+    * union RDD itself holds no blocks; only its parents do). */
+  final class PackedCorpus[I](val blocks: RDD[Block[I]], val dim: Int,
+                              persistedParents: Seq[RDD[_]]) {
+    def this(blocks: RDD[Block[I]], dim: Int) = this(blocks, dim, Nil)
+    private[PackedKnn] def parents: Seq[RDD[_]] =
+      if (persistedParents.nonEmpty) persistedParents else Seq(blocks)
+    def unpersist(blocking: Boolean = false): Unit =
+      parents.foreach(_.unpersist(blocking))
   }
 
   // One BLAS handle per executor JVM. VectorBLAS needs the incubator
@@ -72,20 +79,28 @@ object PackedKnn {
     * blocks: the batch packs into its own partitions and the search RDD
     * becomes the union — the append-only ingest path (the standing
     * 100 TB matrix never moves; each batch adds O(batch) resident bytes).
-    * Returns the combined corpus; the original remains valid (blocks are
-    * shared, so unpersist only the final handle). */
+    * Returns the combined corpus; the original remains valid, and
+    * `unpersist()` on the combined handle releases BOTH generations'
+    * blocks. A dim mismatch fails during the batch pack (executor-side
+    * check against the standing dim) and releases the partial batch. */
   def append(pc: PackedCorpus[Long], batch: DataFrame,
              idCol: String = "id", vecCol: String = "vec",
              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[Long] = {
-    val add = packBy[Long](batch, idCol, "long", vecCol, storage)(_.getLong(0))
-    require(pc.dim == 0 || add.dim == 0 || pc.dim == add.dim,
-      s"PackedKnn.append: batch dim ${add.dim} != corpus dim ${pc.dim}")
+    val add = packBy[Long](batch, idCol, "long", vecCol, storage,
+      expectDim = pc.dim)(_.getLong(0))
+    if (pc.dim != 0 && add.dim != 0 && pc.dim != add.dim) {
+      add.unpersist()
+      throw new IllegalArgumentException(
+        s"PackedKnn.append: batch dim ${add.dim} != corpus dim ${pc.dim}")
+    }
     new PackedCorpus(pc.blocks.union(add.blocks),
-      if (pc.dim != 0) pc.dim else add.dim)
+      if (pc.dim != 0) pc.dim else add.dim,
+      pc.parents ++ add.parents)
   }
 
   private def packBy[I: ClassTag](corpus: DataFrame, idCol: String, idType: String,
-                                  vecCol: String, storage: StorageLevel)(
+                                  vecCol: String, storage: StorageLevel,
+                                  expectDim: Int = 0)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedCorpus[I] = {
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -101,6 +116,8 @@ object PackedKnn {
         val n = arr.numElements()
         if (dim < 0) dim = n
         require(n == dim, s"PackedKnn.pack: ragged corpus (saw dims $dim and $n)")
+        require(expectDim <= 0 || n == expectDim,
+          s"PackedKnn.pack: batch dim $n != corpus dim $expectDim")
         if (mat.length - used < n) {
           val grown = new Array[Float](math.max(mat.length * 2, used + n * 1024))
           System.arraycopy(mat, 0, grown, 0, used)
@@ -319,11 +336,14 @@ object PackedKnn {
     final case class Cand(row: Int, d: Double)
     val bids = b.ids
     @inline def idLt(a: Int, b: Int): Boolean = idOrd.lt(bids(a), bids(b))
+    // heap head = the candidate to EVICT first = largest dist, then
+    // largest id among exact ties (so the kept set matches the composed
+    // join's (dist, id) ascending order — same convention as KnnTopKExec)
     val heaps = Array.fill(nq)(
       new java.util.PriorityQueue[Cand](k + 1,
         (x: Cand, y: Cand) => {
           val c = java.lang.Double.compare(y.d, x.d)
-          if (c != 0) c else { if (idLt(y.row, x.row)) 1 else if (idLt(x.row, y.row)) -1 else 0 }
+          if (c != 0) c else { if (idLt(y.row, x.row)) -1 else if (idLt(x.row, y.row)) 1 else 0 }
         }))
     @inline def push(j: Int, row: Int, d: Double): Unit = {
       val h = heaps(j)

@@ -21,6 +21,28 @@ object QueriesVector {
   private val ivfCorpus =
     scala.collection.mutable.Map.empty[String, (Ann.IvfModel, String)]
 
+  /** Shared over-fetch + exact-rerank funnel for the packed-kernel
+    * queries (q99/q100): float32 candidates (top-20 per query) from the
+    * given search, exact double rerank to top-10 — the single place the
+    * funnel parameters live so the two hash-checked variants cannot
+    * drift apart. */
+  private def packedFunnel(s: SparkSession, dir: String)(
+      search: (DataFrame, Array[(Long, Array[Float])]) => Array[(Long, Array[(Long, Double)])]): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val qdf = queryBatch(s, dir, 5)
+    val qArr = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cand = search(embs, qArr)
+    import s.implicits._
+    val candDF = cand.toSeq
+      .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
+      .toDF("query_id", "neighbor_id")
+    Quantization.rerankExact(candDF, qdf, embs, k = 10, metric = "cosine",
+        corpusId = "vec_id", vecCol = "embedding")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1 at batch width: 50 queries — the reference's batch-GEMM shape
     // (parallel_search.py:246-311), served by the fused KnnTopK physical
@@ -104,24 +126,12 @@ object QueriesVector {
     // packed candidate set must contain the true top-10 (float32 error is
     // orders of magnitude below the #10/#21 separation) and the rerank
     // restores exact distances and order.
-    "q99_packed_knn" -> ((s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val qdf = queryBatch(s, dir, 5)
-      val qArr = qdf.collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
-      val cand =
+    "q99_packed_knn" -> ((s, dir) =>
+      packedFunnel(s, dir) { (embs, qArr) =>
+        val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
         try PackedKnn.search(pc, qArr, 20, "cosine")
         finally pc.unpersist()
-      import s.implicits._
-      val candDF = cand.toSeq
-        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
-        .toDF("query_id", "neighbor_id")
-      Quantization.rerankExact(candDF, qdf, embs, k = 10, metric = "cosine",
-          corpusId = "vec_id", vecCol = "embedding")
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("dist"), 6).as("dist"))
-    }),
+      }),
 
     // IVF-PACKED resident index (PackedKnn.packIvf/searchIvf): one IVF
     // cell per partition, a probe launches tasks ONLY on probed
@@ -131,25 +141,13 @@ object QueriesVector {
     // against the q10 oracle through the over-fetch + exact-rerank
     // funnel; the pruned-probe path is asserted equal to Ann.ivfSearch
     // in PackedKnnSpec.
-    "q100_packed_ivf" -> ((s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      val qdf = queryBatch(s, dir, 5)
-      val qArr = qdf.collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val model = TrainedModels.ivf(s, dir)
-      val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
-      val cand =
+    "q100_packed_ivf" -> ((s, dir) =>
+      packedFunnel(s, dir) { (embs, qArr) =>
+        val model = TrainedModels.ivf(s, dir)
+        val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
         try PackedKnn.searchIvf(pi, qArr, 20, nProbe = model.numCells)
         finally pi.unpersist()
-      import s.implicits._
-      val candDF = cand.toSeq
-        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
-        .toDF("query_id", "neighbor_id")
-      Quantization.rerankExact(candDF, qdf, embs, k = 10, metric = "cosine",
-          corpusId = "vec_id", vecCol = "embedding")
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("dist"), 6).as("dist"))
-    }),
+      }),
 
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>

@@ -276,11 +276,19 @@ class ClientSpec extends SparkSpec {
       assert(viaPacked === viaJoin, s"nProbe=$nProbe")
     }
     // mutation releases the resident cell-partitioned index too
+    assert(c.hasPackedAnnIndex)
     c.upsert(Seq(("vX", "unique document number X body")).toDF("id", "document"))
-    assert(!c.hasPackedIndex)
-    val after = c.packedAnnQuery(q, k = 1, nProbe = 4).collect()
-    assert(after.nonEmpty) // rebuilt over the mutated corpus
+    assert(!c.hasPackedAnnIndex)
+    val after = c.packedAnnQuery(
+        Seq((1L, "unique document number X body")).toDF("query_id", "query_text"),
+        k = 1, nProbe = 4).collect()
+    assert(after.head.getAs[String]("id") === "vX") // rebuilt sees the new row
     c.delete(ids = Seq("vX"))
+    // retraining the coarse quantizer drops the stale resident layout
+    c.packedAnnQuery(q, k = 1)
+    assert(c.hasPackedAnnIndex)
+    c.buildVectorIndex(numCells = 2)
+    assert(!c.hasPackedAnnIndex)
   }
 
   test("update, upsert, delete-by-filter, peek, reload") {

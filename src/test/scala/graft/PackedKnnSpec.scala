@@ -112,6 +112,20 @@ class PackedKnnSpec extends SparkSpec {
     } finally pi.unpersist(blocking = true)
   }
 
+  test("exact distance ties keep the smallest ids (heap tie-break)") {
+    import spark.implicits._
+    // ids arrive in DESCENDING order within one partition; all three tie
+    // at distance 0 under cosine, so top-2 must be {1, 2} by (dist, id)
+    val dup = Seq((3L, Array(1f, 0f)), (2L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+        (4L, Array(0f, 1f)))
+      .toDF("id", "vec").coalesce(1)
+    val pc = PackedKnn.pack(dup)
+    try {
+      val res = PackedKnn.search(pc, Array((9L, Array(1f, 0f))), 2, "cosine")
+      assert(res.head._2.map(_._1).toSeq === Seq(1L, 2L))
+    } finally pc.unpersist(blocking = true)
+  }
+
   test("append searches old and new rows without repacking the standing blocks") {
     import spark.implicits._
     val base = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
@@ -123,11 +137,17 @@ class PackedKnnSpec extends SparkSpec {
       assert(grown.blocks.partitions.length > baseBlocks.partitions.length)
       val res = PackedKnn.search(grown, Array((9L, Array(1f, 0f))), 2, "cosine")
       assert(res.head._2.map(_._1).toSeq === Seq(1L, 3L)) // new row ranked 2nd
-      // dim mismatch fails loudly
-      intercept[IllegalArgumentException] {
+      // dim mismatch fails loudly (executor-side check during the pack)
+      val ex = intercept[Exception] {
         PackedKnn.append(grown, Seq((4L, Array(1f, 2f, 3f))).toDF("id", "vec"))
       }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("batch dim")), msgs.mkString(" | "))
     } finally grown.unpersist(blocking = true)
+    // the union handle released BOTH generations' persisted blocks
+    assert(!baseBlocks.getStorageLevel.useMemory ||
+      spark.sparkContext.getPersistentRDDs.values.forall(_.id != baseBlocks.id))
   }
 
   test("pack rejects a ragged corpus") {
