@@ -194,6 +194,46 @@ object EventStream {
     * one micro-batch are not mutually checked (same as the batch
     * operator); callers needing that run Dedup.minhashLsh on the batch
     * first. */
+  /** Continuous similarity serving: a stream of (query_id, query_vec)
+    * batches searched against the RESIDENT packed index
+    * (operators.PackedKnn), results appended to `outDir` as
+    * (query_id, rank, neighbor_id, dist) — the streaming twin of the
+    * reference's always-on search server (server.py's /search endpoint),
+    * with the corpus resident in executor memory instead of one process.
+    *
+    * foreachBatch is the right harness here too: per micro-batch this is
+    * exactly the batch packed search (query batch to the driver — the
+    * operator's "queries are small" contract — one job over the resident
+    * blocks, Q*k rows out), so latency is the packed search latency, not
+    * a per-query job. The corpus handle outlives the query; mutations are
+    * [[graft.operators.PackedKnn.append]]-style new blocks, not state. */
+  def knnQueryStream(stream: DataFrame, pc: graft.operators.PackedKnn.PackedCorpus[Long],
+                     k: Int, outDir: String, checkpointDir: String,
+                     metric: String = "cosine",
+                     queryId: String = "query_id",
+                     queryVec: String = "query_vec"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qRows = batch
+          .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
+          .collect()
+        if (qRows.nonEmpty) {
+          val qArr = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val res = graft.operators.PackedKnn.search(pc, qArr, k, metric)
+          val spark = batch.sparkSession
+          import spark.implicits._
+          res.toSeq
+            .flatMap { case (qid, nbrs) =>
+              nbrs.zipWithIndex.map { case ((nid, d), i) => (qid, i + 1, nid, d) }
+            }
+            .toDF(queryId, "rank", "neighbor_id", "dist")
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   def dedupIngestStream(stream: DataFrame, idCol: String, textCol: String,
                         indexDir: String, outDir: String,
                         checkpointDir: String,

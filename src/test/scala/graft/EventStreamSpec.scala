@@ -152,6 +152,32 @@ class EventStreamSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("streaming knn serves query batches from the resident packed index") {
+    import graft.operators.PackedKnn
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+        (3L, Array(0.9f, 0.1f))).toDF("id", "vec")
+    val pc = PackedKnn.pack(corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamknn")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.knnQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pc, k = 2,
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck")
+      try {
+        mem.addData((100L, Array(1f, 0f)))
+        q.processAllAvailable()
+        mem.addData((200L, Array(0f, 1f))) // second batch: same resident corpus
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id")))
+        .toSet
+      assert(got === Set((100L, 1, 1L), (100L, 2, 3L), (200L, 1, 2L), (200L, 2, 3L)))
+    } finally pc.unpersist(blocking = true)
+  }
+
   test("continuous ingest dedup: index-backed, survivors append across batches") {
     val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, String)] }
     val tmp = java.nio.file.Files.createTempDirectory("graft-streamdedup")
