@@ -464,16 +464,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def packedAnnQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
     if (packedIvfIdx.isEmpty) buildPackedAnnIndex()
     val pi = packedIvfIdx.get
-    val q =
-      if (queries.columns.contains("query_vec")) queries
-      else embedder.embed(queries, "query_text", "query_vec")
-    val qRows = q.select(col("query_id"), col("query_vec").cast("array<float>")).collect()
-    val qArr = qRows.zipWithIndex.map { case (r, i) =>
-      require(!r.isNullAt(1),
-        s"packed query: query_vec is null for query_id=${r.get(0)}")
-      (i.toLong, r.getSeq[Float](1).toArray) }
+    val (q, qRows, qArr) = collectQueries(queries)
     packedResult(q, qRows,
-      PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
+      if (qArr.isEmpty) Array.empty
+      else PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
   }
 
   /** Batch query through the resident packed index ([[buildPackedIndex]]
@@ -484,6 +478,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def packedQuery(queries: DataFrame, k: Int = 10): DataFrame = {
     if (packedIdx.isEmpty) buildPackedIndex()
     val pc = packedIdx.get
+    val (q, qRows, qArr) = collectQueries(queries)
+    packedResult(q, qRows,
+      if (qArr.isEmpty) Array.empty
+      else PackedKnn.search(pc, qArr, k, config.metric))
+  }
+
+  /** Shared query extraction for the packed paths: embed-if-needed,
+    * collect (the packed operators' "queries are small" contract),
+    * fail-loud on null vectors, positional long keys. An empty batch
+    * yields an empty result like [[query]], not an exception. */
+  private def collectQueries(queries: DataFrame)
+      : (DataFrame, Array[org.apache.spark.sql.Row], Array[(Long, Array[Float])]) = {
     val q =
       if (queries.columns.contains("query_vec")) queries
       else embedder.embed(queries, "query_text", "query_vec")
@@ -492,7 +498,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
       require(!r.isNullAt(1),
         s"packed query: query_vec is null for query_id=${r.get(0)}")
       (i.toLong, r.getSeq[Float](1).toArray) }
-    packedResult(q, qRows, PackedKnn.search(pc, qArr, k, config.metric))
+    (q, qRows, qArr)
   }
 
   /** Shared result assembly for the packed paths: positional query index
@@ -568,8 +574,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
         numCells, seed, sampleFraction = sampleFraction),
       ivfDir)
     // the resident cell-partitioned packing was laid out by the OLD
-    // model — serving from it would silently diverge from annQuery
-    releasePackedIndex()
+    // model — serving from it would silently diverge from annQuery. The
+    // FLAT packed index is model-independent and stays warm.
+    packedIvfIdx.foreach(_.unpersist())
+    packedIvfIdx = None
   }
 
   /** Approximate batch query through the persisted IVF index: each query

@@ -94,6 +94,10 @@ object Sweep {
       }
       runFloor()
       val floorMs = medianMs((1 to MeasuredRuns).map(_ => runFloor()))
+      // release the packed slabs BEFORE timing the rowscan so the two
+      // paths are measured under the same residency (at 1M the extra
+      // ~512 MB would bias the rowscan runs)
+      pc.unpersist(blocking = true)
 
       // --- fused row-scan path over the cached DataFrame ---
       val rdd = Knn.knnTopKPartial(qArr, corpus, K, "cosine",
@@ -119,7 +123,6 @@ object Sweep {
       runRowScan()
       val rowScanRuns = (1 to MeasuredRuns).map(_ => runRowScan())
 
-      pc.unpersist(blocking = true)
       corpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ

@@ -243,10 +243,16 @@ case class LshProbeBuckets(child: Expression, flatPlanes: Array[Double], dim: In
     var emitted = 1
     if (maxSets > 0) {
       // entries: (score, xor-mask over REAL bit ids, max position in set)
+      // ties broken by mask so equal-score perturbation sets (degenerate
+      // inputs, e.g. all-zero prefixes) pop deterministically — the q49
+      // recall oracle re-executes this walk in SQL with ORDER BY
+      // (score, mask) and must select the SAME sets
       val pq = new java.util.PriorityQueue[(Double, Long, Int)](
         math.max(2 * maxSets, 4),
-        (x: (Double, Long, Int), y: (Double, Long, Int)) =>
-          java.lang.Double.compare(x._1, y._1))
+        (x: (Double, Long, Int), y: (Double, Long, Int)) => {
+          val c = java.lang.Double.compare(x._1, y._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        })
       pq.add((margins(order(0)), 1L << order(0), 0))
       while (emitted <= maxSets && !pq.isEmpty) {
         val (score, mask, maxPos) = pq.poll()

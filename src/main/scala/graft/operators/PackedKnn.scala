@@ -142,11 +142,16 @@ object PackedKnn {
         }
         Iterator.single(Block(ids.toArray, m, dim, norms))
       }
-    }.persist(storage)
+    }.setName(residentName).persist(storage)
     packed.count() // materialize so searches never pay the parquet scan
     val dim = packed.take(1).headOption.map(_.dim).getOrElse(0)
     new PackedCorpus(packed, dim)
   }
+
+  /** RDD name marking resident index blocks — ingest-time state like the
+    * on-disk sidecars, which battery hygiene sweeps (Bench's between-query
+    * unpersist) should leave alone. */
+  val residentName = "graft-resident-index"
 
   // ------------------------------------------------- IVF-partitioned packing
 
@@ -224,7 +229,7 @@ object PackedKnn {
           }
           Iterator.single(Block(ids.toArray, m, dim, norms))
         }
-      }.persist(storage)
+      }.setName(residentName).persist(storage)
     packed.count()
     val dim = packed.take(1).headOption.map(_.dim).getOrElse(0)
     new PackedIvfCorpus(packed, dim, model)

@@ -214,7 +214,7 @@ object EventStream {
                      queryVec: String = "query_vec"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qRows = batch
           .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
           .where(col(queryId).isNotNull && col(queryVec).isNotNull)
@@ -229,7 +229,10 @@ object EventStream {
               nbrs.zipWithIndex.map { case ((nid, d), i) => (qid, i + 1, nid, d) }
             }
             .toDF(queryId, "rank", "neighbor_id", "dist")
-            .write.mode("append").parquet(outDir)
+            // idempotent under replay: a micro-batch that re-executes
+            // after a crash-before-checkpoint OVERWRITES its own
+            // partition directory instead of appending duplicate rows
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }
       .start()

@@ -285,10 +285,15 @@ class ClientSpec extends SparkSpec {
     assert(after.head.getAs[String]("id") === "vX") // rebuilt sees the new row
     c.delete(ids = Seq("vX"))
     // retraining the coarse quantizer drops the stale resident layout
+    // (but not the model-independent flat index)
+    c.packedQuery(q, k = 1)
     c.packedAnnQuery(q, k = 1)
-    assert(c.hasPackedAnnIndex)
+    assert(c.hasPackedIndex && c.hasPackedAnnIndex)
     c.buildVectorIndex(numCells = 2)
-    assert(!c.hasPackedAnnIndex)
+    assert(c.hasPackedIndex && !c.hasPackedAnnIndex)
+    // empty query batch returns empty results like query(), no throw
+    assert(c.packedQuery(q.limit(0)).count() === 0)
+    assert(c.packedAnnQuery(q.limit(0)).count() === 0)
   }
 
   test("update, upsert, delete-by-filter, peek, reload") {

@@ -90,6 +90,7 @@ class PackedKnnSpec extends SparkSpec {
 
   test("IVF-packed search launches tasks only on probed partitions") {
     val model = ivfModel
+    val one = qArr.take(1) // force the lazy collect BEFORE counting tasks
     val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
     try {
       val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -99,7 +100,6 @@ class PackedKnnSpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
-        val one = qArr.take(1)
         PackedKnn.searchIvf(pi, one, 10, nProbe = 2)
         // listener events are async; poll until the count stabilizes
         val deadline = System.nanoTime() + 5_000_000_000L
