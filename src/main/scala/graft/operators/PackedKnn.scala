@@ -311,6 +311,61 @@ object PackedKnn {
     }.toArray
   }
 
+  // --------------------------------------------------- kNN graph (self-join)
+
+  /** k-nearest-neighbor GRAPH over a packed corpus: every row is a query
+    * AND a candidate — the corpus×corpus top-k self-join that kNN-graph
+    * dedup/clustering pipelines build, and that the broadcast-queries
+    * operators cannot express (neither side is small). Block-pair
+    * parallelism: every pair of partition slabs is scored with one
+    * chunked sgemm (P² tasks over resident matrices, nothing re-read),
+    * per-pair bounded top-k partials, then the existing Q*k-row
+    * partial/final merge. Self-matches (same id) are excluded.
+    *
+    * Returns (query_id, rank, neighbor_id, dist) like [[Knn.knnJoin]].
+    * At 100 TB the same join runs IVF-blocked (score only same/nearby
+    * cells — see Dedup.embeddingNearDupBlocked for the lossless variant);
+    * this is the exact all-pairs baseline those paths are validated
+    * against. */
+  def knnGraph(pc: PackedCorpus[Long], k: Int,
+               metric: String = "cosine"): DataFrame = {
+    val blocks = pc.blocks
+    val spark = org.apache.spark.sql.SparkSession.active
+    val kk = k
+    val m = metric
+    // one task per block pair: b's rows are the queries, a's the corpus
+    val partials: RDD[(Long, Long, Double)] =
+      blocks.cartesian(blocks).flatMap { case (a, b) =>
+        scoreBlockPair(a, b, kk, m)
+      }
+    import spark.implicits._
+    val topk = udaf(new Knn.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    partials.toDF("query_id", "neighbor_id", "dist")
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("dist")).as("_nbrs"))
+      .select(col("query_id"), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
+  }
+
+  /** One block pair of the kNN-graph join: score every row of `b`
+    * (queries) against every row of `a` (candidates) with chunked sgemm,
+    * keep k per b-row, drop identical-id pairs. */
+  private def scoreBlockPair(a: Block[Long], b: Block[Long], k: Int,
+                             metric: String): Iterator[(Long, Long, Double)] = {
+    val queries = Array.tabulate(b.rows) { r =>
+      val v = new Array[Float](b.dim)
+      System.arraycopy(b.mat, r * b.dim, v, 0, b.dim)
+      (b.ids(r), v)
+    }
+    searchBlock(a, queries, k + 1, metric).iterator.collect {
+      // k+1 then drop self-matches: a row is its own nearest neighbor
+      // under cosine/l2, and ip self-pairs are also excluded by id
+      case (qi, nid, d) if nid != queries(qi)._1 => (queries(qi)._1, nid, d)
+    }
+  }
+
   /** Score one block against the query batch with chunked sgemm; bounded
     * heaps keep k per query. Emits (queryIndex, neighborId, dist). */
   private[operators] def searchBlock[I: Ordering](b: Block[I], queries: Array[(Long, Array[Float])],

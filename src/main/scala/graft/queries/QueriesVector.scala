@@ -175,6 +175,34 @@ object QueriesVector {
         PackedKnn.searchIvf(pi, qArr, 20, nProbe = pi.model.numCells)
       }),
 
+    // kNN GRAPH over a 1000-vector subset: the corpus x corpus top-k
+    // self-join (every row is query AND candidate — neither side
+    // broadcastable at scale; block-pair sgemm over the resident slabs,
+    // P^2 tasks). Float32 over-fetch (k=10) then exact rerank to k=5,
+    // hash-checked against the all-pairs DuckDB oracle with self-matches
+    // excluded. PackedKnnSpec pins the full graph to the broadcast path.
+    "q101_knn_graph" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+      val pc = packedCache.synchronized {
+        val key = s"$dir#graph1000"
+        packedCache.get(key)
+          .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          .getOrElse {
+            val p = PackedKnn.pack(sub, idCol = "vec_id", vecCol = "embedding")
+            packedCache(key) = p
+            p
+          }
+      }
+      val cand = PackedKnn.knnGraph(pc, 10, "cosine")
+        .select(col("query_id"), col("neighbor_id"))
+      val queries = sub.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+      Quantization.rerankExact(cand, queries, sub, k = 5, metric = "cosine",
+          corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -221,6 +249,23 @@ object QueriesVector {
     "q64_ivf_partitioned" -> knnOracleCosine5,
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
+    "q101_knn_graph" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 1000),
+        |pairs AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+        |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id < 1000 AND c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       round(dist, 6) + 0.0 AS dist
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q69_mean_pool" ->
       """WITH ex AS (
         |  SELECT vec_id % 10 AS g, unnest(embedding) AS v,

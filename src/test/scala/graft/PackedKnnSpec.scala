@@ -150,6 +150,33 @@ class PackedKnnSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.forall(_.id != baseBlocks.id))
   }
 
+  test("knnGraph equals the broadcast path with self-matches dropped") {
+    val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
+    try {
+      val allQ = embs.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+      // broadcast-path expectation: k+1 then drop the self-match
+      val expected = Knn.knnJoin(allQ, embs, 6, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq)
+        .toMap
+        .map { case (qid, nbrs) => qid -> nbrs.filter(_ != qid).take(5) }
+      val graph = PackedKnn.knnGraph(pc, 5, "cosine")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert(graph.keySet === expected.keySet)
+      for ((qid, nbrs) <- graph) {
+        assert(!nbrs.contains(qid), s"self-match for $qid")
+        assert(nbrs === expected(qid), s"query $qid")
+      }
+    } finally pc.unpersist(blocking = true)
+  }
+
   test("pack rejects a ragged corpus") {
     import spark.implicits._
     val ragged = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f, 2f)))
