@@ -323,6 +323,9 @@ object PackedKnn {
     * partial/final merge. Self-matches (same id) are excluded.
     *
     * Returns (query_id, rank, neighbor_id, dist) like [[Knn.knnJoin]].
+    * Task count is P² in the corpus's partition count — for graph builds
+    * over many partitions, `corpus.repartition(n)` to O(sqrt(cores))
+    * blocks before [[pack]] keeps the pair grid matched to the cluster.
     * At 100 TB the same join runs IVF-blocked (score only same/nearby
     * cells — see Dedup.embeddingNearDupBlocked for the lossless variant);
     * this is the exact all-pairs baseline those paths are validated
