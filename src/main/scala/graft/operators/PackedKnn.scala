@@ -333,7 +333,6 @@ object PackedKnn {
   def knnGraph(pc: PackedCorpus[Long], k: Int,
                metric: String = "cosine"): DataFrame = {
     val blocks = pc.blocks
-    val spark = org.apache.spark.sql.SparkSession.active
     val kk = k
     val m = metric
     // one task per block pair: b's rows are the queries, a's the corpus
@@ -341,6 +340,28 @@ object PackedKnn {
       blocks.cartesian(blocks).flatMap { case (a, b) =>
         scoreBlockPair(a, b, kk, m)
       }
+    graphResult(partials, k)
+  }
+
+  /** Same-cell approximate kNN graph over an IVF-packed corpus: each
+    * partition (= cell) scores ONLY itself — the pair grid collapses from
+    * P² tasks to P, the standard blocked construction for billion-row
+    * graphs (neighbors in other cells are sacrificed; recall is governed
+    * by the coarse quantizer like any IVF search). Same output shape as
+    * [[knnGraph]], which is its exact baseline. */
+  def knnGraphIvf(pi: PackedIvfCorpus[Long], k: Int,
+                  metric: String = "cosine"): DataFrame = {
+    val kk = k
+    val m = metric
+    val partials: RDD[(Long, Long, Double)] =
+      pi.blocks.mapPartitions(_.flatMap(b => scoreBlockPair(b, b, kk, m)))
+    graphResult(partials, k)
+  }
+
+  /** Shared finishing stage of the graph builds: bounded top-k merge of
+    * the per-pair partials, ranked (dist, id) ascending. */
+  private def graphResult(partials: RDD[(Long, Long, Double)], k: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val topk = udaf(new Knn.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())

@@ -203,6 +203,37 @@ object QueriesVector {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // Same-cell (IVF-blocked) kNN graph — the APPROXIMATE graph path at
+    // scale: the pair grid collapses from P^2 tasks to P (each cell
+    // scores only itself). Hash-checked end-to-end: the oracle re-derives
+    // the cell assignment from the inlined centroids, restricts pairs to
+    // equal cells, and ranks by exact cosine — the engine's float32
+    // over-fetch + exact rerank must land on identical rows.
+    "q102_cell_graph" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").where(col("vec_id") < 2000)
+      val pi = packedIvfCache.synchronized {
+        val key = s"$dir#cellgraph2000"
+        packedIvfCache.get(key)
+          .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          .getOrElse {
+            val p = PackedKnn.packIvf(sub, TrainedModels.ivf(s, dir),
+              idCol = "vec_id", vecCol = "embedding")
+            packedIvfCache(key) = p
+            p
+          }
+      }
+      val cand = PackedKnn.knnGraphIvf(pi, 10, "cosine")
+        .select(col("query_id"), col("neighbor_id"))
+      val queries = sub.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+      // rerank among the same-cell candidates only: exact distances and
+      // (dist, id) order, matching the oracle's cell-restricted ranking
+      Quantization.rerankExact(cand, queries, sub, k = 5, metric = "cosine",
+          corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -282,5 +313,7 @@ object QueriesVector {
         |    (SELECT sqrt(sum(x*x)) FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x)) AS norm
         |  FROM embeddings)""".stripMargin,
   ) ++ TrainedModels.lastIvf.map(m =>
-    "q48_ivf_recall" -> RecallOracles.ivfRecallSql(m, nProbe = 4, k = 10))
+    "q48_ivf_recall" -> RecallOracles.ivfRecallSql(m, nProbe = 4, k = 10)) ++
+    TrainedModels.lastIvf.map(m =>
+      "q102_cell_graph" -> RecallOracles.sameCellGraphSql(m, maxId = 2000, k = 5))
 }

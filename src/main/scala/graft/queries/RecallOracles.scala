@@ -133,6 +133,36 @@ object RecallOracles {
        |  FROM q, bk)""".stripMargin
   }
 
+  /** q102: same-cell kNN graph over the vec_id < `maxId` subset — cell
+    * assignment from the inlined centroids (identical argmin/tie rules to
+    * the NearestCell kernel the packed layout used), pairs restricted to
+    * equal cells, self-pairs excluded, exact cosine top-`k`. The engine's
+    * float32 over-fetch + exact rerank must land on the same rows. */
+  def sameCellGraphSql(m: Ann.IvfModel, maxId: Long, k: Int): String =
+    s"""WITH cent(cell, cv) AS (VALUES
+       |  ${centValues(m)}),
+       |sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId),
+       |ccd AS (
+       |  SELECT c.vec_id, c.embedding, cent.cell,
+       |         ${sq2("c.embedding", "cent.cv")} AS d2
+       |  FROM sub c, cent),
+       |corpus_cell AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ccd) WHERE rn = 1),
+       |gpairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${cosine("b.embedding", "a.embedding")} AS dist
+       |  FROM corpus_cell a JOIN corpus_cell b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM gpairs)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       |       round(dist, 6) + 0.0 AS dist
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** q48: IVF probe -> cosine top-10 on survivors -> recall vs exact. */
   def ivfRecallSql(m: Ann.IvfModel, nProbe: Int = 4, k: Int = 10): String =
     s"""WITH $qCte,

@@ -177,6 +177,28 @@ class PackedKnnSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  test("same-cell graph: edges stay within cells, counts bounded by cell size") {
+    import graft.operators.Ann
+    val model = ivfModel
+    val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
+    try {
+      val graph = PackedKnn.knnGraphIvf(pi, 5, "cosine").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      val cells = embs.select(col("vec_id"),
+          Ann.cellId(model)(col("embedding")).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(graph.nonEmpty)
+      graph.foreach { case (q, n) =>
+        assert(cells(q) === cells(n), s"edge $q->$n crosses cells")
+        assert(q !== n, s"self edge $q")
+      }
+      val cellSizes = cells.values.groupBy(identity).view.mapValues(_.size).toMap
+      val perQuery = graph.groupBy(_._1).view.mapValues(_.length).toMap
+      for ((q, cnt) <- perQuery)
+        assert(cnt === math.min(5, cellSizes(cells(q)) - 1), s"query $q count")
+    } finally pi.unpersist(blocking = true)
+  }
+
   test("pack rejects a ragged corpus") {
     import spark.implicits._
     val ragged = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f, 2f)))
