@@ -234,6 +234,19 @@ object QueriesVector {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // Semantic duplicate clusters (SemDeDup-shaped, Abbas et al. 2023):
+    // embedding near-dup pairs from the lossless IVF-cell-blocked join
+    // (q56's operator — cell-pair pruning via the triangle inequality,
+    // exact verify) contracted to connected components by the
+    // large-star/small-star CC (q71's operator). The oracle recomputes
+    // the exact all-pairs edges and the components with a recursive CTE.
+    "q103_semantic_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.embeddingNearDupBlocked(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, trainFraction = 0.5)
+      graft.operators.Dedup.duplicateClusters(pairs, "id_a", "id_b")
+    }),
+
     // Random-hyperplane LSH approximate kNN: recall@10 vs exact
     // (deterministic planes, but bucket-join recall is probabilistic =>
     // rows-only check + test floor)
@@ -280,6 +293,25 @@ object QueriesVector {
     "q64_ivf_partitioned" -> knnOracleCosine5,
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
+    "q103_semantic_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT 1.0 - (CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+        |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END)
+        |     FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |                  CAST(unnest(b.embedding) AS DOUBLE) AS y)) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |pr AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
+        |eb AS (
+        |  SELECT id_a AS a, id_b AS b FROM pr
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pr),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM eb
+        |  UNION
+        |  SELECT rr.node, e.b FROM reach rr JOIN eb e ON e.a = rr.r)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
     "q101_knn_graph" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 1000),
         |pairs AS (
