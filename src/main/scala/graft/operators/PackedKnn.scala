@@ -332,15 +332,19 @@ object PackedKnn {
     * against. */
   def knnGraph(pc: PackedCorpus[Long], k: Int,
                metric: String = "cosine"): DataFrame = {
-    val blocks = pc.blocks
     val kk = k
     val m = metric
-    // one task per block pair: b's rows are the queries, a's the corpus
+    // one task per UNORDERED block pair: the (a,b) GEMM already contains
+    // every (b,a) dot product, so the symmetric kernel feeds both sides'
+    // heaps from one pass — P(P+1)/2 tasks, not P², and half the flops
+    val indexed = pc.blocks.zipWithIndex().map(_.swap)
     val partials: RDD[(Long, Long, Double)] =
-      blocks.cartesian(blocks).flatMap { case (a, b) =>
-        scoreBlockPair(a, b, kk, m)
-      }
-    graphResult(partials, k)
+      indexed.cartesian(indexed)
+        .filter { case ((ia, _), (ib, _)) => ia <= ib }
+        .flatMap { case ((ia, a), (ib, b)) =>
+          scorePair(a, b, kk, m, bothSides = ia != ib)
+        }
+    graphResult(partials, kk)
   }
 
   /** Same-cell approximate kNN graph over an IVF-packed corpus: each
@@ -354,8 +358,9 @@ object PackedKnn {
     val kk = k
     val m = metric
     val partials: RDD[(Long, Long, Double)] =
-      pi.blocks.mapPartitions(_.flatMap(b => scoreBlockPair(b, b, kk, m)))
-    graphResult(partials, k)
+      pi.blocks.mapPartitions(_.flatMap(b =>
+        scorePair(b, b, kk, m, bothSides = false)))
+    graphResult(partials, kk)
   }
 
   /** Shared finishing stage of the graph builds: bounded top-k merge of
@@ -373,21 +378,89 @@ object PackedKnn {
         col("_n.id").as("neighbor_id"), col("_n.dist").as("dist"))
   }
 
-  /** One block pair of the kNN-graph join: score every row of `b`
-    * (queries) against every row of `a` (candidates) with chunked sgemm,
-    * keep k per b-row, drop identical-id pairs. */
-  private def scoreBlockPair(a: Block[Long], b: Block[Long], k: Int,
-                             metric: String): Iterator[(Long, Long, Double)] = {
-    val queries = Array.tabulate(b.rows) { r =>
-      val v = new Array[Float](b.dim)
-      System.arraycopy(b.mat, r * b.dim, v, 0, b.dim)
-      (b.ids(r), v)
+  /** One block pair of the kNN-graph join, zero-copy on both sides: one
+    * chunked sgemm between `b` (rows as queries) and `a` (candidates),
+    * pushing every dot product into b-side heaps and — when `bothSides`
+    * (distinct blocks) — into a-side heaps too, since C(r,c) IS the
+    * (c,r) score. Identical-id pairs are skipped (the graph's self-match
+    * exclusion; also makes the self-block call with bothSides=false the
+    * complete one-directional self-join). The score buffer adapts to the
+    * query count so it stays ~16 MB however large the blocks are (a
+    * fixed 8192-chunk at whole-block nq overflowed Int and allocated
+    * gigabytes). */
+  private def scorePair(a: Block[Long], b: Block[Long], k: Int,
+                        metric: String, bothSides: Boolean): Iterator[(Long, Long, Double)] = {
+    val nq = b.rows
+    if (nq == 0 || a.rows == 0) return Iterator.empty
+    require(a.dim == b.dim, s"block dims differ: ${a.dim} vs ${b.dim}")
+    val dim = a.dim
+    val mcode = metric match {
+      case "cosine" => 0; case "l2" => 1; case "ip" => 2
+      case other => throw new IllegalArgumentException(s"metric $other")
     }
-    searchBlock(a, queries, k + 1, metric).iterator.collect {
-      // k+1 then drop self-matches: a row is its own nearest neighbor
-      // under cosine/l2, and ip self-pairs are also excluded by id
-      case (qi, nid, d) if nid != queries(qi)._1 => (queries(qi)._1, nid, d)
+    final case class Cand(id: Long, d: Double)
+    def mkHeaps(n: Int) = Array.fill(n)(
+      new java.util.PriorityQueue[Cand](k + 1,
+        (x: Cand, y: Cand) => {
+          val c = java.lang.Double.compare(y.d, x.d)
+          if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+        }))
+    val bHeaps = mkHeaps(nq)
+    val aHeaps = if (bothSides) mkHeaps(a.rows) else null
+    @inline def push(h: java.util.PriorityQueue[Cand], id: Long, d: Double): Unit = {
+      if (h.size < k) h.add(Cand(id, d))
+      else {
+        val worst = h.peek()
+        if (d < worst.d || (d == worst.d && id < worst.id)) { h.poll(); h.add(Cand(id, d)) }
+      }
     }
+    val chunk = math.max(1, math.min(a.rows,
+      math.min(8192, 4000000 / math.max(1, nq))))
+    val scores = new Array[Float](nq * chunk)
+    var c0 = 0
+    while (c0 < a.rows) {
+      val cols = math.min(chunk, a.rows - c0)
+      // C (nq x cols, col-major) = B^T (nq x dim) * A-chunk (dim x cols)
+      blas.sgemm("T", "N", nq, cols, dim, 1.0f,
+        b.mat, 0, dim, a.mat, c0 * dim, dim, 0.0f, scores, 0, nq)
+      var c = 0
+      while (c < cols) {
+        val aRow = c0 + c
+        val aId = a.ids(aRow)
+        val aNorm = a.sqrtNorms(aRow)
+        var r = 0
+        while (r < nq) {
+          val bId = b.ids(r)
+          if (aId != bId) {
+            val dot = scores(c * nq + r).toDouble
+            val bNorm = b.sqrtNorms(r)
+            val d = (mcode: @annotation.switch) match {
+              case 0 =>
+                val denom = aNorm * bNorm
+                if (denom == 0.0) 1.0 else 1.0 - dot / denom
+              case 1 =>
+                val sq = aNorm * aNorm + bNorm * bNorm - 2.0 * dot
+                math.sqrt(math.max(sq, 0.0))
+              case _ => -dot
+            }
+            push(bHeaps(r), aId, d)
+            if (bothSides) push(aHeaps(aRow), bId, d)
+          }
+          r += 1
+        }
+        c += 1
+      }
+      c0 += cols
+    }
+    def drain(heaps: Array[java.util.PriorityQueue[Cand]],
+              ids: Array[Long]): Iterator[(Long, Long, Double)] =
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        val out = new ArrayBuffer[(Long, Long, Double)](h.size)
+        while (!h.isEmpty) { val e = h.poll(); out += ((ids(i), e.id, e.d)) }
+        out
+      }
+    if (bothSides) drain(bHeaps, b.ids) ++ drain(aHeaps, a.ids)
+    else drain(bHeaps, b.ids)
   }
 
   /** Score one block against the query batch with chunked sgemm; bounded
@@ -439,8 +512,11 @@ object PackedKnn {
         }
       }
     }
-    // chunk the corpus rows so the score buffer stays cache-sized
-    val chunk = math.max(1, math.min(b.rows, 8192))
+    // chunk the corpus rows so the score buffer stays cache-sized AND
+    // bounded (~16 MB) for large query batches — nq*chunk at a fixed
+    // 8192 overflows Int past ~262k queries
+    val chunk = math.max(1, math.min(b.rows,
+      math.min(8192, 4000000 / math.max(1, nq))))
     val scores = new Array[Float](nq * chunk)
     var r0 = 0
     while (r0 < b.rows) {

@@ -30,6 +30,37 @@ object QueriesVector {
   private val packedIvfCache =
     scala.collection.mutable.Map.empty[String, PackedKnn.PackedIvfCorpus[Long]]
 
+  /** Self-healing get-or-pack: Bench-style hygiene sweeps can unpersist a
+    * cached handle's blocks, which would leave it recomputing its whole
+    * lineage inside every search job — drop and repack instead. */
+  private def cached[T](cache: scala.collection.mutable.Map[String, T], key: String)(
+      alive: T => Boolean)(build: => T): T = cache.synchronized {
+    cache.get(key).filter(alive).getOrElse { val p = build; cache(key) = p; p }
+  }
+
+  private def cachedPack(key: String)(build: => PackedKnn.PackedCorpus[Long]) =
+    cached(packedCache, key)(
+      _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
+
+  private def cachedPackIvf(key: String)(build: => PackedKnn.PackedIvfCorpus[Long]) =
+    cached(packedIvfCache, key)(
+      _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
+
+  /** Shared candidate -> exact-rerank funnel for the graph queries
+    * (q101/q102): float32 graph candidates (k=10 over-fetch per node),
+    * exact double rerank to top-5 — one place for the funnel parameters
+    * like [[packedFunnel]]. */
+  private def graphFunnel(sub: DataFrame,
+                          cand: DataFrame): DataFrame = {
+    val queries = sub.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    Quantization.rerankExact(cand.select(col("query_id"), col("neighbor_id")),
+        queries, sub, k = 5, metric = "cosine",
+        corpusId = "vec_id", vecCol = "embedding")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   /** Shared over-fetch + exact-rerank funnel for the packed-kernel
     * queries (q99/q100): float32 candidates (top-20 per query) from the
     * given search, exact double rerank to top-10 — the single place the
@@ -137,18 +168,8 @@ object QueriesVector {
     // restores exact distances and order.
     "q99_packed_knn" -> ((s, dir) =>
       packedFunnel(s, dir) { (embs, qArr) =>
-        // self-healing get-or-pack: Bench unpersists everything between
-        // queries, which would leave the cached handle recomputing its
-        // whole lineage inside every search job — repack instead
-        val pc = packedCache.synchronized {
-          packedCache.get(dir)
-            .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-            .getOrElse {
-              val p = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
-              packedCache(dir) = p
-              p
-            }
-        }
+        val pc = cachedPack(dir)(
+          PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding"))
         PackedKnn.search(pc, qArr, 20, "cosine")
       }),
 
@@ -162,16 +183,9 @@ object QueriesVector {
     // in PackedKnnSpec.
     "q100_packed_ivf" -> ((s, dir) =>
       packedFunnel(s, dir) { (embs, qArr) =>
-        val pi = packedIvfCache.synchronized {
-          packedIvfCache.get(dir)
-            .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-            .getOrElse {
-              val p = PackedKnn.packIvf(embs, TrainedModels.ivf(s, dir),
-                idCol = "vec_id", vecCol = "embedding")
-              packedIvfCache(dir) = p
-              p
-            }
-        }
+        val pi = cachedPackIvf(dir)(
+          PackedKnn.packIvf(embs, TrainedModels.ivf(s, dir),
+            idCol = "vec_id", vecCol = "embedding"))
         PackedKnn.searchIvf(pi, qArr, 20, nProbe = pi.model.numCells)
       }),
 
@@ -183,24 +197,9 @@ object QueriesVector {
     // excluded. PackedKnnSpec pins the full graph to the broadcast path.
     "q101_knn_graph" -> ((s, dir) => {
       val sub = t(s, dir, "embeddings").where(col("vec_id") < 1000)
-      val pc = packedCache.synchronized {
-        val key = s"$dir#graph1000"
-        packedCache.get(key)
-          .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          .getOrElse {
-            val p = PackedKnn.pack(sub, idCol = "vec_id", vecCol = "embedding")
-            packedCache(key) = p
-            p
-          }
-      }
-      val cand = PackedKnn.knnGraph(pc, 10, "cosine")
-        .select(col("query_id"), col("neighbor_id"))
-      val queries = sub.select(col("vec_id").as("query_id"),
-        col("embedding").as("query_vec"))
-      Quantization.rerankExact(cand, queries, sub, k = 5, metric = "cosine",
-          corpusId = "vec_id", vecCol = "embedding")
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("dist"), 6).as("dist"))
+      val pc = cachedPack(s"$dir#graph1000")(
+        PackedKnn.pack(sub, idCol = "vec_id", vecCol = "embedding"))
+      graphFunnel(sub, PackedKnn.knnGraph(pc, 10, "cosine"))
     }),
 
     // Same-cell (IVF-blocked) kNN graph — the APPROXIMATE graph path at
@@ -211,27 +210,12 @@ object QueriesVector {
     // over-fetch + exact rerank must land on identical rows.
     "q102_cell_graph" -> ((s, dir) => {
       val sub = t(s, dir, "embeddings").where(col("vec_id") < 2000)
-      val pi = packedIvfCache.synchronized {
-        val key = s"$dir#cellgraph2000"
-        packedIvfCache.get(key)
-          .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          .getOrElse {
-            val p = PackedKnn.packIvf(sub, TrainedModels.ivf(s, dir),
-              idCol = "vec_id", vecCol = "embedding")
-            packedIvfCache(key) = p
-            p
-          }
-      }
-      val cand = PackedKnn.knnGraphIvf(pi, 10, "cosine")
-        .select(col("query_id"), col("neighbor_id"))
-      val queries = sub.select(col("vec_id").as("query_id"),
-        col("embedding").as("query_vec"))
+      val pi = cachedPackIvf(s"$dir#cellgraph2000")(
+        PackedKnn.packIvf(sub, TrainedModels.ivf(s, dir),
+          idCol = "vec_id", vecCol = "embedding"))
       // rerank among the same-cell candidates only: exact distances and
       // (dist, id) order, matching the oracle's cell-restricted ranking
-      Quantization.rerankExact(cand, queries, sub, k = 5, metric = "cosine",
-          corpusId = "vec_id", vecCol = "embedding")
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("dist"), 6).as("dist"))
+      graphFunnel(sub, PackedKnn.knnGraphIvf(pi, 10, "cosine"))
     }),
 
     // Semantic duplicate clusters (SemDeDup-shaped, Abbas et al. 2023):
