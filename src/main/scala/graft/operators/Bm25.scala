@@ -170,6 +170,21 @@ object Bm25 {
     refreshStats(docLengths.sparkSession, dir)
   }
 
+  /** Small-file compaction for an append-maintained index: rewrite
+    * postings buckets holding more than `maxFilesPerBucket` parquet files
+    * (per-bucket atomic swap, cold buckets untouched) and the flat doclen
+    * dir past the same threshold. Scores are identical before and after —
+    * only the file layout changes. Returns the number of relations
+    * rewritten (bucket count + 0/1 for doclen). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   maxFilesPerBucket: Int = 8): Int = {
+    require(indexExists(dir), s"no BM25 index at $dir")
+    graft.sources.Collections.compactBuckets(
+      spark, s"$dir/postings", maxFilesPerBucket) +
+      (if (graft.sources.Collections.compactDir(
+        spark, s"$dir/doclen", maxFilesPerBucket)) 1 else 0)
+  }
+
   /** Replace the postings/lengths of changed ids: anti-join out the old
     * rows, append the re-tokenized replacements — unaffected documents are
     * never re-tokenized (copy-on-write rewrite preserving the bucket

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextAnalysis, vector}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Document deduplication for training-data pipelines, at five fidelity /
   * cost points. Beyond the reference's surface (it has no dedup), but built
@@ -634,6 +634,25 @@ object Dedup {
       writeDedupStats(dir, st.copy(
         nDocs = st.nDocs + sh.select("doc").distinct().count()))
     } finally sh.unpersist()
+  }
+
+  /** Bucket compaction for a persisted dedup index. Every
+    * [[appendDedupIndex]] call leaves one small parquet file per touched
+    * bucket; at batch-per-minute ingest cadence a hot bucket accumulates
+    * hundreds of footer-read-dominated files and probe latency degrades.
+    * Rewrite ONLY buckets whose parquet file count exceeds
+    * `maxFilesPerBucket`, each into a single file via a per-bucket atomic
+    * swap — cold buckets are never read, so a compaction pass costs
+    * O(hot-bucket bytes), not O(index). Query results are byte-identical
+    * before and after (row set per bucket is unchanged). Returns the
+    * number of buckets rewritten. */
+  def compactDedupIndex(spark: SparkSession, dir: String,
+                        maxFilesPerBucket: Int = 8): Int = {
+    require(dedupIndexExists(dir), s"no dedup index at $dir")
+    graft.sources.Collections.compactBuckets(
+      spark, s"$dir/bands", maxFilesPerBucket) +
+      graft.sources.Collections.compactBuckets(
+        spark, s"$dir/shingles", maxFilesPerBucket)
   }
 
   /** Incremental ingest dedup against a PERSISTED index: batch docs whose

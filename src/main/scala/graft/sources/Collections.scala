@@ -74,6 +74,63 @@ object Collections {
     fs.delete(oldPath, true)
   }
 
+  /** Small-file compaction for an append-maintained bucket-partitioned
+    * sidecar (`root/_xx=K/part-*.parquet`). Every incremental append
+    * leaves one file per touched bucket; at steady ingest cadence hot
+    * buckets accumulate footer-read-dominated small files and pruned
+    * probes degrade. Rewrite ONLY buckets whose parquet file count
+    * exceeds `maxFilesPerBucket`, each into a single file via a
+    * per-bucket atomic swap — cold buckets are never read, so one pass
+    * costs O(hot-bucket bytes), not O(sidecar). Row sets per bucket are
+    * unchanged, so reads are result-identical before and after. Returns
+    * the number of buckets rewritten. */
+  def compactBuckets(spark: SparkSession, root: String,
+                     maxFilesPerBucket: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    var n = 0
+    for (b <- fs.listStatus(rootPath)
+         if b.isDirectory && b.getPath.getName.contains("=")) {
+      val files = fs.listStatus(b.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFilesPerBucket) {
+        val name = b.getPath.getName
+        val tmp = new Path(rootPath, s".compact_$name.tmp")
+        val old = new Path(rootPath, s".compact_$name.old")
+        fs.delete(tmp, true); fs.delete(old, true)
+        // The partition value lives in the DIRECTORY name, not the rows,
+        // so a direct bucket-dir read/write round-trips the stored schema.
+        spark.read.parquet(b.getPath.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.rename(b.getPath, old)
+        fs.rename(tmp, b.getPath)
+        fs.delete(old, true)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Flat-directory twin of [[compactBuckets]] for unpartitioned
+    * append-maintained relations (e.g. the BM25 doclen sidecar): if the
+    * directory holds more than `maxFiles` parquet files, rewrite it into
+    * one file via [[swapWrite]]'s read-then-swap (safe against reading
+    * the files being replaced). Returns true if it rewrote. */
+  def compactDir(spark: SparkSession, dir: String, maxFiles: Int): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.length <= maxFiles) return false
+    swapWrite(spark.read.parquet(dir).coalesce(1), dir)
+    true
+  }
+
   /** Directory scan for collections (S3, vectordb.py:627-646). */
   def list(root: String): Seq[String] = {
     val p = Paths.get(root)

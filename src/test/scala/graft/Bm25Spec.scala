@@ -151,6 +151,34 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(gotRep.keySet === memRep.keySet)
     gotRep.foreach { case (k, v) => assert(math.abs(v - memRep(k)) < 1e-12) }
+
+    // steady appends pile small files; compaction rewrites ONLY the hot
+    // relations and leaves scores bit-identical
+    val extra = (0 until 4).map(i => (10L + i, s"spark extra doc $i"))
+      .toDF("doc_id", "text")
+    (0 until 4).foreach { i =>
+      val one = extra.where(col("doc_id") === 10L + i)
+      val (pi, li) = Bm25.tokenizeDocs(one, "doc_id", "text")
+      Bm25.appendDelta(dir, pi, li)
+    }
+    def parquetFiles(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.isDirectory) 0
+      else f.listFiles().map { c =>
+        if (c.isDirectory) c.listFiles().count(_.getName.endsWith(".parquet"))
+        else if (c.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    assert(parquetFiles(s"$dir/doclen") > 2)
+    val preCompact = Bm25.score(Bm25.loadIndex(spark, dir), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Bm25.compactIndex(spark, dir, maxFilesPerBucket = 2) > 0)
+    assert(parquetFiles(s"$dir/doclen") === 1)
+    val postCompact = Bm25.score(Bm25.loadIndex(spark, dir), "spark data")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(postCompact === preCompact)
+    // idempotent: nothing left over threshold
+    assert(Bm25.compactIndex(spark, dir, maxFilesPerBucket = 2) === 0)
   }
 
   test("hybrid fusion: vector-only and keyword-only candidates both surface") {

@@ -251,6 +251,45 @@ class DedupSpec extends SparkSpec {
     assert(recheck === Set(300002L))
   }
 
+  test("compactDedupIndex shrinks hot buckets without changing probe results") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Dedup.saveDedupIndex(corpus, "doc_id", "text", dir)
+    // five 64-doc appends: every bucket accumulates small files per batch
+    (0 until 5).foreach { b =>
+      Dedup.appendDedupIndex(dir,
+        (0 until 64).map(i => (400000L + b * 64 + i,
+          s"unique append doc batch $b item $i words w$b$i x$b$i y$b$i z$b$i"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    def maxFiles(sub: String): Int = {
+      val buckets = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      buckets.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    assert(maxFiles("shingles") > 3) // appends piled files into doc buckets
+    val probe = Seq(
+      (500001L, "unique append doc batch 2 item 7 words w27 x27 y27 z27"),
+      (500002L, "completely different material aaa bbb ccc ddd eee fff"))
+      .toDF("doc_id", "text")
+    val before = Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val rewritten = Dedup.compactDedupIndex(spark, dir, maxFilesPerBucket = 3)
+    assert(rewritten > 0)
+    assert(maxFiles("shingles") <= 3 && maxFiles("bands") <= 3)
+    // idempotent: a second pass finds nothing over threshold
+    assert(Dedup.compactDedupIndex(spark, dir, maxFilesPerBucket = 3) === 0)
+
+    val after = Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === before)
+    assert(!after.contains(500001L) && after.contains(500002L))
+    assert(Dedup.readDedupStats(dir).nDocs === 520L)
+  }
+
   test("dupNgramSpans merges overlapping/adjacent spans, ignores within-doc repeats") {
     import spark.implicits._
     // docs 1+2 share tokens 1..6 ("a b c d e f": 3-gram starts 1..4 merge
