@@ -86,6 +86,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val fresh = incoming.join(stored.select("id"), Seq("id"), "left_anti")
     write(Crud.insertNew(stored, incoming, "id")) {
       indexAppend(fresh)
+      packedAppend(fresh)
     }
   }
 
@@ -94,6 +95,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val (stored, incoming) = aligned(withEmbedding(rows))
     write(Crud.upsert(stored, incoming, "id")) {
       indexReplace(incoming)
+      packedReplace(incoming)
     }
   }
 
@@ -225,6 +227,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val updates = incoming.join(stored.select("id"), Seq("id"), "left_semi")
     write(Crud.upsert(stored, updates, "id")) {
       indexReplace(updates)
+      packedReplace(updates)
     }
   }
 
@@ -240,6 +243,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val removed = df.join(remaining.select("id"), Seq("id"), "left_anti")
     write(remaining) {
       indexRemove(removed.select("id"))
+      packedRemove(removed.select("id"))
     }
   }
 
@@ -395,7 +399,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Rewrite the data dir via temp-dir + rename swap (the plan reads the
     * same files it replaces — Collections.swapWrite). `maintain` runs
     * AFTER the new data is staged but BEFORE the swap, so index-delta
-    * plans that read the OLD data dir still can. */
+    * plans that read the OLD data dir still can — that includes the
+    * resident packed-index deltas ([[packedAppend]]/[[packedReplace]]/
+    * [[packedRemove]]), which materialize eagerly. A mutation whose
+    * maintain block did NOT delta the packed index releases it (the
+    * resident matrix would no longer reflect the data). */
   private def write(result: DataFrame)(maintain: => Unit = ()): Unit = {
     import org.apache.hadoop.fs.Path
     val tmpPath = new Path(s"$dir/data_tmp")
@@ -404,13 +412,63 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // FileSystem of the TARGET path, not the default FS — the collection
     // root may live on a non-default scheme (s3a://, hdfs://...).
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    packedMaintained = false
     result.write.mode("overwrite").parquet(tmpPath.toString)
     maintain
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
-    releasePackedIndex() // resident matrix no longer reflects the data
+    if (!packedMaintained) releasePackedIndex()
+  }
+
+  @transient private var packedMaintained = false
+
+  /** Append-only packed-index delta for freshly inserted rows (no id can
+    * already be resident): the batch packs into its own slabs and unions
+    * in — the standing matrix never moves. The cell-partitioned ANN twin
+    * has no union form (cells are partition indices), so it rebuilds on
+    * next use. */
+  private def packedAppend(fresh: DataFrame): Unit = {
+    packedIdx = packedIdx.map(PackedKnn.appendStr(
+      _, fresh.where(col("embedding").isNotNull), "id", "embedding"))
+    packedIvfIdx.foreach(_.unpersist())
+    packedIvfIdx = None
+    packedMaintained = true
+  }
+
+  /** Replace-by-id packed-index delta: tombstone the changed ids out of
+    * their slabs (only hit slabs rebuild), then append the replacements.
+    * Changed batches are driver-sized (CRUD), so the id set broadcasts. */
+  private def packedReplace(changed: DataFrame): Unit = {
+    packedIdx = packedIdx.map { old =>
+      val ids = changed.select("id").collect().map(_.getString(0)).toSet
+      val pruned = PackedKnn.remove(old, ids)
+      if (!(pruned eq old)) old.unpersist()
+      PackedKnn.appendStr(pruned,
+        changed.where(col("embedding").isNotNull), "id", "embedding")
+    }
+    packedIvfIdx.foreach(_.unpersist())
+    packedIvfIdx = None
+    packedMaintained = true
+  }
+
+  /** Delete packed-index delta: tombstone removal keeps BOTH resident
+    * layouts alive (the cell layout survives — partition i stays cell i,
+    * centroids are untouched). */
+  private def packedRemove(removedIds: DataFrame): Unit = {
+    lazy val ids = removedIds.collect().map(_.getString(0)).toSet
+    packedIdx = packedIdx.map { old =>
+      val nw = PackedKnn.remove(old, ids)
+      if (!(nw eq old)) old.unpersist()
+      nw
+    }
+    packedIvfIdx = packedIvfIdx.map { old =>
+      val nw = PackedKnn.removeIvf(old, ids)
+      if (!(nw eq old)) old.unpersist()
+      nw
+    }
+    packedMaintained = true
   }
 
   // ------------------------------------------- resident packed-matrix index
@@ -420,10 +478,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Pack the collection's embeddings into the distributed resident-matrix
     * index (operators.PackedKnn — per-partition float32 slabs scored by
     * BLAS sgemm, the reference's in-RAM matrix contract spread over
-    * executors). Lives for THIS GraftCollection handle; a mutation through
-    * this handle releases it, but a mutation through a DIFFERENT handle of
-    * the same collection cannot (the resident state is handle-scoped, like
-    * the reference's per-process in-RAM matrix) — in multi-writer flows,
+    * executors). Lives for THIS GraftCollection handle; CRUD through this
+    * handle MAINTAINS it in place (adds append slabs, deletes tombstone
+    * hit slabs, upserts do both — the reference's in-RAM add/delete
+    * semantics), but a mutation through a DIFFERENT handle of the same
+    * collection cannot (the resident state is handle-scoped, like the
+    * reference's per-process in-RAM matrix) — in multi-writer flows,
     * rebuild after external writes. Call again after bulk loads for the
     * fastest repeated-search path. */
   def buildPackedIndex(): Unit = {

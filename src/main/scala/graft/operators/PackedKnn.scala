@@ -85,9 +85,22 @@ object PackedKnn {
     * check against the standing dim) and releases the partial batch. */
   def append(pc: PackedCorpus[Long], batch: DataFrame,
              idCol: String = "id", vecCol: String = "vec",
-             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[Long] = {
-    val add = packBy[Long](batch, idCol, "long", vecCol, storage,
-      expectDim = pc.dim)(_.getLong(0))
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[Long] =
+    appendBy[Long](pc, batch, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[append]] keyed by a natural string id (the client facade). */
+  def appendStr(pc: PackedCorpus[String], batch: DataFrame,
+                idCol: String = "id", vecCol: String = "vec",
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[String] =
+    appendBy[String](pc, batch, idCol, "string", vecCol, storage)(
+      _.getUTF8String(0).toString)
+
+  private def appendBy[I: ClassTag](pc: PackedCorpus[I], batch: DataFrame,
+                                    idCol: String, idType: String, vecCol: String,
+                                    storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedCorpus[I] = {
+    val add = packBy[I](batch, idCol, idType, vecCol, storage,
+      expectDim = pc.dim)(getId)
     if (pc.dim != 0 && add.dim != 0 && pc.dim != add.dim) {
       add.unpersist()
       throw new IllegalArgumentException(
@@ -96,6 +109,70 @@ object PackedKnn {
     new PackedCorpus(pc.blocks.union(add.blocks),
       if (pc.dim != 0) pc.dim else add.dim,
       pc.parents ++ add.parents)
+  }
+
+  /** Remove ids from a packed corpus WITHOUT touching blocks that hold
+    * none of them: a broadcast tombstone set maps over the blocks — miss
+    * blocks pass through BY REFERENCE (zero copy; in a shared cache the
+    * object is stored once), hit blocks rebuild their three arrays minus
+    * the dead rows. No per-candidate tombstone check ever reaches the
+    * sgemm/heap hot path: deletion cost is paid once at delete time, on
+    * O(hit blocks), and searches stay full speed. The returned corpus is
+    * persisted and MATERIALIZED before returning, so the caller can
+    * release the original immediately (its blocks remain the recompute
+    * lineage for evicted partitions — MEMORY_AND_DISK spills rather than
+    * drops, so that path is for failure recovery, not steady state).
+    * Tombstone batches are driver-sized, like CRUD deletes. */
+  def remove[I: ClassTag](pc: PackedCorpus[I], ids: Set[I],
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[I] = {
+    if (ids.isEmpty) return pc
+    val bc = pc.blocks.sparkContext.broadcast(ids)
+    val pruned = pc.blocks.mapPartitions(
+      _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
+      .setName(residentName).persist(storage)
+    pruned.count()
+    new PackedCorpus(pruned, pc.dim)
+  }
+
+  /** [[remove]] for a cell-partitioned corpus: partition i stays cell i
+    * (map preserves partitioning, centroids are untouched), so probe
+    * routing in [[searchIvf]] is unchanged. */
+  def removeIvf[I: ClassTag](pi: PackedIvfCorpus[I], ids: Set[I],
+                             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[I] = {
+    if (ids.isEmpty) return pi
+    val bc = pi.blocks.sparkContext.broadcast(ids)
+    val pruned = pi.blocks.mapPartitions(
+      _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
+      .setName(residentName).persist(storage)
+    pruned.count()
+    new PackedIvfCorpus(pruned, pi.dim, pi.model)
+  }
+
+  private def pruneBlock[I: ClassTag](dead: Set[I], b: Block[I]): Iterator[Block[I]] = {
+    var hits = 0
+    var r = 0
+    while (r < b.ids.length) { if (dead.contains(b.ids(r))) hits += 1; r += 1 }
+    if (hits == 0) Iterator.single(b)
+    else if (hits == b.rows) Iterator.empty
+    else {
+      val n = b.rows - hits
+      val d = b.dim
+      val ids2 = new Array[I](n)
+      val mat2 = new Array[Float](n * d)
+      val norms2 = new Array[Double](n)
+      var j = 0
+      r = 0
+      while (r < b.ids.length) {
+        if (!dead.contains(b.ids(r))) {
+          ids2(j) = b.ids(r)
+          System.arraycopy(b.mat, r * d, mat2, j * d, d)
+          norms2(j) = b.sqrtNorms(r)
+          j += 1
+        }
+        r += 1
+      }
+      Iterator.single(Block(ids2, mat2, d, norms2))
+    }
   }
 
   private def packBy[I: ClassTag](corpus: DataFrame, idCol: String, idType: String,

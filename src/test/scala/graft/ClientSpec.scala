@@ -87,15 +87,28 @@ class ClientSpec extends SparkSpec {
     val dE = c.query(q, k = 1).orderBy("query_id").collect()
       .map(_.getAs[Double]("distance"))
     dP.zip(dE).foreach { case (p, e) => assert(math.abs(p - e) < 1e-4) }
-    // a mutation drops the resident index; next packedQuery rebuilds and
-    // sees the new row
+    // a mutation DELTAS the resident index in place (tombstone + slab
+    // append) — no rebuild, and the next packedQuery sees the new row
     c.upsert(Seq(("doc9", "spark processes big data", "tech", 2024))
       .toDF("id", "document", "category", "year"))
-    assert(!c.hasPackedIndex)
+    assert(c.hasPackedIndex)
     val after = c.packedQuery(q, k = 2).orderBy("query_id", "rank").collect()
       .map(_.getAs[String]("id"))
     assert(after.take(2).toSet === Set("doc3", "doc9")) // both identical texts
+    // delete tombstones the row out of its slab, still without a rebuild
     c.delete(ids = Seq("doc9"))
+    assert(c.hasPackedIndex)
+    val gone = c.packedQuery(q, k = 4).collect().map(_.getAs[String]("id"))
+    assert(!gone.contains("doc9"))
+    // and an add appends a fresh slab the search also covers
+    c.add(Seq(("doc10", "catalyst optimizes query plans", "tech", 2025))
+      .toDF("id", "document", "category", "year"))
+    assert(c.hasPackedIndex)
+    val q3 = Seq((1L, "catalyst optimizes query plans")).toDF("query_id", "query_text")
+    val dup = c.packedQuery(q3, k = 2).orderBy("rank").collect()
+      .map(_.getAs[String]("id"))
+    assert(dup.toSet === Set("doc4", "doc10"))
+    c.delete(ids = Seq("doc10"))
     assert(c.count() === 4)
   }
 
@@ -275,15 +288,21 @@ class ClientSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(viaPacked === viaJoin, s"nProbe=$nProbe")
     }
-    // mutation releases the resident cell-partitioned index too
+    // add/upsert release the resident cell-partitioned index (a batch has
+    // no union form into the cell layout); the flat index deltas in place
     assert(c.hasPackedAnnIndex)
     c.upsert(Seq(("vX", "unique document number X body")).toDF("id", "document"))
     assert(!c.hasPackedAnnIndex)
-    val after = c.packedAnnQuery(
-        Seq((1L, "unique document number X body")).toDF("query_id", "query_text"),
-        k = 1, nProbe = 4).collect()
+    val qX = Seq((1L, "unique document number X body")).toDF("query_id", "query_text")
+    val after = c.packedAnnQuery(qX, k = 1, nProbe = 4).collect()
     assert(after.head.getAs[String]("id") === "vX") // rebuilt sees the new row
+    // delete tombstones the cell layout IN PLACE (partition i stays cell
+    // i) — no release, and the dead id stops surfacing
     c.delete(ids = Seq("vX"))
+    assert(c.hasPackedAnnIndex)
+    val postDelete = c.packedAnnQuery(qX, k = 4, nProbe = 4).collect()
+      .map(_.getAs[String]("id"))
+    assert(!postDelete.contains("vX"))
     // retraining the coarse quantizer drops the stale resident layout
     // (but not the model-independent flat index)
     c.packedQuery(q, k = 1)

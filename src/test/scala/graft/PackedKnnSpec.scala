@@ -150,6 +150,59 @@ class PackedKnnSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.forall(_.id != baseBlocks.id))
   }
 
+  test("remove prunes hit slabs only; searches equal a repack of the survivors") {
+    val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
+    val dead = (100L until 110L).toSet
+    val pruned = PackedKnn.remove(pc, dead)
+    val repacked = PackedKnn.pack(
+      embs.where(!col("vec_id").isin(dead.toSeq: _*)),
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      // removing nothing is the identity (no new RDD, no copy)
+      assert(PackedKnn.remove(pruned, Set.empty[Long]) eq pruned)
+      for (m <- Seq("cosine", "l2")) {
+        val got = PackedKnn.search(pruned, qArr, 10, m).toMap
+        val want = PackedKnn.search(repacked, qArr, 10, m).toMap
+        assert(got.keySet === want.keySet, s"metric $m")
+        for ((qid, nbrs) <- got) {
+          assert(nbrs.map(_._1).toSeq === want(qid).map(_._1).toSeq,
+            s"metric $m query $qid")
+          assert(nbrs.forall(n => !dead.contains(n._1)))
+        }
+      }
+      // row count shrank by exactly the removed ids
+      val rows = pruned.blocks.map(_.rows.toLong).reduce(_ + _)
+      assert(rows === embs.count() - dead.size)
+    } finally {
+      pc.unpersist(blocking = true)
+      pruned.unpersist(blocking = true)
+      repacked.unpersist(blocking = true)
+    }
+  }
+
+  test("removeIvf keeps the cell layout: pruned probes equal a repack, partitions preserved") {
+    val pi = PackedKnn.packIvf(embs, ivfModel, idCol = "vec_id", vecCol = "embedding")
+    val dead = (200L until 220L).toSet
+    val pruned = PackedKnn.removeIvf(pi, dead)
+    val repacked = PackedKnn.packIvf(
+      embs.where(!col("vec_id").isin(dead.toSeq: _*)),
+      ivfModel, idCol = "vec_id", vecCol = "embedding")
+    try {
+      assert(pruned.blocks.partitions.length === pi.blocks.partitions.length)
+      val got = PackedKnn.searchIvf(pruned, qArr, 10, nProbe = 3).toMap
+      val want = PackedKnn.searchIvf(repacked, qArr, 10, nProbe = 3).toMap
+      assert(got.keySet === want.keySet)
+      for ((qid, nbrs) <- got) {
+        assert(nbrs.map(_._1).toSeq === want(qid).map(_._1).toSeq, s"query $qid")
+        assert(nbrs.forall(n => !dead.contains(n._1)))
+      }
+    } finally {
+      pi.unpersist(blocking = true)
+      pruned.unpersist(blocking = true)
+      repacked.unpersist(blocking = true)
+    }
+  }
+
   test("knnGraph equals the broadcast path with self-matches dropped") {
     val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
     try {
