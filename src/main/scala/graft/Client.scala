@@ -426,30 +426,34 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   /** Append-only packed-index delta for freshly inserted rows (no id can
     * already be resident): the batch packs into its own slabs and unions
-    * in — the standing matrix never moves. The cell-partitioned ANN twin
-    * has no union form (cells are partition indices), so it rebuilds on
-    * next use. */
+    * in; the cell-partitioned twin routes the batch through the SAME
+    * coarse quantizer and zips per cell — both standing matrices never
+    * move. */
   private def packedAppend(fresh: DataFrame): Unit = {
-    packedIdx = packedIdx.map(PackedKnn.appendStr(
-      _, fresh.where(col("embedding").isNotNull), "id", "embedding"))
-    packedIvfIdx.foreach(_.unpersist())
-    packedIvfIdx = None
+    val rows = fresh.where(col("embedding").isNotNull)
+    packedIdx = packedIdx.map(PackedKnn.appendStr(_, rows, "id", "embedding"))
+    packedIvfIdx = packedIvfIdx.map(
+      PackedKnn.appendIvfStr(_, rows, "id", "embedding"))
     packedMaintained = true
   }
 
   /** Replace-by-id packed-index delta: tombstone the changed ids out of
-    * their slabs (only hit slabs rebuild), then append the replacements.
-    * Changed batches are driver-sized (CRUD), so the id set broadcasts. */
+    * their slabs (only hit slabs rebuild), then append the replacements —
+    * on both resident layouts. Changed batches are driver-sized (CRUD),
+    * so the id set broadcasts. */
   private def packedReplace(changed: DataFrame): Unit = {
+    lazy val ids = changed.select("id").collect().map(_.getString(0)).toSet
+    val rows = changed.where(col("embedding").isNotNull)
     packedIdx = packedIdx.map { old =>
-      val ids = changed.select("id").collect().map(_.getString(0)).toSet
       val pruned = PackedKnn.remove(old, ids)
       if (!(pruned eq old)) old.unpersist()
-      PackedKnn.appendStr(pruned,
-        changed.where(col("embedding").isNotNull), "id", "embedding")
+      PackedKnn.appendStr(pruned, rows, "id", "embedding")
     }
-    packedIvfIdx.foreach(_.unpersist())
-    packedIvfIdx = None
+    packedIvfIdx = packedIvfIdx.map { old =>
+      val pruned = PackedKnn.removeIvf(old, ids)
+      if (!(pruned eq old)) old.unpersist()
+      PackedKnn.appendIvfStr(pruned, rows, "id", "embedding")
+    }
     packedMaintained = true
   }
 

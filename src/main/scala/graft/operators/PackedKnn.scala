@@ -235,10 +235,18 @@ object PackedKnn {
   /** A packed corpus laid out one IVF CELL per partition: probing p of C
     * cells runs a job on exactly p partitions ([[searchIvf]] passes the
     * probed partition ids to `runJob`) — the resident-memory analog of
-    * [[Ann.writePartitionedByCell]]'s directory pruning. */
+    * [[Ann.writePartitionedByCell]]'s directory pruning. `unpersist()`
+    * releases every persisted generation of an [[appendIvf]] zip (the
+    * zipped RDD itself holds no blocks; only its parents do). */
   final class PackedIvfCorpus[I](val blocks: RDD[Block[I]], val dim: Int,
-                                 val model: Ann.IvfModel) {
-    def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+                                 val model: Ann.IvfModel,
+                                 persistedParents: Seq[RDD[_]]) {
+    def this(blocks: RDD[Block[I]], dim: Int, model: Ann.IvfModel) =
+      this(blocks, dim, model, Nil)
+    private[PackedKnn] def parents: Seq[RDD[_]] =
+      if (persistedParents.nonEmpty) persistedParents else Seq(blocks)
+    def unpersist(blocking: Boolean = false): Unit =
+      parents.foreach(_.unpersist(blocking))
   }
 
   private final class CellPartitioner(n: Int) extends org.apache.spark.Partitioner {
@@ -261,9 +269,44 @@ object PackedKnn {
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[String] =
     packIvfBy[String](corpus, model, idCol, "string", vecCol, storage)(_.getUTF8String(0).toString)
 
+  /** Append a batch into a cell-partitioned corpus WITHOUT repacking the
+    * standing slabs: the batch routes through the SAME coarse quantizer
+    * into its own cell-partitioned blocks (same partitioner, same cell
+    * count), and a zip concatenates the two generations per cell —
+    * partition i stays exactly cell i, so [[searchIvf]] probe routing is
+    * unchanged and the standing matrix never moves. */
+  def appendIvf(pi: PackedIvfCorpus[Long], batch: DataFrame,
+                idCol: String = "id", vecCol: String = "vec",
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[Long] =
+    appendIvfBy[Long](pi, batch, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[appendIvf]] keyed by a natural string id (the client facade). */
+  def appendIvfStr(pi: PackedIvfCorpus[String], batch: DataFrame,
+                   idCol: String = "id", vecCol: String = "vec",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[String] =
+    appendIvfBy[String](pi, batch, idCol, "string", vecCol, storage)(
+      _.getUTF8String(0).toString)
+
+  private def appendIvfBy[I: ClassTag](pi: PackedIvfCorpus[I], batch: DataFrame,
+                                       idCol: String, idType: String, vecCol: String,
+                                       storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedIvfCorpus[I] = {
+    val add = packIvfBy[I](batch, pi.model, idCol, idType, vecCol, storage,
+      expectDim = pi.dim)(getId)
+    if (pi.dim != 0 && add.dim != 0 && pi.dim != add.dim) {
+      add.unpersist()
+      throw new IllegalArgumentException(
+        s"PackedKnn.appendIvf: batch dim ${add.dim} != corpus dim ${pi.dim}")
+    }
+    val zipped = pi.blocks.zipPartitions(add.blocks,
+      preservesPartitioning = true)((a, b) => a ++ b)
+    new PackedIvfCorpus(zipped, if (pi.dim != 0) pi.dim else add.dim,
+      pi.model, pi.parents ++ add.parents)
+  }
+
   private def packIvfBy[I: ClassTag](corpus: DataFrame, model: Ann.IvfModel,
                                      idCol: String, idType: String, vecCol: String,
-                                     storage: StorageLevel)(
+                                     storage: StorageLevel, expectDim: Int = 0)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedIvfCorpus[I] = {
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -292,6 +335,8 @@ object PackedKnn {
         if (ids.isEmpty) Iterator.empty
         else {
           val dim = vecs.head.length
+          require(expectDim <= 0 || dim == expectDim,
+            s"PackedKnn.packIvf: batch dim $dim != corpus dim $expectDim")
           val m = new Array[Float](ids.length * dim)
           val norms = new Array[Double](ids.length)
           var r = 0

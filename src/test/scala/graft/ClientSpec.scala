@@ -288,14 +288,14 @@ class ClientSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(viaPacked === viaJoin, s"nProbe=$nProbe")
     }
-    // add/upsert release the resident cell-partitioned index (a batch has
-    // no union form into the cell layout); the flat index deltas in place
+    // upsert deltas BOTH resident layouts in place: the batch routes
+    // through the same coarse quantizer and zips into its cells
     assert(c.hasPackedAnnIndex)
     c.upsert(Seq(("vX", "unique document number X body")).toDF("id", "document"))
-    assert(!c.hasPackedAnnIndex)
+    assert(c.hasPackedAnnIndex)
     val qX = Seq((1L, "unique document number X body")).toDF("query_id", "query_text")
     val after = c.packedAnnQuery(qX, k = 1, nProbe = 4).collect()
-    assert(after.head.getAs[String]("id") === "vX") // rebuilt sees the new row
+    assert(after.head.getAs[String]("id") === "vX") // delta sees the new row
     // delete tombstones the cell layout IN PLACE (partition i stays cell
     // i) — no release, and the dead id stops surfacing
     c.delete(ids = Seq("vX"))

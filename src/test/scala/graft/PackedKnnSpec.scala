@@ -203,6 +203,37 @@ class PackedKnnSpec extends SparkSpec {
     }
   }
 
+  test("appendIvf zips the batch into its cells: partitions preserved, equals repack") {
+    import spark.implicits._
+    val base = embs.where(col("vec_id") < 400)
+    val batch = embs.where(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+    val pi = PackedKnn.packIvf(base, ivfModel, idCol = "vec_id", vecCol = "embedding")
+    val grown = PackedKnn.appendIvf(pi, batch, idCol = "vec_id", vecCol = "embedding")
+    val repacked = PackedKnn.packIvf(embs, ivfModel, idCol = "vec_id", vecCol = "embedding")
+    try {
+      // cell layout intact: same partition count, probe results identical
+      assert(grown.blocks.partitions.length === pi.blocks.partitions.length)
+      val got = PackedKnn.searchIvf(grown, qArr, 10, nProbe = 3).toMap
+      val want = PackedKnn.searchIvf(repacked, qArr, 10, nProbe = 3).toMap
+      assert(got.keySet === want.keySet)
+      for ((qid, nbrs) <- got)
+        assert(nbrs.map(_._1).toSeq === want(qid).map(_._1).toSeq, s"query $qid")
+      // dim mismatch fails loudly during the batch pack
+      val ex = intercept[Exception] {
+        PackedKnn.appendIvf(grown,
+          Seq((9999L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"),
+          idCol = "vec_id", vecCol = "embedding")
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("batch dim")), msgs.mkString(" | "))
+    } finally {
+      grown.unpersist(blocking = true) // releases base + batch generations
+      repacked.unpersist(blocking = true)
+    }
+  }
+
   test("knnGraph equals the broadcast path with self-matches dropped") {
     val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
     try {
