@@ -507,6 +507,27 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIvfIdx = None
   }
 
+  /** Fold the resident indexes' append/remove generations back into
+    * single-slab partitions (the resident twin of the sidecar
+    * compactions): a long CRUD history otherwise turns every search into
+    * many small tasks over many tiny slabs. Results are identical;
+    * only task and sgemm call counts change. */
+  def compactPackedIndexes(numPartitions: Int = 0): Unit = {
+    packedIdx = packedIdx.map { old =>
+      val target = if (numPartitions > 0) numPartitions
+        else math.min(math.max(1, old.blocks.partitions.length),
+          spark.sparkContext.defaultParallelism)
+      val nw = PackedKnn.compact(old, target)
+      old.unpersist()
+      nw
+    }
+    packedIvfIdx = packedIvfIdx.map { old =>
+      val nw = PackedKnn.compactIvf(old)
+      old.unpersist()
+      nw
+    }
+  }
+
   @transient private var packedIvfIdx: Option[PackedKnn.PackedIvfCorpus[String]] = None
 
   /** [[buildPackedIndex]] laid out one IVF cell per partition, so

@@ -148,6 +148,57 @@ object PackedKnn {
     new PackedIvfCorpus(pruned, pi.dim, pi.model)
   }
 
+  /** Compact a flat packed corpus after heavy append traffic: each
+    * [[append]] adds its own (often tiny) partitions, so a long ingest
+    * history turns every search into many small tasks over many small
+    * slabs. A shuffle-free `coalesce` folds the generations into
+    * `numPartitions` tasks and the blocks within each merge into ONE
+    * slab — task count and sgemm call count drop back to the packed
+    * baseline. The result is persisted and materialized; release the
+    * original afterwards (same contract as [[remove]]). */
+  def compact[I: ClassTag](pc: PackedCorpus[I], numPartitions: Int,
+                           storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[I] = {
+    val merged = pc.blocks.coalesce(math.max(1, numPartitions))
+      .mapPartitions(mergeBlocks[I], preservesPartitioning = false)
+      .setName(residentName).persist(storage)
+    merged.count()
+    new PackedCorpus(merged, pc.dim)
+  }
+
+  /** Compact a cell-partitioned corpus: [[appendIvf]] zips leave one
+    * block per generation per cell; merge each cell's chain into one
+    * slab with NO shuffle and NO partition change (partition i stays
+    * cell i, probe routing untouched). */
+  def compactIvf[I: ClassTag](pi: PackedIvfCorpus[I],
+                              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[I] = {
+    val merged = pi.blocks.mapPartitions(mergeBlocks[I], preservesPartitioning = true)
+      .setName(residentName).persist(storage)
+    merged.count()
+    new PackedIvfCorpus(merged, pi.dim, pi.model)
+  }
+
+  private def mergeBlocks[I: ClassTag](it: Iterator[Block[I]]): Iterator[Block[I]] = {
+    val bs = it.toArray
+    if (bs.length <= 1) bs.iterator
+    else {
+      val d = bs.head.dim
+      require(bs.forall(_.dim == d),
+        s"PackedKnn.compact: mixed dims ${bs.map(_.dim).distinct.mkString(",")}")
+      val n = bs.map(_.rows).sum
+      val ids = new Array[I](n)
+      val mat = new Array[Float](n * d)
+      val norms = new Array[Double](n)
+      var off = 0
+      for (b <- bs) {
+        System.arraycopy(b.ids, 0, ids, off, b.rows)
+        System.arraycopy(b.mat, 0, mat, off * d, b.rows * d)
+        System.arraycopy(b.sqrtNorms, 0, norms, off, b.rows)
+        off += b.rows
+      }
+      Iterator.single(Block(ids, mat, d, norms))
+    }
+  }
+
   private def pruneBlock[I: ClassTag](dead: Set[I], b: Block[I]): Iterator[Block[I]] = {
     var hits = 0
     var r = 0

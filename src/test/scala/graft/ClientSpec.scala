@@ -308,6 +308,11 @@ class ClientSpec extends SparkSpec {
     c.packedQuery(q, k = 1)
     c.packedAnnQuery(q, k = 1)
     assert(c.hasPackedIndex && c.hasPackedAnnIndex)
+    // compaction folds the CRUD generations; both indexes stay resident
+    // and queryable
+    c.compactPackedIndexes()
+    assert(c.hasPackedIndex && c.hasPackedAnnIndex)
+    assert(c.packedQuery(q, k = 1).count() === 2)
     c.buildVectorIndex(numCells = 2)
     assert(c.hasPackedIndex && !c.hasPackedAnnIndex)
     // empty query batch returns empty results like query(), no throw

@@ -234,6 +234,53 @@ class PackedKnnSpec extends SparkSpec {
     }
   }
 
+  test("compact folds append generations into single slabs, searches unchanged") {
+    import spark.implicits._
+    // flat: five appends multiply the partition count; compact folds it
+    val base = PackedKnn.pack(embs.where(col("vec_id") < 250),
+      idCol = "vec_id", vecCol = "embedding")
+    val grown = (0 until 5).foldLeft(base) { (pc, i) =>
+      PackedKnn.append(pc,
+        embs.where(col("vec_id") >= 250 + i * 50 && col("vec_id") < 300 + i * 50)
+          .select(col("vec_id"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding")
+    }
+    val compacted = PackedKnn.compact(grown, numPartitions = 2)
+    try {
+      assert(compacted.blocks.partitions.length === 2)
+      assert(compacted.blocks.partitions.length < grown.blocks.partitions.length)
+      assert(compacted.blocks.map(_.rows.toLong).reduce(_ + _) === 500L)
+      val got = PackedKnn.search(compacted, qArr, 10, "cosine").toMap
+      val want = PackedKnn.search(grown, qArr, 10, "cosine").toMap
+      for ((qid, nbrs) <- got)
+        assert(nbrs.map(_._1).toSeq === want(qid).map(_._1).toSeq, s"query $qid")
+    } finally {
+      grown.unpersist(blocking = true)
+      compacted.unpersist(blocking = true)
+    }
+
+    // cell layout: a zip chain leaves multiple blocks per cell; compactIvf
+    // merges to one block per cell without moving partitions
+    val pi0 = PackedKnn.packIvf(embs.where(col("vec_id") < 400), ivfModel,
+      idCol = "vec_id", vecCol = "embedding")
+    val pi = PackedKnn.appendIvf(pi0,
+      embs.where(col("vec_id") >= 400).select(col("vec_id"), col("embedding")),
+      idCol = "vec_id", vecCol = "embedding")
+    val piC = PackedKnn.compactIvf(pi)
+    try {
+      assert(piC.blocks.partitions.length === pi.blocks.partitions.length)
+      assert(piC.blocks.mapPartitions(it => Iterator.single(it.size))
+        .collect().forall(_ <= 1))
+      val got = PackedKnn.searchIvf(piC, qArr, 10, nProbe = 3).toMap
+      val want = PackedKnn.searchIvf(pi, qArr, 10, nProbe = 3).toMap
+      for ((qid, nbrs) <- got)
+        assert(nbrs.map(_._1).toSeq === want(qid).map(_._1).toSeq, s"query $qid")
+    } finally {
+      pi.unpersist(blocking = true)
+      piC.unpersist(blocking = true)
+    }
+  }
+
   test("knnGraph equals the broadcast path with self-matches dropped") {
     val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
     try {
