@@ -275,6 +275,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
                     defaultRate: Double = 1.0): DataFrame =
     graft.operators.Sampling.stratifiedSample(df, groupCol, "id", rates, defaultRate)
 
+  /** End-to-end corpus preparation (operators.Pipeline): language gate,
+    * quality floor, PII redaction, exact + near dedup, decontamination,
+    * mixture sampling, shard assignment — one declarative plan over this
+    * collection's documents, with optional observe()-based per-stage
+    * survivor counts (one pass, no per-stage jobs). */
+  def prepareTrainingData(spec: graft.operators.PipelineSpec,
+                          audit: Boolean = false): graft.operators.PipelineResult =
+    graft.operators.Pipeline.prepare(df, "id", "document", spec, audit)
+
   /** Top-k TF-IDF keywords per document (search/cluster fingerprints).
     * Reads the persisted sidecar when one exists — no re-tokenization —
     * mirroring [[hybridQuery]]'s index reuse. */

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Observation}
+
+/** Declarative spec for the standard training-data preparation pipeline:
+  * language gate -> quality floor -> PII redaction -> exact dedup ->
+  * near-dedup -> decontamination -> mixture sampling -> shard assignment.
+  * Every knob delegates to an operator that is individually
+  * oracle-checked (q24/q25/q27/q29/q65/q66/q76/q79); the pipeline is
+  * their single-plan composition. Stages left at their defaults are
+  * compiled OUT of the plan entirely (no pass-through operators).
+  *
+  * The reference prepares corpora by chaining these steps imperatively
+  * per collection; here the whole chain is one Catalyst plan, so column
+  * pruning and predicate pushdown work ACROSS stages and 100 TB flows
+  * through without materializing intermediates. */
+final case class PipelineSpec(
+    /** Keep only these language codes (empty = no language gate). */
+    langAllow: Set[String] = Set.empty,
+    /** Column the language gate reads. */
+    langCol: String = "lang",
+    /** Keep docs whose heuristic quality score clears this floor. The
+      * score is compared ROUNDED to 1e-6 so a float ulp can never flip
+      * membership between engines or replays. */
+    minQuality: Double = 0.0,
+    /** Replace emails/IPv4s/phones with placeholder tags. */
+    redactPii: Boolean = false,
+    /** Keep the smallest id per normalized-text fingerprint. */
+    exactDedup: Boolean = false,
+    /** MinHash near-dup threshold: banded LSH pairs -> connected
+      * components -> smallest id per cluster survives. */
+    nearDupThreshold: Option[Double] = None,
+    /** Drop docs that near-duplicate any doc of this eval corpus. */
+    decontaminateAgainst: Option[DataFrame] = None,
+    /** Per-group keep rates for deterministic mixture sampling. */
+    mixtureRates: Map[String, Double] = Map.empty,
+    mixtureDefaultRate: Double = 1.0,
+    /** Column the mixture rates key on (language, source, ...). */
+    mixtureGroupCol: String = "lang",
+    /** Assign shuffle-shard + in-shard position (0 = skip). */
+    numShards: Int = 0)
+
+/** The prepared corpus plus, when auditing, per-stage survivor counts. */
+final class PipelineResult private[operators] (
+    val data: DataFrame, stages: Seq[(String, Observation)]) {
+
+  /** Per-stage surviving row counts, collected by observe() nodes INSIDE
+    * the pipeline plan — one pass total, never a count() job per stage
+    * (at 100 TB the audit is free; re-scanning per stage is not).
+    * Populated by the first action on [[data]]; runs a no-op write if no
+    * action has materialized the plan yet. Requires prepare(audit=true). */
+  def stageCounts(): Seq[(String, Long)] = {
+    require(stages.nonEmpty, "pipeline was prepared with audit=false")
+    data.write.mode("overwrite").format("noop").save()
+    stages.map { case (n, o) => n -> o.get.values.head.asInstanceOf[Long] }
+  }
+}
+
+object Pipeline {
+
+  /** Run `spec` over `docs`. With `audit=true` every enabled stage gets
+    * an observe() checkpoint (exact counts, but metrics nodes pin stage
+    * boundaries against cross-stage pushdown); the default plan carries
+    * no metrics nodes and fuses freely. Stages needing global state
+    * (near-dup connected components, decontamination) are driven eagerly
+    * at prepare time — their survivor sets are data, not plan shape. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              spec: PipelineSpec, audit: Boolean = false): PipelineResult = {
+    val obs = scala.collection.mutable.ArrayBuffer[(String, Observation)]()
+    def checkpoint(df: DataFrame, stage: String): DataFrame =
+      if (!audit) df
+      else {
+        val o = Observation(s"pipeline_$stage")
+        obs += stage -> o
+        df.observe(o, count(lit(1)).as("rows"))
+      }
+
+    var cur = checkpoint(docs.where(col(textCol).isNotNull), "input")
+
+    if (spec.langAllow.nonEmpty)
+      cur = checkpoint(
+        cur.where(col(spec.langCol).isin(spec.langAllow.toSeq.sorted: _*)),
+        "lang")
+
+    if (spec.minQuality > 0.0)
+      cur = checkpoint(cur.where(
+        round(TextAnalysis.qualityScore(col(textCol)), 6) >= spec.minQuality),
+        "quality")
+
+    if (spec.redactPii)
+      cur = cur.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+
+    if (spec.exactDedup) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      cur = checkpoint(
+        cur.withColumn("_keep", min(col(idCol)).over(w) === col(idCol))
+          .where(col("_keep")).drop("_keep"),
+        "exact_dedup")
+    }
+
+    spec.nearDupThreshold.foreach { t =>
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLsh(cur, idCol, textCol, threshold = t))
+      cur = checkpoint(
+        Dedup.dropDuplicatesByCluster(cur, clusters, idCol), "near_dedup")
+    }
+
+    spec.decontaminateAgainst.foreach { eval =>
+      val contaminated = Dedup.decontaminate(
+          cur.select(col(idCol), col(textCol)), eval, idCol, textCol)
+        .select(col("train_id").as(idCol)).distinct()
+      cur = checkpoint(
+        cur.join(contaminated, Seq(idCol), "left_anti"), "decontaminate")
+    }
+
+    if (spec.mixtureRates.nonEmpty || spec.mixtureDefaultRate < 1.0)
+      cur = checkpoint(
+        Sampling.stratifiedSample(cur, spec.mixtureGroupCol, idCol,
+          spec.mixtureRates, spec.mixtureDefaultRate),
+        "mixture")
+
+    if (spec.numShards > 0)
+      cur = Sampling.shuffleShards(cur, idCol, spec.numShards)
+
+    new PipelineResult(cur, obs.toSeq)
+  }
+}

@@ -34,6 +34,16 @@ object QueriesText {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** [[exactDupCorpus]] carrying lang/source — the end-to-end pipeline
+    * input (duplicates keep their original's metadata). */
+  private def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+  }
+
   private val bm25Query = "spark join merge stream"
 
   /** q66's language mixture weights (en down-weighted, zh hardest). */
@@ -393,6 +403,22 @@ object QueriesText {
     // against the pruned shingle relation, and returns batch survivors.
     // Same batch mix as q93 (truncated near-copies -> dropped; fresh
     // synthetic docs -> survive).
+    // End-to-end training-data pipeline: lang gate -> quality floor ->
+    // exact dedup -> mixture sample -> shard, as ONE composed plan
+    // (operators.Pipeline). Every stage is individually oracle-checked
+    // (q24/q25/q27/q66/q79); this query checks their composition.
+    "q104_training_pipeline" -> ((s, dir) => {
+      val spec = graft.operators.PipelineSpec(
+        langAllow = Set("en", "de", "fr"),
+        minQuality = 0.65,
+        exactDedup = true,
+        mixtureRates = Map("en" -> 0.6, "de" -> 0.9),
+        numShards = 8)
+      graft.operators.Pipeline.prepare(pipelineCorpus(s, dir), "doc_id", "text", spec)
+        .data.select(col("doc_id"), col("lang"), col("source"),
+          col("shard"), col("seq"))
+    }),
+
     "q98_indexed_dedup" -> ((s, dir) => {
       val ixDir = dedupIndexSidecar.synchronized {
         dedupIndexSidecar.getOrElseUpdate(dir, {
@@ -1134,6 +1160,49 @@ object QueriesText {
         |       round(CASE WHEN a.n_shingles > 0
         |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
         |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q104_training_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id < 25),
+         |lf AS (SELECT * FROM corpus WHERE lang IN ('de','en','fr')),
+         |tq AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+         |    length(text) * 1.0 AS n_chars,
+         |    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) * 1.0 AS punct
+         |  FROM lf),
+         |cq AS (
+         |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+         |    CASE WHEN len(tk) > 0
+         |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+         |         ELSE 0.0 END AS mwl,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+         |  FROM tq),
+         |qs AS (
+         |  SELECT doc_id, round(
+         |      least(n_chars / 500.0, 1.0) * 0.3
+         |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+         |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+         |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+         |  FROM cq),
+         |qf AS (SELECT lf.* FROM lf JOIN qs USING (doc_id) WHERE qs.quality >= 0.65),
+         |sv AS (SELECT * FROM (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY
+         |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k
+         |  FROM qf) WHERE doc_id = k),
+         |mx AS (SELECT * FROM sv
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+         |    CASE lang WHEN 'en' THEN ${Sampling.threshold(0.6)}
+         |              WHEN 'de' THEN ${Sampling.threshold(0.9)}
+         |              ELSE ${Sampling.threshold(1.0)} END),
+         |h AS (SELECT doc_id, lang, source,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv FROM mx)
+         |SELECT doc_id, lang, source, CAST(hv % 8 AS INT) AS shard,
+         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS seq
+         |FROM h""".stripMargin,
 
     "q98_indexed_dedup" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),

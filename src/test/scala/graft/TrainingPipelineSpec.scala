@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Pipeline, PipelineSpec, Sampling}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end pipeline must be EXACTLY the composition of its
+  * individually oracle-checked stages — no drift between the one-plan
+  * path and chaining the operators by hand. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("pipeline equals manual stage chaining") {
+    val spec = PipelineSpec(langAllow = Set("en", "de"), minQuality = 0.65,
+      exactDedup = true, mixtureRates = Map("en" -> 0.6), numShards = 4)
+    val got = Pipeline.prepare(docs, "doc_id", "text", spec).data
+      .select("doc_id", "shard", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val lf = docs.where(col("text").isNotNull && col("lang").isin("de", "en"))
+    val qf = lf.where(round(TextAnalysis.qualityScore(col("text")), 6) >= 0.65)
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+    val sv = qf.withColumn("_k", min(col("doc_id")).over(w))
+      .where(col("_k") === col("doc_id")).drop("_k")
+    val mx = Sampling.stratifiedSample(sv, "lang", "doc_id", Map("en" -> 0.6))
+    val want = Sampling.shuffleShards(mx, "doc_id", 4)
+      .select("doc_id", "shard", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("audit counts come from one pass, in stage order, monotone") {
+    val spec = PipelineSpec(langAllow = Set("en"), minQuality = 0.65,
+      exactDedup = true, mixtureRates = Map("en" -> 0.5), numShards = 2)
+    val res = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
+    val counts = res.stageCounts()
+    assert(counts.map(_._1) ===
+      Seq("input", "lang", "quality", "exact_dedup", "mixture"))
+    assert(counts.head._2 === docs.count()) // corpus has no null texts
+    val vals = counts.map(_._2)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a },
+      s"stage counts must shrink: $counts")
+    assert(vals.last > 0)
+    // identical survivors with and without the metrics nodes
+    val plain = Pipeline.prepare(docs, "doc_id", "text", spec).data
+    assert(res.data.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      plain.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // audit-off result has no observation to read
+    intercept[IllegalArgumentException] {
+      Pipeline.prepare(docs, "doc_id", "text", spec).stageCounts()
+    }
+  }
+
+  test("near-dup and decontamination stages drop the planted rows") {
+    val base = docs.where(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // planted near-dups: truncated copies of docs 0-2 at higher ids
+    val withDup = base.unionByName(base.where(col("doc_id") < 3)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 10))").as("text"),
+        col("lang"), col("source")))
+    // eval set contaminated by doc 10 verbatim
+    val eval = base.where(col("doc_id") === 10).select(col("doc_id"), col("text"))
+    val res = Pipeline.prepare(withDup, "doc_id", "text",
+      PipelineSpec(nearDupThreshold = Some(0.5),
+        decontaminateAgainst = Some(eval)),
+      audit = true)
+    val ids = res.data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L), "contaminated doc must drop")
+    assert(ids.intersect(Set(5000L, 5001L, 5002L)).isEmpty,
+      "planted near-dups must lose to their lower-id originals")
+    assert(Set(0L, 1L, 2L).subsetOf(ids), "originals survive their clusters")
+    assert(res.stageCounts().map(_._1) ===
+      Seq("input", "near_dedup", "decontaminate"))
+  }
+}
