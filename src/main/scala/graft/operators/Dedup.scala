@@ -837,10 +837,25 @@ object Dedup {
     * join then prunes to two partitions. Pruning power is data-dependent
     * (clustered corpora prune hard, uniform ones less), correctness never
     * is. */
+  /** Fit the blocking model for [[embeddingNearDupBlocked]] once, in the
+    * L2-NORMALIZED space the near-dup radius bound lives in — persist via
+    * ModelStore and dedup many corpus snapshots against the same cells
+    * (blocking is lossless under any centroids; retrain only to restore
+    * pruning power after the distribution drifts). */
+  def trainNearDupModel(embs: DataFrame, idCol: String, vecCol: String,
+                        numCells: Int = 16, seed: Long = 42L,
+                        trainFraction: Double = 1.0): Ann.IvfModel =
+    Ann.trainIvf(
+      embs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+        .where(array_max(transform(col("_v"), x => abs(x))) > 0)
+        .withColumn("_u", vector.l2Normalize(col("_v"))),
+      "_u", numCells, seed, sampleFraction = trainFraction)
+
   def embeddingNearDupBlocked(embs: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, numCells: Int = 16,
                               seed: Long = 42L,
-                              trainFraction: Double = 1.0): DataFrame = {
+                              trainFraction: Double = 1.0,
+                              model: Option[Ann.IvfModel] = None): DataFrame = {
     require(threshold > 0.0, "cell blocking requires a positive threshold")
     val spark = embs.sparkSession
     // + slack for float32 normalization rounding in the radius bound
@@ -852,17 +867,20 @@ object Dedup {
     // centroids only need a sketch of the distribution: the blocking
     // bound is computed from the ACTUAL per-cell radii after assignment,
     // so a sampled training pass cannot affect correctness, only how
-    // tight the cells (and thus the pruning) are
-    val model = Ann.trainIvf(unit, "_u", numCells, seed,
-      sampleFraction = trainFraction)
+    // tight the cells (and thus the pruning) are. A caller-supplied model
+    // (see [[trainNearDupModel]]) skips the per-call KMeans entirely —
+    // the fit-once/dedup-many path; ANY centroids in the normalized space
+    // stay lossless, they only change pruning power.
+    val m = model.getOrElse(Ann.trainIvf(unit, "_u", numCells, seed,
+      sampleFraction = trainFraction))
     val assigned = unit
-      .withColumn("_a", Ann.cellAssign(model)(col("_u")))
+      .withColumn("_a", Ann.cellAssign(m)(col("_u")))
       .select(col("_id"), col("_v"), col("_a.cell").as("_cell"), col("_a.dist").as("_cd"))
       .persist()
     try {
       val radii = assigned.groupBy("_cell").agg(max("_cd").as("_r"))
         .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
-      val cents = model.centroids
+      val cents = m.centroids
       def cdist(i: Int, j: Int): Double = {
         var s = 0.0; var d = 0
         while (d < cents(i).length) {

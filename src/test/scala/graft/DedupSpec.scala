@@ -194,6 +194,16 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(blocked === exact, s"threshold=$t")
     }
+    // a pre-fit model (fit-once/dedup-many) is equally lossless — even
+    // one trained on a DIFFERENT subset of the corpus
+    val m = Dedup.trainNearDupModel(embs.where(col("vec_id") < 60),
+      "vec_id", "embedding", numCells = 8)
+    val viaModel = Dedup.embeddingNearDupBlocked(embs, "vec_id", "embedding",
+        threshold = 0.4, model = Some(m))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact04 = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaModel === exact04)
   }
 
   test("embedding near-dup finds self-similar vectors only above threshold") {
