@@ -568,15 +568,59 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * on first use): same shape as [[query]] — (query_id, rank, id,
     * document, distance) — with distances from the float32 GEMM kernel
     * (the reference's batch-GEMM precision, vs [[query]]'s bit-exact
-    * double path). Query ids of any type are preserved. */
-  def packedQuery(queries: DataFrame, k: Int = 10): DataFrame = {
+    * double path). Query ids of any type are preserved.
+    *
+    * With `where`, filtered search runs on the fast path via the
+    * reference's post-ANN over-fetch (vectordb.py:495-561): the kernel
+    * over-fetches 4k candidates per query, ONE metadata job marks the
+    * candidate ids that pass, and survivors keep their kernel distances.
+    * A query left with fewer than k survivors while its candidate page
+    * came back full (more corpus rows existed beyond the page) falls
+    * back to the EXACT filtered scan for that query only — a bounded
+    * fallback instead of the reference's unbounded retry loop, so
+    * membership always equals [[query]](..., where). */
+  def packedQuery(queries: DataFrame, k: Int = 10,
+                  where: Option[Filter] = None): DataFrame = {
     if (packedIdx.isEmpty) buildPackedIndex()
     val pc = packedIdx.get
     val (q, qRows, qArr) = collectQueries(queries)
-    packedResult(q, qRows,
-      if (qArr.isEmpty) Array.empty
-      else PackedKnn.search(pc, qArr, k, config.metric))
+    where match {
+      case None =>
+        packedResult(q, qRows,
+          if (qArr.isEmpty) Array.empty
+          else PackedKnn.search(pc, qArr, k, config.metric))
+      case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
+      case Some(f) =>
+        val page = k * PackedFilterOverFetch
+        val over = PackedKnn.search(pc, qArr, page, config.metric)
+        val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
+        val pass: Set[String] =
+          if (candIds.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            df.where(coalesce(f.compile, lit(false))).select("id")
+              .join(candIds.toDF("id"), Seq("id"), "left_semi")
+              .collect().map(_.getString(0)).toSet
+          }
+        val kept = over.map { case (qi, nbrs) =>
+          (qi, nbrs.filter(n => pass(n._1)).take(k)) }
+        val (served, refetch) = kept.partition { case (qi, survivors) =>
+          survivors.length >= k || over(qi.toInt)._2.length < page
+        }
+        val fast = packedResult(q, qRows, served)
+        if (refetch.isEmpty) fast
+        else {
+          val ids = refetch.map { case (qi, _) => qRows(qi.toInt).get(0) }
+          fast.unionByName(
+            query(q.where(col("query_id").isin(ids: _*)), k, where))
+        }
+    }
   }
+
+  /** Over-fetch factor for [[packedQuery]]'s filtered path (the
+    * reference's k*10; 4 suffices because the under-filled remainder
+    * falls back exactly instead of retrying wider). */
+  private val PackedFilterOverFetch = 4
 
   /** Shared query extraction for the packed paths: embed-if-needed,
     * collect (the packed operators' "queries are small" contract),

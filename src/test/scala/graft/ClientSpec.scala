@@ -112,6 +112,30 @@ class ClientSpec extends SparkSpec {
     assert(c.count() === 4)
   }
 
+  test("filtered packedQuery: over-fetch survivors + exact fallback equal query(where)") {
+    val c = client.getOrCreateCollection("pf")
+    val rows = (0 until 60).map(i => (s"d$i",
+      s"document body number $i with words w$i x$i",
+      if (i % 12 == 0) "rare" else "common", 2000 + i))
+    c.add(rows.toDF("id", "document", "category", "year"))
+    val q = Seq((1L, "document body number 7 with words w7 x7"))
+      .toDF("query_id", "query_text")
+    val f = Some(Filter.Eq("category", "rare")) // 5 of 60 docs
+    // k=3: page (12) likely holds 3 rare docs -> pure fast path;
+    // k=10: only 5 rare docs exist, page (40) is full -> exact fallback.
+    // Either way membership must equal the exact filtered scan.
+    for (k <- Seq(3, 5, 10)) {
+      val exact = c.query(q, k = k, where = f)
+        .collect().map(_.getAs[String]("id")).toSet
+      val packed = c.packedQuery(q, k = k, where = f)
+        .collect().map(_.getAs[String]("id")).toSet
+      assert(packed === exact, s"k=$k")
+      assert(packed.subsetOf((0 until 60 by 12).map(i => s"d$i").toSet))
+    }
+    assert(c.packedQuery(q, k = 3).count() === 3) // unfiltered unaffected
+    client.deleteCollection("pf")
+  }
+
   test("query with where-filter restricts candidates") {
     val c = client.getCollection("docs")
     val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")

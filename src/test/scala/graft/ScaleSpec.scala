@@ -71,6 +71,28 @@ class ScaleSpec extends SparkSpec {
     assert(lowMax < highMin)
   }
 
+  test("zorderCol matches a reference interleave on an exhaustive 5-bit grid") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (j <- 0 until bits) {
+        z |= ((x >> j) & 1L) << (2 * j)
+        z |= ((y >> j) & 1L) << (2 * j + 1)
+      }
+      z
+    }
+    val rows = for (x <- 0 until 32; y <- 0 until 32) yield (x.toDouble, y.toDouble)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), Scale.zorderCol(Seq(col("x"), col("y")),
+        Seq(0.0, 0.0), Seq(31.0, 31.0), bits = 5).as("z"))
+      .collect()
+      .map(r => ((r.getDouble(0).toLong, r.getDouble(1).toLong), r.getLong(2)))
+      .toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x.toLong, y.toLong)) === ref(x.toLong, y.toLong, 5),
+        s"($x, $y)")
+    }
+  }
+
   test("zorderWrite: a 2-column box probe reads a fraction of the rows a linear sort reads") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
