@@ -237,6 +237,40 @@ object EventStream {
       }
       .start()
 
+  /** Streaming twin of operators.Pipeline — continuous corpus
+    * preparation at ingest. Each micro-batch runs the spec's ROW-LOCAL
+    * stages exactly as the batch pipeline would (language gate, quality
+    * floor, PII redaction, within-batch exact dedup, decontamination
+    * against the static eval set, hash-threshold mixture sampling — all
+    * deterministic per row, so batch boundaries cannot change the
+    * outcome), then probes the PERSISTED dedup index so the batch also
+    * dedups against everything previously ACCEPTED. Survivors append to
+    * the output corpus and to the index — the pipeline's dedup memory is
+    * the durable sidecar, not stream state, so restarts resume against
+    * the full accepted corpus. Corpus-GLOBAL stages are out of ingest
+    * scope by construction: near-dup clustering is represented by the
+    * index probe, and shard/sequence layout (`numShards`) belongs to the
+    * export compaction pass — both spec fields are ignored here. */
+  def prepareIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                          spec: graft.operators.PipelineSpec,
+                          indexDir: String, outDir: String,
+                          checkpointDir: String,
+                          threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
+          spec.copy(nearDupThreshold = None, numShards = 0)).data
+        val survivors = graft.operators.Dedup
+          .dedupAgainstIndex(gated, idCol, textCol, indexDir, threshold)
+          .persist()
+        try {
+          survivors.write.mode("append").parquet(outDir)
+          graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
+        } finally survivors.unpersist()
+      }
+      .start()
+
   def dedupIngestStream(stream: DataFrame, idCol: String, textCol: String,
                         indexDir: String, outDir: String,
                         checkpointDir: String,

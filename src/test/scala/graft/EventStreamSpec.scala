@@ -210,6 +210,41 @@ class EventStreamSpec extends SparkSpec {
     assert(graft.operators.Dedup.readDedupStats(ixDir).nDocs === 4L)
   }
 
+  test("streaming pipeline ingest: row-local gates + durable dedup memory") {
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, String, String)] }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamprep")
+    val (ixDir, outDir, ckDir) = (s"$tmp/ix", s"$tmp/out", s"$tmp/ck")
+    graft.operators.Dedup.saveDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+    val spec = graft.operators.PipelineSpec(
+      langAllow = Set("en"), exactDedup = true)
+    val q = EventStream.prepareIngestStream(
+      mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text",
+      spec, ixDir, outDir, ckDir)
+    try {
+      // batch 1: zh doc (language-gated), near-copy of the corpus doc
+      // (index probe drops it), an in-batch exact pair (keeper survives),
+      mem.addData(
+        (101L, "totally new text in another language entirely here", "zh"),
+        (102L, "the quick brown fox jumps over the lazy dog", "en"),
+        (103L, "fresh unique sentence with brand new words entirely", "en"),
+        (104L, "fresh unique sentence with brand new words entirely", "en"))
+      q.processAllAvailable()
+      // batch 2: a copy of batch 1's accepted doc — caught ONLY because
+      // the index remembers accepted survivors; plus a fresh doc
+      mem.addData(
+        (201L, "fresh unique sentence with brand new words entirely", "en"),
+        (202L, "unrelated corpus of totally different tokens qqq www", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(103L, 202L))
+    assert(graft.operators.Dedup.readDedupStats(ixDir).nDocs === 3L)
+  }
+
   test("funnel counts only in-order completions") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     val events = Seq(
