@@ -23,6 +23,32 @@ object QueriesMisc {
           round(element_at(col("_e"), 16), 6).as("e15"),
           round(sqrt(aggregate(transform(col("_e"), x => x * x), lit(0.0), _ + _)), 6).as("norm"))),
 
+    // Chunk-level retrieval with doc-level maxP aggregation (Dai & Callan,
+    // SIGIR'19): long documents retrieved by their BEST chunk — chunk ->
+    // embed -> broadcast query dot-products -> per-(query, doc) max ->
+    // rounded-rank top-5. Ranking on the 6-dec-ROUNDED score (the q68
+    // stance) so float summation noise can never flip cross-engine order.
+    "q105_chunked_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val chunks = docs.select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), windowSize = 32, stride = 24)).as("c"))
+        .select(col("doc_id"), Embeddings.mockEmbedding(col("c.chunk"), 16).as("emb"))
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          Embeddings.mockEmbedding(col("text"), 16).as("qv"))
+      // unit vectors: dot product IS cosine similarity
+      val maxp = chunks.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("doc_id"),
+          graft.functions.vector.dotProduct(col("qv"), col("emb")).as("sim"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(max(col("sim")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(desc("score"), col("doc_id"))
+      maxp.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    }),
+
     // End-to-end document embedding: chunk (32-token windows, stride 24)
     // -> deterministic chunk embedding -> mean-pool back to one vector per
     // doc. The full chunk->embed->pool pipeline in ONE declarative plan —
@@ -172,6 +198,52 @@ object QueriesMisc {
         |  round(r[16] * (1.0 / nrm), 6) AS e15,
         |  round(sqrt(list_sum(list_transform(r, x -> (x * (1.0 / nrm)) * (x * (1.0 / nrm))))), 6) AS norm
         |FROM normed""".stripMargin,
+
+    "q105_chunked_retrieval" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |         '[^a-z0-9_]+'), x -> x <> '') AS tk
+        |  FROM corpus),
+        |counted AS (
+        |  SELECT doc_id, tk,
+        |         1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS INT) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(tk, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+        |  FROM counted, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)),
+        |craw AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), i ->
+        |      ('0x' || substr(md5(chunk || ':' || i), 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0) AS r
+        |  FROM chunks),
+        |cemb AS (
+        |  SELECT doc_id,
+        |    list_transform(r, x -> x * (1.0 / sqrt(list_sum(list_transform(r, y -> y * y))))) AS e
+        |  FROM craw),
+        |qraw AS (
+        |  SELECT doc_id AS query_id,
+        |    list_transform(range(0, 16), i ->
+        |      ('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0) AS r
+        |  FROM corpus WHERE doc_id < 3),
+        |qemb AS (
+        |  SELECT query_id,
+        |    list_transform(r, x -> x * (1.0 / sqrt(list_sum(list_transform(r, y -> y * y))))) AS e
+        |  FROM qraw),
+        |sims AS (
+        |  SELECT q.query_id, c.doc_id,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(c.e) AS x, unnest(q.e) AS y)) AS sim
+        |  FROM cemb c, qemb q),
+        |maxp AS (SELECT query_id, doc_id, round(max(sim), 6) AS score
+        |         FROM sims GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS rank
+        |  FROM maxp)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score + 0.0 AS score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q70_doc_embedding" ->
       """WITH toks AS (
