@@ -516,6 +516,23 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIvfIdx = None
   }
 
+  /** One operational compaction pass over everything this collection
+    * owns: the data dir's small files, both persisted sidecars' hot
+    * buckets (keyword postings/doclen, dedup bands/shingles), and the
+    * resident packed indexes' generation chains. Query results are
+    * identical before and after — only file and slab layout change.
+    * Returns what was rewritten per relation. */
+  def optimize(maxFilesPerBucket: Int = 8): Map[String, Int] = {
+    val data = graft.sources.Collections.compactDir(
+      spark, s"$dir/data", maxFilesPerBucket)
+    val kw = if (hasKeywordIndex)
+      Bm25.compactIndex(spark, indexDir, maxFilesPerBucket) else 0
+    val dd = if (hasDedupIndex)
+      Dedup.compactDedupIndex(spark, dedupDir, maxFilesPerBucket) else 0
+    compactPackedIndexes()
+    Map("data" -> (if (data) 1 else 0), "keyword" -> kw, "dedup" -> dd)
+  }
+
   /** Fold the resident indexes' append/remove generations back into
     * single-slab partitions (the resident twin of the sidecar
     * compactions): a long CRUD history otherwise turns every search into

@@ -133,6 +133,15 @@ class ClientSpec extends SparkSpec {
       assert(packed.subsetOf((0 until 60 by 12).map(i => s"d$i").toSet))
     }
     assert(c.packedQuery(q, k = 3).count() === 3) // unfiltered unaffected
+
+    // optimize() compacts everything the collection owns; results identical
+    c.buildKeywordIndex()
+    val before = c.query(q, k = 5).collect().map(_.getAs[String]("id")).toSeq
+    val report = c.optimize(maxFilesPerBucket = 1)
+    assert(report.keySet === Set("data", "keyword", "dedup"))
+    assert(c.count() === 60)
+    assert(c.query(q, k = 5).collect().map(_.getAs[String]("id")).toSeq === before)
+    assert(c.hasPackedIndex) // resident index survived, compacted
     client.deleteCollection("pf")
   }
 
