@@ -193,6 +193,27 @@ object Sampling {
       .select(col(groupCol), col("q"), col(valueCol).as("value"))
   }
 
+  /** Adaptive per-group floor: keep each group's top `keepFraction` of
+    * rows by `valueCol`, cutting at the group's exact nearest-rank
+    * (1-keepFraction) quantile. Values >= the cut stay, so ties at the
+    * cut keep slightly MORE than the fraction — never less. This is the
+    * FineWeb-style adaptive quality gate: a fixed global floor
+    * over-filters whole groups whose score distribution sits lower (low-
+    * resource languages); a per-group percentile adapts the cut to each
+    * group's own distribution. One sorted pass per group for the cut
+    * ([[percentilesDisc]]); the per-group cut relation is
+    * group-cardinality-sized and broadcasts back onto the row stream. */
+  def percentileGate(df: DataFrame, groupCol: String, valueCol: String,
+                     keepFraction: Double): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1): $keepFraction")
+    val thr = percentilesDisc(df, groupCol, valueCol, Seq(1.0 - keepFraction))
+      .select(col(groupCol), col("value").as("_thr"))
+    df.join(broadcast(thr), groupCol)
+      .where(col(valueCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Robust per-group outlier detection via median/MAD: flag rows with
     * |x - median| > k·MAD (median absolute deviation). Both medians are
     * nearest-rank picks ([[percentilesDisc]]), so on integer columns the

@@ -403,6 +403,19 @@ object QueriesText {
     // against the pruned shingle relation, and returns batch survivors.
     // Same batch mix as q93 (truncated near-copies -> dropped; fresh
     // synthetic docs -> survive).
+    // Adaptive per-language quality gate (FineWeb stance): keep each
+    // language's top 60% by quality, cut at the language's own exact
+    // nearest-rank 40th percentile — a fixed global floor over-filters
+    // languages whose score distribution sits lower.
+    "q106_adaptive_quality" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.operators.Sampling
+        .percentileGate(scored, "lang", "quality", keepFraction = 0.6)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     // End-to-end training-data pipeline: lang gate -> quality floor ->
     // exact dedup -> mixture sample -> shard, as ONE composed plan
     // (operators.Pipeline). Every stage is individually oracle-checked
@@ -1160,6 +1173,40 @@ object QueriesText {
         |       round(CASE WHEN a.n_shingles > 0
         |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
         |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q106_adaptive_quality" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents),
+        |tq AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+        |    length(text) * 1.0 AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) * 1.0 AS punct
+        |  FROM corpus),
+        |cq AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+        |    CASE WHEN len(tk) > 0
+        |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+        |         ELSE 0.0 END AS mwl,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+        |  FROM tq),
+        |qs AS (
+        |  SELECT doc_id, round(
+        |      least(n_chars / 500.0, 1.0) * 0.3
+        |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+        |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+        |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+        |  FROM cq),
+        |j AS (SELECT c.doc_id, c.lang, q.quality
+        |      FROM corpus c JOIN qs q USING (doc_id)),
+        |r AS (SELECT lang, quality,
+        |        row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM j),
+        |thr AS (SELECT lang, quality AS cut FROM r
+        |        WHERE rn = CAST(ceil(0.4 * n) AS BIGINT))
+        |SELECT j.doc_id, j.lang, j.quality
+        |FROM j JOIN thr USING (lang) WHERE j.quality >= thr.cut""".stripMargin,
 
     "q104_training_pipeline" ->
       s"""WITH corpus AS (

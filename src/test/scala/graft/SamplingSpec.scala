@@ -152,6 +152,23 @@ class SamplingSpec extends SparkSpec {
     assert(r(("b", 0.25)) == 55L && r(("b", 0.5)) == 70L && r(("b", 1.0)) == 100L)
   }
 
+  test("percentileGate keeps each group's top fraction, ties at the cut stay") {
+    // group a: 1..10 — 40th pct cut = 4, keep v >= 4 -> 7 rows (70%... the
+    // exact nearest-rank semantics: keep-fraction is a floor, never less)
+    // group b: constant value — cut == the value, EVERY row survives
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 5).map(_ => ("b", 7L))).toDF("grp", "v")
+    val kept = Sampling.percentileGate(df, "grp", "v", keepFraction = 0.6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.count(_._1 == "a") === 7)
+    assert(kept.filter(_._1 == "a").map(_._2).toSet === (4L to 10L).toSet)
+    assert(kept.count(_._1 == "b") === 5) // all tied at the cut
+    // each group's cut adapts: a global 60% floor would behave differently
+    val onlyTop = Sampling.percentileGate(df, "grp", "v", keepFraction = 0.2)
+      .collect().filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+    assert(onlyTop === Set(8L, 9L, 10L)) // cut at ceil(0.8*10)=8th value
+  }
+
   test("klDivergence matches the hand-computed value; 0 for a corpus-shaped group") {
     // group A: 30xx 10xy | group B: 10xx 30xy -> corpus: 40/40.
     // Both groups: KL = .75*ln(.75/.5) + .25*ln(.25/.5)
