@@ -284,6 +284,20 @@ final class GraftCollection(spark: SparkSession, dir: String,
                           audit: Boolean = false): graft.operators.PipelineResult =
     graft.operators.Pipeline.prepare(df, "id", "document", spec, audit)
 
+  /** [[prepareTrainingData]] + durable export: shards land as one
+    * parquet directory per shard, rows in deterministic shuffle order —
+    * the layout a training loader streams sequentially, shard-parallel
+    * across readers. Returns per-shard row counts. */
+  def exportTrainingData(spec: graft.operators.PipelineSpec,
+                         outDir: String): DataFrame = {
+    require(spec.numShards > 0, "exportTrainingData needs numShards > 0")
+    graft.operators.Pipeline.writeShards(
+      prepareTrainingData(spec).data, outDir)
+    spark.read.parquet(outDir).groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
   /** Top-k TF-IDF keywords per document (search/cluster fingerprints).
     * Reads the persisted sidecar when one exists — no re-tokenization —
     * mirroring [[hybridQuery]]'s index reuse. */

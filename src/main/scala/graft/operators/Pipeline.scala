@@ -25,6 +25,11 @@ final case class PipelineSpec(
       * score is compared ROUNDED to 1e-6 so a float ulp can never flip
       * membership between engines or replays. */
     minQuality: Double = 0.0,
+    /** Instead of (or after) the fixed floor: keep each language's top
+      * fraction by quality, cut at the language's own nearest-rank
+      * percentile — the FineWeb-style adaptive gate for corpora whose
+      * score distributions differ per language. */
+    adaptiveQualityKeep: Option[Double] = None,
     /** Replace emails/IPv4s/phones with placeholder tags. */
     redactPii: Boolean = false,
     /** Keep the smallest id per normalized-text fingerprint. */
@@ -89,6 +94,14 @@ object Pipeline {
         round(TextAnalysis.qualityScore(col(textCol)), 6) >= spec.minQuality),
         "quality")
 
+    spec.adaptiveQualityKeep.foreach { keep =>
+      val scored = cur.withColumn("_q",
+        round(TextAnalysis.qualityScore(col(textCol)), 6))
+      cur = checkpoint(
+        Sampling.percentileGate(scored, spec.langCol, "_q", keep).drop("_q"),
+        "adaptive_quality")
+    }
+
     if (spec.redactPii)
       cur = cur.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
@@ -126,5 +139,20 @@ object Pipeline {
       cur = Sampling.shuffleShards(cur, idCol, spec.numShards)
 
     new PipelineResult(cur, obs.toSeq)
+  }
+
+  /** Write a prepared corpus (a [[prepare]] result with shards assigned)
+    * as the training-export layout: one parquet directory per shard
+    * (`outDir/shard=K/`), rows inside each shard written in their
+    * deterministic shuffle order — the layout a training loader streams
+    * sequentially, shard-parallel across readers. Crash-safe swap
+    * (Collections.swapWrite). */
+  def writeShards(prepared: DataFrame, outDir: String): Unit = {
+    require(prepared.columns.contains("shard") && prepared.columns.contains("seq"),
+      "writeShards needs a prepare() result with numShards > 0")
+    graft.sources.Collections.swapWrite(
+      prepared.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("seq")),
+      outDir, partitionCols = Seq("shard"))
   }
 }

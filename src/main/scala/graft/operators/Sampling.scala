@@ -188,9 +188,12 @@ object Sampling {
     df.select(col(groupCol), col(valueCol))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
-      .withColumn("q", explode(array(qs.map(lit): _*)))
-      .where(col("_rn") === ceil(col("q") * col("_n")))
-      .select(col(groupCol), col("q"), col(valueCol).as("value"))
+      // internal name: a quantile column literally called "q" CAPTURES a
+      // value column of the same name (withColumn replaces it) and the
+      // emitted "value" becomes the quantile literal — rename at the end
+      .withColumn("_pq", explode(array(qs.map(lit): _*)))
+      .where(col("_rn") === ceil(col("_pq") * col("_n")))
+      .select(col(groupCol), col("_pq").as("q"), col(valueCol).as("value"))
   }
 
   /** Adaptive per-group floor: keep each group's top `keepFraction` of

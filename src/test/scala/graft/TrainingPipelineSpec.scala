@@ -56,6 +56,51 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("adaptive quality stage equals the standalone percentileGate") {
+    val spec = PipelineSpec(adaptiveQualityKeep = Some(0.6))
+    val got = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
+    assert(got.stageCounts().map(_._1) === Seq("input", "adaptive_quality"))
+    val ids = got.data.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Sampling.percentileGate(
+        docs.select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
+        "lang", "q", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === want, s"got=${ids.size} want=${want.size} " +
+      s"onlyGot=${(ids -- want).toSeq.sorted.take(5)} " +
+      s"onlyWant=${(want -- ids).toSeq.sorted.take(5)}")
+    // every language keeps at least 60% of its docs (ties keep more)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerLang = got.data.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) =>
+      assert(keptPerLang.getOrElse(l, 0L) >= math.ceil(n * 0.6).toLong, l)
+    }
+  }
+
+  test("writeShards exports shard dirs with rows in shuffle order") {
+    val spec = PipelineSpec(langAllow = Set("en"), numShards = 4)
+    val res = Pipeline.prepare(docs, "doc_id", "text", spec)
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    Pipeline.writeShards(res.data, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === res.data.count())
+    assert(back.select("shard").distinct().count() === 4)
+    // within each shard directory, file order IS seq order
+    for (sh <- 0 until 4) {
+      val seqs = spark.read.parquet(s"$out/shard=$sh")
+        .select("seq").collect().map(_.getLong(0))
+      assert(seqs.toSeq === seqs.sorted.toSeq, s"shard $sh out of order")
+      assert(seqs.toSet === (0L until seqs.length).toSet, s"shard $sh not dense")
+    }
+    // a prepare() without shards fails loudly
+    intercept[IllegalArgumentException] {
+      Pipeline.writeShards(
+        Pipeline.prepare(docs, "doc_id", "text", PipelineSpec()).data, out)
+    }
+  }
+
   test("near-dup and decontamination stages drop the planted rows") {
     val base = docs.where(col("doc_id") < 50)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
