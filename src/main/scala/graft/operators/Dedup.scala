@@ -447,6 +447,28 @@ object Dedup {
     * the train corpus is read once, never shuffled, and the join degenerates
     * to a map-side hash probe per train shingle. Returns
     * (train_id, eval_id, jaccard) with jaccard >= threshold. */
+  /** Doc-level duplication signal — the DECISION-side complement of
+    * [[dupNgramSpans]]'s localization: per doc, the fraction of its
+    * DISTINCT n-grams that occur in at least one OTHER document (Lee'22
+    * drop rules act on exactly this number: a doc that is mostly
+    * duplicated elsewhere goes, one with an incidental shared quote
+    * stays). Set semantics at the md5-gram level, so every engine
+    * computing the same hashes agrees end to end. Two shuffles: the
+    * gram-keyed count, and the doc-keyed fraction — no pairwise work
+    * anywhere. Docs with fewer than n tokens have no n-grams and are
+    * absent from the output. */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5): DataFrame = {
+    val sh = hashedShingleSets(docs, idCol, textCol, n)
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("_nd"))
+    sh.join(counts, "h")
+      .groupBy(col("doc"), col("n_sh"))
+      .agg(sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc").as(idCol), col("n_sh").as("n_ngrams"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_sh"), 6).as("dup_frac"))
+  }
+
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
                     idCol: String, textCol: String,
                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -403,6 +403,12 @@ object QueriesText {
     // against the pruned shingle relation, and returns batch survivors.
     // Same batch mix as q93 (truncated near-copies -> dropped; fresh
     // synthetic docs -> survive).
+    // Doc-level duplication fraction (Lee'22 decision signal): per doc,
+    // the share of its distinct 3-grams that other docs also contain —
+    // the number drop rules act on, complementing q94's span localization
+    "q107_dup_fraction" -> ((s, dir) =>
+      Dedup.dupNgramFraction(nearDupCorpus(s, dir), "doc_id", "text", n = 3)),
+
     // Adaptive per-language quality gate (FineWeb stance): keep each
     // language's top 60% by quality, cut at the language's own exact
     // nearest-rank 40th percentile — a fixed global floor over-filters
@@ -1173,6 +1179,22 @@ object QueriesText {
         |       round(CASE WHEN a.n_shingles > 0
         |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
         |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q107_dup_fraction" ->
+      s"""WITH $nearDupCorpusSql,
+         |$tokCte,
+         |$shingleCte,
+         |hh AS (SELECT DISTINCT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+         |       FROM sh),
+         |cnt AS (SELECT h, count(*) AS nd FROM hh GROUP BY h),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM hh JOIN cnt USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_ngrams, n_dup,
+         |       round(n_dup * 1.0 / n_ngrams, 6) AS dup_frac
+         |FROM agg""".stripMargin,
 
     "q106_adaptive_quality" ->
       """WITH corpus AS (SELECT doc_id, text, lang FROM documents),

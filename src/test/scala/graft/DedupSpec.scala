@@ -300,6 +300,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.readDedupStats(dir).nDocs === 520L)
   }
 
+  test("dupNgramFraction: closed-form shares, within-doc repeats don't count") {
+    import spark.implicits._
+    // bigrams: d1 {a b, b c}, d2 {b c, c d}, d3 {x y} — only "b c" is
+    // cross-doc; d4 repeats its own bigram (distinct-level: no dup)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "b c d"), (3L, "x y"),
+      (4L, "p q p q")).toDF("doc_id", "text")
+    val got = Dedup.dupNgramFraction(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 0L, 0.0)))
+    // d4: distinct bigrams {p q, q p} — repeated internally, dup'd nowhere
+    assert(got(4L) === ((2L, 0L, 0.0)))
+  }
+
   test("dupNgramSpans merges overlapping/adjacent spans, ignores within-doc repeats") {
     import spark.implicits._
     // docs 1+2 share tokens 1..6 ("a b c d e f": 3-gram starts 1..4 merge
