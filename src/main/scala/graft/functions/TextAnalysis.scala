@@ -153,18 +153,30 @@ object TextAnalysis {
     * shuffles); the bigram mode is one explode + doc-keyed partial-agg
     * shuffle — no pairwise work, safe at any corpus scale.
     */
+  /** Gopher duplicate-line fraction as a per-row expression (1 - distinct
+    * lines / lines) — shared by [[repetitionSignals]] and the pipeline's
+    * zero-shuffle repetition gate. */
+  def dupLineFrac(textCol: Column): Column = {
+    val ls = lines(textCol)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+      .otherwise(0.0)
+  }
+
+  /** Gopher duplicate-trigram fraction as a per-row expression. */
+  def dupTrigramFrac(textCol: Column): Column = {
+    val tri = shingles(textCol, 3)
+    when(size(tri) > 0,
+      lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+      .otherwise(0.0)
+  }
+
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ls = lines(col(textCol))
-    val tri = shingles(col(textCol), 3)
     val base = docs.select(
       col(idCol),
       length(col(textCol)).cast("double").as("_nc"),
-      when(size(ls) > 0,
-        lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
-        .otherwise(0.0).as("dup_line_frac"),
-      when(size(tri) > 0,
-        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
-        .otherwise(0.0).as("dup_trigram_frac"),
+      dupLineFrac(col(textCol)).as("dup_line_frac"),
+      dupTrigramFrac(col(textCol)).as("dup_trigram_frac"),
       shingles(col(textCol), 2).as("_bi"))
     val counts = base
       .select(col(idCol), col("_nc"), explode(col("_bi")).as("bigram"))

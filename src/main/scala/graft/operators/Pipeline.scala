@@ -30,6 +30,11 @@ final case class PipelineSpec(
       * percentile — the FineWeb-style adaptive gate for corpora whose
       * score distributions differ per language. */
     adaptiveQualityKeep: Option[Double] = None,
+    /** Gopher repetition gates: drop docs whose duplicate-line /
+      * duplicate-trigram fraction exceeds these caps. Pure per-row
+      * column algebra — no shuffle. */
+    maxDupLineFrac: Double = 1.0,
+    maxDupTrigramFrac: Double = 1.0,
     /** Replace emails/IPv4s/phones with placeholder tags. */
     redactPii: Boolean = false,
     /** Keep the smallest id per normalized-text fingerprint. */
@@ -101,6 +106,12 @@ object Pipeline {
         Sampling.percentileGate(scored, spec.langCol, "_q", keep).drop("_q"),
         "adaptive_quality")
     }
+
+    if (spec.maxDupLineFrac < 1.0 || spec.maxDupTrigramFrac < 1.0)
+      cur = checkpoint(cur.where(
+        round(TextAnalysis.dupLineFrac(col(textCol)), 6) <= spec.maxDupLineFrac &&
+          round(TextAnalysis.dupTrigramFrac(col(textCol)), 6) <= spec.maxDupTrigramFrac),
+        "repetition")
 
     if (spec.redactPii)
       cur = cur.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))

@@ -79,6 +79,27 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetition gate drops planted repetitive docs, zero-shuffle") {
+    val planted = docs.limit(20)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(Seq(
+        (9001L, Array.fill(30)("buy now click here").mkString("\n"), "en", "web"),
+        (9002L, Array.fill(40)("spam spam spam").mkString(" "), "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val res = Pipeline.prepare(planted, "doc_id", "text",
+      PipelineSpec(maxDupLineFrac = 0.3, maxDupTrigramFrac = 0.5), audit = true)
+    val ids = res.data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9001L), "duplicate-line doc must drop")
+    assert(!ids.contains(9002L), "duplicate-trigram doc must drop")
+    assert(ids.size === 20, "natural corpus docs all survive")
+    assert(res.stageCounts() === Seq("input" -> 22L, "repetition" -> 20L))
+    // per-row gate: scan + filter, no exchange anywhere (the planted
+    // frame above carries a limit()'s exchange, so check on the raw docs)
+    assert(graft.operators.Scale.countShuffles(
+      Pipeline.prepare(docs, "doc_id", "text",
+        PipelineSpec(maxDupLineFrac = 0.3, maxDupTrigramFrac = 0.5)).data) === 0)
+  }
+
   test("writeShards exports shard dirs with rows in shuffle order") {
     val spec = PipelineSpec(langAllow = Set("en"), numShards = 4)
     val res = Pipeline.prepare(docs, "doc_id", "text", spec)
