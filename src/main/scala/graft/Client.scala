@@ -364,6 +364,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Cross-document duplicate n-gram SPANS in this collection: per doc,
     * the merged passages covered by n-grams shared with other docs
     * (ExactSubstr-style localization — cut the span, keep the doc). */
+  /** Per-doc duplication fraction (share of distinct n-grams found in
+    * other docs — the Lee'22 doc-drop signal; see Dedup.dupNgramFraction). */
+  def dupFraction(n: Int = 5): DataFrame =
+    Dedup.dupNgramFraction(df.where(col("document").isNotNull),
+      "id", "document", n)
+
   def dupSpans(n: Int = 5): DataFrame =
     Dedup.dupNgramSpans(df.where(col("document").isNotNull), "id", "document", n)
 
