@@ -591,14 +591,44 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** [[annQuery]] through the resident cell-partitioned packed index
     * ([[buildPackedAnnIndex]] on first use): each query scores only its
     * nProbe probed cells, and the job touches only those partitions.
-    * Same output shape as [[query]]/[[annQuery]]. */
-  def packedAnnQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    * Same output shape as [[query]]/[[annQuery]]. With `where`, the
+    * probed cells return an over-fetched page and survivors of the
+    * metadata filter keep their kernel distances (approximate by
+    * contract — see the body comment). */
+  def packedAnnQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+                     where: Option[Filter] = None): DataFrame = {
     if (packedIvfIdx.isEmpty) buildPackedAnnIndex()
     val pi = packedIvfIdx.get
     val (q, qRows, qArr) = collectQueries(queries)
-    packedResult(q, qRows,
-      if (qArr.isEmpty) Array.empty
-      else PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
+    where match {
+      case None =>
+        packedResult(q, qRows,
+          if (qArr.isEmpty) Array.empty
+          else PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
+      case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
+      case Some(f) =>
+        // filtered ANN = the reference's post-ANN over-fetch
+        // (vectordb.py:495-561): the probed cells return a 4k page, one
+        // metadata job marks passing candidate ids, survivors keep their
+        // kernel distances. No exact fallback HERE — the search is
+        // approximate by contract (probed cells only), so the filtered
+        // result is exactly filter(page) take k; recall follows the
+        // probe recall curve. For exact filtered membership use
+        // packedQuery/query with the same filter.
+        val over = PackedKnn.searchIvf(pi, qArr, k * PackedFilterOverFetch,
+          nProbe, config.metric)
+        val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
+        val pass: Set[String] =
+          if (candIds.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            df.where(coalesce(f.compile, lit(false))).select("id")
+              .join(candIds.toDF("id"), Seq("id"), "left_semi")
+              .collect().map(_.getString(0)).toSet
+          }
+        packedResult(q, qRows, over.map { case (qi, nbrs) =>
+          (qi, nbrs.filter(n => pass(n._1)).take(k)) })
+    }
   }
 
   /** Batch query through the resident packed index ([[buildPackedIndex]]

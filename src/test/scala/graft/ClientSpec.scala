@@ -134,6 +134,17 @@ class ClientSpec extends SparkSpec {
     }
     assert(c.packedQuery(q, k = 3).count() === 3) // unfiltered unaffected
 
+    // ANN twin: filtered result is BY DEFINITION filter(page).take(k) —
+    // check against the unfiltered page of the same probes
+    c.buildVectorIndex(numCells = 4)
+    val rares = (0 until 60 by 12).map(i => s"d$i").toSet
+    val page = c.packedAnnQuery(q, k = 12, nProbe = 4)
+      .orderBy("rank").collect().map(_.getAs[String]("id")).toSeq
+    val annF = c.packedAnnQuery(q, k = 3, nProbe = 4, where = f)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(annF === page.filter(rares).take(3).toSet)
+    assert(annF.subsetOf(rares))
+
     // optimize() compacts everything the collection owns; results identical
     c.buildKeywordIndex()
     val before = c.query(q, k = 5).collect().map(_.getAs[String]("id")).toSeq
