@@ -438,6 +438,23 @@ object QueriesText {
           col("shard"), col("seq"))
     }),
 
+    // The pipeline's observe()-based stage audit, itself oracle-checked:
+    // per-stage survivor counts from the metrics nodes of q104's plan
+    // must equal DuckDB counting each CTE stage independently — the
+    // instrumentation is only trustworthy if the numbers it reports are.
+    "q108_pipeline_audit" -> ((s, dir) => {
+      val spec = graft.operators.PipelineSpec(
+        langAllow = Set("en", "de", "fr"),
+        minQuality = 0.65,
+        exactDedup = true,
+        mixtureRates = Map("en" -> 0.6, "de" -> 0.9),
+        numShards = 8)
+      val res = graft.operators.Pipeline.prepare(
+        pipelineCorpus(s, dir), "doc_id", "text", spec, audit = true)
+      import s.implicits._
+      res.stageCounts().toDF("stage", "n_rows")
+    }),
+
     "q98_indexed_dedup" -> ((s, dir) => {
       val ixDir = dedupIndexSidecar.synchronized {
         dedupIndexSidecar.getOrElseUpdate(dir, {
@@ -1229,6 +1246,49 @@ object QueriesText {
         |        WHERE rn = CAST(ceil(0.4 * n) AS BIGINT))
         |SELECT j.doc_id, j.lang, j.quality
         |FROM j JOIN thr USING (lang) WHERE j.quality >= thr.cut""".stripMargin,
+
+    "q108_pipeline_audit" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id < 25),
+         |lf AS (SELECT * FROM corpus WHERE lang IN ('de','en','fr')),
+         |tq AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+         |    length(text) * 1.0 AS n_chars,
+         |    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) * 1.0 AS punct
+         |  FROM lf),
+         |cq AS (
+         |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+         |    CASE WHEN len(tk) > 0
+         |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+         |         ELSE 0.0 END AS mwl,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+         |  FROM tq),
+         |qs AS (
+         |  SELECT doc_id, round(
+         |      least(n_chars / 500.0, 1.0) * 0.3
+         |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+         |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+         |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+         |  FROM cq),
+         |qf AS (SELECT lf.* FROM lf JOIN qs USING (doc_id) WHERE qs.quality >= 0.65),
+         |sv AS (SELECT * FROM (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY
+         |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k
+         |  FROM qf) WHERE doc_id = k),
+         |mx AS (SELECT * FROM sv
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+         |    CASE lang WHEN 'en' THEN ${Sampling.threshold(0.6)}
+         |              WHEN 'de' THEN ${Sampling.threshold(0.9)}
+         |              ELSE ${Sampling.threshold(1.0)} END)
+         |SELECT 'input' AS stage, CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_rows
+         |UNION ALL SELECT 'lang', CAST((SELECT count(*) FROM lf) AS BIGINT)
+         |UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM qf) AS BIGINT)
+         |UNION ALL SELECT 'exact_dedup', CAST((SELECT count(*) FROM sv) AS BIGINT)
+         |UNION ALL SELECT 'mixture', CAST((SELECT count(*) FROM mx) AS BIGINT)""".stripMargin,
 
     "q104_training_pipeline" ->
       s"""WITH corpus AS (
