@@ -83,7 +83,16 @@ object Bench {
     // time-to-exception, not query time — a reader must not mistake a
     // 0.07 s "speedup" for a win (round-5 artifact did exactly that)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}"""
+    println(line)
+    // the stdout line is also written to a file: the driver's log-tail
+    // capture truncates long lines (round 6 lost ~60 of 108 per-query
+    // entries that way), so the durable artifact must not depend on it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -449,6 +449,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
     if (!packedMaintained) releasePackedIndex()
+    // the slab sidecar is a point-in-time snapshot of the data dir; any
+    // mutation makes it stale — drop it so a later warm start can never
+    // reopen slabs that no longer reflect the data (re-save after bulk
+    // CRUD with saveResidentIndex())
+    dropSlabSidecars()
   }
 
   @transient private var packedMaintained = false
@@ -508,6 +513,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   @transient private var packedIdx: Option[PackedKnn.PackedCorpus[String]] = None
 
+  /** Test-visible handles on the resident state (lineage assertions). */
+  private[graft] def residentPacked: Option[PackedKnn.PackedCorpus[String]] = packedIdx
+  private[graft] def residentPackedIvf: Option[PackedKnn.PackedIvfCorpus[String]] = packedIvfIdx
+
   /** Pack the collection's embeddings into the distributed resident-matrix
     * index (operators.PackedKnn — per-partition float32 slabs scored by
     * BLAS sgemm, the reference's in-RAM matrix contract spread over
@@ -518,11 +527,44 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * collection cannot (the resident state is handle-scoped, like the
     * reference's per-process in-RAM matrix) — in multi-writer flows,
     * rebuild after external writes. Call again after bulk loads for the
-    * fastest repeated-search path. */
+    * fastest repeated-search path.
+    *
+    * WARM-START: when a [[saveResidentIndex]] slab sidecar exists, the
+    * build reopens it — one task per partition reading one slab file,
+    * zero Exchange, zero parquet decode — instead of re-running the
+    * pack scan+shuffle (at 100 TB a restart would otherwise repeat a
+    * full corpus job). Mutations delete the sidecar (it is a snapshot),
+    * so a warm start can never serve stale slabs. */
   def buildPackedIndex(): Unit = {
     releasePackedIndex()
-    packedIdx = Some(PackedKnn.packStr(
-      df.where(col("embedding").isNotNull), "id", "embedding"))
+    packedIdx = Some(
+      if (PackedKnn.slabsExist(spark, packedDir))
+        PackedKnn.loadSlabs[String](spark, packedDir)
+      else PackedKnn.packStr(
+        df.where(col("embedding").isNotNull), "id", "embedding"))
+  }
+
+  private def packedDir = s"$dir/index_packed"
+  private def packedIvfDir = s"$dir/index_packed_ivf"
+
+  /** Persist the resident packed indexes (whichever are built) as binary
+    * slab sidecars, so the NEXT session's [[buildPackedIndex]] /
+    * [[buildPackedAnnIndex]] warm-starts with a per-partition slab read
+    * instead of a corpus re-pack — the durable twin of the reference's
+    * instant mmap reopen (parallel_search.py:427-516). Call after bulk
+    * loads / [[optimize]]; any later mutation invalidates the sidecars
+    * (CRUD deltas maintain the RESIDENT state in place, but the sidecar
+    * is a point-in-time snapshot). */
+  def saveResidentIndex(): Unit = {
+    packedIdx.foreach(PackedKnn.saveSlabs(_, packedDir))
+    packedIvfIdx.foreach(PackedKnn.saveIvfSlabs(_, packedIvfDir))
+  }
+
+  private def dropSlabSidecars(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(packedDir), true)
+    fs.delete(new Path(packedIvfDir), true)
   }
 
   def hasPackedIndex: Boolean = packedIdx.isDefined
@@ -580,12 +622,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * [[packedAnnQuery]] probes launch tasks only on probed partitions.
     * Requires the persisted IVF model ([[buildVectorIndex]]). */
   def buildPackedAnnIndex(): Unit = {
-    require(hasVectorIndex,
-      s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
     packedIvfIdx.foreach(_.unpersist())
-    packedIvfIdx = Some(PackedKnn.packIvfStr(
-      df.where(col("embedding").isNotNull),
-      ModelStore.loadIvf(spark, ivfDir), "id", "embedding"))
+    if (PackedKnn.ivfSlabsExist(spark, packedIvfDir)) {
+      // warm start: per-partition slab read, partition i = cell i — the
+      // model rides inside the sidecar, so probe routing is identical
+      packedIvfIdx = Some(PackedKnn.loadIvfSlabs[String](spark, packedIvfDir))
+    } else {
+      require(hasVectorIndex,
+        s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+      packedIvfIdx = Some(PackedKnn.packIvfStr(
+        df.where(col("embedding").isNotNull),
+        ModelStore.loadIvf(spark, ivfDir), "id", "embedding"))
+    }
   }
 
   /** [[annQuery]] through the resident cell-partitioned packed index
@@ -783,6 +831,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // FLAT packed index is model-independent and stays warm.
     packedIvfIdx.foreach(_.unpersist())
     packedIvfIdx = None
+    // likewise the durable IVF slab sidecar: its partition-per-cell layout
+    // was the OLD model's
+    val sidecar = new org.apache.hadoop.fs.Path(packedIvfDir)
+    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sidecar, true)
   }
 
   /** Approximate batch query through the persisted IVF index: each query

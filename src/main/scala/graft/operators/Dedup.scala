@@ -698,10 +698,18 @@ object Dedup {
     try {
       val probeBuckets = bandsB.select("_bb").distinct()
         .collect().map(_.getInt(0)).toSeq
+      // same-id matches are excluded: a batch doc that IS an indexed doc
+      // (same id) is a re-delivery, not a near-duplicate — this makes the
+      // survivor set a pure function of (batch, index MINUS batch ids),
+      // so an at-least-once replay that already appended its survivors
+      // recomputes the SAME survivors instead of dropping them against
+      // their own signatures (EventStream.commitIngestBatch leans on
+      // this). Exact-key dedup across deliveries is dedupByKey's job.
       val cand = spark.read.parquet(s"$dir/bands")
         .where(col("_bb").isin(probeBuckets: _*))
         .join(broadcast(bandsB.select(col("_bb"), col("band"), col("band_sig"),
           col("doc").as("_bdoc"))), Seq("_bb", "band", "band_sig"))
+        .where(col("doc") =!= col("_bdoc"))
         .select(col("doc").as("_cdoc"), col("_bdoc")).distinct()
         .persist()
       try {

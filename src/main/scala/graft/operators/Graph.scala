@@ -346,6 +346,26 @@ object PropertyGraph {
 
   // ------------------------------------------------------- graph analytics
 
+  /** Connected components over the undirected view of an edge relation:
+    * (node_id, component_id) for every node in >= 1 edge, component_id =
+    * MIN node id of the component — the first-class graph surface of the
+    * alternating large-star/small-star kernel (Kiveris et al., SoCC'14)
+    * that dedup clustering already runs ([[Dedup.duplicateClusters]]);
+    * the reference's component-style traversals (graph.py:844-902) walk
+    * adjacency per seed, which cannot enumerate all components at scale.
+    * O(log n) rounds regardless of component diameter; each round is a
+    * groupBy-min + self-join on the edge relation (see the kernel's doc
+    * for the fixpoint machinery). Isolated vertices (no edges) are not
+    * emitted — union them in as their own singleton components if the
+    * vertex relation is authoritative. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIters: Int = 50): DataFrame =
+    Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+        "id_a", "id_b", maxIters)
+      .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
+
   /** PageRank in the normalized (probability) formulation: ranks start
     * at 1/N, each round `rank = (1-d)/N + d·Σ_in rank_src/outdeg_src`;
     * dangling-node mass is not redistributed. Fixed iteration count —

@@ -177,6 +177,18 @@ object PackedKnn {
     new PackedIvfCorpus(merged, pi.dim, pi.model)
   }
 
+  /** Fail-loud guard on the one hard limit of the slab layout: a
+    * partition's matrix is ONE float array, so rows*dim must stay under
+    * 2^31 (about 16.7M rows at 128 dims). Without this, an oversized
+    * compaction/pack dies deep in allocation with an unhelpful
+    * NegativeArraySizeException. */
+  private[graft] def requireSlabFits(rows: Long, dim: Int, op: String): Unit =
+    require(rows * dim <= Int.MaxValue.toLong,
+      s"PackedKnn.$op: slab of $rows rows x $dim dims = ${rows * dim} floats " +
+        "exceeds Int.MaxValue (one partition's matrix is a single float " +
+        "array) — spread the corpus over more partitions (repartition " +
+        "before pack, or compact to a higher partition count)")
+
   private def mergeBlocks[I: ClassTag](it: Iterator[Block[I]]): Iterator[Block[I]] = {
     val bs = it.toArray
     if (bs.length <= 1) bs.iterator
@@ -184,6 +196,7 @@ object PackedKnn {
       val d = bs.head.dim
       require(bs.forall(_.dim == d),
         s"PackedKnn.compact: mixed dims ${bs.map(_.dim).distinct.mkString(",")}")
+      requireSlabFits(bs.map(_.rows.toLong).sum, d, "compact")
       val n = bs.map(_.rows).sum
       val ids = new Array[I](n)
       val mat = new Array[Float](n * d)
@@ -247,7 +260,13 @@ object PackedKnn {
         require(expectDim <= 0 || n == expectDim,
           s"PackedKnn.pack: batch dim $n != corpus dim $expectDim")
         if (mat.length - used < n) {
-          val grown = new Array[Float](math.max(mat.length * 2, used + n * 1024))
+          require(used.toLong + n <= Int.MaxValue.toLong - 8,
+            s"PackedKnn.pack: partition slab would exceed Int.MaxValue floats " +
+              s"(${used.toLong + n} needed at dim $n; one partition's matrix is " +
+              "a single float array) — spread the corpus over more partitions " +
+              "(repartition before pack)")
+          val grown = new Array[Float](math.min(Int.MaxValue.toLong - 8,
+            math.max(mat.length.toLong * 2, used.toLong + n.toLong * 1024)).toInt)
           System.arraycopy(mat, 0, grown, 0, used)
           mat = grown
         }
@@ -388,6 +407,7 @@ object PackedKnn {
           val dim = vecs.head.length
           require(expectDim <= 0 || dim == expectDim,
             s"PackedKnn.packIvf: batch dim $dim != corpus dim $expectDim")
+          requireSlabFits(ids.length.toLong, dim, "packIvf")
           val m = new Array[Float](ids.length * dim)
           val norms = new Array[Double](ids.length)
           var r = 0
@@ -496,21 +516,25 @@ object PackedKnn {
     * partial/final merge. Self-matches (same id) are excluded.
     *
     * Returns (query_id, rank, neighbor_id, dist) like [[Knn.knnJoin]].
-    * Task count is P² in the corpus's partition count — for graph builds
-    * over many partitions, `corpus.repartition(n)` to O(sqrt(cores))
-    * blocks before [[pack]] keeps the pair grid matched to the cluster.
-    * At 100 TB the same join runs IVF-blocked (score only same/nearby
-    * cells — see Dedup.embeddingNearDupBlocked for the lossless variant);
-    * this is the exact all-pairs baseline those paths are validated
-    * against. */
+    * Task count is quadratic in the block-grid size, so the grid is
+    * SELF-ENFORCING: when the corpus holds more than `maxBlocks`
+    * partitions (default: ceil(sqrt(2 * defaultParallelism)), which puts
+    * the P(P+1)/2 pair-task count at about the cluster's core count), the
+    * blocks are shuffle-free coalesced and merged before pairing — a long
+    * append history or an over-partitioned pack cannot quietly explode
+    * the grid. The exact flops are irreducible either way; at 100 TB the
+    * same join runs IVF-blocked (score only same/nearby cells — see
+    * [[knnGraphIvf]] and Dedup.embeddingNearDupBlocked for the lossless
+    * variant); this is the exact all-pairs baseline those paths are
+    * validated against. */
   def knnGraph(pc: PackedCorpus[Long], k: Int,
-               metric: String = "cosine"): DataFrame = {
+               metric: String = "cosine", maxBlocks: Int = 0): DataFrame = {
     val kk = k
     val m = metric
     // one task per UNORDERED block pair: the (a,b) GEMM already contains
     // every (b,a) dot product, so the symmetric kernel feeds both sides'
     // heaps from one pass — P(P+1)/2 tasks, not P², and half the flops
-    val indexed = pc.blocks.zipWithIndex().map(_.swap)
+    val indexed = graphBlocks(pc, maxBlocks).zipWithIndex().map(_.swap)
     val partials: RDD[(Long, Long, Double)] =
       indexed.cartesian(indexed)
         .filter { case ((ia, _), (ib, _)) => ia <= ib }
@@ -520,20 +544,111 @@ object PackedKnn {
     graphResult(partials, kk)
   }
 
-  /** Same-cell approximate kNN graph over an IVF-packed corpus: each
-    * partition (= cell) scores ONLY itself — the pair grid collapses from
-    * P² tasks to P, the standard blocked construction for billion-row
-    * graphs (neighbors in other cells are sacrificed; recall is governed
-    * by the coarse quantizer like any IVF search). Same output shape as
-    * [[knnGraph]], which is its exact baseline. */
+  /** The block grid [[knnGraph]] actually pairs: the corpus's own blocks
+    * when the partition count already fits the grid budget, else a
+    * shuffle-free coalesce+merge down to the budget. Exposed to tests so
+    * the self-enforcement is assertable (partition count == grid size). */
+  private[graft] def graphBlocks(pc: PackedCorpus[Long],
+                                 maxBlocks: Int): RDD[Block[Long]] = {
+    val limit =
+      if (maxBlocks > 0) maxBlocks
+      else math.max(1, math.ceil(math.sqrt(
+        2.0 * pc.blocks.sparkContext.defaultParallelism)).toInt)
+    if (pc.blocks.getNumPartitions <= limit) pc.blocks
+    else pc.blocks.coalesce(limit)
+      .mapPartitions(mergeBlocks[Long], preservesPartitioning = false)
+  }
+
+  /** Cell-blocked approximate kNN graph over an IVF-packed corpus: each
+    * partition (= cell) scores itself — the pair grid collapses from P²
+    * tasks to P, the standard blocked construction for billion-row graphs.
+    * Each cell's generation chain ([[appendIvf]] leaves one block per
+    * generation) is merged before scoring, so same-cell cross-generation
+    * edges are found whether or not [[compactIvf]] has run.
+    *
+    * `nProbe` > 1 adds the standard RIM expansion for boundary points:
+    * every row ALSO queries its 2nd..nProbe-th nearest cells (one routing
+    * shuffle of (id, vec) copies per extra probe; the standing slabs never
+    * move), so near neighbors just across a cell boundary are recovered —
+    * recall climbs toward [[knnGraph]]'s exact graph at ~nProbe× the
+    * scoring cost, still P-ish tasks, never a pair grid. With nProbe = 1
+    * only same-cell neighbors are found (recall is governed by the coarse
+    * quantizer, like any IVF search). Same output shape as [[knnGraph]],
+    * which is its exact baseline. */
   def knnGraphIvf(pi: PackedIvfCorpus[Long], k: Int,
-                  metric: String = "cosine"): DataFrame = {
+                  metric: String = "cosine", nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val kk = k
     val m = metric
-    val partials: RDD[(Long, Long, Double)] =
-      pi.blocks.mapPartitions(_.flatMap(b =>
+    val cells = pi.blocks.mapPartitions(mergeBlocks[Long],
+      preservesPartitioning = true)
+    val same: RDD[(Long, Long, Double)] =
+      cells.mapPartitions(_.flatMap(b =>
         scorePair(b, b, kk, m, bothSides = false)))
+    val partials =
+      if (nProbe <= 1) same
+      else same.union(rimPartials(cells, pi.model, kk, m, nProbe))
     graphResult(partials, kk)
+  }
+
+  /** Rim-expansion partials for [[knnGraphIvf]]: route a (id, vec) COPY of
+    * every row to its 2nd..nProbe-th nearest cells as a QUERY-only block,
+    * then score each rim block against its host cell's slab one-directional
+    * (rim rows gain cross-cell neighbors; the host slab never moves). The
+    * row's HOME partition is excluded by position, not by recomputed
+    * nearest-cell (floating-point ties could disagree with the stored
+    * layout), so a rim copy never re-scores its own cell. */
+  private def rimPartials(cells: RDD[Block[Long]], model: Ann.IvfModel,
+                          k: Int, metric: String,
+                          nProbe: Int): RDD[(Long, Long, Double)] = {
+    val cents = model.centroids
+    val nCells = model.numCells
+    val extra = nProbe - 1
+    val rimKeyed: RDD[(Int, (Long, Array[Float]))] =
+      cells.mapPartitionsWithIndex { (home, it) =>
+        it.flatMap { b =>
+          (0 until b.rows).iterator.flatMap { r =>
+            val v = new Array[Float](b.dim)
+            System.arraycopy(b.mat, r * b.dim, v, 0, b.dim)
+            val dists = cents.map { c =>
+              val n = math.min(v.length, c.length)
+              var d = 0.0; var j = 0
+              while (j < n) { val diff = v(j).toDouble - c(j); d += diff * diff; j += 1 }
+              d
+            }
+            Array.range(0, nCells).sortBy(i => (dists(i), i)).iterator
+              .filter(_ != home).take(extra)
+              .map(c => (c, (b.ids(r), v)))
+          }
+        }
+      }.partitionBy(new CellPartitioner(nCells))
+    val rimBlocks: RDD[Block[Long]] = rimKeyed.mapPartitions { it =>
+      val ids = new ArrayBuffer[Long]()
+      val vecs = new ArrayBuffer[Array[Float]]()
+      while (it.hasNext) { val (_, (id, v)) = it.next(); ids += id; vecs += v }
+      if (ids.isEmpty) Iterator.empty
+      else {
+        val dim = vecs.head.length
+        requireSlabFits(ids.length.toLong, dim, "knnGraphIvf.rim")
+        val mat = new Array[Float](ids.length * dim)
+        val norms = new Array[Double](ids.length)
+        var r = 0
+        while (r < ids.length) {
+          val v = vecs(r)
+          System.arraycopy(v, 0, mat, r * dim, dim)
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+          norms(r) = math.sqrt(s)
+          r += 1
+        }
+        Iterator.single(Block(ids.toArray, mat, dim, norms))
+      }
+    }
+    cells.zipPartitions(rimBlocks, preservesPartitioning = true) { (cellIt, rimIt) =>
+      val hosts = cellIt.toArray
+      rimIt.flatMap(rb => hosts.iterator.flatMap(hb =>
+        scorePair(hb, rb, k, metric, bothSides = false)))
+    }
   }
 
   /** Shared finishing stage of the graph builds: bounded top-k merge of
@@ -634,6 +749,134 @@ object PackedKnn {
       }
     if (bothSides) drain(bHeaps, b.ids) ++ drain(aHeaps, a.ids)
     else drain(bHeaps, b.ids)
+  }
+
+  // ----------------------------------------------------- durable slab sidecar
+
+  /** Persist a packed corpus as a binary slab sidecar: one java-serialized
+    * file per partition plus a `slabs.json` meta. [[loadSlabs]] reopens it
+    * with ONE task per partition reading ONE file — no corpus scan, no
+    * decode, no shuffle — so a session restart never repeats the pack job
+    * (the reference's mmap store reopens the same way,
+    * parallel_search.py:427-516; the parquet-side analog is
+    * Ann.writePartitionedByCell's directory layout). Crash-safe temp-dir +
+    * rename swap; meta is written inside the temp dir LAST, so a
+    * half-written sidecar is never loadable. */
+  def saveSlabs[I](pc: PackedCorpus[I], dir: String): Unit =
+    writeSlabDir(pc.blocks, pc.dim, dir)
+
+  /** [[saveSlabs]] for a cell-partitioned corpus: partition i = cell i is
+    * preserved through the sidecar (file i reloads as partition i), and
+    * the coarse-quantizer model rides along as a ModelStore sidecar at
+    * `dir/model` — so probe routing after reopen is identical. */
+  def saveIvfSlabs[I](pi: PackedIvfCorpus[I], dir: String): Unit = {
+    writeSlabDir(pi.blocks, pi.dim, dir)
+    val spark = org.apache.spark.sql.SparkSession.active
+    ModelStore.saveIvf(spark, pi.model, s"$dir/model")
+  }
+
+  def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "slabs.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def ivfSlabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    slabsExist(spark, dir) && ModelStore.exists(s"$dir/model")
+
+  /** Reopen a [[saveSlabs]] sidecar: one task per partition, each reading
+    * exactly its own slab file — zero Exchange, zero corpus-format decode.
+    * The result is persisted and materialized like a fresh [[pack]]. */
+  def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
+                             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[I] = {
+    val (blocks, dim) = readSlabDir[I](spark, dir, storage)
+    new PackedCorpus(blocks, dim)
+  }
+
+  /** Reopen a [[saveIvfSlabs]] sidecar: partition i = cell i positionally
+    * (exactly what [[searchIvf]]'s probe routing keys on), model from the
+    * ModelStore sidecar. */
+  def loadIvfSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
+                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[I] = {
+    val model = ModelStore.loadIvf(spark, s"$dir/model")
+    val (blocks, dim) = readSlabDir[I](spark, dir, storage)
+    require(blocks.getNumPartitions == model.numCells,
+      s"IVF slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
+        s"but the model has ${model.numCells} cells")
+    new PackedIvfCorpus(blocks, dim, model)
+  }
+
+  /** Hadoop conf as a plain serializable map (the conf object itself is
+    * not serializable and Spark's wrapper is private) — rebuilt per task
+    * so slab IO honors the session's filesystem settings (s3a creds...). */
+  private def confMap(sc: org.apache.spark.SparkContext): Map[String, String] = {
+    val it = sc.hadoopConfiguration.iterator()
+    val m = scala.collection.mutable.Map[String, String]()
+    while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue }
+    m.toMap
+  }
+
+  private def mkConf(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def writeSlabDir[I](blocks: RDD[Block[I]], dim: Int, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sc = blocks.sparkContext
+    val cm = confMap(sc)
+    val target = new Path(dir)
+    val tmpDir = dir + "_tmp"
+    val tmp = new Path(tmpDir)
+    val fs = target.getFileSystem(sc.hadoopConfiguration)
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    val n = blocks.getNumPartitions
+    blocks.mapPartitionsWithIndex { (i, it) =>
+      val p = new Path(s"$tmpDir/part-$i.slab")
+      val out = p.getFileSystem(mkConf(cm)).create(p, true)
+      val oos = new java.io.ObjectOutputStream(
+        new java.io.BufferedOutputStream(out, 1 << 20))
+      try oos.writeObject(it.toArray) finally oos.close()
+      Iterator.single(i)
+    }.count()
+    val meta = fs.create(new Path(tmp, "slabs.json"), true)
+    try meta.write(s"""{"numPartitions": $n, "dim": $dim}""".getBytes("UTF-8"))
+    finally meta.close()
+    val old = new Path(dir + "_old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
+  private def readSlabDir[I: ClassTag](spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, storage: StorageLevel): (RDD[Block[I]], Int) = {
+    import org.apache.hadoop.fs.Path
+    val sc = spark.sparkContext
+    val fs = new Path(dir).getFileSystem(sc.hadoopConfiguration)
+    val metaIn = fs.open(new Path(dir, "slabs.json"))
+    val raw = try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+      finally metaIn.close()
+    def intField(k: String): Int =
+      s""""$k"\\s*:\\s*([0-9]+)""".r.findFirstMatchIn(raw)
+        .getOrElse(throw new IllegalArgumentException(
+          s"slab sidecar meta at $dir missing $k: $raw"))
+        .group(1).toInt
+    val n = intField("numPartitions")
+    val dim = intField("dim")
+    val cm = confMap(sc)
+    val blocks: RDD[Block[I]] = sc.parallelize(0 until n, n)
+      .mapPartitionsWithIndex { (i, _) =>
+        val p = new Path(s"$dir/part-$i.slab")
+        val ois = new java.io.ObjectInputStream(
+          new java.io.BufferedInputStream(p.getFileSystem(mkConf(cm)).open(p), 1 << 20))
+        val arr = try ois.readObject().asInstanceOf[Array[Block[I]]]
+          finally ois.close()
+        arr.iterator
+      }.setName(residentName).persist(storage)
+    blocks.count()
+    (blocks, dim)
   }
 
   /** Score one block against the query batch with chunked sgemm; bounded

@@ -42,6 +42,17 @@ final case class PipelineSpec(
     /** MinHash near-dup threshold: banded LSH pairs -> connected
       * components -> smallest id per cluster survives. */
     nearDupThreshold: Option[Double] = None,
+    /** INDEX-BACKED near-dedup: drop docs that near-duplicate anything in
+      * the persisted dedup sidecar at this path (Dedup.dedupAgainstIndex),
+      * instead of re-LSHing the whole corpus per run. The scale path for
+      * REPEATED preparation of a growing corpus: the standing corpus's
+      * signatures live in the bucket-partitioned sidecar, so each run
+      * shingles only the input and reads only probed buckets. Verification
+      * threshold comes from [[nearDupThreshold]] (default 0.5); when this
+      * is set the in-memory clustering stage is skipped. Note the stage
+      * dedups against the INDEX corpus, not within the input — pair it
+      * with exactDedup/nearDupThreshold for intra-input duplicates. */
+    nearDupIndexDir: Option[String] = None,
     /** Drop docs that near-duplicate any doc of this eval corpus. */
     decontaminateAgainst: Option[DataFrame] = None,
     /** Per-group keep rates for deterministic mixture sampling. */
@@ -125,11 +136,18 @@ object Pipeline {
         "exact_dedup")
     }
 
-    spec.nearDupThreshold.foreach { t =>
-      val clusters = Dedup.duplicateClusters(
-        Dedup.minhashLsh(cur, idCol, textCol, threshold = t))
-      cur = checkpoint(
-        Dedup.dropDuplicatesByCluster(cur, clusters, idCol), "near_dedup")
+    spec.nearDupIndexDir match {
+      case Some(dir) =>
+        cur = checkpoint(
+          Dedup.dedupAgainstIndex(cur, idCol, textCol, dir,
+            spec.nearDupThreshold.getOrElse(0.5)), "near_dedup_index")
+      case None =>
+        spec.nearDupThreshold.foreach { t =>
+          val clusters = Dedup.duplicateClusters(
+            Dedup.minhashLsh(cur, idCol, textCol, threshold = t))
+          cur = checkpoint(
+            Dedup.dropDuplicatesByCluster(cur, clusters, idCol), "near_dedup")
+        }
     }
 
     spec.decontaminateAgainst.foreach { eval =>

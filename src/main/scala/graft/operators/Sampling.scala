@@ -210,11 +210,20 @@ object Sampling {
                      keepFraction: Double): DataFrame = {
     require(keepFraction > 0.0 && keepFraction < 1.0,
       s"keepFraction must be in (0, 1): $keepFraction")
-    val thr = percentilesDisc(df, groupCol, valueCol, Seq(1.0 - keepFraction))
-      .select(col(groupCol), col("value").as("_thr"))
-    df.join(broadcast(thr), groupCol)
+    // null group keys form their OWN group rather than silently vanishing
+    // (a plain equi-join never matches null): coalesce the key to a
+    // sentinel on both sides of the threshold join, so e.g. docs with no
+    // language tag are gated against their own distribution instead of
+    // dropped. The sentinel (a NUL-containing string) cannot collide with
+    // any realistic group value.
+    val sentinel = "\u0000<null-group>"
+    val keyed = df.withColumn("_g",
+      coalesce(col(groupCol).cast("string"), lit(sentinel)))
+    val thr = percentilesDisc(keyed, "_g", valueCol, Seq(1.0 - keepFraction))
+      .select(col("_g"), col("value").as("_thr"))
+    keyed.join(broadcast(thr), "_g")
       .where(col(valueCol) >= col("_thr"))
-      .drop("_thr")
+      .drop("_g", "_thr")
   }
 
   /** Robust per-group outlier detection via median/MAD: flag rows with

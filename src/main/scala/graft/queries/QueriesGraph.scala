@@ -162,6 +162,21 @@ object QueriesGraph {
           concat(lit("supplier_"), col("b.s_suppkey")).as("dst"))
       PropertyGraph.triangleCounts(coloc)
     }),
+
+    // Connected components as a first-class graph operator: the derived
+    // graph with the nation->region edges removed and orders thinned to
+    // o_orderkey % 10 = 0 splits into one component per nation (customers
+    // + suppliers + their orders), labeled by min node id. The oracle
+    // recomputes components by recursive-CTE transitive closure — a
+    // different algorithm entirely from the large-star/small-star kernel.
+    "q109_connected_components" -> ((s, dir) => {
+      val edges = GraphData.edges(s, dir)
+        .where(col("type") =!= "IN_REGION")
+        .where(!col("src").startsWith("order_") ||
+          expr("CAST(substring(src, 7) AS BIGINT) % 10 = 0"))
+      PropertyGraph.connectedComponents(edges, "src", "dst")
+        .orderBy("node_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -338,5 +353,22 @@ object QueriesGraph {
         |       CAST(((n - 1) * (n - 2)) // 2 AS BIGINT) AS triangles
         |FROM supplier JOIN cnt USING (s_nationkey)
         |WHERE n >= 2""".stripMargin,
+
+    "q109_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |eb AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM eb
+        |  UNION
+        |  SELECT rr.node, e2.b FROM reach rr JOIN eb e2 ON e2.a = rr.r)
+        |SELECT node AS node_id, least(node, min(r)) AS component_id
+        |FROM reach GROUP BY node ORDER BY node_id""".stripMargin,
   )
 }

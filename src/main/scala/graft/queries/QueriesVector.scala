@@ -194,6 +194,29 @@ object QueriesVector {
         PackedKnn.searchIvf(pi, qArr, 20, nProbe = pi.model.numCells)
       }),
 
+    // WARM-START of the resident index (PackedKnn.saveSlabs/loadSlabs):
+    // the packed corpus is persisted as the binary slab sidecar and
+    // REOPENED — one task per partition reading one slab file, zero
+    // Exchange, zero parquet decode (PackedKnnSpec asserts the lineage) —
+    // then searched through the reopened handle. Hash-checks the same q10
+    // oracle through the same funnel as q99, so a session restart's
+    // warm-started index is driver-proven identical to the fresh pack.
+    "q110_packed_warm" -> ((s, dir) =>
+      packedFunnel(s, dir) { (embs, qArr) =>
+        val slabDir = java.nio.file.Files
+          .createTempDirectory("graft-warm-q110").toString
+        val pc = cachedPack(dir)(
+          PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding"))
+        PackedKnn.saveSlabs(pc, s"$slabDir/slabs")
+        val re = PackedKnn.loadSlabs[Long](s, s"$slabDir/slabs")
+        try PackedKnn.search(re, qArr, 20, "cosine")
+        finally {
+          re.unpersist(blocking = false)
+          val p = new org.apache.hadoop.fs.Path(slabDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }),
+
     // kNN GRAPH over a 1000-vector subset: the corpus x corpus top-k
     // self-join (every row is query AND candidate — neither side
     // broadcastable at scale; block-pair sgemm over the resident slabs,
@@ -290,6 +313,7 @@ object QueriesVector {
     "q64_ivf_partitioned" -> knnOracleCosine5,
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
+    "q110_packed_warm" -> knnOracleCosine5,
     "q103_semantic_clusters" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

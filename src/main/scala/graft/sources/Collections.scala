@@ -80,16 +80,35 @@ object Collections {
     * buckets accumulate footer-read-dominated small files and pruned
     * probes degrade. Rewrite ONLY buckets whose parquet file count
     * exceeds `maxFilesPerBucket`, each into a single file via a
-    * per-bucket atomic swap — cold buckets are never read, so one pass
+    * per-bucket rename swap — cold buckets are never read, so one pass
     * costs O(hot-bucket bytes), not O(sidecar). Row sets per bucket are
     * unchanged, so reads are result-identical before and after. Returns
-    * the number of buckets rewritten. */
+    * the number of buckets rewritten.
+    *
+    * The two-rename swap is NOT atomic: a crash between "bucket renamed
+    * aside" and "tmp renamed in" leaves the bucket's only copy in a
+    * dot-prefixed `.compact_*.old` dir that parquet readers skip. Every
+    * pass therefore STARTS with a recovery sweep: a `.old` whose bucket
+    * dir is missing is renamed back (restoring the rows), any other
+    * `.old`/`.tmp` leftover is deleted — so the crash window is
+    * self-healing on the next pass, never a manual repair. */
   def compactBuckets(spark: SparkSession, root: String,
                      maxFilesPerBucket: Int): Int = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return 0
+    // recovery sweep for a prior crashed pass
+    for (s <- fs.listStatus(rootPath)
+         if s.isDirectory && s.getPath.getName.startsWith(".compact_")) {
+      val leftover = s.getPath.getName
+      if (leftover.endsWith(".old")) {
+        val bucket = new Path(rootPath,
+          leftover.stripPrefix(".compact_").stripSuffix(".old"))
+        if (!fs.exists(bucket)) fs.rename(s.getPath, bucket)
+        else fs.delete(s.getPath, true)
+      } else if (leftover.endsWith(".tmp")) fs.delete(s.getPath, true)
+    }
     var n = 0
     for (b <- fs.listStatus(rootPath)
          if b.isDirectory && b.getPath.getName.contains("=")) {

@@ -237,6 +237,55 @@ object EventStream {
       }
       .start()
 
+  /** Streaming twin of chunk-level maxP retrieval (q105's batch shape —
+    * Dai & Callan, SIGIR'19): a stream of (query_id, query_vec) batches
+    * searched against a RESIDENT packed index of CHUNK vectors whose ids
+    * are the OWNING DOC ids (chunks of one doc share its id — PackedKnn
+    * never requires unique ids), so long documents are retrieved by their
+    * best chunk. Per micro-batch: one packed search over-fetches `fetchK`
+    * chunk hits per query, each doc keeps its BEST (min-distance) chunk,
+    * docs rank by (dist, doc_id), top `k` append to `outDir` as
+    * (query_id, rank, doc_id, dist) — idempotent per batch like
+    * [[knnQueryStream]].
+    *
+    * Exactness: equals the batch maxP over all chunks whenever the fetchK
+    * chunk page covers k distinct docs whose best chunks are all in the
+    * page — guaranteed at fetchK >= k * maxChunksPerDoc, and in practice
+    * at small multiples of k (the spec asserts stream == batch). */
+  def maxPQueryStream(stream: DataFrame,
+                      chunkIndex: graft.operators.PackedKnn.PackedCorpus[Long],
+                      k: Int, fetchK: Int, outDir: String, checkpointDir: String,
+                      metric: String = "cosine",
+                      queryId: String = "query_id",
+                      queryVec: String = "query_vec"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qRows = batch
+          .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
+          .collect()
+        if (qRows.nonEmpty) {
+          val qArr = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val res = graft.operators.PackedKnn.search(chunkIndex, qArr, fetchK, metric)
+          val spark = batch.sparkSession
+          import spark.implicits._
+          res.toSeq
+            .flatMap { case (qid, chunkHits) =>
+              chunkHits.groupBy(_._1).view
+                .mapValues(_.map(_._2).min).toSeq        // best chunk per doc
+                .sortBy { case (doc, d) => (d, doc) }
+                .take(k).zipWithIndex
+                .map { case ((doc, d), i) => (qid, i + 1, doc, d) }
+            }
+            .toDF(queryId, "rank", "doc_id", "dist")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming twin of operators.Pipeline — continuous corpus
     * preparation at ingest. Each micro-batch runs the spec's ROW-LOCAL
     * stages exactly as the batch pipeline would (language gate, quality
@@ -258,16 +307,19 @@ object EventStream {
                           threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // only ROW-LOCAL stages run per micro-batch, so batch boundaries
+        // cannot change the outcome: corpus-global knobs are cleared —
+        // near-dup clustering and the index stage are represented by THIS
+        // function's own index probe; shard layout belongs to the export
+        // pass; and adaptiveQualityKeep would cut at each batch's OWN
+        // percentile (admission would depend on where a doc landed in the
+        // stream), so it too belongs to the export/compaction pass
         val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
-          spec.copy(nearDupThreshold = None, numShards = 0)).data
-        val survivors = graft.operators.Dedup
-          .dedupAgainstIndex(gated, idCol, textCol, indexDir, threshold)
-          .persist()
-        try {
-          survivors.write.mode("append").parquet(outDir)
-          graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
-        } finally survivors.unpersist()
+          spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
+            adaptiveQualityKeep = None, numShards = 0)).data
+        commitIngestBatch(gated, idCol, textCol, indexDir, outDir,
+          threshold, batchId)
       }
       .start()
 
@@ -277,14 +329,45 @@ object EventStream {
                         threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val survivors = graft.operators.Dedup
-          .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
-          .persist()
-        try {
-          survivors.write.mode("append").parquet(outDir)
-          graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
-        } finally survivors.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitIngestBatch(batch, idCol, textCol, indexDir, outDir,
+          threshold, batchId)
       }
       .start()
+
+  /** Shared per-micro-batch commit of the ingest-dedup sinks, shaped for
+    * foreachBatch's AT-LEAST-ONCE replay:
+    *  1. the survivor set is REPLAY-STABLE: dedupAgainstIndex excludes
+    *     same-id matches, so a batch whose own signatures already landed
+    *     in the index (crash after the append) recomputes the SAME
+    *     survivors instead of dropping its docs against themselves;
+    *  2. survivors OVERWRITE their own `batch_id=N` subdir of the corpus —
+    *     a replayed batch rewrites identical rows instead of appending
+    *     duplicates (same stance as [[knnQueryStream]]);
+    *  3. the index append runs only while the batch's committed-marker is
+    *     absent, and the marker lands after the append — a replay of a
+    *     fully-committed batch rewrites the corpus subdir (idempotent)
+    *     and touches neither sidecar relation. The remaining window
+    *     (crash between the append and its marker) can double a doc's
+    *     signature rows on retry; that only makes near-dup verification
+    *     MORE aggressive around those docs, never admits a duplicate,
+    *     and compaction does not depend on row uniqueness. */
+  private[graft] def commitIngestBatch(batch: DataFrame, idCol: String, textCol: String,
+                                indexDir: String, outDir: String,
+                                threshold: Double, batchId: Long): Unit = {
+    val survivors = graft.operators.Dedup
+      .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
+      .persist()
+    try {
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$indexDir/_committed_batch_$batchId")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
+        fs.create(marker, true).close()
+      }
+    } finally survivors.unpersist()
+  }
 }

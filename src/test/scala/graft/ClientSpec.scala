@@ -520,4 +520,60 @@ class ClientSpec extends SparkSpec {
       .select("id").collect().map(_.getString(0)).toSet
     assert(s2 === Set.empty[String])
   }
+
+  private def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    rdd.dependencies.exists {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+      case d => hasShuffle(d.rdd)
+    }
+
+  private def lineageClasses(rdd: org.apache.spark.rdd.RDD[_]): Set[String] =
+    rdd.dependencies.map(_.rdd).flatMap(lineageClasses).toSet + rdd.getClass.getName
+
+  test("resident index warm-starts from saved slabs; a mutation invalidates them") {
+    val c = client.getOrCreateCollection("warm")
+    c.add(docs)
+    c.buildPackedIndex()
+    val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
+    def rows(col: GraftCollection, f: GraftCollection => org.apache.spark.sql.DataFrame) =
+      f(col).orderBy("rank").collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[String]("id"),
+          math.rint(r.getAs[Double]("distance") * 1e6) / 1e6)).toSeq
+    val want = rows(c, _.packedQuery(q, 3))
+    c.saveResidentIndex()
+
+    // reopen through a fresh handle: the build must load slabs, not re-pack
+    val re = client.getCollection("warm")
+    re.buildPackedIndex()
+    val blocks = re.residentPacked.get.blocks
+    assert(!hasShuffle(blocks), "warm start must be shuffle-free")
+    assert(!lineageClasses(blocks).exists(_.contains("FileScan")),
+      "warm start must not re-scan the corpus parquet")
+    assert(rows(re, _.packedQuery(q, 3)) === want)
+
+    // IVF layout: model rides inside the sidecar, partition i = cell i
+    c.buildVectorIndex(numCells = 2)
+    c.buildPackedAnnIndex()
+    val wantAnn = rows(c, _.packedAnnQuery(q, 3, nProbe = 2))
+    c.saveResidentIndex()
+    val re2 = client.getCollection("warm")
+    re2.buildPackedAnnIndex()
+    val ivfBlocks = re2.residentPackedIvf.get.blocks
+    assert(!hasShuffle(ivfBlocks), "IVF warm start must skip the routing shuffle")
+    assert(rows(re2, _.packedAnnQuery(q, 3, nProbe = 2)) === wantAnn)
+
+    // any mutation drops the sidecars — a later cold build re-packs from
+    // the (changed) data rather than serving a stale snapshot
+    assert(graft.operators.PackedKnn.slabsExist(spark, s"$root/warm/index_packed"))
+    re2.add(Seq(("warm9", "a brand new row after the snapshot", "tech", 2026))
+      .toDF("id", "document", "category", "year"))
+    assert(!graft.operators.PackedKnn.slabsExist(spark, s"$root/warm/index_packed"))
+    assert(!graft.operators.PackedKnn.ivfSlabsExist(spark, s"$root/warm/index_packed_ivf"))
+    val cold = client.getCollection("warm")
+    cold.buildPackedIndex()
+    val after = cold.packedQuery(
+        Seq((1L, "a brand new row after the snapshot")).toDF("query_id", "query_text"), 1)
+      .collect().map(_.getAs[String]("id"))
+    assert(after.toSeq === Seq("warm9"), "cold rebuild must see the mutation")
+  }
 }

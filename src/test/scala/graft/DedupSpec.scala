@@ -344,4 +344,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(spans(10L) === 1L) // one merged span covering 1..6
   }
+
+  test("compactBuckets recovers a crashed swap before compacting") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a bucket dir with several small files (separate appends)
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"row $i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$root/b=0")
+    }
+    // simulate the crash window: bucket renamed aside, tmp never moved in
+    assert(fs.rename(new Path(s"$root/b=0"), new Path(s"$root/.compact_b=0.old")))
+    fs.mkdirs(new Path(s"$root/.compact_b=1.tmp"))
+    // a parquet read now silently sees NOTHING (dot-dirs are skipped)
+    assert(!fs.exists(new Path(s"$root/b=0")))
+    // the next pass self-heals: bucket restored, tmp leftover removed
+    graft.sources.Collections.compactBuckets(spark, root, maxFilesPerBucket = 10)
+    assert(fs.exists(new Path(s"$root/b=0")), "crashed bucket must be restored")
+    assert(!fs.exists(new Path(s"$root/.compact_b=0.old")))
+    assert(!fs.exists(new Path(s"$root/.compact_b=1.tmp")))
+    val rows = spark.read.parquet(root).select("k").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(0L, 1L, 2L, 3L))
+    // stale .old NEXT TO a live bucket (crash after the second rename) is
+    // cleaned, and the live bucket still compacts when over the limit
+    fs.mkdirs(new Path(s"$root/.compact_b=0.old"))
+    assert(graft.sources.Collections.compactBuckets(spark, root, maxFilesPerBucket = 2) === 1)
+    assert(!fs.exists(new Path(s"$root/.compact_b=0.old")))
+    val after = spark.read.parquet(root).select("k").collect().map(_.getLong(0)).toSet
+    assert(after === Set(0L, 1L, 2L, 3L))
+  }
 }

@@ -290,4 +290,105 @@ class EventStreamSpec extends SparkSpec {
     assert(fin.values.count(_ >= 2) === batchCounts(2))
     assert(fin.values.count(_ >= 3) === batchCounts(3))
   }
+
+  test("streaming chunked maxP retrieval equals the batch maxP over all chunks") {
+    import graft.functions.{Embeddings, TextAnalysis}
+    import graft.operators.PackedKnn
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 60)
+    val chunks = docs.select(col("doc_id"),
+        explode(TextAnalysis.chunks(col("text"), windowSize = 32, stride = 24)).as("c"))
+      .select(col("doc_id"),
+        Embeddings.mockEmbedding(col("c.chunk"), 16).cast("array<float>").as("emb"))
+    val chunkIndex = PackedKnn.pack(chunks, idCol = "doc_id", vecCol = "emb")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maxp")
+    try {
+      val queries = docs.where(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          Embeddings.mockEmbedding(col("text"), 16).cast("array<float>").as("query_vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      // batch truth: best (min cosine distance) chunk per (query, doc),
+      // docs ranked by (dist, doc_id), top 3
+      val chunkRows = chunks.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def cosDist(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val expected = queries.map { case (qid, qv) =>
+        val best = chunkRows.groupBy(_._1).view
+          .mapValues(_.map(c => cosDist(qv, c._2)).min).toSeq
+          .sortBy { case (doc, d) => (d, doc) }.take(3)
+        qid -> best.zipWithIndex
+          .map { case ((doc, d), i) => (i + 1, doc, math.rint(d * 1e4) / 1e4) }
+      }.toMap
+
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.maxPQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), chunkIndex,
+        k = 3, fetchK = chunkRows.length, // full coverage: stream == batch exactly
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck")
+      try {
+        mem.addData((queries(0)._1, queries(0)._2), (queries(1)._1, queries(1)._2))
+        q.processAllAvailable()
+        mem.addData((queries(2)._1, queries(2)._2), (queries(3)._1, queries(3)._2))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("query_id", "rank", "doc_id", "dist").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      assert(got.keySet === expected.keySet)
+      for ((qid, want) <- expected)
+        assert(got(qid) === want, s"query $qid")
+    } finally chunkIndex.unpersist(blocking = true)
+  }
+
+  test("ingest commit is idempotent under at-least-once batch replay") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
+    val (ixDir, outDir) = (s"$tmp/ix", s"$tmp/out")
+    Dedup.saveDedupIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),      // dropped
+      (102L, "fresh unique sentence with brand new words entirely")) // kept
+      .toDF("doc_id", "text")
+    EventStream.commitIngestBatch(batch, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 7L)
+    val once = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(once === Seq(102L))
+    assert(Dedup.readDedupStats(ixDir).nDocs === 2L)
+    // replay of the SAME micro-batch (foreachBatch at-least-once): the
+    // corpus subdir is overwritten, the index append is marker-skipped
+    EventStream.commitIngestBatch(batch, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 7L)
+    val twice = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(twice === Seq(102L), "replay must not duplicate accepted rows")
+    assert(Dedup.readDedupStats(ixDir).nDocs === 2L,
+      "replay must not double-append the index")
+    // deepest crash window: index append landed but the marker did not.
+    // The replay-stable survivor set (same-id matches excluded) must keep
+    // the accepted row rather than dropping it against its own signatures
+    val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_committed_batch_7")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false))
+    EventStream.commitIngestBatch(batch, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 7L)
+    val deep = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(deep === Seq(102L),
+      "post-append replay must not lose the accepted row")
+  }
 }

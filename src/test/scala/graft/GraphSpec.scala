@@ -346,4 +346,20 @@ class GraphSpec extends SparkSpec {
       .agg(sum(col("triangles"))).collect()(0).getLong(0)
     assert(t === 0L)
   }
+
+  test("connectedComponents: two cliques label separately, a bridge merges them") {
+    val cliqueA = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"))
+    val cliqueB = Seq(("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val two = PropertyGraph.connectedComponents(
+        (cliqueA ++ cliqueB).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(two === Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1"))
+    // one bridge edge merges the components under the global min label
+    val one = PropertyGraph.connectedComponents(
+        (cliqueA ++ cliqueB :+ ("a3", "b1")).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one.keySet === Set("a1", "a2", "a3", "b1", "b2", "b3"))
+    assert(one.values.toSet === Set("a1"))
+  }
 }

@@ -330,6 +330,136 @@ class PackedKnnSpec extends SparkSpec {
     } finally pi.unpersist(blocking = true)
   }
 
+  private def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    rdd.dependencies.exists {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+      case d => hasShuffle(d.rdd)
+    }
+
+  test("slab-size guard fails loud with an actionable message") {
+    // 20M rows x 128 dims = 2.56B floats > Int.MaxValue — the compaction
+    // shape that previously died deep in allocation
+    val ex = intercept[IllegalArgumentException] {
+      PackedKnn.requireSlabFits(20000000L, 128, "compact")
+    }
+    assert(ex.getMessage.contains("Int.MaxValue"), ex.getMessage)
+    assert(ex.getMessage.contains("more partitions"), ex.getMessage)
+    PackedKnn.requireSlabFits(1000000L, 128, "compact") // under the limit: fine
+  }
+
+  test("knnGraph self-enforces its block grid on an over-partitioned corpus") {
+    val pc = PackedKnn.pack(embs.repartition(24),
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      val budget = math.max(1, math.ceil(math.sqrt(
+        2.0 * spark.sparkContext.defaultParallelism)).toInt)
+      assert(pc.blocks.getNumPartitions > budget, "fixture must over-partition")
+      assert(PackedKnn.graphBlocks(pc, 0).getNumPartitions === budget)
+      assert(PackedKnn.graphBlocks(pc, 5).getNumPartitions === 5)
+      // results over the coalesced grid equal the broadcast path
+      val allQ = embs.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+      val expected = Knn.knnJoin(allQ, embs, 6, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+        .map { case (qid, nbrs) => qid -> nbrs.filter(_ != qid).take(5) }
+      val graph = PackedKnn.knnGraph(pc, 5, "cosine")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert(graph === expected)
+    } finally pc.unpersist(blocking = true)
+  }
+
+  test("knnGraphIvf finds cross-generation same-cell edges without compaction") {
+    val model = ivfModel
+    val pi0 = PackedKnn.packIvf(embs.where(col("vec_id") % 2 === 0), model,
+      idCol = "vec_id", vecCol = "embedding")
+    val pi = PackedKnn.appendIvf(pi0, embs.where(col("vec_id") % 2 === 1),
+      idCol = "vec_id", vecCol = "embedding")
+    val fresh = PackedKnn.packIvf(embs, model,
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"),
+          math.rint(r.getAs[Double]("dist") * 1e6) / 1e6))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+      assert(edges(PackedKnn.knnGraphIvf(pi, 5)) ===
+        edges(PackedKnn.knnGraphIvf(fresh, 5)),
+        "multi-generation cell partitions must yield the single-generation graph")
+    } finally { pi.unpersist(blocking = true); fresh.unpersist(blocking = true) }
+  }
+
+  test("knnGraphIvf rim expansion climbs recall toward the exact graph") {
+    val model = ivfModel
+    val pi = PackedKnn.packIvf(embs, model, idCol = "vec_id", vecCol = "embedding")
+    val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
+    try {
+      def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val exact = edges(PackedKnn.knnGraph(pc, 5, "cosine"))
+      val g1 = edges(PackedKnn.knnGraphIvf(pi, 5, nProbe = 1))
+      val g2 = edges(PackedKnn.knnGraphIvf(pi, 5, nProbe = 2))
+      val r1 = (g1 & exact).size.toDouble / exact.size
+      val r2 = (g2 & exact).size.toDouble / exact.size
+      assert(r1 < 1.0, "fixture must have cross-cell neighbors to recover")
+      assert(r2 > r1, s"2-probe recall $r2 must climb above 1-probe $r1")
+      // rim edges still respect per-query k and never self-match
+      val perQ = PackedKnn.knnGraphIvf(pi, 5, nProbe = 2).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      perQ.foreach { case (q, n) => assert(q !== n) }
+      perQ.groupBy(_._1).foreach { case (q, es) =>
+        assert(es.length <= 5, s"query $q has ${es.length} edges")
+        assert(es.map(_._2).distinct.length === es.length, s"query $q dup edge")
+      }
+    } finally { pi.unpersist(blocking = true); pc.unpersist(blocking = true) }
+  }
+
+  test("slab sidecar round-trips; reopen lineage is shuffle- and scan-free") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slabs").toString
+    val pc = PackedKnn.pack(embs, idCol = "vec_id", vecCol = "embedding")
+    try {
+      assert(!PackedKnn.slabsExist(spark, s"$tmp/flat"))
+      PackedKnn.saveSlabs(pc, s"$tmp/flat")
+      assert(PackedKnn.slabsExist(spark, s"$tmp/flat"))
+      val re = PackedKnn.loadSlabs[Long](spark, s"$tmp/flat")
+      try {
+        assert(re.dim === pc.dim)
+        assert(re.blocks.getNumPartitions === pc.blocks.getNumPartitions)
+        assert(!hasShuffle(re.blocks), "slab reopen must be shuffle-free")
+        def res(p: PackedKnn.PackedCorpus[Long]) =
+          PackedKnn.search(p, qArr, 10, "cosine")
+            .map { case (q, n) => (q, n.toSeq) }.toMap
+        assert(res(re) === res(pc))
+      } finally re.unpersist(blocking = true)
+    } finally pc.unpersist(blocking = true)
+
+    val pi = PackedKnn.packIvf(embs, ivfModel, idCol = "vec_id", vecCol = "embedding")
+    try {
+      // the fresh IVF pack pays a routing shuffle; the slab reopen must not
+      assert(hasShuffle(pi.blocks))
+      PackedKnn.saveIvfSlabs(pi, s"$tmp/ivf")
+      assert(PackedKnn.ivfSlabsExist(spark, s"$tmp/ivf"))
+      val re = PackedKnn.loadIvfSlabs[Long](spark, s"$tmp/ivf")
+      try {
+        assert(re.blocks.getNumPartitions === ivfModel.numCells,
+          "partition i = cell i must survive the sidecar")
+        assert(!hasShuffle(re.blocks), "IVF slab reopen must be shuffle-free")
+        def res(p: PackedKnn.PackedIvfCorpus[Long]) =
+          PackedKnn.searchIvf(p, qArr, 10, nProbe = 4)
+            .map { case (q, n) => (q, n.toSeq) }.toMap
+        assert(res(re) === res(pi))
+      } finally re.unpersist(blocking = true)
+    } finally pi.unpersist(blocking = true)
+  }
+
   test("pack rejects a ragged corpus") {
     import spark.implicits._
     val ragged = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f, 2f)))

@@ -276,4 +276,21 @@ class SamplingSpec extends SparkSpec {
       assert(diffs === diffs.sorted, s"$src not easy-first")
     }
   }
+
+  test("percentileGate gates null-group rows against their own distribution") {
+    val df = Seq(
+      ("e1", Some("en"), 1.0), ("e2", Some("en"), 2.0),
+      ("e3", Some("en"), 3.0), ("e4", Some("en"), 4.0),
+      ("n1", None, 10.0), ("n2", None, 11.0),
+      ("n3", None, 12.0), ("n4", None, 13.0)
+    ).toDF("id", "grp", "v")
+    val kept = Sampling.percentileGate(df, "grp", "v", keepFraction = 0.5)
+      .select("id").collect().map(_.getString(0)).toSet
+    // nearest-rank cut at the 0.5 quantile of EACH group, including the
+    // null group (previously its rows vanished in the equi-join)
+    assert(kept === Set("e2", "e3", "e4", "n2", "n3", "n4"))
+    // schema is unchanged (no helper columns leak)
+    assert(Sampling.percentileGate(df, "grp", "v", 0.5).columns.toSeq ===
+      Seq("id", "grp", "v"))
+  }
 }

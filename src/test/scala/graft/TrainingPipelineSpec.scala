@@ -144,4 +144,33 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(res.stageCounts().map(_._1) ===
       Seq("input", "near_dedup", "decontaminate"))
   }
+
+  test("index-backed near-dedup stage equals the in-memory batch-vs-corpus dedup") {
+    import graft.operators.Dedup
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "spark partitions shuffle broadcast join exchange plan quality"),
+      (3L, "completely unrelated standing corpus document with rare words"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeidx").toString
+    Dedup.saveDedupIndex(standing, "id", "text", dir)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),  // near-dup of 1
+      (102L, "fresh unique sentence with brand new words entirely"),
+      (103L, "spark partitions shuffle broadcast join exchange plan"), // near-dup of 2
+      (104L, "another genuinely novel document nothing like the corpus"))
+      .toDF("id", "text")
+    val spec = PipelineSpec(nearDupIndexDir = Some(dir),
+      nearDupThreshold = Some(0.5))
+    val res = Pipeline.prepare(batch, "id", "text", spec, audit = true)
+    val got = res.data.select("id").collect().map(_.getLong(0)).toSet
+    // in-memory equivalent: LSH+exact-verify the batch AGAINST the
+    // standing corpus (decontaminate), drop matched batch docs
+    val dup = Dedup.decontaminate(batch, standing, "id", "text", threshold = 0.5)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val expected = Set(101L, 102L, 103L, 104L) -- dup
+    assert(got === expected)
+    assert(got === Set(102L, 104L), "planted near-dups must be dropped")
+    assert(res.stageCounts() === Seq("input" -> 4L, "near_dedup_index" -> 2L))
+  }
 }
