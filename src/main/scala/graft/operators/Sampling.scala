@@ -226,6 +226,40 @@ object Sampling {
       .drop("_g", "_thr")
   }
 
+  /** One-pass approximate twin of [[percentileGate]] — the 100 TB path
+    * when even a per-group sorted pass is the bottleneck. The cut comes
+    * from Spark's mergeable `approx_percentile` sketch (Greenwald-Khanna:
+    * map-side partial sketches merge associatively), so the whole gate is
+    * ONE hash aggregation plus a broadcast join back onto the row stream —
+    * no Window, no per-group sort, no rank numbering of the full corpus.
+    *
+    * `accuracy` bounds the rank error at ~1/accuracy of the group size;
+    * groups smaller than `accuracy` are retained whole by the sketch, so
+    * the cut VALUE is then exact (the kept set can still differ from
+    * [[percentileGate]] by at most the one rank where the two percentile
+    * definitions disagree — nearest-rank ceil vs the sketch's smallest-
+    * value-at-or-above-rank). Use the exact gate when reproducibility of
+    * the precise membership matters (it is the oracle-checked one); use
+    * this when the corpus is large enough that a ~1e-4 rank slop on the
+    * cut is invisible but a global sort is not. Null group keys form
+    * their own group, like the exact gate. */
+  def percentileGateApprox(df: DataFrame, groupCol: String, valueCol: String,
+                           keepFraction: Double,
+                           accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1): $keepFraction")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val sentinel = "\u0000<null-group>"
+    val keyed = df.withColumn("_g",
+      coalesce(col(groupCol).cast("string"), lit(sentinel)))
+    val thr = keyed.groupBy("_g").agg(
+      percentile_approx(col(valueCol), lit(1.0 - keepFraction),
+        lit(accuracy)).as("_thr"))
+    keyed.join(broadcast(thr), "_g")
+      .where(col(valueCol) >= col("_thr"))
+      .drop("_g", "_thr")
+  }
+
   /** Robust per-group outlier detection via median/MAD: flag rows with
     * |x - median| > k·MAD (median absolute deviation). Both medians are
     * nearest-rank picks ([[percentilesDisc]]), so on integer columns the

@@ -422,6 +422,21 @@ object QueriesText {
         .select(col("doc_id"), col("lang"), col("quality"))
     }),
 
+    // ONE-PASS approximate twin of q106: the cut comes from the mergeable
+    // approx_percentile sketch (no per-group sorted window — the 100 TB
+    // shape). Groups here are far smaller than the sketch accuracy, so
+    // the sketch retains every value and the cut is exact — hash-checked
+    // against the SAME nearest-rank window oracle as q106, proving the
+    // two gates agree whenever the sketch is in its exact regime.
+    "q111_adaptive_quality_approx" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.operators.Sampling
+        .percentileGateApprox(scored, "lang", "quality", keepFraction = 0.6)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     // End-to-end training-data pipeline: lang gate -> quality floor ->
     // exact dedup -> mixture sample -> shard, as ONE composed plan
     // (operators.Pipeline). Every stage is individually oracle-checked
@@ -1214,6 +1229,40 @@ object QueriesText {
          |FROM agg""".stripMargin,
 
     "q106_adaptive_quality" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents),
+        |tq AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+        |    length(text) * 1.0 AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) * 1.0 AS punct
+        |  FROM corpus),
+        |cq AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+        |    CASE WHEN len(tk) > 0
+        |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+        |         ELSE 0.0 END AS mwl,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+        |  FROM tq),
+        |qs AS (
+        |  SELECT doc_id, round(
+        |      least(n_chars / 500.0, 1.0) * 0.3
+        |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+        |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+        |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+        |  FROM cq),
+        |j AS (SELECT c.doc_id, c.lang, q.quality
+        |      FROM corpus c JOIN qs q USING (doc_id)),
+        |r AS (SELECT lang, quality,
+        |        row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM j),
+        |thr AS (SELECT lang, quality AS cut FROM r
+        |        WHERE rn = CAST(ceil(0.4 * n) AS BIGINT))
+        |SELECT j.doc_id, j.lang, j.quality
+        |FROM j JOIN thr USING (lang) WHERE j.quality >= thr.cut""".stripMargin,
+
+    "q111_adaptive_quality_approx" ->
       """WITH corpus AS (SELECT doc_id, text, lang FROM documents),
         |tq AS (
         |  SELECT doc_id,

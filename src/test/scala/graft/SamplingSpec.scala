@@ -293,4 +293,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.percentileGate(df, "grp", "v", 0.5).columns.toSeq ===
       Seq("id", "grp", "v"))
   }
+
+  test("percentileGateApprox: one-pass cut matches the exact gate, no sort window") {
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 40)
+      yield (s"$g$i", g, (if (g == "a") i else i * 3).toDouble)
+    val df = rows.toDF("id", "grp", "v")
+    val exact = Sampling.percentileGate(df, "grp", "v", keepFraction = 0.25)
+      .select("id").collect().map(_.getString(0)).toSet
+    val approx = Sampling.percentileGateApprox(df, "grp", "v", keepFraction = 0.25)
+      .select("id").collect().map(_.getString(0)).toSet
+    // groups far smaller than the sketch accuracy: the sketch retains all
+    // values, and on this all-distinct fixture both percentile definitions
+    // pick the same cut value — membership is identical
+    assert(approx === exact)
+    // 40 rows, keep 0.25: the cut is rank ceil(0.75*40)=30, and >=-cut
+    // semantics keep values 30..40 — 11 rows (the documented "ties at the
+    // cut keep slightly more, never less" stance)
+    assert(approx.count(_.startsWith("a")) === 11)
+    // null group keys survive, gated against their own distribution
+    val withNull = df.unionByName(
+      Seq(("n1", null, 1.0), ("n2", null, 2.0), ("n3", null, 3.0),
+        ("n4", null, 4.0)).toDF("id", "grp", "v"))
+    val keptNull = Sampling.percentileGateApprox(withNull, "grp", "v", 0.5)
+      .where(col("grp").isNull).select("id").collect().map(_.getString(0)).toSet
+    assert(keptNull === Set("n2", "n3", "n4"))
+    // the scale claim: the approximate gate's plan has NO sort window —
+    // the cut is one hash aggregation, the exact gate pays the sorted pass
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+    assert(!planOf(Sampling.percentileGateApprox(df, "grp", "v", 0.25))
+      .contains("Window"))
+    assert(planOf(Sampling.percentileGate(df, "grp", "v", 0.25))
+      .contains("Window"))
+  }
 }
