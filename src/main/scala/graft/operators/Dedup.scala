@@ -340,6 +340,43 @@ object Dedup {
         min(col("_doc")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
 
+  /** Line-level boilerplate REMOVAL — the repair counterpart of
+    * [[duplicatedParagraphs]] (detection) and [[dupNgramSpans]]
+    * (localization): rebuild each document with lines whose trimmed form
+    * appears in >= `minDocs` DISTINCT documents removed (nav bars, cookie
+    * banners, license footers — the RefinedWeb/CCNet line-dedup pass),
+    * everything else kept in original order. Blank/whitespace lines are
+    * never treated as boilerplate (they carry formatting, and blank-line
+    * "boilerplate" would shred every document).
+    *
+    * Scale shape: the boilerplate set comes from ONE fingerprint-keyed
+    * aggregation over the exploded line stream (no pairwise work); it
+    * joins back by line fingerprint and a doc-keyed sort-agg reassembles
+    * the text. Output is (idCol, textCol) for EVERY input doc — a doc
+    * whose every line was boilerplate comes back with empty text, so the
+    * caller decides drop policy (e.g. a length gate downstream). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_fp", md5(trim(col("_line")).cast("binary")))
+    val boiler = lines.where(trim(col("_line")) =!= "")
+      .groupBy(col("_fp"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_fp"), lit(true).as("_boiler"))
+    val rebuilt = lines.join(boiler, Seq("_fp"), "left")
+      .where(col("_boiler").isNull)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** N-gram-overlap contamination score, the PaLM/GPT-4-report style
     * membership check (public papers): for each eval document, the
     * fraction of its DISTINCT n-gram shingles that appear anywhere in the

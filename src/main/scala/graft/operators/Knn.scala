@@ -61,6 +61,41 @@ object Knn {
     override def outputEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder[Seq[Neighbor]]()
   }
 
+  /** Contrastive hard-negative mining: for each anchor (a query row
+    * carrying its label), the k NEAREST corpus rows with a DIFFERENT
+    * label — the highest-loss negatives an embedding/contrastive trainer
+    * wants (in-batch random negatives are mostly easy; the informative
+    * ones sit just across the decision boundary, which is exactly
+    * "nearest with another label"). Same broadcast + bounded-top-k shape
+    * as [[knnJoin]]; the label exclusion rides the broadcast join
+    * condition because it is PER-ANCHOR — no static corpus pre-filter can
+    * express it — and the corpus still never shuffles. Label comparison
+    * is null-safe: a null-labeled anchor excludes only null-labeled rows.
+    * Returns (queryId, rank, neighbor_id, dist). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    metric: String = "cosine",
+                    queryId: String = "query_id", queryVec: String = "query_vec",
+                    queryLabel: String = "query_label",
+                    corpusId: String = "id", corpusVec: String = "vec",
+                    corpusLabel: String = "label"): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Neighbor]())
+    corpus
+      .select(col(corpusId).cast("long").as("_cid"), col(corpusVec).as("_cvec"),
+        col(corpusLabel).as("_clab"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("_qid"),
+        col(queryVec).as("_qvec"), col(queryLabel).as("_qlab"))))
+      .where(!(col("_clab") <=> col("_qlab")))
+      .select(col("_qid"), col("_cid"),
+        vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
+      .select(col(queryId),
+        (col("_pos") + 1).cast("int").as("rank"),
+        col("_n.id").as("neighbor_id"),
+        col("_n.dist").as("dist"))
+  }
+
   /** Batch kNN join: one row (query_id, rank, id, dist) per neighbor.
     *
     * @param queries DataFrame with (queryId, queryVec) columns; assumed small

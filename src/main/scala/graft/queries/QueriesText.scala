@@ -437,6 +437,20 @@ object QueriesText {
         .select(col("doc_id"), col("lang"), col("quality"))
     }),
 
+    // Line-level boilerplate REMOVAL (RefinedWeb/CCNet line dedup): the
+    // repair counterpart of q75's detection and q94's span localization —
+    // planted footers on every even doc (plus any naturally corpus-wide
+    // lines) are stripped; everything else survives in original order.
+    "q112_strip_boilerplate" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit("\nSubscribe to our newsletter today\nCopyright 2020 Example Corp")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripBoilerplate(corpus, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     // End-to-end training-data pipeline: lang gate -> quality floor ->
     // exact dedup -> mixture sample -> shard, as ONE composed plan
     // (operators.Pipeline). Every stage is individually oracle-checked
@@ -1295,6 +1309,29 @@ object QueriesText {
         |        WHERE rn = CAST(ceil(0.4 * n) AS BIGINT))
         |SELECT j.doc_id, j.lang, j.quality
         |FROM j JOIN thr USING (lang) WHERE j.quality >= thr.cut""".stripMargin,
+
+    "q112_strip_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN text || chr(10) || 'Subscribe to our newsletter today'
+        |              || chr(10) || 'Copyright 2020 Example Corp'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+        |ln AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos, parts FROM t),
+        |l2 AS (SELECT doc_id, pos, parts[pos] AS line FROM ln),
+        |boiler AS (
+        |  SELECT trim(line) AS tl FROM l2 WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM l2
+        |  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT tl FROM boiler)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text, '') AS text
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q108_pipeline_audit" ->
       s"""WITH corpus AS (

@@ -217,6 +217,22 @@ object QueriesVector {
         }
       }),
 
+    // Contrastive hard-negative mining (Knn.hardNegatives): for each
+    // anchor, the k nearest embeddings with a DIFFERENT label — the
+    // per-anchor exclusion rides the broadcast join condition (no static
+    // corpus filter can express it). The oracle recomputes the same
+    // label-excluded top-k in DuckDB.
+    "q113_hard_negatives" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val anchors = embs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      graft.operators.Knn.hardNegatives(anchors, embs, k = 10,
+          metric = "cosine", corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // kNN GRAPH over a 1000-vector subset: the corpus x corpus top-k
     // self-join (every row is query AND candidate — neither side
     // broadcastable at scale; block-pair sgemm over the resident slabs,
@@ -314,6 +330,24 @@ object QueriesVector {
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
     "q110_packed_warm" -> knnOracleCosine5,
+    "q113_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+         |          FROM embeddings WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q.qv) AS DOUBLE) AS y)) AS dist
+         |  FROM q, embeddings c
+         |  WHERE c.label IS DISTINCT FROM q.qlab),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
+         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q103_semantic_clusters" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -374,4 +374,25 @@ class DedupSpec extends SparkSpec {
     val after = spark.read.parquet(root).select("k").collect().map(_.getLong(0)).toSet
     assert(after === Set(0L, 1L, 2L, 3L))
   }
+
+  test("stripBoilerplate removes corpus-wide lines, keeps order, blanks, empties") {
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED FOOTER\n\nunique beta"),
+      (2L, "SHARED FOOTER\nunique gamma"),
+      (3L, "  SHARED FOOTER  \nunique delta"),   // trimmed form matches
+      (4L, "SHARED FOOTER"),                      // all-boilerplate doc
+      (5L, "untouched document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "unique alpha\n\nunique beta") // blank line preserved
+    assert(got(2L) === "unique gamma")
+    assert(got(3L) === "unique delta")
+    assert(got(4L) === "")                       // emptied, not dropped
+    assert(got(5L) === "untouched document")
+    // below the threshold (footer is in 4 docs) nothing is touched
+    val loose = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(2L) === "SHARED FOOTER\nunique gamma")
+  }
 }

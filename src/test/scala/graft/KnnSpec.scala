@@ -133,4 +133,31 @@ class KnnSpec extends SparkSpec {
     assert(r200 >= r50, s"recall must climb with rerankK: $r50 -> $r200")
     assert(r200 >= 0.8, s"wide funnel recall@10 too low: $r200")
   }
+
+  test("hardNegatives: nearest rows with a different label, per anchor") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val anchors = embs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    val got = Knn.hardNegatives(anchors, embs, 5,
+        corpusId = "vec_id", corpusVec = "embedding")
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist")))
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    // every negative has a different label than its anchor
+    got.foreach { case (q, _, n, _) => assert(labels(q) !== labels(n), s"$q -> $n") }
+    // equals a per-anchor filtered exact kNN
+    for (q <- Seq(0L, 1L, 2L)) {
+      val anchor = anchors.where(col("query_id") === q)
+      val exact = Knn.knnJoin(anchor.select("query_id", "query_vec"),
+          embs.where(col("label") =!= labels(q)), 5, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).sorted
+      val mine = got.filter(_._1 == q).map(t => (t._2, t._3)).sorted
+      assert(mine.toSeq === exact.toSeq, s"anchor $q")
+    }
+  }
 }
