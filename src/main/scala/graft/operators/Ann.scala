@@ -65,6 +65,42 @@ object Ann {
   def cellAssign(model: IvfModel)(vecCol: Column): Column =
     ann.nearestCellDist(model.centroids)(vecCol)
 
+  /** Embedding-DISTRIBUTION drift between two corpus snapshots, measured
+    * in the coarse quantizer's cell space: both snapshots are assigned to
+    * the SAME trained model's cells and the two cell histograms compared
+    * with add-one-smoothed KL(A || B) — the monitoring primitive for "has
+    * the corpus (or the embedder version) moved since this model/index
+    * was trained?" (retrain triggers, ingest-source QA, embedding skew),
+    * the embedding-space sibling of Sampling.klDivergence's token drift.
+    *
+    * Scale shape: assignment is the once-per-row codegen kernel riding
+    * the scan; each histogram is ONE map-side-combined numCells-sized
+    * aggregate; everything downstream (cell spine, totals, the KL
+    * algebra) is centroids-sized and broadcasts. Returns one row per
+    * cell: (cell, n_a, n_b, kl_contrib) with sum(kl_contrib) = the KL
+    * divergence; smoothing guarantees every log is finite even for empty
+    * cells. */
+  def cellDrift(snapA: DataFrame, snapB: DataFrame, model: IvfModel,
+                vecCol: String = "vec"): DataFrame = {
+    val spark = snapA.sparkSession
+    val c = model.numCells
+    def hist(df: DataFrame, n: String) = df.where(col(vecCol).isNotNull)
+      .select(cellId(model)(col(vecCol)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as(n))
+    val cells = spark.range(c).select(col("id").cast("int").as("cell"))
+    val joined = cells
+      .join(hist(snapA, "_na"), Seq("cell"), "left")
+      .join(hist(snapB, "_nb"), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("_na"), lit(0L)).as("n_a"),
+        coalesce(col("_nb"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("_pa", (col("n_a") + lit(1.0)) / (col("_ta") + lit(c)))
+      .withColumn("_pb", (col("n_b") + lit(1.0)) / (col("_tb") + lit(c)))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        (col("_pa") * log(col("_pa") / col("_pb"))).as("kl_contrib"))
+  }
+
   /** nProbe nearest cells for each query vector. */
   private def probeCells(model: IvfModel, nProbe: Int)(vecCol: Column): Column =
     ann.probeCells(model.centroids, nProbe)(vecCol)

@@ -37,6 +37,12 @@ final case class PipelineSpec(
     maxDupTrigramFrac: Double = 1.0,
     /** Replace emails/IPv4s/phones with placeholder tags. */
     redactPii: Boolean = false,
+    /** Strip lines whose trimmed form appears in >= this many DISTINCT
+      * docs (nav/cookie/footer boilerplate — Dedup.stripBoilerplate, the
+      * RefinedWeb line-dedup REPAIR pass). Runs after PII redaction and
+      * before dedup, so fingerprints see the cleaned text. Docs emptied
+      * by the strip are dropped (nothing left to train on). */
+    stripBoilerplateMinDocs: Option[Int] = None,
     /** Keep the smallest id per normalized-text fingerprint. */
     exactDedup: Boolean = false,
     /** MinHash near-dup threshold: banded LSH pairs -> connected
@@ -126,6 +132,18 @@ object Pipeline {
 
     if (spec.redactPii)
       cur = cur.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+
+    spec.stripBoilerplateMinDocs.foreach { m =>
+      val cleaned = Dedup
+        .stripBoilerplate(cur.select(col(idCol), col(textCol)), idCol, textCol, m)
+        .withColumnRenamed(textCol, "_cleaned")
+      val cols = cur.columns.toSeq
+      cur = checkpoint(
+        cur.drop(textCol).join(cleaned, Seq(idCol))
+          .select(cols.map(c =>
+            if (c == textCol) col("_cleaned").as(textCol) else col(c)): _*)
+          .where(col(textCol) =!= ""), "boilerplate")
+    }
 
     if (spec.exactDedup) {
       val w = org.apache.spark.sql.expressions.Window

@@ -99,6 +99,20 @@ object QueriesQuant {
     // recall@10 vs exact under the same metric. Rows-only (recall floors
     // asserted in QuantizationSpec); probing ALL cells isolates the
     // PQ+rerank error from cell-miss error.
+    // Embedding-distribution drift in cell space (Ann.cellDrift): the
+    // label<5 slice vs the full corpus under the persisted IVF model —
+    // add-one-smoothed per-cell KL contributions; sum = KL(A||B). The
+    // oracle re-derives cell assignment from the inlined centroids like
+    // the recall oracles, then recomputes the KL algebra.
+    "q114_embedding_drift" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val m = TrainedModels.ivf(s, dir)
+      Ann.cellDrift(embs, embs.where(col("label") < 5), m, "embedding")
+        .select(col("cell"), col("n_a"), col("n_b"),
+          (round(col("kl_contrib"), 6) + lit(0.0)).as("kl_contrib"))
+        .orderBy("cell")
+    }),
+
     "q72_ivfpq_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // models load from the persisted sidecar (trained+saved once per
@@ -289,5 +303,7 @@ object QueriesQuant {
       "q19_pq_recall" -> RecallOracles.pqRecallSql(pm, k = 10)).toMap ++
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
       "q72_ivfpq_recall" -> RecallOracles.ivfPqRecallSql(
-        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap
+        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    TrainedModels.lastIvf.map(im =>
+      "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap
 }

@@ -163,6 +163,38 @@ object RecallOracles {
        |       round(dist, 6) + 0.0 AS dist
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** q114: cell-histogram drift KL between the full corpus (A) and its
+    * label<5 slice (B) under the inlined IVF model — cell assignment is
+    * fully re-derived from the centroid literals like the recall oracles,
+    * then the add-one-smoothed per-cell KL contributions recomputed with
+    * the operator's exact expression shape. */
+  def cellDriftSql(m: Ann.IvfModel): String = {
+    val c = m.numCells
+    s"""WITH cent(cell, cv) AS (VALUES
+       |  ${centValues(m)}),
+       |ccd AS (
+       |  SELECT e.vec_id, e.label, cent.cell,
+       |         ${sq2("e.embedding", "cent.cv")} AS d2
+       |  FROM embeddings e, cent),
+       |assign AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ccd) WHERE rn = 1),
+       |cells AS (SELECT unnest(range(0, $c)) AS cell),
+       |ha AS (SELECT cell, count(*) AS n_a FROM assign GROUP BY cell),
+       |hb AS (SELECT cell, count(*) AS n_b FROM assign WHERE label < 5 GROUP BY cell),
+       |j AS (
+       |  SELECT c.cell, coalesce(ha.n_a, 0) AS n_a, coalesce(hb.n_b, 0) AS n_b
+       |  FROM cells c LEFT JOIN ha USING (cell) LEFT JOIN hb USING (cell)),
+       |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+       |SELECT CAST(cell AS INT) AS cell,
+       |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       round(((n_a + 1.0) / (ta + $c)) *
+       |             ln(((n_a + 1.0) / (ta + $c)) / ((n_b + 1.0) / (tb + $c))), 6)
+       |         + 0.0 AS kl_contrib
+       |FROM j, tot ORDER BY cell""".stripMargin
+  }
+
   /** q48: IVF probe -> cosine top-10 on survivors -> recall vs exact. */
   def ivfRecallSql(m: Ann.IvfModel, nProbe: Int = 4, k: Int = 10): String =
     s"""WITH $qCte,

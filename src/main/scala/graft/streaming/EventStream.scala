@@ -315,9 +315,12 @@ object EventStream {
         // pass; and adaptiveQualityKeep would cut at each batch's OWN
         // percentile (admission would depend on where a doc landed in the
         // stream), so it too belongs to the export/compaction pass
+        // stripBoilerplateMinDocs is corpus-global too (line counts
+        // across the whole corpus, not one batch) — export-pass work
         val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
           spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
-            adaptiveQualityKeep = None, numShards = 0)).data
+            adaptiveQualityKeep = None, stripBoilerplateMinDocs = None,
+            numShards = 0)).data
         commitIngestBatch(gated, idCol, textCol, indexDir, outDir,
           threshold, batchId)
       }

@@ -160,4 +160,22 @@ class KnnSpec extends SparkSpec {
       assert(mine.toSeq === exact.toSeq, s"anchor $q")
     }
   }
+
+  test("cellDrift: zero KL on identical snapshots, positive on a biased slice") {
+    import graft.operators.Ann
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = Ann.trainIvf(embs, "embedding", numCells = 8)
+    val same = Ann.cellDrift(embs, embs, m, "embedding").collect()
+    assert(same.length === 8)
+    // identical histograms: pa == pb exactly per cell, so ln(1) = 0 exactly
+    same.foreach(r => assert(r.getAs[Double]("kl_contrib") === 0.0))
+    val biased = Ann.cellDrift(embs, embs.where(col("label") < 3), m, "embedding")
+      .agg(sum(col("kl_contrib"))).head().getDouble(0)
+    assert(biased > 0.0, s"biased slice must drift, got $biased")
+    // counts line up with direct assignment
+    val counts = Ann.cellDrift(embs, embs.limit(0), m, "embedding")
+      .agg(sum(col("n_a")), sum(col("n_b"))).head()
+    assert(counts.getLong(0) === embs.count())
+    assert(counts.getLong(1) === 0L)
+  }
 }

@@ -173,4 +173,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got === Set(102L, 104L), "planted near-dups must be dropped")
     assert(res.stageCounts() === Seq("input" -> 4L, "near_dedup_index" -> 2L))
   }
+
+  test("boilerplate stage strips shared lines, drops emptied docs, keeps metadata") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "keep me\nSHARED FOOTER", "en"),
+      (2L, "SHARED FOOTER\nalso kept", "de"),
+      (3L, "SHARED FOOTER", "en"),               // emptied -> dropped
+      (4L, "free text no footer", "fr"))
+      .toDF("id", "text", "lang")
+    val spec = PipelineSpec(stripBoilerplateMinDocs = Some(3))
+    val res = Pipeline.prepare(docs, "id", "text", spec, audit = true)
+    val got = res.data.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"), r.getAs[String]("lang")))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "keep me", "en"), (2L, "also kept", "de"),
+      (4L, "free text no footer", "fr")))
+    assert(res.data.columns.toSeq === Seq("id", "text", "lang"),
+      "stage must preserve column order and metadata columns")
+    assert(res.stageCounts() === Seq("input" -> 4L, "boilerplate" -> 3L))
+    // equals the standalone operator modulo the emptied-doc drop
+    val standalone = Dedup.stripBoilerplate(docs, "id", "text", minDocs = 3)
+      .where(col("text") =!= "").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq === standalone.toSeq)
+  }
 }
