@@ -81,6 +81,30 @@ object ModelStore {
     Quantization.PqModel(books.length, books.head.head.length, books)
   }
 
+  // -------------------------------------------------------------------- LR
+
+  /** Quality-classifier weights as (b, w) rows: nonzero buckets, plus
+    * b = -1 carrying the intercept and b = -2 carrying the bucket count
+    * (small exact integers in a double). */
+  def saveLr(spark: SparkSession, m: QualityClassifier.LrModel, dir: String): Unit = {
+    import spark.implicits._
+    val rows = m.weights.zipWithIndex
+      .collect { case (w, b) if w != 0.0 => (b, w) }.toSeq ++
+      Seq((-1, m.intercept), (-2, m.buckets.toDouble))
+    Collections.swapWrite(rows.toDF("b", "w"), s"$dir/data")
+    writeMeta(dir, "lr")
+  }
+
+  def loadLr(spark: SparkSession, dir: String): QualityClassifier.LrModel = {
+    requireKind(dir, "lr")
+    val rows = spark.read.parquet(s"$dir/data").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val buckets = rows(-2).toInt
+    val w = new Array[Double](buckets)
+    rows.foreach { case (b, v) => if (b >= 0) w(b) = v }
+    QualityClassifier.LrModel(w, rows(-1))
+  }
+
   // -------------------------------------------------------------------- SQ
 
   def saveSq(spark: SparkSession, m: Quantization.SqModel, dir: String): Unit = {

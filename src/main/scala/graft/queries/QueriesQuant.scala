@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ann, Knn, ModelStore, Quantization}
+import graft.operators.{Ann, Knn, ModelStore, QualityClassifier, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,6 +23,7 @@ private[queries] object TrainedModels {
   // JVM in practice; last-wins is the matching behavior for a subset run.
   @volatile private[queries] var lastIvf: Option[Ann.IvfModel] = None
   @volatile private[queries] var lastPq: Option[Quantization.PqModel] = None
+  @volatile private[queries] var lastLr: Option[QualityClassifier.LrModel] = None
 
   def ivf(s: SparkSession, dir: String): Ann.IvfModel = synchronized {
     val d = s"${root(dir)}/ivf16"
@@ -32,6 +33,25 @@ private[queries] object TrainedModels {
         numCells = 16, sampleFraction = 0.25), d)
     val m = ModelStore.loadIvf(s, d)
     lastIvf = Some(m)
+    m
+  }
+
+  /** Quality classifier: positives = the English slice, negatives = the
+    * rest — a deterministic seed-set split whose learned weights the q115
+    * oracle inlines (training happens once per JVM; the oracle checks the
+    * SCORING path against whatever was learned, like the recall oracles
+    * check search against whatever was trained). */
+  def lrQuality(s: SparkSession, dir: String): QualityClassifier.LrModel = synchronized {
+    val d = s"${root(dir)}/lr1024"
+    if (!ModelStore.exists(d)) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      ModelStore.saveLr(s, QualityClassifier.train(
+        docs.where(org.apache.spark.sql.functions.col("lang") === "en"),
+        docs.where(org.apache.spark.sql.functions.col("lang") =!= "en"),
+        "text"), d)
+    }
+    val m = ModelStore.loadLr(s, d)
+    lastLr = Some(m)
     m
   }
 
@@ -99,6 +119,21 @@ object QueriesQuant {
     // recall@10 vs exact under the same metric. Rows-only (recall floors
     // asserted in QuantizationSpec); probing ALL cells isolates the
     // PQ+rerank error from cell-miss error.
+    "q72_ivfpq_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      // models load from the persisted sidecar (trained+saved once per
+      // JVM/sf): the timed query pays scan + ADC + rerank, not 9 fits
+      val ivf = TrainedModels.ivf(s, dir)
+      val pq = TrainedModels.pq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = Ann.ivfPqSearch(queries, embs, ivf, pq,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
     // Embedding-distribution drift in cell space (Ann.cellDrift): the
     // label<5 slice vs the full corpus under the persisted IVF model —
     // add-one-smoothed per-cell KL contributions; sum = KL(A||B). The
@@ -113,19 +148,17 @@ object QueriesQuant {
         .orderBy("cell")
     }),
 
-    "q72_ivfpq_recall" -> ((s, dir) => {
-      val embs = t(s, dir, "embeddings")
-      // models load from the persisted sidecar (trained+saved once per
-      // JVM/sf): the timed query pays scan + ADC + rerank, not 9 fits
-      val ivf = TrainedModels.ivf(s, dir)
-      val pq = TrainedModels.pq(s, dir)
-      val queries = QueriesVector.queryBatch(s, dir, 5)
-      val approx = Ann.ivfPqSearch(queries, embs, ivf, pq,
-        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
-        corpusId = "vec_id", vecCol = "embedding")
-      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
-        corpusId = "vec_id", corpusVec = "embedding")
-      Quantization.recallAtK(approx, exact, 10)
+    // Learned quality filter (FineWeb-Edu/DCLM shape): logistic model on
+    // hashed-unigram counts, trained once on the en-vs-rest seed split,
+    // scoring the whole corpus — the oracle recomputes every score from
+    // the inlined learned weights (the scoring path is what runs at
+    // 100 TB; training is a seed-set-sized job).
+    "q115_quality_classifier" -> ((s, dir) => {
+      val m = TrainedModels.lrQuality(s, dir)
+      QualityClassifier.score(t(s, dir, "documents"), m, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+        .orderBy("doc_id")
     }),
 
     // Matryoshka funnel: coarse cosine top-50 on the 32-dim PREFIX of
@@ -305,5 +338,7 @@ object QueriesQuant {
       "q72_ivfpq_recall" -> RecallOracles.ivfPqRecallSql(
         im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
     TrainedModels.lastIvf.map(im =>
-      "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap
+      "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++
+    TrainedModels.lastLr.map(lm =>
+      "q115_quality_classifier" -> RecallOracles.lrScoreSql(lm)).toMap
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ann, Quantization}
+import graft.operators.{Ann, QualityClassifier, Quantization}
 
 /** DuckDB oracle SQL for the approximate-nearest-neighbor RECALL queries
   * (q19/q48/q49/q72) — closing the last `no_oracle` rows.
@@ -162,6 +162,37 @@ object RecallOracles {
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
        |       round(dist, 6) + 0.0 AS dist
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** q115: recompute the logistic quality score from the TRAINED weights
+    * inlined as literals — the same hashed-unigram bucketing as the q95
+    * DSIR oracle, margin = intercept + Σ count_b * w_b, sigmoid, round 4
+    * (per-doc float sums are summation-order-dependent like q95's). */
+  def lrScoreSql(m: QualityClassifier.LrModel): String = {
+    val wvals = m.weights.zipWithIndex
+      .collect { case (w, b) if w != 0.0 => s"($b, ${d(w)})" }
+      .mkString(",\n  ")
+    val b = m.buckets
+    s"""WITH w(b, wt) AS (VALUES
+       |  $wvals),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |         lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+       |  FROM documents),
+       |bk AS (SELECT doc_id,
+       |              ('0x' || substr(md5(t), 1, 8))::BIGINT % $b AS b
+       |       FROM toks),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       |mg AS (
+       |  SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         sum(c * coalesce(w.wt, 0.0)) AS margin
+       |  FROM db LEFT JOIN w USING (b) GROUP BY db.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(mg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       round(1.0 / (1.0 + exp(-(coalesce(mg.margin, 0.0) + ${d(m.intercept)}))), 4)
+       |         + 0.0 AS score
+       |FROM documents d LEFT JOIN mg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q114: cell-histogram drift KL between the full corpus (A) and its
     * label<5 slice (B) under the inlined IVF model — cell assignment is

@@ -286,6 +286,53 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of [[graft.operators.Ann.cellDrift]] — live
+    * embedding-distribution monitoring at the ingest door: each
+    * micro-batch of (vec) rows is assigned to the REFERENCE model's cells
+    * and its histogram compared to the reference snapshot's with the same
+    * add-one-smoothed KL(batch || reference); one (batch_id, n_rows, kl)
+    * row appends per batch. The reference histogram is computed ONCE at
+    * stream start (centroid-sized, lives on the driver); per batch the
+    * only distributed work is the one codegen assignment + numCells-sized
+    * aggregate. An alerting sink reads the tiny output; a drifting
+    * embedder/source shows up as a rising kl series. Idempotent per
+    * batch like the other foreachBatch sinks. */
+  def driftMonitorStream(stream: DataFrame, model: graft.operators.Ann.IvfModel,
+                         reference: DataFrame, vecCol: String,
+                         outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Ann
+    val c = model.numCells
+    def histogram(df: DataFrame): Array[Long] = {
+      val counts = df.where(col(vecCol).isNotNull)
+        .select(Ann.cellId(model)(col(vecCol)).as("cell"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(c)(i => counts.getOrElse(i, 0L))
+    }
+    val ref = histogram(reference)
+    val refTot = ref.sum
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val h = histogram(batch)
+        val tot = h.sum
+        var kl = 0.0
+        var i = 0
+        while (i < c) {
+          val pa = (h(i) + 1.0) / (tot + c)
+          val pb = (ref(i) + 1.0) / (refTot + c)
+          kl += pa * math.log(pa / pb)
+          i += 1
+        }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // batch_id comes back as the partition column on read
+        Seq((tot, kl)).toDF("n_rows", "kl")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+  }
+
   /** Streaming twin of operators.Pipeline — continuous corpus
     * preparation at ingest. Each micro-batch runs the spec's ROW-LOCAL
     * stages exactly as the batch pipeline would (language gate, quality

@@ -391,4 +391,41 @@ class EventStreamSpec extends SparkSpec {
     assert(deep === Seq(102L),
       "post-append replay must not lose the accepted row")
   }
+
+  test("streaming drift monitor: per-batch KL equals the batch cellDrift sum") {
+    import graft.operators.Ann
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Ann.trainIvf(embs, "embedding", numCells = 8)
+    val reference = embs.select(col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift")
+    val batch1 = embs.where(col("vec_id") % 3 === 0)        // corpus-shaped
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batch2 = embs.where(col("label") < 2)               // biased slice
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Seq[Float])] }
+    val q = EventStream.driftMonitorStream(
+      mem.toDF().toDF("vec_id", "embedding"), model, reference, "embedding",
+      s"$tmp/out", s"$tmp/ck")
+    try {
+      mem.addData(batch1.toSeq: _*); q.processAllAvailable()
+      mem.addData(batch2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("batch_id", "n_rows", "kl").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set(0, 1))
+    assert(out(0)._1 === batch1.length.toLong)
+    // a corpus-shaped batch drifts less than a label-biased one
+    assert(out(0)._2 < out(1)._2,
+      s"corpus-shaped kl ${out(0)._2} must be below biased kl ${out(1)._2}")
+    // the streamed number IS the batch operator's: sum of cellDrift
+    // contributions with A = the batch, B = the reference
+    def batchKl(ids: Set[Long]): Double =
+      Ann.cellDrift(embs.where(col("vec_id").isInCollection(ids)), reference,
+          model, "embedding")
+        .agg(sum(col("kl_contrib"))).head().getDouble(0)
+    assert(math.abs(out(1)._2 - batchKl(batch2.map(_._1).toSet)) < 1e-9)
+  }
 }

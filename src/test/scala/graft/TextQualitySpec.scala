@@ -88,4 +88,34 @@ class TextQualitySpec extends SparkSpec {
     val top = Bm25.rrfFuse(vec, kw, k = 1).collect().head.getLong(0)
     assert(top == 200L)
   }
+
+  test("quality classifier: separable seeds, deterministic scoring, model round-trip") {
+    import graft.operators.{ModelStore, QualityClassifier}
+    val pos = (1 to 30).map(i =>
+      s"education curriculum learning school lesson chapter knowledge $i")
+      .toDF("text")
+    val neg = (1 to 30).map(i =>
+      s"casino jackpot bonus winner click subscribe free spins $i")
+      .toDF("text")
+    val m = QualityClassifier.train(pos, neg, "text", buckets = 256, regParam = 0.1)
+    val probes = Seq(
+      (1L, "a lesson about curriculum and learning in school"),
+      (2L, "click for free casino bonus spins jackpot"),
+      (3L, ""))                                        // token-less
+      .toDF("id", "text")
+    val got = QualityClassifier.score(probes, m, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._2 > 0.5, s"positive-domain probe scored ${got(1L)._2}")
+    assert(got(2L)._2 < 0.5, s"negative-domain probe scored ${got(2L)._2}")
+    assert(got(1L)._2 > got(2L)._2)
+    // token-less docs are present and score exactly sigmoid(intercept)
+    assert(got(3L)._1 === 0L)
+    assert(math.abs(got(3L)._2 - 1.0 / (1.0 + math.exp(-m.intercept))) < 1e-12)
+    // ModelStore round-trip is exact
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    ModelStore.saveLr(spark, m, dir)
+    val re = ModelStore.loadLr(spark, dir)
+    assert(re.intercept === m.intercept)
+    assert(re.weights.toSeq === m.weights.toSeq)
+  }
 }
