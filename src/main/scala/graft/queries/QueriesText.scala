@@ -451,6 +451,16 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+
+    // One-call corpus profile (operators.CorpusReport): the curation-run
+    // dashboard numbers — doc/token totals, mean heuristic quality,
+    // language mix, exact-duplicate share — as a lazy union of aggregates
+    // over one logical scan; the oracle recomputes every stat from the
+    // battery's proven token/quality/fingerprint SQL formulas.
+    "q116_corpus_profile" -> ((s, dir) =>
+      graft.operators.CorpusReport.profile(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+
     // End-to-end training-data pipeline: lang gate -> quality floor ->
     // exact dedup -> mixture sample -> shard, as ONE composed plan
     // (operators.Pipeline). Every stage is individually oracle-checked
@@ -1332,6 +1342,51 @@ object QueriesText {
         |SELECT c.doc_id, coalesce(a.text, '') AS text
         |FROM corpus c LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q116_corpus_profile" ->
+      """WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+        |tq AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+        |    length(text) * 1.0 AS n_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) * 1.0 AS punct
+        |  FROM corpus),
+        |cq AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+        |    CASE WHEN len(tk) > 0
+        |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+        |         ELSE 0.0 END AS mwl,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+        |  FROM tq),
+        |qs AS (
+        |  SELECT doc_id, round(
+        |      least(n_chars / 500.0, 1.0) * 0.3
+        |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+        |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+        |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS q
+        |  FROM cq),
+        |tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS tok,
+        |    md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |n AS (SELECT count(*) * 1.0 AS n FROM corpus),
+        |stats AS (
+        |  SELECT 'n_docs' AS stat, count(*) * 1.0 AS value FROM corpus
+        |  UNION ALL SELECT 'total_ws_tokens', sum(tok) * 1.0 FROM tok
+        |  UNION ALL SELECT 'mean_ws_tokens', avg(tok) FROM tok
+        |  UNION ALL SELECT 'mean_quality', avg(q) FROM qs
+        |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) * 1.0 FROM corpus
+        |  UNION ALL SELECT 'top_lang_share',
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM corpus GROUP BY lang)) / n.n
+        |    FROM n
+        |  UNION ALL SELECT 'dup_doc_share',
+        |    coalesce((SELECT sum(c) FROM (
+        |        SELECT count(*) AS c FROM tok GROUP BY fp) WHERE c >= 2), 0) / n.n
+        |    FROM n)
+        |SELECT stat, round(value, 6) + 0.0 AS value FROM stats
+        |ORDER BY stat""".stripMargin,
 
     "q108_pipeline_audit" ->
       s"""WITH corpus AS (

@@ -118,4 +118,24 @@ class TextQualitySpec extends SparkSpec {
     assert(re.intercept === m.intercept)
     assert(re.weights.toSeq === m.weights.toSeq)
   }
+
+  test("corpus profile: closed-form stats on a tiny fixture") {
+    import graft.operators.CorpusReport
+    val docs = Seq(
+      (1L, "one two three", "en"),
+      (2L, "one two three", "en"),     // exact dup of 1
+      (3L, "vier funf", "de"),
+      (4L, null.asInstanceOf[String], "en"))  // null text: excluded
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusReport.profile(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") === 3.0)
+    assert(got("total_ws_tokens") === 8.0)
+    assert(math.abs(got("mean_ws_tokens") - 8.0 / 3.0) < 1e-6)
+    assert(got("n_langs") === 2.0)
+    assert(math.abs(got("top_lang_share") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(got("dup_doc_share") - 2.0 / 3.0) < 1e-6)
+    assert(got("mean_quality") > 0.0 && got("mean_quality") < 1.0)
+    assert(got.keySet.size === 7)
+  }
 }
