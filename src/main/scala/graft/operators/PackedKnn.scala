@@ -865,6 +865,11 @@ object PackedKnn {
         .group(1).toInt
     val n = intField("numPartitions")
     val dim = intField("dim")
+    if (n == 0) {
+      // a zero-partition corpus round-trips as a zero-partition corpus
+      // (parallelize requires a positive slice count)
+      return (sc.emptyRDD[Block[I]].setName(residentName), dim)
+    }
     val cm = confMap(sc)
     val blocks: RDD[Block[I]] = sc.parallelize(0 until n, n)
       .mapPartitionsWithIndex { (i, _) =>
