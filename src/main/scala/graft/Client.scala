@@ -444,16 +444,19 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedMaintained = false
     result.write.mode("overwrite").parquet(tmpPath.toString)
     maintain
+    // the slab sidecar is a point-in-time snapshot of the data dir; any
+    // mutation makes it stale — drop it BEFORE the swap, so every crash
+    // window is consistent: crash after the drop = old data + a cold
+    // rebuild (lost warm start, correct results); dropping after the
+    // swap would leave a window where new data coexists with a stale
+    // sidecar a later session warm-starts from. Re-save after bulk CRUD
+    // with saveResidentIndex().
+    dropSlabSidecars()
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
     if (!packedMaintained) releasePackedIndex()
-    // the slab sidecar is a point-in-time snapshot of the data dir; any
-    // mutation makes it stale — drop it so a later warm start can never
-    // reopen slabs that no longer reflect the data (re-save after bulk
-    // CRUD with saveResidentIndex())
-    dropSlabSidecars()
   }
 
   @transient private var packedMaintained = false
@@ -534,7 +537,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * zero Exchange, zero parquet decode — instead of re-running the
     * pack scan+shuffle (at 100 TB a restart would otherwise repeat a
     * full corpus job). Mutations delete the sidecar (it is a snapshot),
-    * so a warm start can never serve stale slabs. */
+    * so a warm start can never serve stale slabs. Note the recompute
+    * contract this implies: a warm-started index's lineage reads the
+    * slab files, so once a mutation drops them, a lost executor's
+    * partitions cannot be recomputed — rebuild via buildPackedIndex()
+    * on such a failure (the reference's process-resident matrix dies
+    * with its process the same way; MEMORY_AND_DISK spills rather than
+    * evicts, so steady-state memory pressure never hits this path). */
   def buildPackedIndex(): Unit = {
     releasePackedIndex()
     packedIdx = Some(
@@ -822,6 +831,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * maintenance; rebuild after the distribution shifts materially. */
   def buildVectorIndex(numCells: Int = 64, sampleFraction: Double = 1.0,
                        seed: Long = 42L): Unit = {
+    // the durable IVF slab sidecar's partition-per-cell layout (and the
+    // model riding inside it) belong to the OLD quantizer — delete it
+    // BEFORE persisting the new model, so a crash between the two leaves
+    // "new model, no sidecar" (cold re-pack, correct) instead of "new
+    // model, old-model sidecar" (a later warm start silently diverging
+    // from annQuery)
+    val sidecar = new org.apache.hadoop.fs.Path(packedIvfDir)
+    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sidecar, true)
     ModelStore.saveIvf(spark,
       Ann.trainIvf(df.where(col("embedding").isNotNull), "embedding",
         numCells, seed, sampleFraction = sampleFraction),
@@ -831,11 +849,6 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // FLAT packed index is model-independent and stays warm.
     packedIvfIdx.foreach(_.unpersist())
     packedIvfIdx = None
-    // likewise the durable IVF slab sidecar: its partition-per-cell layout
-    // was the OLD model's
-    val sidecar = new org.apache.hadoop.fs.Path(packedIvfDir)
-    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sidecar, true)
   }
 
   /** Approximate batch query through the persisted IVF index: each query

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * primitives: whitespace token counts, the heuristic quality score, the
   * exact-dedup fingerprint and the language column. Long format
   * (stat, value) like PropertyGraph.stats, and like it a LAZY union of
-  * aggregates — the caller pays one action, and every branch is either a
-  * scan-level aggregate or a fingerprint/lang-keyed count, nothing
-  * wider. */
+  * aggregates — the caller pays one action and THREE corpus scans (one
+  * folded scan-level aggregation, one lang-keyed count, one
+  * fingerprint-keyed count), nothing wider. */
 object CorpusReport {
 
   /** Profile rows, ordered by stat name:
@@ -28,27 +28,32 @@ object CorpusReport {
         TextAnalysis.wsTokenCount(col(textCol)).as("_tok"),
         round(TextAnalysis.qualityScore(col(textCol)), 6).as("_q"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp"))
-    def one(name: String, v: Column, df: DataFrame): DataFrame =
-      df.agg(v.cast("double").as("_v"))
-        .select(lit(name).as("stat"),
-          (round(col("_v"), 6) + lit(0.0)).as("value"))
-    val nTotal = base.agg(count(lit(1)).as("_n"))
-    val langCounts = base.groupBy("_lang").agg(count(lit(1)).as("_c"))
-    val fpCounts = base.groupBy("_fp").agg(count(lit(1)).as("_c"))
-    one("n_docs", count(lit(1)), base)
-      .unionByName(one("total_ws_tokens", sum(col("_tok")), base))
-      .unionByName(one("mean_ws_tokens", avg(col("_tok")), base))
-      .unionByName(one("mean_quality", avg(col("_q")), base))
-      .unionByName(one("n_langs", countDistinct(col("_lang")), base))
-      .unionByName(
-        langCounts.agg(max(col("_c")).as("_m")).crossJoin(broadcast(nTotal))
-          .select(lit("top_lang_share").as("stat"),
-            (round(col("_m").cast("double") / col("_n"), 6) + lit(0.0)).as("value")))
-      .unionByName(
-        fpCounts.where(col("_c") >= 2).agg(coalesce(sum(col("_c")), lit(0L)).as("_d"))
-          .crossJoin(broadcast(nTotal))
-          .select(lit("dup_doc_share").as("stat"),
-            (round(col("_d").cast("double") / col("_n"), 6) + lit(0.0)).as("value")))
-      .orderBy("stat")
+    def emit(name: String, v: Column): Column =
+      struct(lit(name).as("stat"), (round(v.cast("double"), 6) + lit(0.0)).as("value"))
+    // THREE scans of the corpus total: the five scan-level stats fold
+    // into ONE aggregation row and unpivot from it; top_lang_share and
+    // dup_doc_share each derive BOTH their numerator and the corpus
+    // total from their own keyed count relation (sum of group counts =
+    // n), so neither needs a separate counting pass
+    val core = base.agg(count(lit(1)).as("_n"), sum(col("_tok")).as("_t"),
+        avg(col("_tok")).as("_mt"), avg(col("_q")).as("_mq"),
+        countDistinct(col("_lang")).as("_nl"))
+      .select(explode(array(
+        emit("n_docs", col("_n")),
+        emit("total_ws_tokens", col("_t")),
+        emit("mean_ws_tokens", col("_mt")),
+        emit("mean_quality", col("_mq")),
+        emit("n_langs", col("_nl")))).as("_s"))
+      .select(col("_s.stat").as("stat"), col("_s.value").as("value"))
+    val topLang = base.groupBy("_lang").agg(count(lit(1)).as("_c"))
+      .agg(max(col("_c")).as("_m"), sum(col("_c")).as("_n"))
+      .select(lit("top_lang_share").as("stat"),
+        (round(col("_m").cast("double") / col("_n"), 6) + lit(0.0)).as("value"))
+    val dupShare = base.groupBy("_fp").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(when(col("_c") >= 2, col("_c"))), lit(0L)).as("_d"),
+        sum(col("_c")).as("_n"))
+      .select(lit("dup_doc_share").as("stat"),
+        (round(col("_d").cast("double") / col("_n"), 6) + lit(0.0)).as("value"))
+    core.unionByName(topLang).unionByName(dupShare).orderBy("stat")
   }
 }

@@ -735,26 +735,38 @@ object Dedup {
     try {
       val probeBuckets = bandsB.select("_bb").distinct()
         .collect().map(_.getInt(0)).toSeq
-      // same-id matches are excluded: a batch doc that IS an indexed doc
-      // (same id) is a re-delivery, not a near-duplicate — this makes the
-      // survivor set a pure function of (batch, index MINUS batch ids),
-      // so an at-least-once replay that already appended its survivors
-      // recomputes the SAME survivors instead of dropping them against
-      // their own signatures (EventStream.commitIngestBatch leans on
-      // this). Exact-key dedup across deliveries is dedupByKey's job.
+      // index entries whose doc id appears IN THE BATCH are excluded
+      // entirely: the batch is deduplicated against (index MINUS the
+      // batch's own ids), so the survivor set is a pure function of the
+      // batch and the PRE-batch index state. An at-least-once replay
+      // whose signatures already landed (EventStream.commitIngestBatch's
+      // crash window) therefore recomputes the SAME survivors — including
+      // when the batch holds mutually-near-duplicate docs with distinct
+      // ids, which a mere same-id pair filter would drop against each
+      // other's ghost signatures on replay. Exact-key dedup across
+      // deliveries is dedupByKey's job. The batch-id relation is
+      // batch-sized and broadcasts.
+      val batchIds = batch.select(col(idCol).as("_cdoc")).distinct()
       val cand = spark.read.parquet(s"$dir/bands")
         .where(col("_bb").isin(probeBuckets: _*))
         .join(broadcast(bandsB.select(col("_bb"), col("band"), col("band_sig"),
           col("doc").as("_bdoc"))), Seq("_bb", "band", "band_sig"))
-        .where(col("doc") =!= col("_bdoc"))
         .select(col("doc").as("_cdoc"), col("_bdoc")).distinct()
+        .join(broadcast(batchIds), Seq("_cdoc"), "left_anti")
         .persist()
       try {
         val candBuckets = cand
           .select(docBucket(st.docBuckets)(col("_cdoc")).as("_db"))
           .distinct().collect().map(_.getInt(0)).toSeq
+        // the shingle relation is logically a SET: an at-least-once index
+        // append that crashed before its marker can leave a doc's rows
+        // doubled, and duplicated h rows would inflate the intersection
+        // count past the union size (wrong Jaccard; denominator can even
+        // hit zero). distinct() on the bucket-pruned read restores set
+        // semantics at O(probed bytes)
         val corpusSh = spark.read.parquet(s"$dir/shingles")
           .where(col("_db").isin(candBuckets: _*))
+          .select(col("doc"), col("n_sh"), col("h")).distinct()
         val dupIds = cand
           .join(corpusSh.select(col("doc").as("_cdoc"),
             col("n_sh").as("_nc"), col("h")), Seq("_cdoc"))

@@ -77,14 +77,27 @@ object Knn {
                     queryId: String = "query_id", queryVec: String = "query_vec",
                     queryLabel: String = "query_label",
                     corpusId: String = "id", corpusVec: String = "vec",
-                    corpusLabel: String = "label"): DataFrame = {
+                    corpusLabel: String = "label"): DataFrame =
+    broadcastTopK(
+      corpus.select(col(corpusId).cast("long").as("_cid"),
+        col(corpusVec).as("_cvec"), col(corpusLabel).as("_clab")),
+      queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"),
+        col(queryLabel).as("_qlab")),
+      k, metric, queryId,
+      pairFilter = Some(!(col("_clab") <=> col("_qlab"))))
+
+  /** Shared broadcast top-k core of [[knnJoin]] / [[hardNegatives]]: the
+    * corpus crossed with the broadcast query batch (optionally filtered
+    * by a per-PAIR predicate over the prefixed columns), distances
+    * scored, k kept per query by the bounded aggregator, unpacked to
+    * (queryId, rank, neighbor_id, dist). One place owns the cast policy,
+    * tie-breaking and output schema for both entry points. */
+  private def broadcastTopK(corpusSide: DataFrame, querySide: DataFrame,
+                            k: Int, metric: String, queryId: String,
+                            pairFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Neighbor]())
-    corpus
-      .select(col(corpusId).cast("long").as("_cid"), col(corpusVec).as("_cvec"),
-        col(corpusLabel).as("_clab"))
-      .crossJoin(broadcast(queries.select(col(queryId).as("_qid"),
-        col(queryVec).as("_qvec"), col(queryLabel).as("_qlab"))))
-      .where(!(col("_clab") <=> col("_qlab")))
+    val crossed = corpusSide.crossJoin(broadcast(querySide))
+    pairFilter.map(crossed.where).getOrElse(crossed)
       .select(col("_qid"), col("_cid"),
         vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
       .groupBy(col("_qid").as(queryId))
@@ -110,20 +123,11 @@ object Knn {
               corpusId: String = "id", corpusVec: String = "vec",
               filter: Option[Filter] = None): DataFrame = {
     val filtered = filter.map(f => corpus.where(f.compile)).getOrElse(corpus)
-    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Neighbor]())
-    val joined = filtered
-      .select(col(corpusId).cast("long").as("_cid"), col(corpusVec).as("_cvec"))
-      .crossJoin(broadcast(queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"))))
-      .select(col("_qid"), col("_cid"),
-        vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
-    joined
-      .groupBy(col("_qid").as(queryId))
-      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
-      .select(col(queryId), posexplode(col("_nbrs")).as(Seq("_pos", "_n")))
-      .select(col(queryId),
-        (col("_pos") + 1).cast("int").as("rank"),
-        col("_n.id").as("neighbor_id"),
-        col("_n.dist").as("dist"))
+    broadcastTopK(
+      filtered.select(col(corpusId).cast("long").as("_cid"),
+        col(corpusVec).as("_cvec")),
+      queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec")),
+      k, metric, queryId, pairFilter = None)
   }
 
   case class NeighborS(id: String, dist: Double)

@@ -580,24 +580,28 @@ object PackedKnn {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val kk = k
     val m = metric
-    val cells = pi.blocks.mapPartitions(mergeBlocks[Long],
-      preservesPartitioning = true)
+    // the merged view is consumed exactly ONCE (the same-cell scoring);
+    // the rim path reads the PERSISTED raw blocks directly — deriving rim
+    // copies and hosting rim queries per generation block needs no merge,
+    // and re-merging per consumer would re-copy the whole corpus
     val same: RDD[(Long, Long, Double)] =
-      cells.mapPartitions(_.flatMap(b =>
+      pi.blocks.mapPartitions(it => mergeBlocks[Long](it).flatMap(b =>
         scorePair(b, b, kk, m, bothSides = false)))
     val partials =
       if (nProbe <= 1) same
-      else same.union(rimPartials(cells, pi.model, kk, m, nProbe))
+      else same.union(rimPartials(pi.blocks, pi.model, kk, m, nProbe))
     graphResult(partials, kk)
   }
 
   /** Rim-expansion partials for [[knnGraphIvf]]: route a (id, vec) COPY of
     * every row to its 2nd..nProbe-th nearest cells as a QUERY-only block,
-    * then score each rim block against its host cell's slab one-directional
-    * (rim rows gain cross-cell neighbors; the host slab never moves). The
-    * row's HOME partition is excluded by position, not by recomputed
-    * nearest-cell (floating-point ties could disagree with the stored
-    * layout), so a rim copy never re-scores its own cell. */
+    * then score each rim block against its host cell's generation blocks
+    * one-directional (rim rows gain cross-cell neighbors; the host slabs
+    * never move, and the downstream top-k merge combines per-generation
+    * partials, so no merge pass is needed here). The row's HOME partition
+    * is excluded by position, not by recomputed nearest-cell
+    * (floating-point ties could disagree with the stored layout), so a
+    * rim copy never re-scores its own cell. */
   private def rimPartials(cells: RDD[Block[Long]], model: Ann.IvfModel,
                           k: Int, metric: String,
                           nProbe: Int): RDD[(Long, Long, Double)] = {

@@ -455,7 +455,7 @@ object QueriesText {
     // One-call corpus profile (operators.CorpusReport): the curation-run
     // dashboard numbers — doc/token totals, mean heuristic quality,
     // language mix, exact-duplicate share — as a lazy union of aggregates
-    // over one logical scan; the oracle recomputes every stat from the
+    // over three corpus scans; the oracle recomputes every stat from the
     // battery's proven token/quality/fingerprint SQL formulas.
     "q116_corpus_profile" -> ((s, dir) =>
       graft.operators.CorpusReport.profile(

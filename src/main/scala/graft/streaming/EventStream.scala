@@ -364,6 +364,17 @@ object EventStream {
         // stream), so it too belongs to the export/compaction pass
         // stripBoilerplateMinDocs is corpus-global too (line counts
         // across the whole corpus, not one batch) — export-pass work
+        val globalKnobs = Seq(
+          spec.nearDupThreshold.map(_ => "nearDupThreshold"),
+          spec.nearDupIndexDir.map(_ => "nearDupIndexDir"),
+          spec.adaptiveQualityKeep.map(_ => "adaptiveQualityKeep"),
+          spec.stripBoilerplateMinDocs.map(_ => "stripBoilerplateMinDocs"),
+          if (spec.numShards > 0) Some("numShards") else None).flatten
+        if (globalKnobs.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
+            s"prepareIngestStream ignores corpus-global pipeline knobs " +
+              s"(${globalKnobs.mkString(", ")}): near-dup is the index probe, " +
+              "the rest belong to the export/compaction pass")
         val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
           spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
             adaptiveQualityKeep = None, stripBoilerplateMinDocs = None,
@@ -387,37 +398,37 @@ object EventStream {
 
   /** Shared per-micro-batch commit of the ingest-dedup sinks, shaped for
     * foreachBatch's AT-LEAST-ONCE replay:
-    *  1. the survivor set is REPLAY-STABLE: dedupAgainstIndex excludes
-    *     same-id matches, so a batch whose own signatures already landed
-    *     in the index (crash after the append) recomputes the SAME
-    *     survivors instead of dropping its docs against themselves;
-    *  2. survivors OVERWRITE their own `batch_id=N` subdir of the corpus —
+    *  1. a batch whose committed-marker exists is SKIPPED entirely — a
+    *     replay of a fully-committed batch touches nothing;
+    *  2. otherwise the survivor set is REPLAY-STABLE: dedupAgainstIndex
+    *     dedups against (index MINUS the batch's own ids), so signatures
+    *     this very batch already appended (crash between the append and
+    *     its marker) cannot drop its docs — not even mutually-near-dup
+    *     batch docs with distinct ids, which would otherwise vanish
+    *     against each other's ghost signatures on replay;
+    *  3. survivors OVERWRITE their own `batch_id=N` subdir of the corpus —
     *     a replayed batch rewrites identical rows instead of appending
     *     duplicates (same stance as [[knnQueryStream]]);
-    *  3. the index append runs only while the batch's committed-marker is
-    *     absent, and the marker lands after the append — a replay of a
-    *     fully-committed batch rewrites the corpus subdir (idempotent)
-    *     and touches neither sidecar relation. The remaining window
-    *     (crash between the append and its marker) can double a doc's
-    *     signature rows on retry; that only makes near-dup verification
-    *     MORE aggressive around those docs, never admits a duplicate,
-    *     and compaction does not depend on row uniqueness. */
+    *  4. the index append runs before the marker lands, so the only
+    *     repeatable side effect is a doubled signature append in the
+    *     append-to-marker window; doubled rows make near-dup verification
+    *     MORE aggressive around those docs, never admit a duplicate, and
+    *     compaction does not depend on row uniqueness. */
   private[graft] def commitIngestBatch(batch: DataFrame, idCol: String, textCol: String,
                                 indexDir: String, outDir: String,
                                 threshold: Double, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_committed_batch_$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
     val survivors = graft.operators.Dedup
       .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
       .persist()
     try {
       survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$indexDir/_committed_batch_$batchId")
-      val fs = marker.getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
-        fs.create(marker, true).close()
-      }
+      graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
+      fs.create(marker, true).close()
     } finally survivors.unpersist()
   }
 }

@@ -390,6 +390,38 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(deep === Seq(102L),
       "post-append replay must not lose the accepted row")
+    // the killer case: a batch holding MUTUALLY-near-duplicate docs with
+    // distinct ids. Both are admitted (intra-batch dedup is not the index
+    // probe's job), both signatures land; a replay whose marker was lost
+    // must NOT drop them against each other's ghost signatures (the
+    // batch's own ids are excluded from the index probe wholesale)
+    val twins = Seq(
+      (301L, "identical twin sentence with many shared words here"),
+      (302L, "identical twin sentence with many shared words here"))
+      .toDF("doc_id", "text")
+    EventStream.commitIngestBatch(twins, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 8L)
+    val admitted = spark.read.parquet(outDir)
+      .where(col("batch_id") === 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(301L, 302L))
+    val marker8 = new org.apache.hadoop.fs.Path(s"$ixDir/_committed_batch_8")
+    assert(fs.delete(marker8, false))
+    EventStream.commitIngestBatch(twins, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 8L)
+    val afterReplay = spark.read.parquet(outDir)
+      .where(col("batch_id") === 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterReplay === Set(301L, 302L),
+      "replayed twins must not vanish against their own ghost signatures")
+    // and a LATER batch near-dupping the twins is still caught
+    val echo = Seq((401L, "identical twin sentence with many shared words here"))
+      .toDF("doc_id", "text")
+    EventStream.commitIngestBatch(echo, "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 9L)
+    val echoRows = spark.read.parquet(outDir)
+      .where(col("batch_id") === 9).count()
+    assert(echoRows === 0L, "a later duplicate of the twins must be dropped")
   }
 
   test("streaming drift monitor: per-batch KL equals the batch cellDrift sum") {
