@@ -831,19 +831,20 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * maintenance; rebuild after the distribution shifts materially. */
   def buildVectorIndex(numCells: Int = 64, sampleFraction: Double = 1.0,
                        seed: Long = 42L): Unit = {
-    // the durable IVF slab sidecar's partition-per-cell layout (and the
-    // model riding inside it) belong to the OLD quantizer — delete it
-    // BEFORE persisting the new model, so a crash between the two leaves
-    // "new model, no sidecar" (cold re-pack, correct) instead of "new
-    // model, old-model sidecar" (a later warm start silently diverging
-    // from annQuery)
+    // train FIRST (a crash mid-training must leave everything intact),
+    // then delete the IVF slab sidecar — its partition-per-cell layout
+    // (and the model riding inside it) belong to the OLD quantizer —
+    // and only then persist the new model. Every crash window is
+    // consistent: before the delete = old model + old sidecar; between
+    // the two = old model (or new, below) + no sidecar, a cold re-pack;
+    // never "new model, old-model sidecar" (a warm start silently
+    // diverging from annQuery).
+    val trained = Ann.trainIvf(df.where(col("embedding").isNotNull),
+      "embedding", numCells, seed, sampleFraction = sampleFraction)
     val sidecar = new org.apache.hadoop.fs.Path(packedIvfDir)
     sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(sidecar, true)
-    ModelStore.saveIvf(spark,
-      Ann.trainIvf(df.where(col("embedding").isNotNull), "embedding",
-        numCells, seed, sampleFraction = sampleFraction),
-      ivfDir)
+    ModelStore.saveIvf(spark, trained, ivfDir)
     // the resident cell-partitioned packing was laid out by the OLD
     // model — serving from it would silently diverge from annQuery. The
     // FLAT packed index is model-independent and stays warm.

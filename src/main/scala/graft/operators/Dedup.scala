@@ -736,16 +736,19 @@ object Dedup {
       val probeBuckets = bandsB.select("_bb").distinct()
         .collect().map(_.getInt(0)).toSeq
       // index entries whose doc id appears IN THE BATCH are excluded
-      // entirely: the batch is deduplicated against (index MINUS the
-      // batch's own ids), so the survivor set is a pure function of the
-      // batch and the PRE-batch index state. An at-least-once replay
-      // whose signatures already landed (EventStream.commitIngestBatch's
-      // crash window) therefore recomputes the SAME survivors — including
-      // when the batch holds mutually-near-duplicate docs with distinct
-      // ids, which a mere same-id pair filter would drop against each
-      // other's ghost signatures on replay. Exact-key dedup across
-      // deliveries is dedupByKey's job. The batch-id relation is
-      // batch-sized and broadcasts.
+      // entirely: the batch is deduplicated against the index entries of
+      // OTHER ids, so an at-least-once replay whose signatures already
+      // landed (EventStream.commitIngestBatch's crash window) recomputes
+      // the SAME survivors — including when the batch holds mutually-
+      // near-duplicate docs with distinct ids, which a mere same-id pair
+      // filter would drop against each other's ghost signatures on
+      // replay. CONTRACT this implies: batch ids are FRESH (never ids of
+      // previously accepted docs) — an id collision with the standing
+      // index is indistinguishable from this batch's own replay, and its
+      // standing signatures are skipped (a near-dup of THAT doc's content
+      // could slip through). Exact-key re-delivery belongs upstream
+      // (dedupByKey / CRUD upsert), not to the content gate. The batch-id
+      // relation is batch-sized and broadcasts.
       val batchIds = batch.select(col(idCol).as("_cdoc")).distinct()
       val cand = spark.read.parquet(s"$dir/bands")
         .where(col("_bb").isin(probeBuckets: _*))

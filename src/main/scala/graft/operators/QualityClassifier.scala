@@ -51,9 +51,14 @@ object QualityClassifier {
     require(buckets > 0, s"buckets must be positive: $buckets")
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors
+    // materialized BEFORE branching: _uid is evaluated once, so the
+    // feature branch and the label branch can never disagree on a row's
+    // id (two lazy evaluations of monotonically_increasing_id over a
+    // nondeterministically-ordered input would silently mislabel)
     val labeled = pos.select(col(textCol).as("_txt"), lit(1.0).as("_lab"))
       .unionByName(neg.select(col(textCol).as("_txt"), lit(0.0).as("_lab")))
       .withColumn("_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val nb = buckets
     val toVec = udf((bs: Seq[org.apache.spark.sql.Row]) =>
       Vectors.sparse(nb, bs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))

@@ -168,8 +168,10 @@ object RecallOracles {
     * DSIR oracle, margin = intercept + Σ count_b * w_b, sigmoid, round 4
     * (per-doc float sums are summation-order-dependent like q95's). */
   def lrScoreSql(m: QualityClassifier.LrModel): String = {
-    val wvals = m.weights.zipWithIndex
-      .collect { case (w, b) if w != 0.0 => s"($b, ${d(w)})" }
+    // sentinel bucket -1 keeps the VALUES list non-empty even for a
+    // degenerate all-zero-weight model (it can never match a real bucket)
+    val wvals = (m.weights.zipWithIndex
+      .collect { case (w, b) if w != 0.0 => s"($b, ${d(w)})" } :+ "(-1, 0.0)")
       .mkString(",\n  ")
     val b = m.buckets
     s"""WITH w(b, wt) AS (VALUES

@@ -352,37 +352,39 @@ object EventStream {
                           indexDir: String, outDir: String,
                           checkpointDir: String,
                           threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    {
+    // only ROW-LOCAL stages run per micro-batch, so batch boundaries
+    // cannot change the outcome: corpus-global knobs are cleared —
+    // near-dup clustering and the index stage are represented by this
+    // stream's own index probe; shard layout belongs to the export pass;
+    // adaptiveQualityKeep would cut at each batch's OWN percentile and
+    // stripBoilerplateMinDocs counts lines across the whole corpus, so
+    // both belong to the export/compaction pass. Warned ONCE at stream
+    // construction, not per micro-batch.
+    val globalKnobs = Seq(
+      spec.nearDupThreshold.map(_ => "nearDupThreshold"),
+      spec.nearDupIndexDir.map(_ => "nearDupIndexDir"),
+      spec.adaptiveQualityKeep.map(_ => "adaptiveQualityKeep"),
+      spec.stripBoilerplateMinDocs.map(_ => "stripBoilerplateMinDocs"),
+      if (spec.numShards > 0) Some("numShards") else None).flatten
+    if (globalKnobs.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
+        s"prepareIngestStream ignores corpus-global pipeline knobs " +
+          s"(${globalKnobs.mkString(", ")}): near-dup is the index probe, " +
+          "the rest belong to the export/compaction pass")
+    val batchSpec = spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
+      adaptiveQualityKeep = None, stripBoilerplateMinDocs = None,
+      numShards = 0)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // only ROW-LOCAL stages run per micro-batch, so batch boundaries
-        // cannot change the outcome: corpus-global knobs are cleared —
-        // near-dup clustering and the index stage are represented by THIS
-        // function's own index probe; shard layout belongs to the export
-        // pass; and adaptiveQualityKeep would cut at each batch's OWN
-        // percentile (admission would depend on where a doc landed in the
-        // stream), so it too belongs to the export/compaction pass
-        // stripBoilerplateMinDocs is corpus-global too (line counts
-        // across the whole corpus, not one batch) — export-pass work
-        val globalKnobs = Seq(
-          spec.nearDupThreshold.map(_ => "nearDupThreshold"),
-          spec.nearDupIndexDir.map(_ => "nearDupIndexDir"),
-          spec.adaptiveQualityKeep.map(_ => "adaptiveQualityKeep"),
-          spec.stripBoilerplateMinDocs.map(_ => "stripBoilerplateMinDocs"),
-          if (spec.numShards > 0) Some("numShards") else None).flatten
-        if (globalKnobs.nonEmpty)
-          org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
-            s"prepareIngestStream ignores corpus-global pipeline knobs " +
-              s"(${globalKnobs.mkString(", ")}): near-dup is the index probe, " +
-              "the rest belong to the export/compaction pass")
         val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
-          spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
-            adaptiveQualityKeep = None, stripBoilerplateMinDocs = None,
-            numShards = 0)).data
+          batchSpec).data
         commitIngestBatch(gated, idCol, textCol, indexDir, outDir,
           threshold, batchId)
       }
       .start()
+    }
 
   def dedupIngestStream(stream: DataFrame, idCol: String, textCol: String,
                         indexDir: String, outDir: String,
@@ -417,18 +419,28 @@ object EventStream {
   private[graft] def commitIngestBatch(batch: DataFrame, idCol: String, textCol: String,
                                 indexDir: String, outDir: String,
                                 threshold: Double, batchId: Long): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexDir/_committed_batch_$batchId")
-    val fs = marker.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return
     val survivors = graft.operators.Dedup
       .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
       .persist()
     try {
       survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
-      fs.create(marker, true).close()
+      // the marker gates ONLY the index append (a re-append is harmless —
+      // the probe reads signatures as a set — it just drifts the nDocs
+      // stat); it must never gate the corpus write, so a marker that is
+      // somehow wrong for this batch can cost at most a duplicate append,
+      // never silently swallow a batch's output. checkpointDir, outDir
+      // and indexDir are ONE stream instance: resetting the checkpoint
+      // while reusing the other two restarts batch ids at 0 and is
+      // undefined (batch-stamped dirs would collide) — point a fresh
+      // stream at fresh dirs.
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$indexDir/_committed_batch_$batchId")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
+        fs.create(marker, true).close()
+      }
     } finally survivors.unpersist()
   }
 }

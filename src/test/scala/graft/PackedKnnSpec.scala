@@ -469,4 +469,17 @@ class PackedKnnSpec extends SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("ragged")), messages.mkString(" | "))
   }
+
+  test("slab sidecar round-trips a zero-partition corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slabs0").toString
+    val empty = new PackedKnn.PackedCorpus[Long](
+      spark.sparkContext.emptyRDD[PackedKnn.Block[Long]], 0)
+    PackedKnn.saveSlabs(empty, s"$tmp/zero")
+    assert(PackedKnn.slabsExist(spark, s"$tmp/zero"))
+    val re = PackedKnn.loadSlabs[Long](spark, s"$tmp/zero")
+    assert(re.blocks.getNumPartitions === 0)
+    val res = PackedKnn.search(re, Array((1L, Array(1f, 0f))), 3, "cosine")
+    assert(res.length === 1 && res.head._2.isEmpty,
+      "searching an empty reopened corpus yields empty neighbor lists")
+  }
 }
