@@ -389,6 +389,50 @@ final class GraftCollection(spark: SparkSession, dir: String,
                    valPct: Int = 10): DataFrame =
     graft.operators.Sampling.assignSplits(df, "id", strataCol, trainPct, valPct)
 
+  /** One-call corpus dashboard: doc/token totals, mean heuristic quality,
+    * language mix, exact-duplicate share (operators.CorpusReport). */
+  def profile(langCol: String = "lang"): DataFrame =
+    graft.operators.CorpusReport.profile(df, "id", "document", langCol)
+
+  /** Rebuild every document with corpus-widely duplicated lines stripped
+    * (nav/cookie/footer boilerplate — Dedup.stripBoilerplate); emptied
+    * docs come back with empty text for the caller's drop policy. */
+  def stripBoilerplate(minDocs: Int = 2): DataFrame =
+    Dedup.stripBoilerplate(
+      df.where(col("document").isNotNull).select(col("id"), col("document")),
+      "id", "document", minDocs)
+
+  /** Train the learned quality filter from positive/negative seed doc
+    * sets (operators.QualityClassifier — FineWeb-Edu/DCLM shape). */
+  def trainQualityClassifier(pos: DataFrame, neg: DataFrame,
+                             textCol: String = "document",
+                             buckets: Int = 1024): graft.operators.QualityClassifier.LrModel =
+    graft.operators.QualityClassifier.train(pos, neg, textCol, buckets)
+
+  /** Score every document with a trained quality classifier:
+    * (id, n_tokens, score). */
+  def scoreQuality(model: graft.operators.QualityClassifier.LrModel): DataFrame =
+    graft.operators.QualityClassifier.score(
+      df.where(col("document").isNotNull), model, "id", "document")
+
+  /** Contrastive hard negatives against this collection: for each anchor
+    * row of `anchors` (query_id, query_vec|query_text, query_label), the
+    * k nearest docs whose `labelCol` differs from the anchor's label
+    * (Knn.hardNegatives; the exclusion is per-anchor). */
+  def hardNegatives(anchors: DataFrame, k: Int = 10,
+                    labelCol: String = "label"): DataFrame = {
+    val q =
+      if (anchors.columns.contains("query_vec")) anchors
+      else embedder.embed(anchors, "query_text", "query_vec")
+    val topk = Knn.hardNegativesStr(
+      q.select(col("query_id"), col("query_vec"), col("query_label")),
+      df.where(col("embedding").isNotNull), k, config.metric,
+      corpusId = "id", corpusVec = "embedding", corpusLabel = labelCol)
+    topk.join(df.select(col("id").as("neighbor_id"), col("document")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("id"),
+        col("document"), col("dist").as("distance"))
+  }
+
   /** Curriculum export order: easy-first within each group, groups
     * interleaved round-robin (computed position — no global sort). */
   def curriculum(groupCol: String, difficultyCol: String): DataFrame =

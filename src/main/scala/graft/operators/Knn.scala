@@ -164,10 +164,37 @@ object Knn {
                  corpusId: String = "id", corpusVec: String = "vec",
                  filter: Option[Filter] = None): DataFrame = {
     val filtered = filter.map(f => corpus.where(f.compile)).getOrElse(corpus)
+    broadcastTopKStr(
+      filtered.select(col(corpusId).cast("string").as("_cid"),
+        col(corpusVec).as("_cvec")),
+      queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec")),
+      k, metric, queryId, pairFilter = None)
+  }
+
+  /** [[hardNegatives]] with STRING corpus ids — the collection facade's
+    * natural document keys. */
+  def hardNegativesStr(queries: DataFrame, corpus: DataFrame, k: Int,
+                       metric: String = "cosine",
+                       queryId: String = "query_id", queryVec: String = "query_vec",
+                       queryLabel: String = "query_label",
+                       corpusId: String = "id", corpusVec: String = "vec",
+                       corpusLabel: String = "label"): DataFrame =
+    broadcastTopKStr(
+      corpus.select(col(corpusId).cast("string").as("_cid"),
+        col(corpusVec).as("_cvec"), col(corpusLabel).as("_clab")),
+      queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"),
+        col(queryLabel).as("_qlab")),
+      k, metric, queryId,
+      pairFilter = Some(!(col("_clab") <=> col("_qlab"))))
+
+  /** String-keyed twin of [[broadcastTopK]] (NeighborS aggregator),
+    * shared by [[knnJoinStr]] / [[hardNegativesStr]]. */
+  private def broadcastTopKStr(corpusSide: DataFrame, querySide: DataFrame,
+                               k: Int, metric: String, queryId: String,
+                               pairFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val topk = udaf(new TopKAggregatorS(k), ExpressionEncoder[NeighborS]())
-    filtered
-      .select(col(corpusId).cast("string").as("_cid"), col(corpusVec).as("_cvec"))
-      .crossJoin(broadcast(queries.select(col(queryId).as("_qid"), col(queryVec).as("_qvec"))))
+    val crossed = corpusSide.crossJoin(broadcast(querySide))
+    pairFilter.map(crossed.where).getOrElse(crossed)
       .select(col("_qid"), col("_cid"),
         vector.distance(metric, col("_cvec"), col("_qvec")).as("_dist"))
       .groupBy(col("_qid").as(queryId))

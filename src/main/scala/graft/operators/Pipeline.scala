@@ -30,6 +30,13 @@ final case class PipelineSpec(
       * percentile — the FineWeb-style adaptive gate for corpora whose
       * score distributions differ per language. */
     adaptiveQualityKeep: Option[Double] = None,
+    /** LEARNED quality gate (FineWeb-Edu/DCLM): keep docs whose
+      * QualityClassifier score clears [[minClassifierScore]]. Scoring is
+      * per-doc with the weights broadcast — row-local, so unlike the
+      * adaptive gate this stage is ingest-stream-safe. */
+    qualityModel: Option[QualityClassifier.LrModel] = None,
+    /** Floor for [[qualityModel]]'s sigmoid score. */
+    minClassifierScore: Double = 0.5,
     /** Gopher repetition gates: drop docs whose duplicate-line /
       * duplicate-trigram fraction exceeds these caps. Pure per-row
       * column algebra — no shuffle. */
@@ -115,6 +122,14 @@ object Pipeline {
       cur = checkpoint(cur.where(
         round(TextAnalysis.qualityScore(col(textCol)), 6) >= spec.minQuality),
         "quality")
+
+    spec.qualityModel.foreach { m =>
+      val passing = QualityClassifier
+        .score(cur.select(col(idCol), col(textCol)), m, idCol, textCol)
+        .where(col("score") >= spec.minClassifierScore)
+        .select(col(idCol))
+      cur = checkpoint(cur.join(passing, Seq(idCol), "left_semi"), "classifier")
+    }
 
     spec.adaptiveQualityKeep.foreach { keep =>
       val scored = cur.withColumn("_q",

@@ -576,4 +576,38 @@ class ClientSpec extends SparkSpec {
       .collect().map(_.getAs[String]("id"))
     assert(after.toSeq === Seq("warm9"), "cold rebuild must see the mutation")
   }
+
+  test("facade: profile, boilerplate strip, learned quality, hard negatives") {
+    val c = client.getOrCreateCollection("facade7")
+    c.add(Seq(
+      ("f1", "education curriculum learning chapter\nSHARED FOOTER", "school", 1),
+      ("f2", "casino jackpot bonus spins\nSHARED FOOTER", "spam", 2),
+      ("f3", "education chapter about learning\nSHARED FOOTER", "school", 1),
+      ("f4", "quarterly revenue report figures", "biz", 3))
+      .toDF("id", "document", "category", "label"))
+    // profile: long-format dashboard over the collection
+    val prof = c.profile(langCol = "category")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prof("n_docs") === 4.0)
+    assert(prof("n_langs") === 3.0)
+    // boilerplate strip: the shared footer is removed, text order kept
+    val stripped = c.stripBoilerplate(minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stripped("f1") === "education curriculum learning chapter")
+    assert(stripped("f4") === "quarterly revenue report figures")
+    // learned quality filter trained from seed splits of the collection
+    val m = c.trainQualityClassifier(
+      c.get(where = Some(Filter.Eq("category", "school"))),
+      c.get(where = Some(Filter.Eq("category", "spam"))), buckets = 128)
+    val scores = c.scoreQuality(m)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(scores("f1") > scores("f2"), s"$scores")
+    // hard negatives: nearest docs with a DIFFERENT label per anchor
+    val anchors = Seq(("a1", "education curriculum learning chapter", 1))
+      .toDF("query_id", "query_text", "query_label")
+    val negs = c.hardNegatives(anchors, k = 2)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(negs.subsetOf(Set("f2", "f4")), s"label-1 docs must be excluded: $negs")
+    assert(negs.nonEmpty)
+  }
 }

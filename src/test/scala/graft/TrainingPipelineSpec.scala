@@ -199,4 +199,26 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"))).sortBy(_._1)
     assert(got.map(t => (t._1, t._2)).toSeq === standalone.toSeq)
   }
+
+  test("learned classifier stage gates by score, row-local, audited") {
+    import graft.operators.QualityClassifier
+    val pos = (1 to 25).map(i => s"education curriculum learning chapter $i").toDF("text")
+    val neg = (1 to 25).map(i => s"casino jackpot bonus free spins click $i").toDF("text")
+    val m = QualityClassifier.train(pos, neg, "text", buckets = 256)
+    val docs = Seq(
+      (1L, "a curriculum chapter about learning"),
+      (2L, "free casino spins jackpot bonus"),
+      (3L, "education chapter on learning curriculum"))
+      .toDF("id", "text")
+    val spec = PipelineSpec(qualityModel = Some(m), minClassifierScore = 0.5)
+    val res = Pipeline.prepare(docs, "id", "text", spec, audit = true)
+    val ids = res.data.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), "negative-domain doc must be gated")
+    assert(res.stageCounts() === Seq("input" -> 3L, "classifier" -> 2L))
+    // the stage equals the standalone score + threshold
+    val standalone = QualityClassifier.score(docs, m, "id", "text")
+      .where(col("score") >= 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === standalone)
+  }
 }
