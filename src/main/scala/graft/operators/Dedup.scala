@@ -725,7 +725,8 @@ object Dedup {
     * (probe buckets for bands, candidate-doc buckets for shingles), so a
     * batch touches O(batch) index bytes, never the corpus. */
   def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
-                        dir: String, threshold: Double = 0.5): DataFrame = {
+                        dir: String, threshold: Double = 0.5,
+                        excludeBatchIds: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val st = readDedupStats(dir)
     val shB = hashedShingleSets(batch, idCol, textCol, st.shingleN).persist()
@@ -749,13 +750,19 @@ object Dedup {
       // could slip through). Exact-key re-delivery belongs upstream
       // (dedupByKey / CRUD upsert), not to the content gate. The batch-id
       // relation is batch-sized and broadcasts.
+      // `excludeBatchIds = false` opts back into the strict pre-replay
+      // semantics (every standing signature checked, own ids included) —
+      // for callers outside the at-least-once ingest path that knowingly
+      // re-deliver existing ids with modified content
       val batchIds = batch.select(col(idCol).as("_cdoc")).distinct()
-      val cand = spark.read.parquet(s"$dir/bands")
+      val candAll = spark.read.parquet(s"$dir/bands")
         .where(col("_bb").isin(probeBuckets: _*))
         .join(broadcast(bandsB.select(col("_bb"), col("band"), col("band_sig"),
           col("doc").as("_bdoc"))), Seq("_bb", "band", "band_sig"))
         .select(col("doc").as("_cdoc"), col("_bdoc")).distinct()
-        .join(broadcast(batchIds), Seq("_cdoc"), "left_anti")
+      val cand = (if (excludeBatchIds)
+          candAll.join(broadcast(batchIds), Seq("_cdoc"), "left_anti")
+        else candAll.where(col("_cdoc") =!= col("_bdoc")))
         .persist()
       try {
         val candBuckets = cand

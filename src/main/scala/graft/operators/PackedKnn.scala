@@ -546,18 +546,44 @@ object PackedKnn {
 
   /** The block grid [[knnGraph]] actually pairs: the corpus's own blocks
     * when the partition count already fits the grid budget, else a
-    * shuffle-free coalesce+merge down to the budget. Exposed to tests so
-    * the self-enforcement is assertable (partition count == grid size). */
+    * shuffle-free coalesce+merge down to the budget. The budget is
+    * FLOOR-ed by slab capacity — one cheap job over the resident blocks
+    * counts rows, and the grid never coalesces below the partition count
+    * that keeps each merged slab under ~1 GiB of floats (so the
+    * self-enforcement can neither trip the Int.MaxValue slab guard nor
+    * force multi-slab-sized task memory on a corpus that used to run
+    * fine over many partitions). Merged blocks are persisted: every pair
+    * task reads both its slabs from storage instead of re-running the
+    * merge copies L times; the ContextCleaner (and Bench's between-query
+    * sweep) reclaims them once the graph result is dereferenced. Exposed
+    * to tests so the self-enforcement is assertable. */
   private[graft] def graphBlocks(pc: PackedCorpus[Long],
                                  maxBlocks: Int): RDD[Block[Long]] = {
-    val limit =
+    val requested =
       if (maxBlocks > 0) maxBlocks
       else math.max(1, math.ceil(math.sqrt(
         2.0 * pc.blocks.sparkContext.defaultParallelism)).toInt)
-    if (pc.blocks.getNumPartitions <= limit) pc.blocks
-    else pc.blocks.coalesce(limit)
-      .mapPartitions(mergeBlocks[Long], preservesPartitioning = false)
+    if (pc.blocks.getNumPartitions <= requested) pc.blocks
+    else {
+      val totalFloats = pc.blocks.map(b => b.rows.toLong * b.dim).sum().toLong
+      val capacityFloor = math.max(1L,
+        (totalFloats + MaxSlabFloats - 1) / MaxSlabFloats).toInt
+      val limit = math.max(requested, capacityFloor)
+      if (pc.blocks.getNumPartitions <= limit) pc.blocks
+      else {
+        val merged = pc.blocks.coalesce(limit)
+          .mapPartitions(mergeBlocks[Long], preservesPartitioning = false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        merged
+      }
+    }
   }
+
+  /** Target ceiling for a self-enforced merged slab (~1 GiB of float32) —
+    * far under the 2^31 hard limit, so auto-merge never constructs a slab
+    * the guards would reject. */
+  private val MaxSlabFloats: Long = 1L << 28
 
   /** Cell-blocked approximate kNN graph over an IVF-packed corpus: each
     * partition (= cell) scores itself — the pair grid collapses from P²

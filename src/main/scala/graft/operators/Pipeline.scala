@@ -157,7 +157,7 @@ object Pipeline {
         cur.drop(textCol).join(cleaned, Seq(idCol))
           .select(cols.map(c =>
             if (c == textCol) col("_cleaned").as(textCol) else col(c)): _*)
-          .where(col(textCol) =!= ""), "boilerplate")
+          .where(trim(col(textCol)) =!= ""), "boilerplate")
     }
 
     if (spec.exactDedup) {

@@ -60,12 +60,18 @@ object QualityClassifier {
       .withColumn("_uid", monotonically_increasing_id())
       .localCheckpoint(true)
     val nb = buckets
+    // null-tolerant: a seed doc whose text tokenizes to nothing has no
+    // feature rows — it still trains (all-zero vector) instead of being
+    // silently dropped from its class (an all-empty side would otherwise
+    // shrink to one class and fit a degenerate always-one model)
     val toVec = udf((bs: Seq[org.apache.spark.sql.Row]) =>
-      Vectors.sparse(nb, bs.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
+      Vectors.sparse(nb, Option(bs).getOrElse(Seq.empty)
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
         .sortBy(_._1)))
-    val data = bucketed(labeled, "_uid", "_txt", buckets)
+    val feats = bucketed(labeled, "_uid", "_txt", buckets)
       .groupBy("_uid").agg(collect_list(struct(col("_b"), col("_c"))).as("_bs"))
-      .join(labeled.select(col("_uid"), col("_lab")), "_uid")
+    val data = labeled.select(col("_uid"), col("_lab"))
+      .join(feats, Seq("_uid"), "left")
       .select(toVec(col("_bs")).as("features"), col("_lab").as("label"))
     val m = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)

@@ -316,19 +316,25 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val h = histogram(batch)
         val tot = h.sum
-        var kl = 0.0
-        var i = 0
-        while (i < c) {
-          val pa = (h(i) + 1.0) / (tot + c)
-          val pb = (ref(i) + 1.0) / (refTot + c)
-          kl += pa * math.log(pa / pb)
-          i += 1
+        // an empty micro-batch (idle trigger) has no distribution: its
+        // smoothed all-zero histogram is uniform and KL(uniform || ref)
+        // is a large spurious value that would false-fire an alerting
+        // sink — skip, like maxPQueryStream's nonEmpty guard
+        if (tot > 0) {
+          var kl = 0.0
+          var i = 0
+          while (i < c) {
+            val pa = (h(i) + 1.0) / (tot + c)
+            val pb = (ref(i) + 1.0) / (refTot + c)
+            kl += pa * math.log(pa / pb)
+            i += 1
+          }
+          val spark = batch.sparkSession
+          import spark.implicits._
+          // batch_id comes back as the partition column on read
+          Seq((tot, kl)).toDF("n_rows", "kl")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
-        val spark = batch.sparkSession
-        import spark.implicits._
-        // batch_id comes back as the partition column on read
-        Seq((tot, kl)).toDF("n_rows", "kl")
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
   }
@@ -400,18 +406,16 @@ object EventStream {
 
   /** Shared per-micro-batch commit of the ingest-dedup sinks, shaped for
     * foreachBatch's AT-LEAST-ONCE replay:
-    *  1. a batch whose committed-marker exists is SKIPPED entirely — a
-    *     replay of a fully-committed batch touches nothing;
-    *  2. otherwise the survivor set is REPLAY-STABLE: dedupAgainstIndex
+    *  1. the survivor set is REPLAY-STABLE: dedupAgainstIndex
     *     dedups against (index MINUS the batch's own ids), so signatures
     *     this very batch already appended (crash between the append and
     *     its marker) cannot drop its docs — not even mutually-near-dup
     *     batch docs with distinct ids, which would otherwise vanish
     *     against each other's ghost signatures on replay;
-    *  3. survivors OVERWRITE their own `batch_id=N` subdir of the corpus —
+    *  2. survivors OVERWRITE their own `batch_id=N` subdir of the corpus —
     *     a replayed batch rewrites identical rows instead of appending
     *     duplicates (same stance as [[knnQueryStream]]);
-    *  4. the index append runs before the marker lands, so the only
+    *  3. the index append runs before the marker lands, so the only
     *     repeatable side effect is a doubled signature append in the
     *     append-to-marker window; doubled rows make near-dup verification
     *     MORE aggressive around those docs, never admit a duplicate, and
@@ -441,6 +445,13 @@ object EventStream {
         graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
         fs.create(marker, true).close()
       }
+      // rolling retention: replays only reach back as far as the
+      // checkpoint lag, so markers 100 batches old are dead — one O(1)
+      // delete per commit bounds the marker count (a batch-per-minute
+      // stream would otherwise grow ~500k root files per year)
+      if (batchId >= 100)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/_committed_batch_${batchId - 100}"), false)
     } finally survivors.unpersist()
   }
 }
