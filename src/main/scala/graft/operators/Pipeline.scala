@@ -124,9 +124,11 @@ object Pipeline {
         "quality")
 
     spec.qualityModel.foreach { m =>
+      // compared ROUNDED to 1e-6, the minQuality stance: a float ulp at
+      // the threshold can never flip membership between engines/replays
       val passing = QualityClassifier
         .score(cur.select(col(idCol), col(textCol)), m, idCol, textCol)
-        .where(col("score") >= spec.minClassifierScore)
+        .where(round(col("score"), 6) >= spec.minClassifierScore)
         .select(col(idCol))
       cur = checkpoint(cur.join(passing, Seq(idCol), "left_semi"), "classifier")
     }

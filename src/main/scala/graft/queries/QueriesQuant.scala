@@ -119,6 +119,33 @@ object QueriesQuant {
     // recall@10 vs exact under the same metric. Rows-only (recall floors
     // asserted in QuantizationSpec); probing ALL cells isolates the
     // PQ+rerank error from cell-miss error.
+
+    // The ROUND-7 stages composed as ONE Pipeline plan: learned
+    // classifier gate -> boilerplate line strip (counts over the gate's
+    // SURVIVORS) -> whitespace-empty drop -> exact dedup. The planted
+    // footer masks the +100000 duplicate copies of the even docs until
+    // the strip re-unifies them — stage ordering is part of the check.
+    // Oracle: the q115/q112/q27 SQL fragments chained in the same order
+    // from the inlined learned weights.
+    "q117_pipeline_learned" -> ((s, dir) => {
+      val m = TrainedModels.lrQuality(s, dir)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"),
+              lit("\nSubscribe to our newsletter today\nCopyright 2020 Example Corp")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") < 25)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val spec = graft.operators.PipelineSpec(
+        qualityModel = Some(m), minClassifierScore = 0.5,
+        stripBoilerplateMinDocs = Some(3), exactDedup = true)
+      graft.operators.Pipeline.prepare(corpus, "doc_id", "text", spec)
+        .data.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q72_ivfpq_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // models load from the persisted sidecar (trained+saved once per
@@ -340,5 +367,7 @@ object QueriesQuant {
     TrainedModels.lastIvf.map(im =>
       "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++
     TrainedModels.lastLr.map(lm =>
-      "q115_quality_classifier" -> RecallOracles.lrScoreSql(lm)).toMap
+      "q115_quality_classifier" -> RecallOracles.lrScoreSql(lm)).toMap ++
+    TrainedModels.lastLr.map(lm =>
+      "q117_pipeline_learned" -> RecallOracles.pipelineLearnedSql(lm)).toMap
 }

@@ -196,6 +196,70 @@ object RecallOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q117: the round-7 pipeline stages composed — learned classifier
+    * gate (rounded sigmoid >= 0.5 from the inlined weights) over the
+    * footered corpus, boilerplate line strip whose counts run over the
+    * CLASSIFIER SURVIVORS, whitespace-empty drop, exact-fingerprint
+    * dedup keeping the min id. Stage ORDER is part of what this checks:
+    * the footer masks exact duplicates until the strip re-unifies them. */
+  def pipelineLearnedSql(m: QualityClassifier.LrModel): String = {
+    val wvals = (m.weights.zipWithIndex
+      .collect { case (w, b) if w != 0.0 => s"($b, ${d(w)})" } :+ "(-1, 0.0)")
+      .mkString(",\n  ")
+    val b = m.buckets
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+       |    THEN text || chr(10) || 'Subscribe to our newsletter today'
+       |              || chr(10) || 'Copyright 2020 Example Corp'
+       |    ELSE text END AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+       |w(b, wt) AS (VALUES
+       |  $wvals),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |         lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+       |  FROM corpus),
+       |bk AS (SELECT doc_id,
+       |              ('0x' || substr(md5(t), 1, 8))::BIGINT % $b AS b
+       |       FROM toks),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       |mg AS (
+       |  SELECT db.doc_id, sum(c * coalesce(w.wt, 0.0)) AS margin
+       |  FROM db LEFT JOIN w USING (b) GROUP BY db.doc_id),
+       |cg AS (
+       |  SELECT c.doc_id, c.text FROM corpus c LEFT JOIN mg USING (doc_id)
+       |  WHERE round(1.0 / (1.0 + exp(-(coalesce(mg.margin, 0.0)
+       |          + ${d(m.intercept)}))), 6) >= 0.5),
+       |tt AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM cg),
+       |ln AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos, parts FROM tt),
+       |l2 AS (SELECT doc_id, pos, parts[pos] AS line FROM ln),
+       |boiler AS (
+       |  SELECT trim(line) AS tl FROM l2 WHERE trim(line) <> ''
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+       |kept AS (
+       |  SELECT doc_id, pos, line FROM l2
+       |  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT tl FROM boiler)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT c.doc_id, coalesce(a.text, '') AS text
+       |  FROM cg c LEFT JOIN agg a USING (doc_id)),
+       |ne AS (SELECT * FROM cleaned WHERE trim(text) <> ''),
+       |fp AS (
+       |  SELECT doc_id, text,
+       |         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS f
+       |  FROM ne),
+       |keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS k FROM fp)
+       |  WHERE doc_id = k)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM keepers ORDER BY doc_id""".stripMargin
+  }
+
   /** q114: cell-histogram drift KL between the full corpus (A) and its
     * label<5 slice (B) under the inlined IVF model — cell assignment is
     * fully re-derived from the centroid literals like the recall oracles,
