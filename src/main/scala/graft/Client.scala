@@ -394,9 +394,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def profile(langCol: String = "lang"): DataFrame =
     graft.operators.CorpusReport.profile(df, "id", "document", langCol)
 
-  /** Rebuild every document with corpus-widely duplicated lines stripped
-    * (nav/cookie/footer boilerplate — Dedup.stripBoilerplate); emptied
-    * docs come back with empty text for the caller's drop policy. */
+  /** Rebuild every NON-NULL document with corpus-widely duplicated lines
+    * stripped (nav/cookie/footer boilerplate — Dedup.stripBoilerplate);
+    * emptied docs come back with empty text for the caller's drop policy.
+    * Returns (id, document) only — null-document rows are excluded and
+    * metadata columns re-join by id if needed. */
   def stripBoilerplate(minDocs: Int = 2): DataFrame =
     Dedup.stripBoilerplate(
       df.where(col("document").isNotNull).select(col("id"), col("document")),

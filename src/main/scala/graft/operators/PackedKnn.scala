@@ -534,14 +534,26 @@ object PackedKnn {
     // one task per UNORDERED block pair: the (a,b) GEMM already contains
     // every (b,a) dot product, so the symmetric kernel feeds both sides'
     // heaps from one pass — P(P+1)/2 tasks, not P², and half the flops
-    val indexed = graphBlocks(pc, maxBlocks).zipWithIndex().map(_.swap)
+    val blocks = graphBlocks(pc, maxBlocks)
+    val indexed = blocks.zipWithIndex().map(_.swap)
     val partials: RDD[(Long, Long, Double)] =
       indexed.cartesian(indexed)
         .filter { case ((ia, _), (ib, _)) => ia <= ib }
         .flatMap { case ((ia, a), (ib, b)) =>
           scorePair(a, b, kk, m, bothSides = ia != ib)
         }
-    graphResult(partials, kk)
+    val result = graphResult(partials, kk)
+    if (blocks eq pc.blocks) result
+    else {
+      // the grid ran over TEMPORARY persisted merged slabs: materialize
+      // the (Q*k-row) result eagerly, then release them deterministically
+      // instead of waiting for the ContextCleaner to notice the RDD is
+      // unreachable (GiB-scale slabs lingering in executor storage would
+      // evict the caller's own persisted corpora first)
+      val out = result.localCheckpoint(true)
+      blocks.unpersist(blocking = false)
+      out
+    }
   }
 
   /** The block grid [[knnGraph]] actually pairs: the corpus's own blocks
@@ -571,12 +583,44 @@ object PackedKnn {
       val limit = math.max(requested, capacityFloor)
       if (pc.blocks.getNumPartitions <= limit) pc.blocks
       else {
+        // the capacity floor bounds the AVERAGE group; coalesce groups by
+        // count/locality, not bytes, so a skewed mix (few giant pack
+        // slabs among many tiny append blocks) can still route an
+        // over-cap byte total into one partition — the CAPPED merge
+        // emits multiple slabs there instead of tripping the guard
         val merged = pc.blocks.coalesce(limit)
-          .mapPartitions(mergeBlocks[Long], preservesPartitioning = false)
+          .mapPartitions(mergeBlocksCapped[Long](_, MaxSlabFloats),
+            preservesPartitioning = false)
           .persist(StorageLevel.MEMORY_AND_DISK)
         merged.count()
         merged
       }
+    }
+  }
+
+  /** Greedy size-capped variant of [[mergeBlocks]]: fold consecutive
+    * blocks into slabs of at most `capFloats` floats, emitting a new slab
+    * whenever the next block would overflow (a single block larger than
+    * the cap passes through unmerged — it was already packed that way). */
+  private def mergeBlocksCapped[I: ClassTag](it: Iterator[Block[I]],
+                                             capFloats: Long): Iterator[Block[I]] = {
+    val bs = it.toArray
+    if (bs.length <= 1) bs.iterator
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[Block[I]]()
+      val group = scala.collection.mutable.ArrayBuffer[Block[I]]()
+      var floats = 0L
+      def flush(): Unit = if (group.nonEmpty) {
+        out ++= mergeBlocks[I](group.iterator)
+        group.clear(); floats = 0L
+      }
+      for (b <- bs) {
+        val sz = b.rows.toLong * b.dim
+        if (group.nonEmpty && floats + sz > capFloats) flush()
+        group += b; floats += sz
+      }
+      flush()
+      out.iterator
     }
   }
 

@@ -291,7 +291,10 @@ object EventStream {
     * micro-batch of (vec) rows is assigned to the REFERENCE model's cells
     * and its histogram compared to the reference snapshot's with the same
     * add-one-smoothed KL(batch || reference); one (batch_id, n_rows, kl)
-    * row appends per batch. The reference histogram is computed ONCE at
+    * row appends per NON-EMPTY batch (idle triggers are skipped — an
+    * empty histogram has no distribution, and its smoothed uniform would
+    * read as spurious drift; note outDir exists only after the first
+    * non-empty batch). The reference histogram is computed ONCE at
     * stream start (centroid-sized, lives on the driver); per batch the
     * only distributed work is the one codegen assignment + numCells-sized
     * aggregate. An alerting sink reads the tiny output; a drifting

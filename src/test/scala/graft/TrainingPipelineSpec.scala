@@ -215,9 +215,10 @@ class TrainingPipelineSpec extends SparkSpec {
     val ids = res.data.select("id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 3L), "negative-domain doc must be gated")
     assert(res.stageCounts() === Seq("input" -> 3L, "classifier" -> 2L))
-    // the stage equals the standalone score + threshold
+    // the stage equals the standalone score + ROUNDED threshold (the
+    // stage compares round(score, 6), the minQuality determinism stance)
     val standalone = QualityClassifier.score(docs, m, "id", "text")
-      .where(col("score") >= 0.5).select("id")
+      .where(round(col("score"), 6) >= 0.5).select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids === standalone)
   }
