@@ -498,11 +498,22 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // sidecar a later session warm-starts from. Re-save after bulk CRUD
     // with saveResidentIndex().
     dropSlabSidecars()
+    // bump the collection's mutation counter BEFORE the swap, like the
+    // sidecar drop: every crash window then errs toward FALSE-stale
+    // (counter moved, data unchanged — a spurious rebuild), never toward
+    // another handle serving stale resident results undetected
+    val stamp = Collections.bumpMutationCount(spark, dir)
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)
     fs.delete(oldPath, true)
     if (!packedMaintained) releasePackedIndex()
+    else {
+      // THIS handle's resident state was delta-maintained in the same
+      // commit, so it is exactly as fresh as the new counter value
+      if (packedIdx.isDefined) packedStamp = stamp
+      if (packedIvfIdx.isDefined) packedIvfStamp = stamp
+    }
   }
 
   @transient private var packedMaintained = false
@@ -562,6 +573,43 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   @transient private var packedIdx: Option[PackedKnn.PackedCorpus[String]] = None
 
+  /** Mutation-counter values the resident indexes were packed against
+    * (see [[Collections.readMutationCount]]); compared against the
+    * current counter on every packed query so a mutation through a
+    * DIFFERENT handle or process is fail-loud, never silently stale. */
+  @transient private var packedStamp: Long = -1L
+  @transient private var packedIvfStamp: Long = -1L
+
+  /** When true, a packed query that finds its resident index stale
+    * (mutated through another handle/process) rebuilds it transparently
+    * instead of throwing — opt-in, because a rebuild is a full corpus
+    * job and silently paying it inside a query is its own surprise. */
+  var autoRebuildStalePacked: Boolean = false
+
+  /** Fail-loud staleness guard for the resident packed indexes: one
+    * driver-side file read per packed query. The single-process
+    * reference cannot have this race (vectordb.py:245 takes an RLock
+    * around its in-RAM matrix); the distributed engine detects it. */
+  private def ensureFreshPacked(ivf: Boolean): Unit = {
+    val defined = if (ivf) packedIvfIdx.isDefined else packedIdx.isDefined
+    if (!defined) return
+    val stamp = if (ivf) packedIvfStamp else packedStamp
+    val current = Collections.readMutationCount(spark, dir)
+    if (current != stamp) {
+      if (autoRebuildStalePacked) {
+        if (ivf) { packedIvfIdx.foreach(_.unpersist()); packedIvfIdx = None }
+        else { packedIdx.foreach(_.unpersist()); packedIdx = None }
+      } else throw new IllegalStateException(
+        s"resident packed ${if (ivf) "ANN " else ""}index of collection " +
+          s"'${config.name}' is STALE: the collection was mutated " +
+          s"${current - stamp} time(s) through another handle or process " +
+          s"since this handle packed it (packed at mutation $stamp, " +
+          s"collection now at $current). Rebuild via " +
+          (if (ivf) "buildPackedAnnIndex()" else "buildPackedIndex()") +
+          ", or set autoRebuildStalePacked = true to rebuild on demand.")
+    }
+  }
+
   /** Test-visible handles on the resident state (lineage assertions). */
   private[graft] def residentPacked: Option[PackedKnn.PackedCorpus[String]] = packedIdx
   private[graft] def residentPackedIvf: Option[PackedKnn.PackedIvfCorpus[String]] = packedIvfIdx
@@ -574,29 +622,41 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * hit slabs, upserts do both — the reference's in-RAM add/delete
     * semantics), but a mutation through a DIFFERENT handle of the same
     * collection cannot (the resident state is handle-scoped, like the
-    * reference's per-process in-RAM matrix) — in multi-writer flows,
-    * rebuild after external writes. Call again after bulk loads for the
-    * fastest repeated-search path.
+    * reference's per-process in-RAM matrix) — such a mutation is
+    * DETECTED: every committed write bumps the collection's mutation
+    * counter, packed queries compare it against this handle's stamp and
+    * throw (or rebuild, with [[autoRebuildStalePacked]]) instead of
+    * serving stale results. Call again after bulk loads for the fastest
+    * repeated-search path.
     *
     * WARM-START: when a [[saveResidentIndex]] slab sidecar exists, the
     * build reopens it — one task per partition reading one slab file,
     * zero Exchange, zero parquet decode — instead of re-running the
     * pack scan+shuffle (at 100 TB a restart would otherwise repeat a
     * full corpus job). Mutations delete the sidecar (it is a snapshot),
-    * so a warm start can never serve stale slabs. Note the recompute
-    * contract this implies: a warm-started index's lineage reads the
-    * slab files, so once a mutation drops them, a lost executor's
-    * partitions cannot be recomputed — rebuild via buildPackedIndex()
-    * on such a failure (the reference's process-resident matrix dies
-    * with its process the same way; MEMORY_AND_DISK spills rather than
-    * evicts, so steady-state memory pressure never hits this path). */
+    * so a warm start can never serve stale slabs (and the sidecar's
+    * mutation stamp is checked too — a sidecar persisted by a stale
+    * handle cold-packs). Note the recompute contract this implies: a
+    * warm-started index's lineage reads the slab files, so once a
+    * mutation drops them, a lost executor's partitions cannot be
+    * recomputed — packed queries catch exactly that failure and
+    * cold-rebuild automatically (the reference's process-resident
+    * matrix dies with its process the same way; MEMORY_AND_DISK spills
+    * rather than evicts, so steady-state memory pressure never hits
+    * this path). */
   def buildPackedIndex(): Unit = {
     releasePackedIndex()
+    val current = Collections.readMutationCount(spark, dir)
+    // warm-start ONLY when the sidecar's stamp matches the collection's
+    // current mutation count — a sidecar saved by a handle that had gone
+    // stale (or one predating the stamp protocol) cold-packs instead
     packedIdx = Some(
-      if (PackedKnn.slabsExist(spark, packedDir))
+      if (PackedKnn.slabsExist(spark, packedDir) &&
+          sidecarStamp(packedDir) == current)
         PackedKnn.loadSlabs[String](spark, packedDir)
       else PackedKnn.packStr(
         df.where(col("embedding").isNotNull), "id", "embedding"))
+    packedStamp = current
   }
 
   private def packedDir = s"$dir/index_packed"
@@ -611,8 +671,38 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * (CRUD deltas maintain the RESIDENT state in place, but the sidecar
     * is a point-in-time snapshot). */
   def saveResidentIndex(): Unit = {
-    packedIdx.foreach(PackedKnn.saveSlabs(_, packedDir))
-    packedIvfIdx.foreach(PackedKnn.saveIvfSlabs(_, packedIvfDir))
+    // a STALE handle must never persist its snapshot — the sidecar would
+    // poison every later session's warm start with pre-mutation slabs
+    ensureFreshPacked(ivf = false)
+    ensureFreshPacked(ivf = true)
+    packedIdx.foreach { pc =>
+      PackedKnn.saveSlabs(pc, packedDir)
+      writeSidecarStamp(packedDir, packedStamp)
+    }
+    packedIvfIdx.foreach { pi =>
+      PackedKnn.saveIvfSlabs(pi, packedIvfDir)
+      writeSidecarStamp(packedIvfDir, packedIvfStamp)
+    }
+  }
+
+  /** Mutation-count stamp riding inside a slab sidecar dir; -1 when
+    * absent (pre-stamp sidecars read as never-fresh → cold pack). */
+  private def sidecarStamp(subdir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$subdir/_mutstamp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeSidecarStamp(subdir: String, stamp: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$subdir/_mutstamp")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(stamp.toString.getBytes("UTF-8")) finally out.close()
   }
 
   private def dropSlabSidecars(): Unit = {
@@ -678,9 +768,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * Requires the persisted IVF model ([[buildVectorIndex]]). */
   def buildPackedAnnIndex(): Unit = {
     packedIvfIdx.foreach(_.unpersist())
-    if (PackedKnn.ivfSlabsExist(spark, packedIvfDir)) {
+    val current = Collections.readMutationCount(spark, dir)
+    packedIvfStamp = current
+    if (PackedKnn.ivfSlabsExist(spark, packedIvfDir) &&
+        sidecarStamp(packedIvfDir) == current) {
       // warm start: per-partition slab read, partition i = cell i — the
-      // model rides inside the sidecar, so probe routing is identical
+      // model rides inside the sidecar, so probe routing is identical.
+      // Gated on the sidecar's mutation stamp like buildPackedIndex.
       packedIvfIdx = Some(PackedKnn.loadIvfSlabs[String](spark, packedIvfDir))
     } else {
       require(hasVectorIndex,
@@ -700,14 +794,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * contract — see the body comment). */
   def packedAnnQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
                      where: Option[Filter] = None): DataFrame = {
+    ensureFreshPacked(ivf = true)
     if (packedIvfIdx.isEmpty) buildPackedAnnIndex()
-    val pi = packedIvfIdx.get
     val (q, qRows, qArr) = collectQueries(queries)
     where match {
       case None =>
         packedResult(q, qRows,
           if (qArr.isEmpty) Array.empty
-          else PackedKnn.searchIvf(pi, qArr, k, nProbe, config.metric))
+          else ivfSearchRecovering(qArr, k, nProbe))
       case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
       case Some(f) =>
         // filtered ANN = the reference's post-ANN over-fetch
@@ -718,8 +812,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
         // result is exactly filter(page) take k; recall follows the
         // probe recall curve. For exact filtered membership use
         // packedQuery/query with the same filter.
-        val over = PackedKnn.searchIvf(pi, qArr, k * PackedFilterOverFetch,
-          nProbe, config.metric)
+        val over = ivfSearchRecovering(qArr, k * PackedFilterOverFetch,
+          nProbe)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
         val pass: Set[String] =
           if (candIds.isEmpty) Set.empty
@@ -751,18 +845,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * membership always equals [[query]](..., where). */
   def packedQuery(queries: DataFrame, k: Int = 10,
                   where: Option[Filter] = None): DataFrame = {
+    ensureFreshPacked(ivf = false)
     if (packedIdx.isEmpty) buildPackedIndex()
-    val pc = packedIdx.get
     val (q, qRows, qArr) = collectQueries(queries)
     where match {
       case None =>
         packedResult(q, qRows,
           if (qArr.isEmpty) Array.empty
-          else PackedKnn.search(pc, qArr, k, config.metric))
+          else packedSearchRecovering(qArr, k))
       case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
       case Some(f) =>
         val page = k * PackedFilterOverFetch
-        val over = PackedKnn.search(pc, qArr, page, config.metric)
+        val over = packedSearchRecovering(qArr, page)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
         val pass: Set[String] =
           if (candIds.isEmpty) Set.empty
@@ -791,6 +885,56 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * reference's k*10; 4 suffices because the under-filled remainder
     * falls back exactly instead of retrying wider). */
   private val PackedFilterOverFetch = 4
+
+  /** Packed search with WARM-START LOSS RECOVERY: a warm-started index's
+    * lineage reads its slab sidecar files, and a later mutation (this
+    * handle or another) deletes them — so a lost/evicted partition after
+    * that point cannot be recomputed and the job dies on a missing-slab
+    * read. Instead of surfacing the raw FileNotFound, rebuild cold (the
+    * sidecar is gone, so the rebuild re-packs from parquet — the only
+    * correct source at that point) and retry once. The reference's
+    * process-resident matrix dies WITH its process the same way; the
+    * distributed engine recovers. */
+  private def packedSearchRecovering(qArr: Array[(Long, Array[Float])],
+                                     k: Int): Array[(Long, Array[(String, Double)])] =
+    try PackedKnn.search(packedIdx.get, qArr, k, config.metric)
+    catch { case e: Exception if slabReadFailure(e) =>
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"resident packed index of '${config.name}' lost a warm-start " +
+          "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
+      buildPackedIndex()
+      PackedKnn.search(packedIdx.get, qArr, k, config.metric)
+    }
+
+  /** [[packedSearchRecovering]] for the cell-partitioned layout. */
+  private def ivfSearchRecovering(qArr: Array[(Long, Array[Float])],
+                                  k: Int, nProbe: Int): Array[(Long, Array[(String, Double)])] =
+    try PackedKnn.searchIvf(packedIvfIdx.get, qArr, k, nProbe, config.metric)
+    catch { case e: Exception if slabReadFailure(e) =>
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"resident packed ANN index of '${config.name}' lost a warm-start " +
+          "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
+      buildPackedAnnIndex()
+      PackedKnn.searchIvf(packedIvfIdx.get, qArr, k, nProbe, config.metric)
+    }
+
+  /** True when the failure's cause chain is a missing `.slab` sidecar
+    * file — the one unrecoverable-by-lineage read in the packed paths. */
+  private def slabReadFailure(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 16) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains(".slab") &&
+          (c.isInstanceOf[java.io.FileNotFoundException] ||
+            m.contains("FileNotFoundException") ||
+            m.contains("does not exist")))
+        return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Shared query extraction for the packed paths: embed-if-needed,
     * collect (the packed operators' "queries are small" contract),

@@ -43,13 +43,23 @@ object Cypher {
       .getOrElse(s)
   }
 
-  /** Execute a Cypher-subset query against (vertices, edges). */
-  def query(vertices: DataFrame, edges: DataFrame, cypher: String): DataFrame =
+  /** Execute a Cypher-subset query against (vertices, edges).
+    *
+    * `strict` (the default) makes an unparsable WHERE throw. The
+    * reference silently falls through to the UNFILTERED join
+    * (graph.py:1061-1092) — faithful, but a typo'd predicate returning
+    * every row is a footgun whose blast radius multiplies at cluster
+    * scale (a full-graph join instead of a pruned one, and downstream
+    * consumers fed unfiltered rows). `strict = false` opts back into
+    * reference parity. */
+  def query(vertices: DataFrame, edges: DataFrame, cypher: String,
+            strict: Boolean = true): DataFrame =
     clauseRe.findFirstMatchIn(cypher.trim) match {
       case Some(m) =>
         val pattern = m.group(1); val whereOpt = Option(m.group(2)); val ret = m.group(3)
         val bound = matchPattern(vertices, edges, pattern.trim)
-        val filtered = whereOpt.map(w => applyWhere(bound, w.trim)).getOrElse(bound)
+        val filtered = whereOpt.map(w => applyWhere(bound, w.trim, strict))
+          .getOrElse(bound)
         applyReturn(filtered, ret.trim)
       case None => throw new IllegalArgumentException(s"Invalid query: $cypher")
     }
@@ -102,7 +112,8 @@ object Cypher {
     case other => throw new IllegalArgumentException(s"Unsupported pattern: $other")
   }
 
-  private def applyWhere(df: DataFrame, where: String): DataFrame = where match {
+  private def applyWhere(df: DataFrame, where: String,
+                         strict: Boolean): DataFrame = where match {
     case whereRe(v, prop, op, raw) =>
       val c = col(s"${v}_$prop"); val value = lit(parseLiteral(raw))
       df.where(op match {
@@ -113,7 +124,11 @@ object Cypher {
         case "<=" => c <= value
         case ">=" => c >= value
       })
-    case _ => df // reference falls through silently on unparsable WHERE
+    case _ if strict => throw new IllegalArgumentException(
+      s"Unparsable WHERE clause: '$where' (expected var.prop <op> literal " +
+        "with op in = <> < > <= >=). Pass strict = false for the " +
+        "reference's silent-fallthrough parity behavior.")
+    case _ => df // reference parity: fall through silently (graph.py:1061-1092)
   }
 
   private def applyReturn(df: DataFrame, ret: String): DataFrame = {

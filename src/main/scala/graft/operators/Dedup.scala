@@ -726,7 +726,7 @@ object Dedup {
     * batch touches O(batch) index bytes, never the corpus. */
   def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
                         dir: String, threshold: Double = 0.5,
-                        excludeBatchIds: Boolean = true): DataFrame = {
+                        excludeBatchIds: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val st = readDedupStats(dir)
     val shB = hashedShingleSets(batch, idCol, textCol, st.shingleN).persist()
@@ -736,24 +736,26 @@ object Dedup {
     try {
       val probeBuckets = bandsB.select("_bb").distinct()
         .collect().map(_.getInt(0)).toSeq
-      // index entries whose doc id appears IN THE BATCH are excluded
-      // entirely: the batch is deduplicated against the index entries of
-      // OTHER ids, so an at-least-once replay whose signatures already
-      // landed (EventStream.commitIngestBatch's crash window) recomputes
-      // the SAME survivors — including when the batch holds mutually-
-      // near-duplicate docs with distinct ids, which a mere same-id pair
-      // filter would drop against each other's ghost signatures on
-      // replay. CONTRACT this implies: batch ids are FRESH (never ids of
-      // previously accepted docs) — an id collision with the standing
-      // index is indistinguishable from this batch's own replay, and its
-      // standing signatures are skipped (a near-dup of THAT doc's content
-      // could slip through). Exact-key re-delivery belongs upstream
-      // (dedupByKey / CRUD upsert), not to the content gate. The batch-id
-      // relation is batch-sized and broadcasts.
-      // `excludeBatchIds = false` opts back into the strict pre-replay
-      // semantics (every standing signature checked, own ids included) —
-      // for callers outside the at-least-once ingest path that knowingly
-      // re-deliver existing ids with modified content
+      // DEFAULT (strict): every standing signature is checked and only
+      // the literal same-id pair is excluded — a batch that re-delivers
+      // an existing id with near-duplicate content is caught against
+      // that id's standing signatures, so no caller silently loses the
+      // content gate on an id collision.
+      // `excludeBatchIds = true` (the at-least-once ingest opt-in, set
+      // ONLY by EventStream.commitIngestBatch) excludes index entries
+      // whose doc id appears IN THE BATCH entirely: a replay whose
+      // signatures already landed (the crash window between the index
+      // append and its marker) recomputes the SAME survivors — including
+      // when the batch holds mutually-near-duplicate docs with distinct
+      // ids, which a mere same-id pair filter would drop against each
+      // other's ghost signatures on replay. CONTRACT that opt-in
+      // implies: batch ids are FRESH (never ids of previously accepted
+      // docs) — an id collision with the standing index is
+      // indistinguishable from the batch's own replay, and its standing
+      // signatures are skipped. commitIngestBatch's batch-stamped corpus
+      // layout guarantees freshness (each batch writes its own subdir
+      // under fresh stream-assigned ids); no other caller should opt in.
+      // The batch-id relation is batch-sized and broadcasts.
       val batchIds = batch.select(col(idCol).as("_cdoc")).distinct()
       val candAll = spark.read.parquet(s"$dir/bands")
         .where(col("_bb").isin(probeBuckets: _*))

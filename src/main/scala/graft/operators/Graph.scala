@@ -368,8 +368,11 @@ object PropertyGraph {
 
   /** PageRank in the normalized (probability) formulation: ranks start
     * at 1/N, each round `rank = (1-d)/N + d·Σ_in rank_src/outdeg_src`;
-    * dangling-node mass is not redistributed. Fixed iteration count —
-    * deterministic, oracle-checkable. (Normalized on purpose: with the
+    * by DEFAULT dangling-node mass is not redistributed and the
+    * iteration count is fixed — deterministic, oracle-checkable
+    * (`tolerance` and `redistributeDangling` opt into early-stop
+    * convergence and the standard dangling-mass term; see
+    * [[pageRankWithStats]]). (Normalized on purpose: with the
     * unnormalized GraphX convention every rank on an integer-out-degree
     * graph is a terminating decimal, which can sit EXACTLY on a rounding
     * boundary and flip under cross-engine summation-order noise; 1/N
@@ -387,7 +390,32 @@ object PropertyGraph {
     * materialization (deep shuffle chains replan poorly under AQE). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
-               checkpointInterval: Int = 1): DataFrame = {
+               checkpointInterval: Int = 1,
+               tolerance: Double = 0.0,
+               redistributeDangling: Boolean = false): DataFrame =
+    pageRankWithStats(edges, iterations, damping, checkpointInterval,
+      tolerance, redistributeDangling)._1
+
+  /** [[pageRank]] plus the number of rounds actually run (== `iterations`
+    * unless `tolerance` stopped early) — package-private so the spec can
+    * assert convergence behavior without timing heuristics.
+    *
+    * `tolerance > 0` adds an early stop: after each round, max |Δrank| is
+    * measured (one scalar aggregate over the node-sized rank vector —
+    * cheap next to the round's own two exchanges) and iteration ends once
+    * it drops below the tolerance. `redistributeDangling` adds the
+    * standard dangling-mass term (rank mass sitting on nodes with no
+    * out-edges is spread uniformly: rank = (1-d)/N + d·(Σ inflow + dm/N),
+    * the convention GraphX/NetworkX follow), at the cost of one scalar
+    * aggregate per round. Both are OFF by default — the fixed-iteration,
+    * no-redistribution form stays byte-stable for the cross-engine
+    * oracle, and when both flags are off the per-round plan is the
+    * IDENTICAL column expression (no `+ 0.0` term sneaks in). */
+  private[graft] def pageRankWithStats(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85,
+               checkpointInterval: Int = 1,
+               tolerance: Double = 0.0,
+               redistributeDangling: Boolean = false): (DataFrame, Int) = {
     require(iterations > 0, s"iterations must be positive: $iterations")
     val spark = edges.sparkSession
     val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -396,6 +424,13 @@ object PropertyGraph {
       .repartition(nparts, col("src")).persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    // dangling = appears as a dst but never as a src; node-sized and only
+    // materialized when the redistribution term needs it
+    val dangling =
+      if (redistributeDangling)
+        Some(nodes.join(e.select(col("src").as("id")).distinct(),
+          Seq("id"), "left_anti").persist())
+      else None
     try {
       val n = nodes.count().toDouble
       // teleport written as (1.0 - d)/n IN COLUMN ALGEBRA so an SQL
@@ -403,20 +438,38 @@ object PropertyGraph {
       // double (1 - 0.85 as a double subtraction != the literal 0.15)
       val teleport = (lit(1.0) - lit(damping)) / lit(n)
       var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
-      for (i <- 1 to iterations) {
+      var itersRun = 0
+      var converged = false
+      for (i <- 1 to iterations if !converged) {
         val inflow = adj
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
           .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
           .groupBy("id").agg(sum(col("_c")).as("_inflow"))
-        ranks = nodes.join(inflow, Seq("id"), "left")
-          .select(col("id"),
-            (teleport + lit(damping) * coalesce(col("_inflow"), lit(0.0)))
-              .as("rank"))
-        if (i % checkpointInterval == 0 || i == iterations)
-          ranks = ranks.localCheckpoint(eager = true)
+        val contrib = coalesce(col("_inflow"), lit(0.0))
+        val spread = dangling match {
+          case Some(dg) =>
+            val dm = ranks.join(dg, Seq("id"), "left_semi")
+              .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+            contrib + lit(dm) / lit(n)
+          case None => contrib
+        }
+        var next = nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"), (teleport + lit(damping) * spread).as("rank"))
+        if (i % checkpointInterval == 0 || i == iterations || tolerance > 0)
+          next = next.localCheckpoint(eager = true)
+        if (tolerance > 0) {
+          val delta = next
+            .join(ranks.select(col("id"), col("rank").as("_prev")), "id")
+            .agg(max(abs(col("rank") - col("_prev")))).head().getDouble(0)
+          if (delta < tolerance) converged = true
+        }
+        ranks = next
+        itersRun = i
       }
-      ranks
-    } finally { adj.unpersist(); nodes.unpersist() }
+      (ranks, itersRun)
+    } finally {
+      adj.unpersist(); nodes.unpersist(); dangling.foreach(_.unpersist())
+    }
   }
 
   /** Orient each canonical undirected edge {a,b} from its LOWER-degree

@@ -549,10 +549,12 @@ object PackedKnn {
       // the (Q*k-row) result eagerly, then release them deterministically
       // instead of waiting for the ContextCleaner to notice the RDD is
       // unreachable (GiB-scale slabs lingering in executor storage would
-      // evict the caller's own persisted corpora first)
-      val out = result.localCheckpoint(true)
-      blocks.unpersist(blocking = false)
-      out
+      // evict the caller's own persisted corpora first). The unpersist
+      // sits in a finally so a failed grid job / checkpoint releases
+      // them too — the failure path is exactly where an evicted caller
+      // corpus would hurt most (the retry would re-pack it).
+      try result.localCheckpoint(true)
+      finally blocks.unpersist(blocking = false)
     }
   }
 
@@ -907,11 +909,24 @@ object PackedKnn {
     fs.mkdirs(tmp)
     val n = blocks.getNumPartitions
     blocks.mapPartitionsWithIndex { (i, it) =>
-      val p = new Path(s"$tmpDir/part-$i.slab")
-      val out = p.getFileSystem(mkConf(cm)).create(p, true)
+      // attempt-unique temp name + rename: a speculative or retried
+      // attempt can run concurrently with the original, and
+      // create(overwrite) is not atomic on every filesystem — two
+      // attempts interleaving into ONE file could leave a truncated
+      // slab. Each attempt writes its own complete file, then renames
+      // into place; the rename loser (dest already present, or
+      // overwritten atomically on POSIX-rename filesystems) just drops
+      // its temp — either way part-$i.slab is one attempt's full bytes.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val fsT = new Path(tmpDir).getFileSystem(mkConf(cm))
+      val tmpP = new Path(s"$tmpDir/part-$i.slab.attempt-$attempt")
+      val out = fsT.create(tmpP, true)
       val oos = new java.io.ObjectOutputStream(
         new java.io.BufferedOutputStream(out, 1 << 20))
       try oos.writeObject(it.toArray) finally oos.close()
+      if (!fsT.rename(tmpP, new Path(s"$tmpDir/part-$i.slab")))
+        fsT.delete(tmpP, false) // another attempt committed first
       Iterator.single(i)
     }.count()
     val meta = fs.create(new Path(tmp, "slabs.json"), true)

@@ -50,6 +50,52 @@ object Collections {
       opt("embedder").getOrElse("mock"))
   }
 
+  /** Monotonic per-collection mutation counter (`$dir/_mutations`): every
+    * committed CRUD write bumps it, and the resident packed indexes stamp
+    * the value they were built against, so a query through a handle whose
+    * resident state predates another handle's (or process's) mutation is
+    * DETECTED with one driver-side file read instead of silently serving
+    * stale results — the distributed stand-in for the reference's
+    * single-process RLock (vectordb.py:245), which makes this race
+    * unrepresentable there. 0 before the first mutation (a legacy
+    * collection without the file reads as 0, so upgrades start clean).
+    *
+    * Concurrency note: the bump is read+1+rename, not an atomic CAS —
+    * two writers interleaving inside one bump window can alias a count.
+    * The guard targets the documented failure mode (sequential mutations
+    * through different handles/sessions); truly concurrent multi-writer
+    * CRUD needs an external coordinator regardless, because the data-dir
+    * swap itself is last-writer-wins. */
+  def readMutationCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_mutations")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Bump [[readMutationCount]] via temp + rename (a crash mid-bump
+    * leaves the previous value, never a torn file). Returns the new
+    * count. */
+  def bumpMutationCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_mutations")
+    val tmp = new Path(s"$dir/_mutations.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = readMutationCount(spark, dir) + 1L
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) { // HDFS: rename onto existing file fails
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+    next
+  }
+
   /** Overwrite `dir` with `result` via a temp-dir + rename swap — safe
     * when the plan READS the same files it replaces. Swap order keeps
     * every crash window recoverable: the previous dir is renamed aside

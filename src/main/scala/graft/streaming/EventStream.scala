@@ -207,18 +207,39 @@ object EventStream {
     * blocks, Q*k rows out), so latency is the packed search latency, not
     * a per-query job. The corpus handle outlives the query; mutations are
     * [[graft.operators.PackedKnn.append]]-style new blocks, not state. */
+  /** Shared capped collect for the packed-serving foreachBatch sinks: the
+    * "queries are small" contract is ENFORCED like Knn.knnJoinFused's —
+    * the collect is bounded by a limit, so a misconfigured source (a
+    * corpus-sized table piped in as the query stream) fails loudly with
+    * the remedy instead of OOMing the driver mid-stream. */
+  private def collectQueryBatch(batch: DataFrame, queryId: String,
+                                queryVec: String, maxQueryRows: Int,
+                                op: String): Array[org.apache.spark.sql.Row] = {
+    val rows = batch
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .where(col(queryId).isNotNull && col(queryVec).isNotNull)
+      .limit(maxQueryRows + 1)
+      .collect()
+    require(rows.length <= maxQueryRows,
+      s"$op micro-batch exceeds maxQueryRows=$maxQueryRows: the packed " +
+        "serving path holds each query micro-batch on the driver. Raise " +
+        "maxQueryRows deliberately, shrink the trigger interval, or use " +
+        "the distributed batch operators (Knn.knnJoin) for corpus-sized " +
+        "query sets.")
+    rows
+  }
+
   def knnQueryStream(stream: DataFrame, pc: graft.operators.PackedKnn.PackedCorpus[Long],
                      k: Int, outDir: String, checkpointDir: String,
                      metric: String = "cosine",
                      queryId: String = "query_id",
-                     queryVec: String = "query_vec"): org.apache.spark.sql.streaming.StreamingQuery =
+                     queryVec: String = "query_vec",
+                     maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qRows = batch
-          .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
-          .collect()
+        val qRows = collectQueryBatch(batch, queryId, queryVec, maxQueryRows,
+          "knnQueryStream")
         if (qRows.nonEmpty) {
           val qArr = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           val res = graft.operators.PackedKnn.search(pc, qArr, k, metric)
@@ -257,15 +278,14 @@ object EventStream {
                       k: Int, fetchK: Int, outDir: String, checkpointDir: String,
                       metric: String = "cosine",
                       queryId: String = "query_id",
-                      queryVec: String = "query_vec"): org.apache.spark.sql.streaming.StreamingQuery = {
+                      queryVec: String = "query_vec",
+                      maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery = {
     require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qRows = batch
-          .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
-          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
-          .collect()
+        val qRows = collectQueryBatch(batch, queryId, queryVec, maxQueryRows,
+          "maxPQueryStream")
         if (qRows.nonEmpty) {
           val qArr = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           val res = graft.operators.PackedKnn.search(chunkIndex, qArr, fetchK, metric)
@@ -427,7 +447,8 @@ object EventStream {
                                 indexDir: String, outDir: String,
                                 threshold: Double, batchId: Long): Unit = {
     val survivors = graft.operators.Dedup
-      .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
+      .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold,
+        excludeBatchIds = true)
       .persist()
     try {
       survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -445,16 +466,81 @@ object EventStream {
       val fs = marker.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
+        // a missing marker normally means "first execution of this
+        // batch" — but if the batch id sits further behind the stream's
+        // high watermark than the marker retention window, the marker
+        // was already garbage-collected and "missing" is ambiguous:
+        // re-appending would permanently double this batch's index rows
+        // and drift nDocs. That only happens when a checkpoint OLDER
+        // than the retention window is restored (a live stream's replay
+        // lag is the checkpoint lag: one batch) — fail loud with the
+        // remedy instead of drifting silently.
+        val hw = readIngestWatermark(fs, indexDir)
+        if (hw - batchId >= MarkerRetention)
+          throw new IllegalStateException(
+            s"ingest batch $batchId replayed past the marker-retention " +
+              s"horizon (high watermark $hw, retention $MarkerRetention): " +
+              "its commit marker was already garbage-collected, so a " +
+              "re-append cannot be detected. This happens when a " +
+              s"checkpoint more than $MarkerRetention batches old is " +
+              "restored — rebuild the dedup index (Dedup.saveDedupIndex " +
+              "over the corpus dir) or point the restored stream at a " +
+              "fresh indexDir/outDir/checkpoint trio.")
         graft.operators.Dedup.appendDedupIndex(indexDir, survivors, idCol, textCol)
         fs.create(marker, true).close()
       }
+      writeIngestWatermark(fs, indexDir, batchId)
       // rolling retention: replays only reach back as far as the
-      // checkpoint lag, so markers 100 batches old are dead — one O(1)
-      // delete per commit bounds the marker count (a batch-per-minute
-      // stream would otherwise grow ~500k root files per year)
-      if (batchId >= 100)
+      // checkpoint lag, so markers MarkerRetention batches old are dead
+      // (and the watermark guard above makes an out-of-contract deeper
+      // restore loud) — one O(1) delete per commit bounds the marker
+      // count (a batch-per-minute stream would otherwise grow ~500k
+      // root files per year)
+      if (batchId >= MarkerRetention)
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexDir/_committed_batch_${batchId - 100}"), false)
+          s"$indexDir/_committed_batch_${batchId - MarkerRetention}"), false)
     } finally survivors.unpersist()
   }
+
+  /** How many trailing `_committed_batch_N` markers [[commitIngestBatch]]
+    * retains. A healthy stream's replay lag is one batch (the checkpoint
+    * lag); the window is deliberately generous so only an out-of-contract
+    * checkpoint restore can cross it — and the watermark guard makes that
+    * crossing loud. */
+  private[graft] val MarkerRetention = 100L
+
+  private def watermarkPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_ingest_high_watermark")
+
+  /** Highest batch id this index has ever committed; -1 before the first
+    * commit (legacy indexes without the file behave as "no horizon", so
+    * upgrades never trip the guard on their first replayed batch). */
+  private def readIngestWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexDir: String): Long = {
+    val p = watermarkPath(indexDir)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Monotonic watermark advance (temp + rename — a crash mid-write can
+    * never leave a torn file, only the previous watermark). */
+  private def writeIngestWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexDir: String, batchId: Long): Unit =
+    if (batchId > readIngestWatermark(fs, indexDir)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$indexDir/_ingest_high_watermark.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, watermarkPath(indexDir))) {
+        // POSIX rename overwrites; HDFS rename onto an existing file
+        // fails — delete-then-rename (the tiny non-atomic window costs
+        // at worst one stale watermark, which only DELAYS the guard)
+        fs.delete(watermarkPath(indexDir), false)
+        fs.rename(tmp, watermarkPath(indexDir))
+      }
+    }
 }

@@ -577,6 +577,93 @@ class ClientSpec extends SparkSpec {
     assert(after.toSeq === Seq("warm9"), "cold rebuild must see the mutation")
   }
 
+  test("staleness guard: mutation through another handle fails loud; flag rebuilds") {
+    val c = client.getOrCreateCollection("stale")
+    c.add(docs)
+    c.buildPackedIndex()
+    val q = Seq((1L, "spark processes big data")).toDF("query_id", "query_text")
+    assert(c.packedQuery(q, 1).collect().head.getAs[String]("id") === "doc3")
+
+    // mutate through a DIFFERENT handle of the same collection: handle
+    // c's resident index still holds the pre-mutation matrix, and the
+    // reference's RLock answer (vectordb.py:245) does not exist across
+    // processes — the packed query must fail loud, not serve stale rows
+    val other = client.getCollection("stale")
+    other.add(Seq(("stale9", "spark processes big data exactly", "tech", 2026))
+      .toDF("id", "document", "category", "year"))
+    val e = intercept[IllegalStateException] { c.packedQuery(q, 1) }
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("buildPackedIndex"), e.getMessage)
+    // a stale handle must not poison the sidecar either
+    val e2 = intercept[IllegalStateException] { c.saveResidentIndex() }
+    assert(e2.getMessage.contains("STALE"))
+
+    // opt-in transparent rebuild serves the post-mutation corpus
+    c.autoRebuildStalePacked = true
+    val ids = c.packedQuery(q, 2).orderBy("rank").collect()
+      .map(_.getAs[String]("id")).toSet
+    assert(ids.contains("stale9"), s"rebuilt index must see the mutation: $ids")
+    c.autoRebuildStalePacked = false
+
+    // the ANN layout is guarded by its own stamp
+    c.buildVectorIndex(numCells = 2)
+    c.buildPackedAnnIndex()
+    assert(c.packedAnnQuery(q, 1, nProbe = 2).count() === 1)
+    other.delete(ids = Seq("stale9"))
+    val e3 = intercept[IllegalStateException] { c.packedAnnQuery(q, 1, nProbe = 2) }
+    assert(e3.getMessage.contains("ANN") &&
+      e3.getMessage.contains("buildPackedAnnIndex"), e3.getMessage)
+    // rebuilt-by-hand handle queries clean again
+    c.buildPackedAnnIndex()
+    assert(c.packedAnnQuery(q, 1, nProbe = 2).count() === 1)
+    c.buildPackedIndex()
+    assert(c.packedQuery(q, 1).count() === 1)
+  }
+
+  test("packed query recovers when a warm-started slab partition is lost") {
+    val c = client.getOrCreateCollection("slabloss")
+    c.add(docs)
+    c.buildPackedIndex()
+    c.saveResidentIndex()
+    val q = Seq((1L, "catalyst optimizes query plans")).toDF("query_id", "query_text")
+
+    val re = client.getCollection("slabloss")
+    re.buildPackedIndex() // warm start: lineage READS the slab files
+    // simulate the unrecoverable-loss window: the resident blocks are
+    // evicted (stand-in for a lost executor) while the slab files are
+    // gone, so recompute-by-lineage hits a missing-slab read — the same
+    // terminal state a same-handle mutation (which drops the sidecar but
+    // keeps the warm base blocks in its delta chain) reaches on executor
+    // loss. The query must cold-rebuild and answer, not die.
+    re.residentPacked.get.blocks.unpersist(blocking = true)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/slabloss/index_packed"), true)
+    val got = re.packedQuery(q, 1).collect()
+    assert(got.length === 1 && got.head.getAs[String]("id") === "doc4")
+    // recovered index is a healthy resident rebuild: querying again works
+    assert(re.packedQuery(q, 2).count() === 2)
+  }
+
+  test("sidecar from a pre-stamp era (no _mutstamp) cold-packs instead of warm-starting") {
+    val c = client.getOrCreateCollection("legacysidecar")
+    c.add(docs)
+    c.buildPackedIndex()
+    c.saveResidentIndex()
+    // strip the stamp, as a sidecar written before the stamp protocol
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/legacysidecar/index_packed/_mutstamp"), false)
+    val re = client.getCollection("legacysidecar")
+    re.buildPackedIndex()
+    assert(lineageClasses(re.residentPacked.get.blocks).exists(_.contains("FileScan")) ||
+      hasShuffle(re.residentPacked.get.blocks),
+      "an unstamped sidecar must not warm-start (cold pack re-scans the corpus)")
+    val q = Seq((1L, "the quick brown fox")).toDF("query_id", "query_text")
+    assert(re.packedQuery(q, 1).collect().head.getAs[String]("id") === "doc1")
+  }
+
   test("facade: profile, boilerplate strip, learned quality, hard negatives") {
     val c = client.getOrCreateCollection("facade7")
     c.add(Seq(

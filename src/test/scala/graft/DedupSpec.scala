@@ -396,7 +396,7 @@ class DedupSpec extends SparkSpec {
     assert(loose(2L) === "SHARED FOOTER\nunique gamma")
   }
 
-  test("dedupAgainstIndex: strict mode checks a batch's own standing ids") {
+  test("dedupAgainstIndex: default strict mode checks a batch's own standing ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-strict").toString
     Dedup.saveDedupIndex(
       Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
@@ -408,19 +408,19 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely fresh unrelated document with novel words"))
       .toDF("doc_id", "text")
-    // default (replay-safe) semantics: id 1's standing signatures are
-    // skipped, so both 1 and 2 are admitted
-    val relaxed = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir)
+    // replay-safe opt-in (EventStream.commitIngestBatch only): id 1's
+    // standing signatures are skipped, so both 1 and 2 are admitted
+    val relaxed = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir,
+        excludeBatchIds = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(relaxed === Set(1L, 2L, 3L))
-    // strict mode: every standing signature is checked, only the literal
-    // same-id pair is excluded — the NEW near-dup (id 2) drops against
-    // id 1's standing signatures; the re-delivered id itself passes in
-    // both modes (exact-key re-delivery is upstream's job)
-    val strict = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir,
-        excludeBatchIds = false)
+    // DEFAULT (strict): every standing signature is checked, only the
+    // literal same-id pair is excluded — the NEW near-dup (id 2) drops
+    // against id 1's standing signatures; the re-delivered id itself
+    // passes in both modes (exact-key re-delivery is upstream's job)
+    val strict = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(strict === Set(1L, 3L),
-      "strict mode must drop the near-dup of a re-delivered id's standing doc")
+      "default mode must drop the near-dup of a re-delivered id's standing doc")
   }
 }

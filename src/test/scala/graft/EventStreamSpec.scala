@@ -351,6 +351,87 @@ class EventStreamSpec extends SparkSpec {
     } finally chunkIndex.unpersist(blocking = true)
   }
 
+  test("streaming knn fails loud on an oversized query micro-batch") {
+    import graft.operators.PackedKnn
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val pc = PackedKnn.pack(corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamcap")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.knnQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pc, k = 1,
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck", maxQueryRows = 2)
+      try {
+        // a source misconfigured to pipe a corpus-sized table in as
+        // queries must fail with the contract message, not OOM the driver
+        mem.addData((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+            .map(x => Option(x.getMessage).getOrElse("")).toSeq
+        assert(chain(e).exists(_.contains("maxQueryRows")), chain(e).mkString("|"))
+      } finally q.stop()
+
+      // under the cap the same plumbing serves normally
+      val mem2 = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q2 = EventStream.knnQueryStream(
+        mem2.toDF().toDF("query_id", "query_vec"), pc, k = 1,
+        outDir = s"$tmp/out2", checkpointDir = s"$tmp/ck2", maxQueryRows = 2)
+      try { mem2.addData((7L, Array(1f, 0f))); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(spark.read.parquet(s"$tmp/out2").count() === 1)
+
+      // maxP twin enforces the same contract
+      val mem3 = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q3 = EventStream.maxPQueryStream(
+        mem3.toDF().toDF("query_id", "query_vec"), pc, k = 1, fetchK = 2,
+        outDir = s"$tmp/out3", checkpointDir = s"$tmp/ck3", maxQueryRows = 1)
+      try {
+        mem3.addData((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+        val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q3.processAllAvailable()
+        }
+        def chain3(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+            .map(x => Option(x.getMessage).getOrElse("")).toSeq
+        assert(chain3(e3).exists(_.contains("maxQueryRows")))
+      } finally q3.stop()
+    } finally pc.unpersist(blocking = true)
+  }
+
+  test("ingest replay past the marker-retention horizon fails loud") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-horizon")
+    val (ixDir, outDir) = (s"$tmp/ix", s"$tmp/out")
+    Dedup.saveDedupIndex(
+      Seq((1L, "seed document with some unique words in it tonight"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+    def batchOf(id: Long) = Seq((id, s"fresh unique material number $id entirely new words"))
+      .toDF("doc_id", "text")
+    EventStream.commitIngestBatch(batchOf(100L), "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 0L)
+    // the stream advances far past the retention window
+    EventStream.commitIngestBatch(batchOf(200L), "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 150L)
+    // a replay DEEPER than the retention window (a restored ancient
+    // checkpoint): its marker is unknowable, so a silent re-append would
+    // permanently drift the index — must fail with the remedy instead
+    val e = intercept[IllegalStateException] {
+      EventStream.commitIngestBatch(batchOf(300L), "doc_id", "text", ixDir, outDir,
+        threshold = 0.5, batchId = 10L)
+    }
+    assert(e.getMessage.contains("marker-retention") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+    // replays INSIDE the window stay idempotent (the normal crash lag)
+    EventStream.commitIngestBatch(batchOf(200L), "doc_id", "text", ixDir, outDir,
+      threshold = 0.5, batchId = 150L)
+    assert(spark.read.parquet(outDir).where(col("batch_id") === 150).count() === 1)
+  }
+
   test("ingest commit is idempotent under at-least-once batch replay") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay")

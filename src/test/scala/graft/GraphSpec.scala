@@ -142,6 +142,77 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank dangling-mass redistribution matches the closed form on a star-with-sink") {
+    import spark.implicits._
+    // a, b, c all point at s; s has no out-edges (the dangling sink)
+    val star = Seq(("a", "s"), ("b", "s"), ("c", "s")).toDF("src", "dst")
+    val d = 0.85; val n = 4.0; val iters = 3
+    // closed form mirroring the operator's column algebra exactly:
+    // rank = (1-d)/n + d * (inflow + dm/n), dm = rank mass on dangling s
+    var r = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "c" -> 1.0 / n, "s" -> 1.0 / n)
+    val teleport = (1.0 - d) / n
+    for (_ <- 1 to iters) {
+      val dm = r("s")
+      val inflowS = r("a") / 1.0 + r("b") / 1.0 + r("c") / 1.0
+      r = Map(
+        "a" -> (teleport + d * (0.0 + dm / n)),
+        "b" -> (teleport + d * (0.0 + dm / n)),
+        "c" -> (teleport + d * (0.0 + dm / n)),
+        "s" -> (teleport + d * (inflowS + dm / n)))
+    }
+    val got = PropertyGraph.pageRank(star, iterations = iters,
+        redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { case (id, want) =>
+      assert(math.abs(got(id) - want) < 1e-14, s"$id: ${got(id)} vs $want") }
+    // total mass is conserved under redistribution (sums to 1)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // ... and WITHOUT the flag the sink's outflow mass simply vanishes
+    val noRed = PropertyGraph.pageRank(star, iterations = iters)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(noRed.values.sum < 1.0 - 1e-3)
+  }
+
+  test("pageRank tolerance stops at the fixpoint; tolerance=0 runs every round") {
+    import spark.implicits._
+    // 3-cycle: uniform 1/3 is the exact fixpoint from round one
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (ranks, itersRun) = PropertyGraph.pageRankWithStats(
+      cycle, iterations = 20, tolerance = 1e-12)
+    assert(itersRun === 1, s"fixpoint must stop after round 1, ran $itersRun")
+    ranks.collect().foreach(x =>
+      assert(math.abs(x.getDouble(1) - 1.0 / 3) < 1e-12))
+    val (_, full) = PropertyGraph.pageRankWithStats(cycle, iterations = 4)
+    assert(full === 4, "tolerance=0 must keep the fixed-iteration contract")
+    // converging star: early stop lands within tolerance of the long run
+    val star = Seq(("a", "s"), ("b", "s"), ("c", "s")).toDF("src", "dst")
+    val (early, eIters) = PropertyGraph.pageRankWithStats(
+      star, iterations = 60, tolerance = 1e-10, redistributeDangling = true)
+    assert(eIters < 60)
+    val long = PropertyGraph.pageRank(star, iterations = 60,
+        redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    early.collect().foreach(x =>
+      assert(math.abs(x.getDouble(1) - long(x.getString(0))) < 1e-8))
+  }
+
+  test("cypher WHERE: strict default throws on a typo, lenient keeps reference parity") {
+    val typo = "MATCH (p:Person) WHERE p.age !! 26 RETURN p.id" // !! is no op
+    val e = intercept[IllegalArgumentException] { Cypher.query(vertices, edges, typo) }
+    assert(e.getMessage.contains("Unparsable WHERE"), e.getMessage)
+    // lenient mode = the reference's silent fallthrough (graph.py:1061-1092):
+    // the join runs UNFILTERED
+    val lenient = Cypher.query(vertices, edges, typo, strict = false)
+      .collect().map(_.getString(0)).toSet
+    val unfiltered = Cypher.query(vertices, edges, "MATCH (p:Person) RETURN p.id")
+      .collect().map(_.getString(0)).toSet
+    assert(lenient === unfiltered && lenient.nonEmpty)
+    // a well-formed WHERE is identical in both modes
+    val ok = "MATCH (p:Person) WHERE p.age > 26 RETURN p.id"
+    assert(Cypher.query(vertices, edges, ok).collect().map(_.getString(0)).toSet ===
+      Cypher.query(vertices, edges, ok, strict = false).collect().map(_.getString(0)).toSet)
+  }
+
   // AQE wraps executed exchanges in leaf QueryStageExec nodes, and a
   // persisted frame hides its compute plan under a leaf InMemoryTableScan;
   // descend into both so the assertions see every exchange that ran
