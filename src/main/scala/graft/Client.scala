@@ -1040,6 +1040,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // FLAT packed index is model-independent and stays warm.
     packedIvfIdx.foreach(_.unpersist())
     packedIvfIdx = None
+    // a model retrain changes ANN routing without touching the data dir,
+    // so it must ALSO bump the mutation counter — otherwise a different
+    // handle's resident IVF packing keeps serving the old centroids with
+    // no way to notice. This handle's flat index is model-independent
+    // and re-stamps as fresh; other handles' flat indexes go false-stale
+    // (a spurious rebuild — the safe direction).
+    val stamp = Collections.bumpMutationCount(spark, dir)
+    if (packedIdx.isDefined) packedStamp = stamp
   }
 
   /** Approximate batch query through the persisted IVF index: each query

@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real greedy byte-pair-encoding token counting over a merges table in
+  * GPT-2's published `merges.txt` format (one "a b" pair per line, rank =
+  * line order, `#`-prefixed header ignored — the format released with
+  * Radford et al. 2019's public tokenizer). Token budgets drive
+  * `budgetSample`, `packSequences` and the corpus profile; the whitespace
+  * and rule-of-thumb counts ([[TextAnalysis.wsTokenCount]] /
+  * `bpeishTokenCount`) remain the cheap defaults, and this is the exact
+  * subword path for when the budget has to be denominated in REAL
+  * tokenizer tokens.
+  *
+  * Simplifications vs the full GPT-2 stack, on purpose: symbols are
+  * Unicode characters, not bytes (no byte-to-unicode remap table), and
+  * pre-tokenization is the engine's standard `lower()` +
+  * `[^a-z0-9_]+` word split (the same convention every text operator and
+  * SQL oracle here shares) instead of GPT-2's contraction regex. The
+  * MERGE LOOP is the real thing: repeatedly find the lowest-rank adjacent
+  * pair and fuse all its occurrences left-to-right, until no pair is in
+  * the table.
+  *
+  * Scale shape: the model is plan-serialized (broadcast with the task
+  * binary — merges tables are ~50k lines, far under a megabyte), scoring
+  * is one codegen'd expression per row with no shuffle, and a
+  * per-JVM memo caches word→count because corpus word frequency is
+  * Zipfian (the cache hit-rate approaches 1 at scale). */
+object Bpe {
+
+  /** Ranked merge table. Construct via [[fromLines]]/[[fromResource]]. */
+  final case class BpeModel(merges: IndexedSeq[(String, String)]) {
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.put(a + " " + b, Integer.valueOf(i))
+      }
+      m
+    }
+
+    /** word→token-count memo; concurrent because one plan-referenced
+      * model instance serves every task thread in the JVM. Cleared
+      * wholesale past a size cap: the long-tail words that would evict
+      * an LRU are exactly the ones not worth remembering. */
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val MemoCap = 1 << 16
+
+    /** GPT-2 greedy merge of one word: lowest-rank adjacent pair, fuse
+      * ALL its occurrences left-to-right (non-overlapping), repeat. */
+    def tokenizeWord(word: String): Array[String] = {
+      var syms: Array[String] = word.toCharArray.map(String.valueOf)
+      var done = syms.length <= 1
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r.intValue() < best) best = r.intValue()
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(best)
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          if (syms.length <= 1) done = true
+        }
+      }
+      syms
+    }
+
+    private def wordTokenCount(w: String): Int = {
+      val hit = memo.get(w)
+      if (hit != null) return hit.intValue()
+      val n = tokenizeWord(w).length
+      if (memo.size >= MemoCap) memo.clear()
+      memo.put(w, Integer.valueOf(n))
+      n
+    }
+
+    /** Subword token count of a full text: lowercase, split on the
+      * engine-wide `[^a-z0-9_]+` word convention, sum per-word counts.
+      * Public (not just expression-internal) so generated code can call
+      * it. */
+    def countTokens(text: String): Long = {
+      if (text == null) return 0L
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9_]+")
+      var total = 0L
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) total += wordTokenCount(words(i))
+        i += 1
+      }
+      total
+    }
+  }
+
+  /** Parse GPT-2 `merges.txt` lines: rank = order, `#`/blank skipped. */
+  def fromLines(lines: Iterator[String]): BpeModel =
+    BpeModel(lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val p = l.split(" ")
+        require(p.length == 2, s"bad merges line (want 'a b'): '$l'")
+        (p(0), p(1))
+      }.toIndexedSeq)
+
+  /** Load a merges table bundled on the classpath. */
+  def fromResource(name: String): BpeModel = {
+    val in = getClass.getClassLoader.getResourceAsStream(name)
+    require(in != null, s"merges resource not found on classpath: $name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try fromLines(src.getLines()) finally src.close()
+  }
+
+  /** Load a merges.txt from any Hadoop-visible path (a user-supplied
+    * published vocabulary). */
+  def fromFile(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try fromLines(src.getLines()) finally src.close()
+  }
+
+  /** The small test/oracle fixture shipped with the repo (44 hand-ranked
+    * merges over the test vocabulary; deliberately contains no
+    * identical-symbol pair, see [[graft.queries.QueriesText]]'s q118
+    * oracle note). */
+  lazy val fixture: BpeModel = fromResource("graft/bpe_merges.txt")
+
+  /** Column function: exact BPE token count of a string column. */
+  def tokenCount(model: BpeModel)(c: Column): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(c), model))
+}
+
+/** Codegen expression for [[Bpe.BpeModel.countTokens]]: the model rides
+  * as a plan reference object (serialized once per stage, shared by all
+  * task threads), and the generated code is a direct method call — the
+  * expression stays inside WholeStageCodegen rather than falling back to
+  * interpreted eval like a Scala UDF would. */
+case class BpeTokenCount(child: Expression, model: Bpe.BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_token_count requires STRING, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    model.countTokens(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[Bpe.BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.countTokens($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}

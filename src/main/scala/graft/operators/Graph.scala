@@ -422,15 +422,19 @@ object PropertyGraph {
     val e = edges.select(col("src"), col("dst"))
     val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("_outdeg")), "src")
       .repartition(nparts, col("src")).persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
-    // dangling = appears as a dst but never as a src; node-sized and only
-    // materialized when the redistribution term needs it
-    val dangling =
-      if (redistributeDangling)
-        Some(nodes.join(e.select(col("src").as("id")).distinct(),
-          Seq("id"), "left_anti").persist())
-      else None
+    val plainNodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    // with redistribution the node relation carries a dangling flag
+    // (appears as a dst but never as a src), so each round's dangling
+    // mass is harvested by an observe() metric ON the round's own
+    // checkpoint action — zero extra jobs, where a separate per-round
+    // aggregate would double the round count's fixed job cost
+    val nodes =
+      (if (redistributeDangling)
+        plainNodes.join(e.select(col("src").as("id")).distinct()
+            .withColumn("_out", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("_out").isNull.as("_dangling"))
+      else plainNodes).persist()
     try {
       val n = nodes.count().toDouble
       // teleport written as (1.0 - d)/n IN COLUMN ALGEBRA so an SQL
@@ -438,6 +442,13 @@ object PropertyGraph {
       // double (1 - 0.85 as a double subtraction != the literal 0.15)
       val teleport = (lit(1.0) - lit(damping)) / lit(n)
       var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
+      // round-0 dangling mass needs its own (node-vector-sized) scalar
+      // job; every later round's rides the checkpoint observation
+      var dm: Double =
+        if (redistributeDangling)
+          ranks.where(col("_dangling"))
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        else 0.0
       var itersRun = 0
       var converged = false
       for (i <- 1 to iterations if !converged) {
@@ -446,17 +457,26 @@ object PropertyGraph {
           .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
           .groupBy("id").agg(sum(col("_c")).as("_inflow"))
         val contrib = coalesce(col("_inflow"), lit(0.0))
-        val spread = dangling match {
-          case Some(dg) =>
-            val dm = ranks.join(dg, Seq("id"), "left_semi")
-              .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-            contrib + lit(dm) / lit(n)
-          case None => contrib
-        }
-        var next = nodes.join(inflow, Seq("id"), "left")
-          .select(col("id"), (teleport + lit(damping) * spread).as("rank"))
-        if (i % checkpointInterval == 0 || i == iterations || tolerance > 0)
+        val spread =
+          if (redistributeDangling) contrib + lit(dm) / lit(n) else contrib
+        val outCols = col("id") +:
+          (teleport + lit(damping) * spread).as("rank") +:
+          (if (redistributeDangling) Seq(col("_dangling")) else Nil)
+        var next = nodes.join(inflow, Seq("id"), "left").select(outCols: _*)
+        val obs =
+          if (redistributeDangling) {
+            val o = org.apache.spark.sql.Observation(s"pr_dangling_$i")
+            next = next.observe(o, coalesce(
+              sum(when(col("_dangling"), col("rank"))), lit(0.0)).as("dm"))
+            Some(o)
+          } else None
+        // redistribution materializes every round regardless of the
+        // checkpoint interval: the next round's dangling scalar comes
+        // from this round's action
+        if (i % checkpointInterval == 0 || i == iterations || tolerance > 0 ||
+            redistributeDangling)
           next = next.localCheckpoint(eager = true)
+        obs.foreach(o => dm = o.get("dm").asInstanceOf[Double])
         if (tolerance > 0) {
           val delta = next
             .join(ranks.select(col("id"), col("rank").as("_prev")), "id")
@@ -466,9 +486,9 @@ object PropertyGraph {
         ranks = next
         itersRun = i
       }
-      (ranks, itersRun)
+      (ranks.drop("_dangling"), itersRun)
     } finally {
-      adj.unpersist(); nodes.unpersist(); dangling.foreach(_.unpersist())
+      adj.unpersist(); nodes.unpersist()
     }
   }
 

@@ -85,10 +85,22 @@ final class PipelineResult private[operators] (
     * (at 100 TB the audit is free; re-scanning per stage is not).
     * Populated by the first action on [[data]]; runs a no-op write if no
     * action has materialized the plan yet. Requires prepare(audit=true). */
-  def stageCounts(): Seq[(String, Long)] = {
+  def stageCounts(): Seq[(String, Long)] =
+    stageMetrics().map { case (n, rows, _) => n -> rows }
+
+  /** (stage, rows, whitespace tokens) per stage, from the SAME
+    * single-pass observe() metrics as [[stageCounts]] — curation budgets
+    * are set in tokens, so the audit reports the denomination budgets
+    * are written in, not just row attrition. Token counts reflect the
+    * text AS OF that stage (after any redaction/boilerplate rewrite
+    * upstream of it). */
+  def stageMetrics(): Seq[(String, Long, Long)] = {
     require(stages.nonEmpty, "pipeline was prepared with audit=false")
     data.write.mode("overwrite").format("noop").save()
-    stages.map { case (n, o) => n -> o.get.values.head.asInstanceOf[Long] }
+    stages.map { case (n, o) =>
+      val m = o.get
+      (n, m("rows").asInstanceOf[Long], m("tokens").asInstanceOf[Long])
+    }
   }
 }
 
@@ -108,7 +120,11 @@ object Pipeline {
       else {
         val o = Observation(s"pipeline_$stage")
         obs += stage -> o
-        df.observe(o, count(lit(1)).as("rows"))
+        // rows AND whitespace tokens in the same metrics node: the audit
+        // stays one pass however many denominations it reports
+        df.observe(o, count(lit(1)).as("rows"),
+          coalesce(sum(TextAnalysis.wsTokenCount(col(textCol)).cast("long")),
+            lit(0L)).as("tokens"))
       }
 
     var cur = checkpoint(docs.where(col(textCol).isNotNull), "input")

@@ -147,6 +147,16 @@ object QueriesGraph {
       PropertyGraph.pageRank(GraphData.edges(s, dir), iterations = 5)
         .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
 
+    // PageRank WITH the standard dangling-mass redistribution (region
+    // nodes are sinks in this graph, so the two variants genuinely
+    // differ): rank = (1-d)/N + d*(inflow + dm/N), dm = rank mass on
+    // nodes with no out-edges, re-measured each round. The oracle
+    // unrolls all five rounds with a per-round dangling-sum CTE.
+    "q119_pagerank_dangling" -> ((s, dir) =>
+      PropertyGraph.pageRank(GraphData.edges(s, dir), iterations = 5,
+          redistributeDangling = true)
+        .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
+
     // Triangle counts over the supplier co-location graph (suppliers in
     // the same nation are linked). The oracle never runs the joins: in a
     // co-location clique every supplier in an n-supplier nation sits in
@@ -341,6 +351,43 @@ object QueriesGraph {
          |  SELECT e.src, e.dst, d.outdeg
          |  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
          |    ON d.src = e.src),
+         |nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |pr0 AS (SELECT id, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns),
+         |$rounds
+         |SELECT id, round(rank, 6) + 0.0 AS rank FROM pr5""".stripMargin
+    },
+
+    "q119_pagerank_dangling" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""dm$i AS (
+           |  SELECT coalesce(sum(p.rank), 0.0) AS dm
+           |  FROM pr${i - 1} p JOIN dgl ON dgl.id = p.id),
+           |pr$i AS (
+           |  SELECT n.id,
+           |         (1.0 - 0.85) / ns.n
+           |           + 0.85 * (coalesce(s.inflow, 0.0) + d.dm / ns.n) AS rank
+           |  FROM nodes n CROSS JOIN nstat ns CROSS JOIN dm$i d LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / e.outdeg) AS inflow
+           |    FROM edeg e JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |edeg AS (
+         |  SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+         |    ON d.src = e.src),
+         |dgl AS (
+         |  SELECT n.id FROM nodes n
+         |  LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = n.id
+         |  WHERE s.src IS NULL),
          |nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          |pr0 AS (SELECT id, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns),
          |$rounds

@@ -155,6 +155,17 @@ object QueriesText {
           sum(TextAnalysis.bpeishTokenCount(col("text"))).as("bpeish_tokens"),
           round(avg(col("n_chars")), 4).as("avg_chars"))),
 
+    // EXACT greedy BPE token counting (graft.functions.Bpe) over the
+    // bundled merges fixture — the real-subword twin of q26's
+    // rule-of-thumb estimate. The oracle replays the whole merge loop in
+    // SQL from the same inlined ranked pairs.
+    "q118_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(graft.functions.Bpe.fixture)(col("text"))
+            .as("n_bpe"))
+        .orderBy("doc_id")),
+
     // Exact dedup via normalized fingerprint
     "q27_dedup_exact" -> ((s, dir) =>
       Dedup.exact(exactDupCorpus(s, dir), "doc_id", "text", minSize = 2)),
@@ -478,9 +489,11 @@ object QueriesText {
     }),
 
     // The pipeline's observe()-based stage audit, itself oracle-checked:
-    // per-stage survivor counts from the metrics nodes of q104's plan
-    // must equal DuckDB counting each CTE stage independently — the
-    // instrumentation is only trustworthy if the numbers it reports are.
+    // per-stage survivor counts AND whitespace-token sums from the
+    // metrics nodes of q104's plan must equal DuckDB counting each CTE
+    // stage independently — the instrumentation is only trustworthy if
+    // the numbers it reports are, and curation budgets are set in
+    // tokens, not rows.
     "q108_pipeline_audit" -> ((s, dir) => {
       val spec = graft.operators.PipelineSpec(
         langAllow = Set("en", "de", "fr"),
@@ -491,7 +504,7 @@ object QueriesText {
       val res = graft.operators.Pipeline.prepare(
         pipelineCorpus(s, dir), "doc_id", "text", spec, audit = true)
       import s.implicits._
-      res.stageCounts().toDF("stage", "n_rows")
+      res.stageMetrics().toDF("stage", "n_rows", "n_tokens")
     }),
 
     "q98_indexed_dedup" -> ((s, dir) => {
@@ -537,6 +550,65 @@ object QueriesText {
   )
 
   // --------------------------------------------------------------- oracles
+
+  /** q118 oracle: replay the greedy BPE merge loop in SQL from the same
+    * ranked pairs the Spark expression uses — a recursive CTE whose step
+    * (a) finds each live word's lowest-rank adjacent pair via
+    * list_position over the inlined merges list (0 = absent in DuckDB,
+    * hence the `> 0` filter) and (b) fuses ALL its occurrences with a
+    * DOUBLE string replace on the space-joined symbols. One replace pass
+    * misses an occurrence whose leading separator the previous match
+    * consumed; a second pass gets it, and two passes are provably
+    * complete when no merge rule pairs a symbol with itself (distinct
+    * symbols cannot overlap), which the fixture guarantees — the Scala
+    * implementation handles identical-symbol rules too, the spec covers
+    * them by hand. Terminal state per word = the minimum symbol count
+    * (counts strictly decrease). */
+  private def bpeOracleSql(m: graft.functions.Bpe.BpeModel): String = {
+    require(m.merges.forall { case (a, b) => a != b },
+      "bpe oracle SQL requires a fixture with no identical-symbol merges")
+    val pairs = m.merges.map { case (a, b) => s"'$a $b'" }.mkString(", ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, t AS w, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |               lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dw AS (SELECT w FROM words GROUP BY w),
+       |it(w, s) AS (
+       |  SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' FROM dw
+       |  UNION ALL
+       |  SELECT w, replace(replace(s, ' ' || pat || ' ', ' ' || rep || ' '),
+       |                       ' ' || pat || ' ', ' ' || rep || ' ')
+       |  FROM (
+       |    SELECT w, s, pat, replace(pat, ' ', '') AS rep FROM (
+       |      SELECT w, s,
+       |             ml[list_aggregate(list_filter(list_transform(pr,
+       |                  p -> list_position(ml, p)), x -> x > 0), 'min')] AS pat
+       |      FROM (
+       |        SELECT w, s,
+       |               list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i + 1]) AS pr,
+       |               ml
+       |        FROM (SELECT w, s,
+       |                     list_filter(string_split(s, ' '), x -> x <> '') AS sy,
+       |                     [$pairs] AS ml
+       |              FROM it) x0) x1) x2) x3
+       |  WHERE pat IS NOT NULL),
+       |bpe AS (
+       |  SELECT w, min(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS ntok
+       |  FROM it GROUP BY w),
+       |per_doc AS (
+       |  SELECT words.doc_id, CAST(sum(cnt * ntok) AS BIGINT) AS n_bpe
+       |  FROM words JOIN bpe USING (w) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Whitespace-token sum fragment for the q108 audit oracle (explicit
+    * class, BIGINT cast — same stance as q26). */
+  private val wsTokSumSql =
+    """CAST(coalesce(sum(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'), x -> x <> ''))), 0) AS BIGINT)"""
 
   private val tokCte =
     """toks AS (
@@ -768,6 +840,8 @@ object QueriesText {
         |      + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9 \t\n\r\f\x0B]+'), x -> x <> ''))) AS BIGINT) AS bpeish_tokens,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q118_bpe_tokens" -> bpeOracleSql(graft.functions.Bpe.fixture),
 
     "q27_dedup_exact" ->
       s"""WITH $exactDupCorpusSql
@@ -1425,11 +1499,16 @@ object QueriesText {
          |    CASE lang WHEN 'en' THEN ${Sampling.threshold(0.6)}
          |              WHEN 'de' THEN ${Sampling.threshold(0.9)}
          |              ELSE ${Sampling.threshold(1.0)} END)
-         |SELECT 'input' AS stage, CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_rows
-         |UNION ALL SELECT 'lang', CAST((SELECT count(*) FROM lf) AS BIGINT)
-         |UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM qf) AS BIGINT)
-         |UNION ALL SELECT 'exact_dedup', CAST((SELECT count(*) FROM sv) AS BIGINT)
-         |UNION ALL SELECT 'mixture', CAST((SELECT count(*) FROM mx) AS BIGINT)""".stripMargin,
+         |SELECT 'input' AS stage, CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_rows,
+         |       (SELECT $wsTokSumSql FROM corpus) AS n_tokens
+         |UNION ALL SELECT 'lang', CAST((SELECT count(*) FROM lf) AS BIGINT),
+         |       (SELECT $wsTokSumSql FROM lf)
+         |UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM qf) AS BIGINT),
+         |       (SELECT $wsTokSumSql FROM qf)
+         |UNION ALL SELECT 'exact_dedup', CAST((SELECT count(*) FROM sv) AS BIGINT),
+         |       (SELECT $wsTokSumSql FROM sv)
+         |UNION ALL SELECT 'mixture', CAST((SELECT count(*) FROM mx) AS BIGINT),
+         |       (SELECT $wsTokSumSql FROM mx)""".stripMargin,
 
     "q104_training_pipeline" ->
       s"""WITH corpus AS (

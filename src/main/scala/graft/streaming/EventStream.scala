@@ -418,12 +418,14 @@ object EventStream {
   def dedupIngestStream(stream: DataFrame, idCol: String, textCol: String,
                         indexDir: String, outDir: String,
                         checkpointDir: String,
-                        threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+                        threshold: Double = 0.5,
+                        profileDir: Option[String] = None,
+                        profileLangCol: String = "lang"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitIngestBatch(batch, idCol, textCol, indexDir, outDir,
-          threshold, batchId)
+          threshold, batchId, profileDir, profileLangCol)
       }
       .start()
 
@@ -445,13 +447,23 @@ object EventStream {
     *     compaction does not depend on row uniqueness. */
   private[graft] def commitIngestBatch(batch: DataFrame, idCol: String, textCol: String,
                                 indexDir: String, outDir: String,
-                                threshold: Double, batchId: Long): Unit = {
+                                threshold: Double, batchId: Long,
+                                profileDir: Option[String] = None,
+                                profileLangCol: String = "lang"): Unit = {
     val survivors = graft.operators.Dedup
       .dedupAgainstIndex(batch, idCol, textCol, indexDir, threshold,
         excludeBatchIds = true)
       .persist()
     try {
       survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // mergeable per-batch profile partial (CorpusReport.profileMerged
+      // folds them into the full-corpus report without a text rescan);
+      // batch-stamped overwrite keeps it replay-idempotent like the
+      // corpus write it mirrors
+      profileDir.foreach { pd =>
+        graft.operators.CorpusReport.writePartial(
+          survivors, idCol, textCol, profileLangCol, pd, batchId)
+      }
       // the marker gates ONLY the index append (a re-append is harmless —
       // the probe reads signatures as a set — it just drifts the nDocs
       // stat); it must never gate the corpus write, so a marker that is

@@ -616,6 +616,19 @@ class ClientSpec extends SparkSpec {
     // rebuilt-by-hand handle queries clean again
     c.buildPackedAnnIndex()
     assert(c.packedAnnQuery(q, 1, nProbe = 2).count() === 1)
+
+    // an IVF model RETRAIN through another handle changes ANN routing
+    // without touching the data dir — it must read as a mutation too,
+    // or this handle's RESIDENT cell layout serves the old centroids
+    // (checked while the IVF index is resident: buildPackedIndex below
+    // would release it and a cold rebuild is trivially fresh)
+    val other2 = client.getCollection("stale")
+    other2.buildVectorIndex(numCells = 4)
+    val e5 = intercept[IllegalStateException] { c.packedAnnQuery(q, 1, nProbe = 2) }
+    assert(e5.getMessage.contains("STALE"), e5.getMessage)
+    c.buildPackedAnnIndex()
+    assert(c.packedAnnQuery(q, 1, nProbe = 2).count() === 1)
+
     c.buildPackedIndex()
     assert(c.packedQuery(q, 1).count() === 1)
   }

@@ -402,6 +402,43 @@ class EventStreamSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  test("ingest profile partials fold to the accepted-corpus profile without a rescan") {
+    import graft.operators.{CorpusReport, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingestprof")
+    val (ixDir, outDir, profDir) = (s"$tmp/ix", s"$tmp/out", s"$tmp/prof")
+    Dedup.saveDedupIndex(
+      Seq((1L, "seed document with unique words entirely tonight"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ixDir)
+    val batches = Seq(
+      Seq((100L, "the quick brown fox jumps tonight", "en"),
+        (101L, "der schnelle braune fuchs springt", "de")),
+      Seq((200L, "completely fresh material appears here now", "en"),
+        (201L, "seed document with unique words entirely tonight", "en")), // dropped vs index
+      Seq((300L, "yet another novel sentence arrives today", "fr")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      EventStream.commitIngestBatch(rows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", ixDir, outDir, threshold = 0.5, batchId = i.toLong,
+        profileDir = Some(profDir))
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = toMap(CorpusReport.profileMerged(spark, profDir))
+    val full = toMap(CorpusReport.profile(
+      spark.read.parquet(outDir), "doc_id", "text", "lang"))
+    assert(merged.keySet === full.keySet)
+    full.foreach { case (k, v) =>
+      if (k == "mean_quality") assert(math.abs(merged(k) - v) < 1e-9, k)
+      else assert(merged(k) === v, k)
+    }
+    assert(merged("n_docs") === 4.0, "index-dropped doc must not be profiled")
+    // a replayed batch overwrites its own partial — no double counting
+    EventStream.commitIngestBatch(batches(1).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", ixDir, outDir, threshold = 0.5, batchId = 1L,
+      profileDir = Some(profDir))
+    assert(toMap(CorpusReport.profileMerged(spark, profDir)) === merged)
+  }
+
   test("ingest replay past the marker-retention horizon fails loud") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-horizon")

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.{Ann, Knn, PackedKnn}
+import org.apache.spark.sql.functions._
+
+/** Scale-tier recall validation: the oracle embeddings table is 2,000
+  * rows, which hash-proves the ANN machinery's exactness (q48/q49/q64/
+  * q72/q100) but says nothing about RECALL at realistic cardinality.
+  * This suite builds synthetic corpora with latent cluster structure
+  * (the Sweep generator's hash-vector shape plus a 16-center mixture
+  * whose clusters each SPLIT across several of the 64 IVF cells — more
+  * centers than cells makes every cluster fit one cell and every recall
+  * measure 1.000; fewer forces true neighbors across sub-cell
+  * boundaries, which is the behavior a probe sweep exists to measure) and asserts recall@10 floors against brute-force
+  * truth for (a) the cell-partitioned IVF search across an nProbe sweep
+  * at 1M rows and (b) the IVF-blocked kNN graph's nProbe 1→2 rim climb
+  * at 150k rows. The two tiers differ deliberately: the search path's
+  * cost is probed-cells-only (1M is cheap even on the local[4] test
+  * JVM), while the graph path's same-cell GEMM is quadratic per cell —
+  * 150k keeps the suite's runtime bounded where the production tier
+  * (Sweep, local[32], native BLAS) runs the 1M shape. Reference analog:
+  * quantization.py:692-703 validates its quantizers at 100K scale.
+  *
+  * Floors are set ~10 recall points under clean-box measurements
+  * (recorded inline) so scheduler noise cannot flake them, while any
+  * real routing/pruning regression (which costs tens of points) still
+  * fails. */
+class RecallFloorSpec extends SparkSpec {
+
+  private val Dim = 128
+  private val Clusters = 16
+  private val QSample = 30L
+  private val K = 10
+
+  /** N rows in 16 latent clusters: per-dim center + 0.45-scaled noise,
+    * both hash-derived (deterministic, no Random), all codegen. 16
+    * clusters over 64 IVF cells means k-means SUBDIVIDES each cluster
+    * ~4 ways, so a query's true neighbors straddle sub-cell boundaries
+    * and recall genuinely climbs with nProbe (256 clusters over 64
+    * cells measures 1.000 at every probe count — nothing to validate). */
+  private def clusteredCorpus(n: Long) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        ((pmod(xxhash64((col("id") % Clusters) * 7919 + i), lit(2000))
+            .cast("float") / lit(1000.0f) - lit(1.0f))
+          + (pmod(xxhash64(col("id") * 131 + i), lit(2000))
+            .cast("float") / lit(1000.0f) - lit(1.0f)) * lit(0.45f))
+          .cast("float"))
+        .cast("array<float>").as("embedding"))
+      .repartition(8).persist()
+
+  /** Brute-force truth for vec_id < QSample: (with-self top-K, sans-self
+    * top-K) per query, from one fused pass at K+1. */
+  private def truthFor(corpus: org.apache.spark.sql.DataFrame)
+      : (Array[(Long, Array[Float])], Map[Long, Set[Long]], Map[Long, Set[Long]]) = {
+    val qArr = corpus.where(col("vec_id") < QSample)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val rows = Knn.knnJoinFusedArr(qArr, corpus, K + 1, "cosine",
+        corpusId = "vec_id", corpusVec = "embedding")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val withSelf = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).take(K).map(_._3).toSet).toMap
+    val sansSelf = rows.groupBy(_._1).view.mapValues { rs =>
+      val q = rs.head._1
+      rs.sortBy(_._2).map(_._3).filter(_ != q).take(K).toSet
+    }.toMap
+    (qArr, withSelf, sansSelf)
+  }
+
+  private def recall(got: Map[Long, Set[Long]],
+                     truth: Map[Long, Set[Long]]): Double =
+    truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+
+  test("1M-row IVF partitioned search: recall floors across the nProbe sweep") {
+    val t0 = System.nanoTime()
+    val corpus = clusteredCorpus(1000000L)
+    try {
+      corpus.count()
+      val model = Ann.trainIvf(corpus, "embedding", numCells = 64, seed = 42L,
+        maxIter = 5, sampleFraction = 0.02)
+      val (qArr, truthSearch, _) = truthFor(corpus)
+
+      val dir = java.nio.file.Files.createTempDirectory("graft-recall1m").toString
+      Ann.writePartitionedByCell(corpus, model, dir,
+        corpusId = "vec_id", vecCol = "embedding")
+      import spark.implicits._
+      val queries = qArr.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("query_id", "query_vec")
+      val sweep = Seq(1, 2, 4).map { nProbe =>
+        val got = Ann.ivfSearchPartitioned(queries, dir, model, K, nProbe)
+          .collect().groupBy(_.getAs[Long]("query_id")).view
+          .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+        nProbe -> recall(got, truthSearch)
+      }
+      info(s"ivfSearchPartitioned recall@10 over 1M: " +
+        sweep.map { case (p, r) => f"nProbe=$p%d $r%.3f" }.mkString(", ") +
+        f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      val r = sweep.toMap
+      // clean-box measurement: 0.493 / 0.817 / 1.000 (seeded k-means on
+      // a deterministic corpus — run-to-run identical; the margin is for
+      // platform/Spark-version drift, not noise)
+      assert(r(1) >= 0.40, s"nProbe=1 recall ${r(1)}")
+      assert(r(2) >= 0.70, s"nProbe=2 recall ${r(2)}")
+      assert(r(4) >= 0.90, s"nProbe=4 recall ${r(4)}")
+      assert(r(2) > r(1) && r(4) > r(2),
+        s"recall must CLIMB with probes: $sweep")
+    } finally corpus.unpersist()
+  }
+
+  test("150k-row IVF-blocked kNN graph: rim expansion climbs recall") {
+    val t0 = System.nanoTime()
+    val corpus = clusteredCorpus(150000L)
+    try {
+      corpus.count()
+      val model = Ann.trainIvf(corpus, "embedding", numCells = 64, seed = 42L,
+        maxIter = 5, sampleFraction = 0.1)
+      val (_, _, truthGraph) = truthFor(corpus)
+      val pi = PackedKnn.packIvf(corpus, model,
+        idCol = "vec_id", vecCol = "embedding")
+      try {
+        def graphRecall(nProbe: Int): Double = {
+          val got = PackedKnn.knnGraphIvf(pi, K, "cosine", nProbe)
+            .where(col("query_id") < QSample)
+            .collect().groupBy(_.getAs[Long]("query_id")).view
+            .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+          recall(got, truthGraph)
+        }
+        val g1 = graphRecall(1)
+        val g2 = graphRecall(2)
+        info(f"knnGraphIvf recall@10 over 150k: nProbe=1 $g1%.3f, " +
+          f"nProbe=2 $g2%.3f (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        // clean-box measurement: 0.557 / 0.803 (deterministic, like the
+        // search tier — margins are platform drift allowances)
+        assert(g1 >= 0.45, s"graph nProbe=1 recall $g1")
+        assert(g2 >= 0.70, s"graph nProbe=2 recall $g2")
+        assert(g2 > g1, s"rim expansion must CLIMB recall: $g1 -> $g2")
+      } finally pi.unpersist()
+    } finally corpus.unpersist()
+  }
+}

@@ -138,4 +138,101 @@ class TextQualitySpec extends SparkSpec {
     assert(got("mean_quality") > 0.0 && got("mean_quality") < 1.0)
     assert(got.keySet.size === 7)
   }
+
+  test("profileMerged over batch partials equals the full-scan profile") {
+    import graft.operators.CorpusReport
+    val b1 = Seq((1L, "the quick brown fox", "en"),
+      (2L, "der schnelle braune fuchs", "de"),
+      (3L, "shared duplicate text here", "en")).toDF("doc_id", "text", "lang")
+    val b2 = Seq((4L, "shared duplicate text here", "en"), // cross-batch dup
+      (5L, "completely different material now", "fr"),
+      (6L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-profpart").toString
+    CorpusReport.writePartial(b1, "doc_id", "text", "lang", dir, 0L)
+    CorpusReport.writePartial(b2, "doc_id", "text", "lang", dir, 1L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = toMap(CorpusReport.profileMerged(spark, dir))
+    val full = toMap(CorpusReport.profile(
+      b1.unionByName(b2), "doc_id", "text", "lang"))
+    assert(merged.keySet === full.keySet)
+    full.foreach { case (k, v) =>
+      if (k == "mean_quality") assert(math.abs(merged(k) - v) < 1e-9, k)
+      else assert(merged(k) === v, k)
+    }
+    // the cross-batch duplicate is visible ONLY because partials carry
+    // fingerprint-LEVEL counts: each batch alone has zero duplication
+    assert(merged("dup_doc_share") === 0.4) // docs 3 and 4 of 5 non-null
+    assert(merged("n_langs") === 3.0)
+    // replay idempotence: rewriting a batch's partial changes nothing
+    CorpusReport.writePartial(b2, "doc_id", "text", "lang", dir, 1L)
+    assert(toMap(CorpusReport.profileMerged(spark, dir)) === merged)
+  }
+
+  test("BPE: greedy merge loop matches hand-computed tokenizations") {
+    import graft.functions.Bpe
+    val m = Bpe.fixture
+    assert(m.merges.length === 44)
+    // full merges, partial merges, rank priority, and no-merge words —
+    // each hand-derived by running the published greedy algorithm: find
+    // the LOWEST-RANK adjacent pair, fuse all occurrences, repeat
+    assert(m.tokenizeWord("the").toSeq === Seq("the"))
+    assert(m.tokenizeWord("stream").toSeq === Seq("stream"))
+    assert(m.tokenizeWord("window").toSeq === Seq("window"))
+    assert(m.tokenizeWord("data").toSeq === Seq("data"))
+    // (e,r) rank 2 beats (o,r) rank 5 -> "or d er", not "ord er"
+    assert(m.tokenizeWord("order").toSeq === Seq("or", "d", "er"))
+    assert(m.tokenizeWord("query").toSeq === Seq("qu", "er", "y"))
+    // (r,o) rank 8 beats (o,w) rank 9 and consumes the shared 'o'
+    assert(m.tokenizeWord("row").toSeq === Seq("ro", "w"))
+    assert(m.tokenizeWord("small").toSeq === Seq("s", "m", "a", "l", "l"))
+    assert(m.tokenizeWord("agg").toSeq === Seq("a", "g", "g"))
+    assert(m.tokenizeWord("a").toSeq === Seq("a"))
+    assert(m.tokenizeWord("").toSeq === Seq())
+
+    // identical-symbol rules (the GPT-2 merges file has them, the oracle
+    // fixture deliberately does not): left-to-right non-overlapping fuse
+    val self = Bpe.BpeModel(IndexedSeq(("a", "a")))
+    assert(self.tokenizeWord("aaaa").toSeq === Seq("aa", "aa"))
+    assert(self.tokenizeWord("aaaaa").toSeq === Seq("aa", "aa", "a"))
+    val chain = Bpe.BpeModel(IndexedSeq(("a", "a"), ("aa", "aa")))
+    assert(chain.tokenizeWord("aaaa").toSeq === Seq("aaaa"))
+
+    // full-text counting: lowercase + [^a-z0-9_]+ split, punct ignored
+    assert(m.countTokens("The ORDER!! query") === 1L + 3L + 3L)
+    assert(m.countTokens("") === 0L)
+    assert(m.countTokens("   ") === 0L)
+
+    // merges.txt format parsing: header skipped, bad lines loud
+    val parsed = Bpe.fromLines(Iterator("#version: 0.2", "", "t h", "th e"))
+    assert(parsed.merges === IndexedSeq(("t", "h"), ("th", "e")))
+    intercept[IllegalArgumentException] {
+      Bpe.fromLines(Iterator("a b c"))
+    }
+  }
+
+  test("BPE column expression counts through codegen and matches the driver-side count") {
+    import graft.functions.Bpe
+    val m = Bpe.fixture
+    val docs = Seq(
+      (1L, "the spark stream"),
+      (2L, "ORDER by query, window!"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Bpe.tokenCount(m)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(1L) === 3L)             // the + spark + stream, all 1 token
+    // order(3: or,d,er) + by(2: no rule) + query(3: qu,er,y) + window(1)
+    assert(got(2L) === 3L + 2L + 3L + 1L)
+    assert(got(3L) === -1L)            // null text -> null count
+    assert(got(4L) === 0L)
+    // the expression path equals the driver-side model on real corpus text
+    val sample = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val viaExpr = sample.select(col("doc_id"), Bpe.tokenCount(m)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.collect().foreach { r =>
+      assert(viaExpr(r.getLong(0)) === m.countTokens(r.getString(1)))
+    }
+  }
 }

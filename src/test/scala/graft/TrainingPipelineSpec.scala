@@ -56,6 +56,35 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("audit token sums equal standalone recomputation per stage") {
+    val spec = PipelineSpec(langAllow = Set("en"), minQuality = 0.65,
+      exactDedup = true, mixtureRates = Map("en" -> 0.5))
+    val res = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
+    val metrics = res.stageMetrics()
+    assert(metrics.map(_._1) ===
+      Seq("input", "lang", "quality", "exact_dedup", "mixture"))
+    def toks(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(coalesce(sum(TextAnalysis.wsTokenCount(col("text")).cast("long")),
+        lit(0L))).head().getLong(0)
+    // replay each gate standalone and sum its survivors' tokens
+    var cur = docs.where(col("text").isNotNull)
+    val expect = scala.collection.mutable.ArrayBuffer[Long](toks(cur))
+    cur = cur.where(col("lang").isin("en"))
+    expect += toks(cur)
+    cur = cur.where(round(TextAnalysis.qualityScore(col("text")), 6) >= 0.65)
+    expect += toks(cur)
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+    cur = cur.withColumn("_k", min(col("doc_id")).over(w))
+      .where(col("_k") === col("doc_id")).drop("_k")
+    expect += toks(cur)
+    cur = Sampling.stratifiedSample(cur, "lang", "doc_id", Map("en" -> 0.5))
+    expect += toks(cur)
+    assert(metrics.map(_._3) === expect.toSeq)
+    assert(expect.head > 0L)
+    // the rows view is byte-identical to the (rows, tokens) view
+    assert(res.stageCounts() === metrics.map(m => m._1 -> m._2))
+  }
+
   test("adaptive quality stage equals the standalone percentileGate") {
     val spec = PipelineSpec(adaptiveQualityKeep = Some(0.6))
     val got = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
