@@ -380,7 +380,9 @@ object EventStream {
                           spec: graft.operators.PipelineSpec,
                           indexDir: String, outDir: String,
                           checkpointDir: String,
-                          threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+                          threshold: Double = 0.5,
+                          profileDir: Option[String] = None,
+                          profileLangCol: String = "lang"): org.apache.spark.sql.streaming.StreamingQuery =
     {
     // only ROW-LOCAL stages run per micro-batch, so batch boundaries
     // cannot change the outcome: corpus-global knobs are cleared —
@@ -410,7 +412,7 @@ object EventStream {
         val gated = graft.operators.Pipeline.prepare(batch, idCol, textCol,
           batchSpec).data
         commitIngestBatch(gated, idCol, textCol, indexDir, outDir,
-          threshold, batchId)
+          threshold, batchId, profileDir, profileLangCol)
       }
       .start()
     }

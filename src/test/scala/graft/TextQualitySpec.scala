@@ -229,7 +229,14 @@ class TextQualitySpec extends SparkSpec {
     // the expression path equals the driver-side model on real corpus text
     val sample = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(50)
-    val viaExpr = sample.select(col("doc_id"), Bpe.tokenCount(m)(col("text")).as("n"))
+    val scored = sample.select(col("doc_id"), Bpe.tokenCount(m)(col("text")).as("n"))
+    // the expression must ride INSIDE whole-stage codegen (the reference
+    // object + direct method call design), not fall back to interpreted
+    // eval like a UDF would
+    assert(scored.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, scored.queryExecution.executedPlan.toString)
+    val viaExpr = scored
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     sample.collect().foreach { r =>
       assert(viaExpr(r.getLong(0)) === m.countTokens(r.getString(1)))
