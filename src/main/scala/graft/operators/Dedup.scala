@@ -214,9 +214,16 @@ object Dedup {
     * component at corpus scale would mean hundreds of blocking jobs.
     * Both steps are plain groupBy-min + self-join on the candidate-pair
     * relation (docs in >= 1 pair, a sliver of the corpus); each round's
-    * result is localCheckpoint-ed so plans stay constant-size, and the
-    * round-over-round fixpoint test is an exact limit(1)-bounded
-    * symmetric-difference probe, one job per round.
+    * result is localCheckpoint-ed so plans stay constant-size. Fixpoint
+    * detection is two-tier: every round's checkpoint action carries an
+    * observe() fingerprint (edge count + bit_xor of xxhash64(u,v) — an
+    * exact, order-independent set signature, so equal sets can NEVER
+    * fingerprint unequal), and only a fingerprint MATCH triggers the
+    * authoritative limit(1)-bounded symmetric-difference probe. Changed
+    * rounds — every round but the last — therefore pay zero extra jobs;
+    * the probe job runs once, at convergence (plus once per 2^-64-rare
+    * xor collision, where it correctly reports "changed" and the loop
+    * continues — correctness never rests on the fingerprint).
     *
     * Returns (doc_id, cluster_id) for every doc in >= 1 pair; cluster_id =
     * min doc id of the component (the deterministic keeper, matching
@@ -254,21 +261,37 @@ object Dedup {
         .distinct()
     }
 
-    var edges = pairs
-      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .repartition(p, col("u"))
-      .localCheckpoint(eager = true)
-    var changed = edges.limit(1).count() // skip the loop entirely when no edges
+    // (cnt, xor of xxhash64(u,v)): exact under set equality, order-free
+    def observed(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+      val o = org.apache.spark.sql.Observation(name)
+      (df.observe(o, count(lit(1)).as("cnt"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("fp")), o)
+    }
+    def fingerprint(o: org.apache.spark.sql.Observation): (Long, Long) =
+      (o.get("cnt").asInstanceOf[Long], o.get("fp").asInstanceOf[Long])
+    val (e0, o0) = observed(
+      pairs
+        .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .repartition(p, col("u")),
+      "cc_init")
+    var edges = e0.localCheckpoint(eager = true)
+    var prev = fingerprint(o0) // doubles as the skip-empty probe: cnt == 0
+    var changed = prev._1
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val next = round(edges).localCheckpoint(eager = true)
-      // exact fixpoint probe: one limit(1)-bounded job over the symmetric
-      // difference of two candidate-pair-sized relations
-      changed = next.join(edges, Seq("u", "v"), "left_anti").limit(1)
-        .unionByName(edges.join(next, Seq("u", "v"), "left_anti").limit(1))
-        .limit(1).count()
+      val (n0, oi) = observed(round(edges), s"cc_round_$it")
+      val next = n0.localCheckpoint(eager = true)
+      val cur = fingerprint(oi)
+      // fingerprint mismatch PROVES the sets differ; only a match needs
+      // the authoritative limit(1)-bounded symmetric-difference probe
+      changed =
+        if (cur != prev) 1L
+        else next.join(edges, Seq("u", "v"), "left_anti").limit(1)
+          .unionByName(edges.join(next, Seq("u", "v"), "left_anti").limit(1))
+          .limit(1).count()
+      prev = cur
       edges = next
       it += 1
     }
