@@ -143,6 +143,138 @@ object Bpe {
   /** Column function: exact BPE token count of a string column. */
   def tokenCount(model: BpeModel)(c: Column): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(c), model))
+
+  /** A trained merge table plus the pair count each rule had when it was
+    * learned (the count is part of the training certificate: the q120
+    * oracle re-derives rank, rule AND count independently in SQL). */
+  final case class TrainedBpe(merges: IndexedSeq[(String, String, Long)]) {
+    def model: BpeModel = BpeModel(merges.map { case (a, b, _) => (a, b) })
+  }
+
+  /** Learn a BPE merge table from a corpus (Sennrich et al., ACL'16 —
+    * the algorithm behind GPT-2's published vocabulary; trainer shape
+    * follows the public HuggingFace-tokenizers/subword-nmt design):
+    * repeatedly take the highest-count adjacent symbol pair across the
+    * word-frequency table and fuse it everywhere.
+    *
+    * Scale shape — the part Spark owns: the ONLY corpus-sized work is
+    * one distributed word-count pass (explode + word-keyed partial
+    * aggregation); the merge loop then runs over the VOCABULARY-sized
+    * (word, count) table, which is how every production BPE trainer
+    * works — corpus scans per merge would be numMerges full passes.
+    * The vocabulary is capped to the `maxWords` most frequent words
+    * (count desc, word asc — a deterministic total order) via a single
+    * TakeOrdered, which both bounds the driver collect and matches the
+    * frequency-truncation every public trainer applies; tail-of-Zipf
+    * words contribute ~nothing to pair statistics. The driver loop
+    * keeps an inverted pair->words index so each merge touches only
+    * the words containing it (incremental pair-count maintenance, not
+    * a vocab rescan per merge).
+    *
+    * Determinism contract (shared with the q120 SQL oracle): pair
+    * counts are per adjacent POSITION weighted by word frequency; the
+    * winner is (count desc, then the "a b" pair string asc — for the
+    * `[a-z0-9_]` symbol alphabet the space separator sorts below every
+    * symbol byte, so string order equals (a, b) tuple order); fusing is
+    * greedy left-to-right non-overlapping, exactly [[BpeModel.tokenizeWord]]'s
+    * step. `skipIdenticalPairs` excludes rules pairing a symbol with
+    * itself from CANDIDACY (their positions are still counted for
+    * nothing — they simply never win): that is the subset a SQL replay
+    * can fuse exactly with string replace (see the q118 oracle note),
+    * and q120 trains under it; the default trains the full algorithm,
+    * identical-symbol rules included, covered by hand in the spec. */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            numMerges: Int, maxWords: Int = 1 << 20,
+            minPairCount: Long = 1L,
+            skipIdenticalPairs: Boolean = false): TrainedBpe = {
+    import org.apache.spark.sql.functions._
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0, s"maxWords must be positive: $maxWords")
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9_]+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    val syms: Array[Array[String]] =
+      vocab.map(_._1.toCharArray.map(String.valueOf))
+    val wcnt: Array[Long] = vocab.map(_._2)
+    // pair -> total positional count; pair -> word ids that contained it
+    // at SOME point (append-only: stale or duplicate entries are safe
+    // because re-fusing a word without the pair is a net zero on the
+    // counts — cheaper than exact membership at 10^6-word vocab)
+    val pc = new java.util.HashMap[String, Long]()
+    val pw = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val k = s(i) + " " + s(i + 1)
+        val n = pc.getOrDefault(k, 0L) + sign * wcnt(wi)
+        if (n <= 0L) { pc.remove(k); pw.remove(k) }
+        else {
+          pc.put(k, n)
+          if (sign > 0)
+            pw.computeIfAbsent(k,
+              _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+        }
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addWord(wi, 1L); wi += 1 }
+
+    val out = IndexedSeq.newBuilder[(String, String, Long)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      var bestK: String = null
+      var bestN = 0L
+      pc.forEach { (k, n) =>
+        val eligible = !skipIdenticalPairs || {
+          val sp = k.indexOf(' ')
+          k.substring(0, sp) != k.substring(sp + 1)
+        }
+        if (eligible && n >= minPairCount &&
+            (n > bestN || (n == bestN && (bestK == null || k.compareTo(bestK) < 0)))) {
+          bestK = k; bestN = n
+        }
+      }
+      if (bestK == null) exhausted = true
+      else {
+        val sp = bestK.indexOf(' ')
+        val a = bestK.substring(0, sp)
+        val b = bestK.substring(sp + 1)
+        out += ((a, b, bestN))
+        val affected = pw.get(bestK)
+        // fuse greedily left-to-right in every word containing the pair,
+        // maintaining the pair statistics incrementally; the fuse loop is
+        // a no-op (and the -1/+1 accounting a net zero) for a stale or
+        // duplicate entry, so the append-only index needs no dedup
+        var ai = 0
+        while (ai < affected.length) {
+          val w = affected(ai)
+          addWord(w, -1L)
+          val s = syms(w)
+          val nb = Array.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+              nb += (a + b); j += 2
+            } else { nb += s(j); j += 1 }
+          }
+          syms(w) = nb.result()
+          addWord(w, 1L)
+          ai += 1
+        }
+        made += 1
+      }
+    }
+    TrainedBpe(out.result())
+  }
 }
 
 /** Codegen expression for [[Bpe.BpeModel.countTokens]]: the model rides

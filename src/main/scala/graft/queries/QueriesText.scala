@@ -166,6 +166,25 @@ object QueriesText {
             .as("n_bpe"))
         .orderBy("doc_id")),
 
+    // DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich'16): learn 16 merge
+    // rules from the documents corpus — one distributed word-count pass,
+    // then the vocab-sized merge loop (graft.functions.Bpe.train).
+    // skipIdenticalPairs = true selects the SQL-replayable rule subset
+    // (string-replace fusing is only provably greedy-exact for distinct
+    // symbols — the q118 oracle stance); the oracle RE-DERIVES every
+    // rule, rank and pair count from the raw corpus with 16 unrolled
+    // count->argmax->fuse rounds, so nothing is inlined from the model.
+    "q120_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val trained = graft.functions.Bpe.train(
+        t(s, dir, "documents").select(col("text")), "text",
+        numMerges = 16, skipIdenticalPairs = true)
+      trained.merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i, a, b, a + b, n) }
+        .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+        .orderBy("merge_rank")
+    }),
+
     // Exact dedup via normalized fingerprint
     "q27_dedup_exact" -> ((s, dir) =>
       Dedup.exact(exactDupCorpus(s, dir), "doc_id", "text", minSize = 2)),
@@ -605,6 +624,62 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q120 oracle: re-derive the trained merge table INDEPENDENTLY from
+    * the raw corpus — `numMerges` unrolled rounds, each one (a) counting
+    * adjacent symbol pairs per POSITION weighted by word frequency over
+    * the current vocabulary state (identical-symbol pairs excluded from
+    * candidacy, matching the query's skipIdenticalPairs training mode),
+    * (b) taking the winner by (count DESC, pair-string ASC — for the
+    * `[a-z0-9_]` alphabet the space separator sorts below every symbol
+    * byte, so string order equals (lhs, rhs) tuple order, the exact
+    * Scala tie-break), and (c) fusing it everywhere with the q118
+    * DOUBLE-replace on space-joined symbols (provably complete and
+    * greedy-left-to-right when the two symbols differ — which (a)
+    * guarantees here). A round whose vocabulary has no eligible pair
+    * contributes no row and leaves the state untouched (LEFT JOIN on the
+    * empty winner), mirroring the trainer's early stop. Every CTE is
+    * MATERIALIZED: each w_i is referenced twice (directly and through
+    * b_i), so inlining would double the plan per round — 2^numMerges
+    * scans of the base table by round numMerges. */
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pa AS pair, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_filter(list_transform(range(1, len(sy)),
+         |             j -> CASE WHEN sy[j] <> sy[j + 1]
+         |                  THEN sy[j] || ' ' || sy[j + 1] END),
+         |           x -> x IS NOT NULL)) AS pa
+         |    FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS sy
+         |          FROM w${i - 1}))
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT cnt, CASE WHEN b.pair IS NULL THEN s ELSE
+         |    replace(replace(s, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+         |                       ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
+         |  END AS s
+         |  FROM w${i - 1} LEFT JOIN b$i b ON true)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map(i =>
+      s"SELECT ${i - 1} AS merge_rank, pair, c FROM b$i").mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT cnt, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+       |  FROM (SELECT t AS w, count(*) AS cnt
+       |        FROM (SELECT unnest(list_filter(regexp_split_to_array(
+       |                     lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+       |              FROM documents)
+       |        GROUP BY 1)),
+       |$rounds,
+       |learned AS (
+       |$union)
+       |SELECT CAST(merge_rank AS INT) AS merge_rank,
+       |       split_part(pair, ' ', 1) AS lhs,
+       |       split_part(pair, ' ', 2) AS rhs,
+       |       replace(pair, ' ', '') AS merged,
+       |       CAST(c AS BIGINT) AS cnt
+       |FROM learned ORDER BY merge_rank""".stripMargin
+  }
+
   /** Whitespace-token sum fragment for the q108 audit oracle (explicit
     * class, BIGINT cast — same stance as q26). */
   private val wsTokSumSql =
@@ -842,6 +917,8 @@ object QueriesText {
         |FROM documents GROUP BY source""".stripMargin,
 
     "q118_bpe_tokens" -> bpeOracleSql(graft.functions.Bpe.fixture),
+
+    "q120_bpe_train" -> bpeTrainOracleSql(16),
 
     "q27_dedup_exact" ->
       s"""WITH $exactDupCorpusSql

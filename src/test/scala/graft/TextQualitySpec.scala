@@ -242,4 +242,48 @@ class TextQualitySpec extends SparkSpec {
       assert(viaExpr(r.getLong(0)) === m.countTokens(r.getString(1)))
     }
   }
+
+  test("BPE training: learned rules, ranks and counts match the hand-run algorithm") {
+    import graft.functions.Bpe
+    // vocab hug:3, pug:2, hugs:1, pun:1 — every round hand-derived:
+    //   (u,g)=6 -> ug; (h,ug)=4 -> hug; (p,ug)=2 -> pug; then three
+    //   count-1 rules in "a b"-string tie-break order: (hug,s), (p,u),
+    //   (pu,n); then the vocabulary is fully merged -> early stop
+    val docs = Seq("hug hug hug", "pug, pug!", "Hugs pun").toDF("text")
+    val trained = Bpe.train(docs, "text", numMerges = 10)
+    assert(trained.merges === IndexedSeq(
+      ("u", "g", 6L), ("h", "ug", 4L), ("p", "ug", 2L),
+      ("hug", "s", 1L), ("p", "u", 1L), ("pu", "n", 1L)))
+    // minPairCount stops before the count-1 tail
+    assert(Bpe.train(docs, "text", numMerges = 10, minPairCount = 2L).merges
+      === trained.merges.take(3))
+    // the trained table IS a working model for the counting expression
+    val m = trained.model
+    assert(m.tokenizeWord("hugs").toSeq === Seq("hugs"))
+    assert(m.tokenizeWord("bug").toSeq === Seq("b", "ug"))
+    assert(m.countTokens("Hugs pug bug") === 1L + 1L + 2L)
+    // maxWords truncation: top-2 words by (count desc, word asc) are
+    // hug:3, pug:2 -> first rule is (u,g) with count 5, not 6
+    val capped = Bpe.train(docs, "text", numMerges = 1, maxWords = 2)
+    assert(capped.merges === IndexedSeq(("u", "g", 5L)))
+  }
+
+  test("BPE training: identical-symbol pairs — learned by default, excluded under skipIdenticalPairs") {
+    import graft.functions.Bpe
+    // aaaa:2, bb:1 -> (a,a) counts PER POSITION (3 per word occurrence),
+    // fusing is greedy left-to-right: aaaa -> [aa,aa] -> [aaaa]
+    val docs = Seq("aaaa aaaa bb").toDF("text")
+    assert(Bpe.train(docs, "text", numMerges = 5).merges === IndexedSeq(
+      ("a", "a", 6L), ("aa", "aa", 2L), ("b", "b", 1L)))
+    // the SQL-replayable subset (q120's mode): nothing eligible here
+    assert(Bpe.train(docs, "text", numMerges = 5,
+      skipIdenticalPairs = true).merges.isEmpty)
+    // mixed corpus: the identical-symbol winner is skipped, the best
+    // DISTINCT pair wins instead ((a,a)=4 skipped; (x,y)=3 learned)
+    val mixed = Seq("aaa aaa xy xy xy").toDF("text")
+    assert(Bpe.train(mixed, "text", numMerges = 1,
+      skipIdenticalPairs = true).merges === IndexedSeq(("x", "y", 3L)))
+    assert(Bpe.train(mixed, "text", numMerges = 1).merges
+      === IndexedSeq(("a", "a", 4L)))
+  }
 }
