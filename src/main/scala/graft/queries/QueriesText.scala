@@ -185,6 +185,24 @@ object QueriesText {
         .orderBy("merge_rank")
     }),
 
+    // TRAIN-THEN-TOKENIZE composition: learn the q120 merge table, then
+    // count every document's tokens UNDER THE TRAINED TOKENIZER (the
+    // codegen tokenCount expression), summed per source — the number a
+    // curation pipeline actually budgets with. The oracle counts from
+    // the final training vocabulary state instead, so a green row also
+    // proves the classic equivalence: greedy rank-order APPLICATION of
+    // the learned rules reproduces the TRAINING-time symbol states.
+    "q121_bpe_corpus_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val trained = graft.functions.Bpe.train(
+        docs.select(col("text")), "text",
+        numMerges = 16, skipIdenticalPairs = true)
+      docs.groupBy(col("source"))
+        .agg(sum(graft.functions.Bpe.tokenCount(trained.model)(col("text")))
+          .as("bpe_tokens"))
+        .orderBy("source")
+    }),
+
     // Exact dedup via normalized fingerprint
     "q27_dedup_exact" -> ((s, dir) =>
       Dedup.exact(exactDupCorpus(s, dir), "doc_id", "text", minSize = 2)),
@@ -640,8 +658,15 @@ object QueriesText {
     * empty winner), mirroring the trainer's early stop. Every CTE is
     * MATERIALIZED: each w_i is referenced twice (directly and through
     * b_i), so inlining would double the plan per round — 2^numMerges
-    * scans of the base table by round numMerges. */
-  private def bpeTrainOracleSql(numMerges: Int): String = {
+    * scans of the base table by round numMerges.
+    *
+    * [[bpeTrainRoundsCte]] is the shared state machine (w_i carries the
+    * word key so downstream oracles can join token counts back to
+    * documents); q120 selects the learned rules, q121 instead counts
+    * tokens from the FINAL vocabulary state w_N — which checks the
+    * classic training-state == rank-order-application equivalence, since
+    * the Spark side scores with Bpe.tokenCount over the trained model. */
+  private def bpeTrainRoundsCte(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pa AS pair, sum(cnt) AS c FROM (
@@ -654,22 +679,27 @@ object QueriesText {
          |  GROUP BY 1),
          |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT cnt, CASE WHEN b.pair IS NULL THEN s ELSE
+         |  SELECT w, cnt, CASE WHEN b.pair IS NULL THEN s ELSE
          |    replace(replace(s, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
          |                       ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
          |  END AS s
          |  FROM w${i - 1} LEFT JOIN b$i b ON true)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to numMerges).map(i =>
-      s"SELECT ${i - 1} AS merge_rank, pair, c FROM b$i").mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT cnt, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |         ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
        |  FROM (SELECT t AS w, count(*) AS cnt
        |        FROM (SELECT unnest(list_filter(regexp_split_to_array(
        |                     lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
        |              FROM documents)
        |        GROUP BY 1)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges).map(i =>
+      s"SELECT ${i - 1} AS merge_rank, pair, c FROM b$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainRoundsCte(numMerges)},
        |learned AS (
        |$union)
        |SELECT CAST(merge_rank AS INT) AS merge_rank,
@@ -679,6 +709,27 @@ object QueriesText {
        |       CAST(c AS BIGINT) AS cnt
        |FROM learned ORDER BY merge_rank""".stripMargin
   }
+
+  /** q121 oracle: per-word token counts are the symbol counts of the
+    * final training state w_N; summed per doc via each doc's word
+    * occurrence counts, then per source. */
+  private def bpeCorpusTokensOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeTrainRoundsCte(numMerges)},
+       |tok AS (
+       |  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> '')) AS ntok
+       |  FROM w$numMerges),
+       |docw AS (
+       |  SELECT doc_id, t AS w, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |               lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT docw.doc_id, sum(c * ntok) AS n
+       |  FROM docw JOIN tok USING (w) GROUP BY 1)
+       |SELECT d.source, CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Whitespace-token sum fragment for the q108 audit oracle (explicit
     * class, BIGINT cast — same stance as q26). */
@@ -919,6 +970,8 @@ object QueriesText {
     "q118_bpe_tokens" -> bpeOracleSql(graft.functions.Bpe.fixture),
 
     "q120_bpe_train" -> bpeTrainOracleSql(16),
+
+    "q121_bpe_corpus_tokens" -> bpeCorpusTokensOracleSql(16),
 
     "q27_dedup_exact" ->
       s"""WITH $exactDupCorpusSql
