@@ -268,6 +268,59 @@ class TextQualitySpec extends SparkSpec {
     assert(capped.merges === IndexedSeq(("u", "g", 5L)))
   }
 
+  test("BPE training: incremental trainer == naive recount-from-scratch on 30 random corpora") {
+    import graft.functions.Bpe
+    // reference implementation: rescan the whole vocabulary every round —
+    // no inverted index, no incremental counts, nothing shared with the
+    // production trainer beyond the contract (per-position counting,
+    // (count desc, "a b" asc) winner, greedy left-to-right fuse)
+    def naive(wordCounts: Seq[(String, Long)], numMerges: Int,
+              skipIdentical: Boolean): Seq[(String, String, Long)] = {
+      var vocab = wordCounts.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = false
+      var made = 0
+      while (made < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, c) <- vocab; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+        val eligible = counts.filterNot { case ((a, b), _) => skipIdentical && a == b }
+        if (eligible.isEmpty) done = true
+        else {
+          val ((a, b), n) = eligible.minBy { case ((x, y), c) => (-c, x + " " + y) }
+          out += ((a, b, n))
+          vocab = vocab.map { case (s, c) =>
+            val nb = Array.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { nb += (a + b); j += 2 }
+              else { nb += s(j); j += 1 }
+            }
+            (nb.result(), c)
+          }
+          made += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(4242)
+    // 3-letter alphabet: heavy pair sharing, frequent identical-symbol
+    // runs (aab, bba, aaaa) — exactly the regime where the incremental
+    // index and the double-counting edge cases can drift
+    for (trial <- 0 until 30) {
+      val words = Seq.fill(20 + rnd.nextInt(40))(
+        Seq.fill(1 + rnd.nextInt(7))("abc" (rnd.nextInt(3))).mkString)
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val docs = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val skip = trial % 2 == 0
+      val got = Bpe.train(docs, "text", numMerges = 6,
+        skipIdenticalPairs = skip).merges
+      val want = naive(wc, 6, skip)
+      assert(got === want, s"trial $trial (skipIdentical=$skip), words=$words")
+    }
+  }
+
   test("BPE training: identical-symbol pairs — learned by default, excluded under skipIdenticalPairs") {
     import graft.functions.Bpe
     // aaaa:2, bb:1 -> (a,a) counts PER POSITION (3 per word occurrence),
