@@ -140,6 +140,24 @@ object Bpe {
     * oracle note). */
   lazy val fixture: BpeModel = fromResource("graft/bpe_merges.txt")
 
+  /** Persist a merge table in the interchange `merges.txt` format
+    * [[fromFile]] reads — so a [[train]]ed vocabulary is a reusable
+    * artifact across jobs (train once on the corpus, tokenize everywhere),
+    * exactly how published vocabularies ship. Driver-side single-file
+    * write (merge tables are vocab-sized, ~50k lines at the largest). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+                 path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try {
+      val w = new java.io.OutputStreamWriter(out, "UTF-8")
+      w.write("#version: 0.2\n")
+      model.merges.foreach { case (a, b) => w.write(s"$a $b\n") }
+      w.flush()
+    } finally out.close()
+  }
+
   /** Column function: exact BPE token count of a string column. */
   def tokenCount(model: BpeModel)(c: Column): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(c), model))

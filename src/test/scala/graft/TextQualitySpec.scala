@@ -266,6 +266,13 @@ class TextQualitySpec extends SparkSpec {
     // hug:3, pug:2 -> first rule is (u,g) with count 5, not 6
     val capped = Bpe.train(docs, "text", numMerges = 1, maxWords = 2)
     assert(capped.merges === IndexedSeq(("u", "g", 5L)))
+    // trained vocabulary round-trips through the merges.txt interchange
+    // format: saveMerges -> fromFile is the same model
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.saveMerges(spark, m, s"$dir/merges.txt")
+    val re = Bpe.fromFile(spark, s"$dir/merges.txt")
+    assert(re.merges === m.merges)
+    assert(re.countTokens("Hugs pug bug") === m.countTokens("Hugs pug bug"))
   }
 
   test("BPE training: incremental trainer == naive recount-from-scratch on 30 random corpora") {
