@@ -319,7 +319,7 @@ object PackedKnn {
       parents.foreach(_.unpersist(blocking))
   }
 
-  private final class CellPartitioner(n: Int) extends org.apache.spark.Partitioner {
+  private[operators] final class CellPartitioner(n: Int) extends org.apache.spark.Partitioner {
     def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
@@ -440,16 +440,8 @@ object PackedKnn {
                                        metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
     require(queries.nonEmpty, "empty query batch")
     val cents = pc.model.centroids
-    val probes: Array[Array[Int]] = queries.map { case (_, qv) =>
-      val dists = cents.map { c =>
-        val n = math.min(qv.length, c.length)
-        var d = 0.0; var j = 0
-        while (j < n) { val diff = qv(j).toDouble - c(j); d += diff * diff; j += 1 }
-        d
-      }
-      Array.range(0, cents.length).sortBy(i => (dists(i), i))
-        .take(math.min(nProbe, cents.length))
-    }
+    val probes: Array[Array[Int]] =
+      queries.map { case (_, qv) => driverProbes(cents, qv, nProbe) }
     val byCell: Map[Int, Array[Int]] = probes.zipWithIndex
       .flatMap { case (cells, qi) => cells.map(c => (c, qi)) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -477,6 +469,22 @@ object PackedKnn {
         .take(k)
       (queries(qi)._1, merged)
     }.toArray
+  }
+
+  /** Driver-side probe ranking: the query's nProbe nearest coarse cells by
+    * squared L2, ties by cell index — the SAME ranking as the codegen
+    * ProbeCellIds kernel, so packed probe routing matches [[Ann.ivfSearch]]
+    * on the same model. Shared by [[searchIvf]] and [[PackedPq]]. */
+  private[operators] def driverProbes(cents: Array[Array[Double]],
+                                      qv: Array[Float], nProbe: Int): Array[Int] = {
+    val dists = cents.map { c =>
+      val n = math.min(qv.length, c.length)
+      var d = 0.0; var j = 0
+      while (j < n) { val diff = qv(j).toDouble - c(j); d += diff * diff; j += 1 }
+      d
+    }
+    Array.range(0, cents.length).sortBy(i => (dists(i), i))
+      .take(math.min(nProbe, cents.length))
   }
 
   /** Exact batch top-k over a packed corpus. Returns, per query id, the k
@@ -864,7 +872,7 @@ object PackedKnn {
     * The result is persisted and materialized like a fresh [[pack]]. */
   def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
                              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedCorpus[I] = {
-    val (blocks, dim) = readSlabDir[I](spark, dir, storage)
+    val (blocks, dim) = readSlabDir[Block[I]](spark, dir, storage)
     new PackedCorpus(blocks, dim)
   }
 
@@ -874,7 +882,7 @@ object PackedKnn {
   def loadIvfSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
                                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[I] = {
     val model = ModelStore.loadIvf(spark, s"$dir/model")
-    val (blocks, dim) = readSlabDir[I](spark, dir, storage)
+    val (blocks, dim) = readSlabDir[Block[I]](spark, dir, storage)
     require(blocks.getNumPartitions == model.numCells,
       s"IVF slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
         s"but the model has ${model.numCells} cells")
@@ -897,7 +905,10 @@ object PackedKnn {
     c
   }
 
-  private def writeSlabDir[I](blocks: RDD[Block[I]], dim: Int, dir: String): Unit = {
+  /** Generic over the slab element (float [[Block]]s here, PQ code blocks
+    * in [[PackedPq]]) — the meta's `dim` field stores whatever per-row
+    * width the caller wants back from [[readSlabDir]]. */
+  private[operators] def writeSlabDir[T: ClassTag](blocks: RDD[T], dim: Int, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val sc = blocks.sparkContext
     val cm = confMap(sc)
@@ -939,8 +950,8 @@ object PackedKnn {
     fs.delete(old, true)
   }
 
-  private def readSlabDir[I: ClassTag](spark: org.apache.spark.sql.SparkSession,
-                                       dir: String, storage: StorageLevel): (RDD[Block[I]], Int) = {
+  private[operators] def readSlabDir[T: ClassTag](spark: org.apache.spark.sql.SparkSession,
+                                                  dir: String, storage: StorageLevel): (RDD[T], Int) = {
     import org.apache.hadoop.fs.Path
     val sc = spark.sparkContext
     val fs = new Path(dir).getFileSystem(sc.hadoopConfiguration)
@@ -957,15 +968,15 @@ object PackedKnn {
     if (n == 0) {
       // a zero-partition corpus round-trips as a zero-partition corpus
       // (parallelize requires a positive slice count)
-      return (sc.emptyRDD[Block[I]].setName(residentName), dim)
+      return (sc.emptyRDD[T].setName(residentName), dim)
     }
     val cm = confMap(sc)
-    val blocks: RDD[Block[I]] = sc.parallelize(0 until n, n)
+    val blocks: RDD[T] = sc.parallelize(0 until n, n)
       .mapPartitionsWithIndex { (i, _) =>
         val p = new Path(s"$dir/part-$i.slab")
         val ois = new java.io.ObjectInputStream(
           new java.io.BufferedInputStream(p.getFileSystem(mkConf(cm)).open(p), 1 << 20))
-        val arr = try ois.readObject().asInstanceOf[Array[Block[I]]]
+        val arr = try ois.readObject().asInstanceOf[Array[T]]
           finally ois.close()
         arr.iterator
       }.setName(residentName).persist(storage)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ann, Knn, ModelStore, QualityClassifier, Quantization}
+import graft.operators.{Ann, Knn, ModelStore, PackedPq, QualityClassifier, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -72,6 +72,24 @@ private[queries] object TrainedModels {
 object QueriesQuant {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** q122's resident code corpus, packed once per JVM/sf (the at-scale
+    * lifecycle: pack at ingest, serve many queries) — rebuilt if a test
+    * harness unpersisted it. */
+  private val packedPqCache =
+    scala.collection.mutable.Map.empty[String, PackedPq.PackedPqCorpus[Long]]
+  private def cachedPackPq(s: SparkSession, dir: String): PackedPq.PackedPqCorpus[Long] =
+    packedPqCache.synchronized {
+      packedPqCache.get(dir)
+        .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .getOrElse {
+          val pi = PackedPq.packIvfPq(t(s, dir, "embeddings"),
+            TrainedModels.ivf(s, dir), TrainedModels.pq(s, dir),
+            idCol = "vec_id", vecCol = "embedding")
+          packedPqCache(dir) = pi
+          pi
+        }
+    }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A7 + F6: per-dim SQ model + reconstruction error
@@ -154,6 +172,25 @@ object QueriesQuant {
       val pq = TrainedModels.pq(s, dir)
       val queries = QueriesVector.queryBatch(s, dir, 5)
       val approx = Ann.ivfPqSearch(queries, embs, ivf, pq,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // RESIDENT IVF-PQ tier (PackedPq): codes packed one CodeBlock per
+    // cell (m bytes/row — 64x below the float tier), per-query ADC LUTs
+    // broadcast to probed partitions only, exact rerank of the survivors.
+    // Row-identical to Ann.ivfPqSearch on the same models (PackedPqSpec
+    // proves bit-equal ADC distances), so it hash-checks against the SAME
+    // DuckDB re-execution as q72. Pack is cached per JVM like q99/q100 —
+    // the timed query pays probe + ADC + rerank, not the encode.
+    "q122_packed_ivfpq" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val pi = cachedPackPq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = PackedPq.search(pi, queries, embs,
         k = 10, nProbe = 4, fetchK = 50, metric = "l2",
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
@@ -363,6 +400,11 @@ object QueriesQuant {
       "q19_pq_recall" -> RecallOracles.pqRecallSql(pm, k = 10)).toMap ++
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
       "q72_ivfpq_recall" -> RecallOracles.ivfPqRecallSql(
+        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    // q122 is row-identical to q72's plan by construction (PackedPqSpec),
+    // so the SAME full re-execution oracle certifies the packed tier
+    (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
+      "q122_packed_ivfpq" -> RecallOracles.ivfPqRecallSql(
         im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
     TrainedModels.lastIvf.map(im =>
       "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++
