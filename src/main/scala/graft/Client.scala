@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Embedder
-import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn}
+import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn, PackedPq, Quantization}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -513,6 +513,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
       // commit, so it is exactly as fresh as the new counter value
       if (packedIdx.isDefined) packedStamp = stamp
       if (packedIvfIdx.isDefined) packedIvfStamp = stamp
+      if (packedPqIdx.isDefined) packedPqStamp = stamp
     }
   }
 
@@ -528,6 +529,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIdx = packedIdx.map(PackedKnn.appendStr(_, rows, "id", "embedding"))
     packedIvfIdx = packedIvfIdx.map(
       PackedKnn.appendIvfStr(_, rows, "id", "embedding"))
+    packedPqIdx = packedPqIdx.map(
+      PackedPq.appendIvfPqStr(_, rows, "id", "embedding"))
     packedMaintained = true
   }
 
@@ -548,6 +551,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (!(pruned eq old)) old.unpersist()
       PackedKnn.appendIvfStr(pruned, rows, "id", "embedding")
     }
+    packedPqIdx = packedPqIdx.map { old =>
+      val pruned = PackedPq.remove(old, ids)
+      if (!(pruned eq old)) old.unpersist()
+      PackedPq.appendIvfPqStr(pruned, rows, "id", "embedding")
+    }
     packedMaintained = true
   }
 
@@ -566,6 +574,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (!(nw eq old)) old.unpersist()
       nw
     }
+    packedPqIdx = packedPqIdx.map { old =>
+      val nw = PackedPq.remove(old, ids)
+      if (!(nw eq old)) old.unpersist()
+      nw
+    }
     packedMaintained = true
   }
 
@@ -579,6 +592,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * DIFFERENT handle or process is fail-loud, never silently stale. */
   @transient private var packedStamp: Long = -1L
   @transient private var packedIvfStamp: Long = -1L
+  @transient private var packedPqStamp: Long = -1L
 
   /** When true, a packed query that finds its resident index stale
     * (mutated through another handle/process) rebuilds it transparently
@@ -675,6 +689,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // poison every later session's warm start with pre-mutation slabs
     ensureFreshPacked(ivf = false)
     ensureFreshPacked(ivf = true)
+    ensureFreshPackedPq()
     packedIdx.foreach { pc =>
       PackedKnn.saveSlabs(pc, packedDir)
       writeSidecarStamp(packedDir, packedStamp)
@@ -682,6 +697,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIvfIdx.foreach { pi =>
       PackedKnn.saveIvfSlabs(pi, packedIvfDir)
       writeSidecarStamp(packedIvfDir, packedIvfStamp)
+    }
+    packedPqIdx.foreach { pi =>
+      PackedPq.saveSlabs(pi, packedPqDir)
+      writeSidecarStamp(packedPqDir, packedPqStamp)
     }
   }
 
@@ -710,6 +729,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(packedDir), true)
     fs.delete(new Path(packedIvfDir), true)
+    fs.delete(new Path(packedPqDir), true)
   }
 
   def hasPackedIndex: Boolean = packedIdx.isDefined
@@ -721,6 +741,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIdx = None
     packedIvfIdx.foreach(_.unpersist())
     packedIvfIdx = None
+    packedPqIdx.foreach(_.unpersist())
+    packedPqIdx = None
   }
 
   /** One operational compaction pass over everything this collection
@@ -756,6 +778,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     }
     packedIvfIdx = packedIvfIdx.map { old =>
       val nw = PackedKnn.compactIvf(old)
+      old.unpersist()
+      nw
+    }
+    packedPqIdx = packedPqIdx.map { old =>
+      val nw = PackedPq.compactIvfPq(old)
       old.unpersist()
       nw
     }
@@ -918,6 +945,143 @@ final class GraftCollection(spark: SparkSession, dir: String,
       PackedKnn.searchIvf(packedIvfIdx.get, qArr, k, nProbe, config.metric)
     }
 
+  // ------------------------------------------- resident PQ-code (ADC) tier
+
+  @transient private var packedPqIdx: Option[PackedPq.PackedPqCorpus[String]] = None
+
+  private def packedPqDir = s"$dir/index_packed_pq"
+  private def pqModelDir = s"$dir/index_pq"
+
+  /** Train and persist the product quantizer for this collection — the
+    * fit-once/search-many lifecycle of [[buildVectorIndex]], for the
+    * memory tier below the float slabs. Same crash-consistency order:
+    * train first, drop the (old-model) PQ slab sidecar, then persist —
+    * no window where a new model coexists with old-code slabs. Like the
+    * coarse quantizer, the model is a statistical sketch: mutations
+    * route through it at append time and never invalidate it. */
+  def buildQuantModel(numSubspaces: Int = 8, numCentroids: Int = 64,
+                      sampleFraction: Double = 1.0, seed: Long = 42L): Unit = {
+    require(numCentroids <= 256,
+      s"numCentroids=$numCentroids exceeds a byte code (PackedPq stores one " +
+        "byte per subspace) — use <= 256")
+    val trained = Quantization.trainPq(df.where(col("embedding").isNotNull),
+      "embedding", numSubspaces, numCentroids, seed, sampleFraction = sampleFraction)
+    val sidecar = new org.apache.hadoop.fs.Path(packedPqDir)
+    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sidecar, true)
+    ModelStore.savePq(spark, trained, pqModelDir)
+    packedPqIdx.foreach(_.unpersist())
+    packedPqIdx = None
+  }
+
+  def hasQuantModel: Boolean = ModelStore.exists(pqModelDir)
+
+  /** Pack the collection's embeddings into the resident PQ-CODE index
+    * (operators.PackedPq — m bytes per row instead of 4*dim, the tier
+    * for corpora whose float matrix no longer fits executor memory).
+    * Requires [[buildVectorIndex]] (cell routing) and [[buildQuantModel]]
+    * (codes). Same handle-scoped lifecycle as [[buildPackedIndex]]:
+    * CRUD through this handle maintains it (appends encode through the
+    * standing models, deletes tombstone), foreign mutations are detected
+    * by the mutation-counter stamp, and [[saveResidentIndex]] persists
+    * slab sidecars for a warm start. */
+  def buildPackedPqIndex(): Unit = {
+    packedPqIdx.foreach(_.unpersist())
+    val current = Collections.readMutationCount(spark, dir)
+    packedPqStamp = current
+    if (PackedPq.slabsExist(spark, packedPqDir) &&
+        sidecarStamp(packedPqDir) == current) {
+      packedPqIdx = Some(PackedPq.loadSlabs[String](spark, packedPqDir))
+    } else {
+      require(hasVectorIndex,
+        s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+      require(hasQuantModel,
+        s"collection '${config.name}' has no product quantizer; run buildQuantModel() first")
+      packedPqIdx = Some(PackedPq.packIvfPqStr(
+        df.where(col("embedding").isNotNull),
+        ModelStore.loadIvf(spark, ivfDir), ModelStore.loadPq(spark, pqModelDir),
+        "id", "embedding"))
+    }
+  }
+
+  def hasPackedPqIndex: Boolean = packedPqIdx.isDefined
+
+  private[graft] def residentPackedPq: Option[PackedPq.PackedPqCorpus[String]] = packedPqIdx
+
+  /** [[annQuery]] through the resident PQ-code tier
+    * ([[buildPackedPqIndex]] on first use): per-query ADC LUTs score only
+    * the probed cells' byte codes (m bytes touched per candidate), then
+    * the fetchK survivors are EXACTLY reranked — an id-pushdown scan of
+    * only the candidates' raw vectors through the same double distance
+    * kernel as [[query]]. Same output shape as [[query]]; recall follows
+    * the probe curve and fetchK (quantization error itself is repaired by
+    * the rerank). Metadata filters belong on [[packedQuery]]/
+    * [[packedAnnQuery]] — this tier serves the unfiltered at-scale path. */
+  def packedPqQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+                    fetchK: Int = 50): DataFrame = {
+    ensureFreshPackedPq()
+    if (packedPqIdx.isEmpty) buildPackedPqIndex()
+    val (q, qRows, qArr) = collectQueries(queries)
+    if (qArr.isEmpty) return packedResult(q, qRows, Array.empty)
+    val cand = pqSearchRecovering(qArr, fetchK, nProbe)
+    val candIds = cand.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
+    val reranked: Array[(Long, Array[(String, Double)])] =
+      if (candIds.isEmpty) Array.empty
+      else {
+        import spark.implicits._
+        val pairs = cand.toSeq
+          .flatMap { case (qi, nbrs) => nbrs.map { case (nid, _) => (qi, nid) } }
+          .toDF("_qi", "id")
+        val qv = qArr.toSeq.toDF("_qi", "_qvec")
+        // candidate ids push down into the scan (In filter on the id
+        // column) — the rerank reads O(Q*fetchK) rows, not the corpus
+        df.where(col("id").isin(candIds: _*))
+          .select(col("id"), col("embedding"))
+          .join(pairs, "id")
+          .join(broadcast(qv), "_qi")
+          .select(col("_qi"), col("id"),
+            graft.functions.vector.distance(config.metric,
+              col("embedding"), col("_qvec")).as("_d"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (qi, rs) =>
+            (qi, rs.map(r => (r.getString(1), r.getDouble(2)))
+              .sortBy { case (id, d) => (d, id) }.take(k))
+          }.toArray.sortBy(_._1)
+      }
+    packedResult(q, qRows, reranked)
+  }
+
+  /** [[ensureFreshPacked]] for the PQ tier. */
+  private def ensureFreshPackedPq(): Unit = {
+    if (packedPqIdx.isEmpty) return
+    val current = Collections.readMutationCount(spark, dir)
+    if (current != packedPqStamp) {
+      if (autoRebuildStalePacked) {
+        packedPqIdx.foreach(_.unpersist()); packedPqIdx = None
+      } else throw new IllegalStateException(
+        s"resident packed PQ index of collection '${config.name}' is STALE: " +
+          s"the collection was mutated ${current - packedPqStamp} time(s) " +
+          "through another handle or process since this handle packed it " +
+          s"(packed at mutation $packedPqStamp, collection now at $current). " +
+          "Rebuild via buildPackedPqIndex(), or set " +
+          "autoRebuildStalePacked = true to rebuild on demand.")
+    }
+  }
+
+  /** ADC search with the same warm-start loss recovery as
+    * [[packedSearchRecovering]]. */
+  private def pqSearchRecovering(qArr: Array[(Long, Array[Float])],
+                                 fetchK: Int, nProbe: Int): Array[(Long, Array[(String, Double)])] =
+    try PackedPq.searchAdc[String](packedPqIdx.get, qArr, fetchK, nProbe)
+    catch { case e: Exception if slabReadFailure(e) =>
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"resident packed PQ index of '${config.name}' lost a warm-start " +
+          "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
+      buildPackedPqIndex()
+      PackedPq.searchAdc[String](packedPqIdx.get, qArr, fetchK, nProbe)
+    }
+
   /** True when the failure's cause chain is a missing `.slab` sidecar
     * file — the one unrecoverable-by-lineage read in the packed paths. */
   private def slabReadFailure(e: Throwable): Boolean = {
@@ -1031,15 +1195,21 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // diverging from annQuery).
     val trained = Ann.trainIvf(df.where(col("embedding").isNotNull),
       "embedding", numCells, seed, sampleFraction = sampleFraction)
-    val sidecar = new org.apache.hadoop.fs.Path(packedIvfDir)
-    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sidecar, true)
+    val fsI = new org.apache.hadoop.fs.Path(packedIvfDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
+    // the PQ-code sidecar's CELL layout also belongs to the old coarse
+    // quantizer (its codes are model-independent, but probe routing is
+    // not) — drop it with the IVF sidecar
+    fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
     ModelStore.saveIvf(spark, trained, ivfDir)
-    // the resident cell-partitioned packing was laid out by the OLD
-    // model — serving from it would silently diverge from annQuery. The
-    // FLAT packed index is model-independent and stays warm.
+    // the resident cell-partitioned packings were laid out by the OLD
+    // model — serving from them would silently diverge from annQuery.
+    // The FLAT packed index is model-independent and stays warm.
     packedIvfIdx.foreach(_.unpersist())
     packedIvfIdx = None
+    packedPqIdx.foreach(_.unpersist())
+    packedPqIdx = None
     // a model retrain changes ANN routing without touching the data dir,
     // so it must ALSO bump the mutation counter — otherwise a different
     // handle's resident IVF packing keeps serving the old centroids with

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Knn, PackedKnn}
+import graft.operators.{Ann, Knn, PackedKnn, PackedPq, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,11 @@ object Sweep {
       // run would leave the measured median inside the JIT ramp
       (1 to 4).foreach(_ => runPacked())
       val packedRuns = (1 to MeasuredRuns).map(_ => runPacked())
+      // exact L2 truth for the PQ tier's recall numbers (ADC approximates
+      // L2, not cosine), captured while the float slabs are still resident
+      val exactL2: Map[Long, Set[Long]] =
+        PackedKnn.search(pc, qArr, K, "l2")
+          .map { case (qid, nbrs) => qid -> nbrs.map(_._1).toSet }.toMap
 
       // --- scheduling floor: an empty job over the same partitions ---
       def runFloor(): Double = {
@@ -123,14 +128,69 @@ object Sweep {
       runRowScan()
       val rowScanRuns = (1 to MeasuredRuns).map(_ => runRowScan())
 
+      // --- resident PQ-code (ADC) tier: m bytes/row instead of 4*dim ---
+      // The memory tier below the float slabs (PackedPq): at 100 TB the
+      // float matrix doesn't fit executor RAM and the codes do. Models
+      // train on a bounded sample (the ingest-time artifact lifecycle);
+      // the timed number is the resident ADC scan at k=10.
+      val numCells = math.max(8, math.min(64, (n / 15625L).toInt))
+      val nProbe = math.max(4, numCells / 8)
+      val tTrain0 = System.nanoTime()
+      val ivfM = Ann.trainIvf(corpus, "embedding", numCells = numCells,
+        maxIter = 5, sampleFraction = math.min(1.0, 100000.0 / n))
+      val pqM = Quantization.trainPq(corpus, "embedding", numSubspaces = 8,
+        numCentroids = 64, maxIter = 5, sampleFraction = math.min(1.0, 50000.0 / n))
+      val pqTrainS = (System.nanoTime() - tTrain0) / 1e9
+      val tPqPack0 = System.nanoTime()
+      val pi = PackedPq.packIvfPq(corpus, ivfM, pqM,
+        idCol = "vec_id", vecCol = "embedding")
+      val pqPackS = (System.nanoTime() - tPqPack0) / 1e9
+      val pqCodeBytes = PackedPq.codeBytes(pi)
+      def runAdc(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedPq.searchAdc[Long](pi, qArr, K, nProbe)
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"ADC search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runAdc())
+      val adcRuns = (1 to MeasuredRuns).map(_ => runAdc())
+      def recallOf(got: Array[(Long, Array[(Long, Double)])]): Double =
+        got.map { case (qid, nbrs) =>
+          nbrs.iterator.map(_._1).count(exactL2(qid)) / K.toDouble
+        }.sum / got.length
+      val rawRecall = recallOf(PackedPq.searchAdc[Long](pi, qArr, K, nProbe))
+      // funnel recall: fetchK ADC candidates exactly reranked (the
+      // production composition — rerank touches only candidates)
+      val cand = PackedPq.searchAdc[Long](pi, qArr, 100, nProbe)
+      import spark.implicits._
+      val candDF = cand.toSeq
+        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
+        .toDF("query_id", "neighbor_id")
+      val qdf = corpus.where(col("vec_id") < BatchQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val funnelRecall = Quantization.rerankExact(candDF, qdf, corpus, K, "l2",
+          corpusId = "vec_id", vecCol = "embedding")
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (qid, rows) =>
+          rows.iterator.map(_.getAs[Long]("neighbor_id")).count(exactL2(qid)) / K.toDouble }
+        .sum / qArr.length
+      pi.unpersist(blocking = true)
+
       corpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ
       val rowScanMsPerQ = medianMs(rowScanRuns) / BatchQ
       val runsJson = packedRuns.sorted.map(r => f"$r%.4f").mkString("[", ",", "]")
+      val pqMsPerQ = medianMs(adcRuns) / BatchQ
       s""""$n":{"ms_per_query":${f"$msPerQ%.3f"},"runs_s":$runsJson,""" +
         s""""rowscan_ms_per_query":${f"$rowScanMsPerQ%.3f"},""" +
-        s""""floor_ms":${f"$floorMs%.2f"},"pack_s":${f"$packS%.3f"}}"""
+        s""""floor_ms":${f"$floorMs%.2f"},"pack_s":${f"$packS%.3f"},""" +
+        s""""pq_ms_per_query":${f"$pqMsPerQ%.3f"},""" +
+        s""""pq_recall10":${f"$rawRecall%.3f"},"pq_funnel_recall10":${f"$funnelRecall%.3f"},""" +
+        s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
+        s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }
     println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")}}""")
     spark.stop()

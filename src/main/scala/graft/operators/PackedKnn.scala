@@ -184,7 +184,8 @@ object PackedKnn {
     * NegativeArraySizeException. */
   private[graft] def requireSlabFits(rows: Long, dim: Int, op: String): Unit =
     require(rows * dim <= Int.MaxValue.toLong,
-      s"PackedKnn.$op: slab of $rows rows x $dim dims = ${rows * dim} floats " +
+      s"${if (op.contains(".")) op else s"PackedKnn.$op"}: " +
+        s"slab of $rows rows x $dim dims = ${rows * dim} floats " +
         "exceeds Int.MaxValue (one partition's matrix is a single float " +
         "array) — spread the corpus over more partitions (repartition " +
         "before pack, or compact to a higher partition count)")
@@ -713,7 +714,7 @@ object PackedKnn {
       if (ids.isEmpty) Iterator.empty
       else {
         val dim = vecs.head.length
-        requireSlabFits(ids.length.toLong, dim, "knnGraphIvf.rim")
+        requireSlabFits(ids.length.toLong, dim, "PackedKnn.knnGraphIvf.rim")
         val mat = new Array[Float](ids.length * dim)
         val norms = new Array[Double](ids.length)
         var r = 0

@@ -84,11 +84,98 @@ object PackedPq {
     * so probe routing is unchanged ([[PackedKnn.appendIvf]]'s contract). */
   def appendIvfPq(pi: PackedPqCorpus[Long], batch: DataFrame,
                   idCol: String = "id", vecCol: String = "vec",
-                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[Long] = {
-    val add = packBy[Long](batch, pi.ivf, pi.pq, idCol, "long", vecCol, storage)(_.getLong(0))
+                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[Long] =
+    appendBy[Long](pi, batch, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[appendIvfPq]] keyed by a natural string id (the client facade). */
+  def appendIvfPqStr(pi: PackedPqCorpus[String], batch: DataFrame,
+                     idCol: String = "id", vecCol: String = "vec",
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[String] =
+    appendBy[String](pi, batch, idCol, "string", vecCol, storage)(
+      _.getUTF8String(0).toString)
+
+  private def appendBy[I: ClassTag](pi: PackedPqCorpus[I], batch: DataFrame,
+                                    idCol: String, idType: String, vecCol: String,
+                                    storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedPqCorpus[I] = {
+    val add = packBy[I](batch, pi.ivf, pi.pq, idCol, idType, vecCol, storage)(getId)
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
     new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents)
+  }
+
+  /** Tombstone removal, the [[PackedKnn.remove]] contract: miss blocks
+    * pass through BY REFERENCE, hit blocks rebuild minus the dead rows,
+    * partition i stays cell i, and no per-candidate check ever reaches
+    * the ADC hot loop. The result is persisted and materialized; release
+    * the original afterwards. */
+  def remove[I: ClassTag](pi: PackedPqCorpus[I], ids: Set[I],
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[I] = {
+    if (ids.isEmpty) return pi
+    val bc = pi.blocks.sparkContext.broadcast(ids)
+    val pruned = pi.blocks.mapPartitions(
+      _.flatMap(pruneCodeBlock(bc.value, _)), preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
+    pruned.count()
+    new PackedPqCorpus(pruned, pi.ivf, pi.pq)
+  }
+
+  /** Fold each cell's append-generation chain back into one code slab —
+    * no shuffle, no partition change ([[PackedKnn.compactIvf]]'s
+    * contract): a long CRUD history otherwise turns every probe into
+    * many tiny ADC loops. */
+  def compactIvfPq[I: ClassTag](pi: PackedPqCorpus[I],
+                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[I] = {
+    val merged = pi.blocks.mapPartitions(mergeCodeBlocks[I], preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
+    merged.count()
+    new PackedPqCorpus(merged, pi.ivf, pi.pq)
+  }
+
+  private def mergeCodeBlocks[I: ClassTag](it: Iterator[CodeBlock[I]]): Iterator[CodeBlock[I]] = {
+    val bs = it.toArray
+    if (bs.length <= 1) bs.iterator
+    else {
+      val m = bs.head.m
+      require(bs.forall(_.m == m),
+        s"PackedPq.compact: mixed code widths ${bs.map(_.m).distinct.mkString(",")}")
+      PackedKnn.requireSlabFits(bs.map(_.rows.toLong).sum, m, "PackedPq.compact")
+      val n = bs.map(_.rows).sum
+      val ids = new Array[I](n)
+      val codes = new Array[Byte](n * m)
+      var off = 0
+      for (b <- bs) {
+        System.arraycopy(b.ids, 0, ids, off, b.rows)
+        System.arraycopy(b.codes, 0, codes, off * m, b.rows * m)
+        off += b.rows
+      }
+      Iterator.single(CodeBlock(ids, codes, m))
+    }
+  }
+
+  private def pruneCodeBlock[I: ClassTag](dead: Set[I], b: CodeBlock[I]): Iterator[CodeBlock[I]] = {
+    var hits = 0
+    var r = 0
+    while (r < b.ids.length) { if (dead.contains(b.ids(r))) hits += 1; r += 1 }
+    if (hits == 0) Iterator.single(b)
+    else if (hits == b.rows) Iterator.empty
+    else {
+      val n = b.rows - hits
+      val m = b.m
+      val ids2 = new Array[I](n)
+      val codes2 = new Array[Byte](n * m)
+      var j = 0
+      r = 0
+      while (r < b.ids.length) {
+        if (!dead.contains(b.ids(r))) {
+          ids2(j) = b.ids(r)
+          System.arraycopy(b.codes, r * m, codes2, j * m, m)
+          j += 1
+        }
+        r += 1
+      }
+      Iterator.single(CodeBlock(ids2, codes2, m))
+    }
   }
 
   private def packBy[I: ClassTag](corpus: DataFrame, ivf: Ann.IvfModel,

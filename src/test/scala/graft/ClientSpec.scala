@@ -364,6 +364,67 @@ class ClientSpec extends SparkSpec {
     assert(c.packedAnnQuery(q.limit(0)).count() === 0)
   }
 
+  test("packedPqQuery: resident code tier serves exactly, CRUD-maintained, warm-startable, stale-guarded") {
+    val c = client.getOrCreateCollection("pqtier")
+    c.add((0 until 48).map(i => (s"p$i", s"unique pq document number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 4)
+    // no product quantizer yet: fail loud with the remedy
+    val e0 = intercept[IllegalArgumentException] {
+      c.packedPqQuery(Seq((1L, "x")).toDF("query_id", "query_text"))
+    }
+    assert(e0.getMessage.contains("buildQuantModel"))
+    c.buildQuantModel(numSubspaces = 4, numCentroids = 16)
+    assert(c.hasQuantModel)
+
+    val q = Seq((7L, "unique pq document number 7 body")).toDF("query_id", "query_text")
+    // all-cell probe + corpus-sized fetchK => candidates = corpus, and the
+    // exact rerank makes the result THE exact kNN (same double kernel)
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val exact = rrid(c.query(q, k = 5))
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    // self-match at rank 1 even on the pruned probe (own cell is nearest)
+    val top = c.packedPqQuery(q, k = 1, nProbe = 1).head()
+    assert(top.getAs[String]("id") === "p7")
+    assert(math.abs(top.getAs[Double]("distance")) < 1e-6)
+
+    // CRUD deltas maintain the code tier in place: appends encode
+    // through the standing models, deletes tombstone
+    c.upsert(Seq(("pX", "unique pq document number X body")).toDF("id", "document"))
+    assert(c.hasPackedPqIndex)
+    val qX = Seq((1L, "unique pq document number X body")).toDF("query_id", "query_text")
+    assert(c.packedPqQuery(qX, k = 1, nProbe = 4).head().getAs[String]("id") === "pX")
+    c.delete(ids = Seq("pX"))
+    assert(!c.packedPqQuery(qX, k = 4, nProbe = 4).collect()
+      .map(_.getAs[String]("id")).contains("pX"))
+    // compaction folds the generations; results unchanged
+    c.compactPackedIndexes()
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+
+    // warm start: sidecar carries codes + BOTH models + the stamp
+    c.saveResidentIndex()
+    val reopened = new GraftClient(spark, root, 16).getCollection("pqtier")
+    reopened.buildPackedPqIndex()
+    assert(rrid(reopened.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    reopened.releasePackedIndex()
+
+    // mutation through ANOTHER handle: fail loud, then rebuild via flag
+    val other = new GraftClient(spark, root, 16).getCollection("pqtier")
+    other.add(Seq(("pY", "unique pq document number Y body")).toDF("id", "document"))
+    val e1 = intercept[IllegalStateException] { c.packedPqQuery(q, k = 1) }
+    assert(e1.getMessage.contains("STALE") && e1.getMessage.contains("buildPackedPqIndex"))
+    c.autoRebuildStalePacked = true
+    try assert(c.packedPqQuery(q, k = 1).count() === 1)
+    finally c.autoRebuildStalePacked = false
+
+    // retraining the coarse quantizer drops the (cell-routed) code tier
+    c.buildVectorIndex(numCells = 2)
+    assert(!c.hasPackedPqIndex)
+    // empty query batch returns empty results, no throw
+    assert(c.packedPqQuery(q.limit(0)).count() === 0)
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
