@@ -58,6 +58,20 @@ object Ann {
   def cellId(model: IvfModel)(vecCol: Column): Column =
     ann.nearestCell(model.centroids)(vecCol)
 
+  /** Element-wise coarse residual `vec − centroids(cell)`, in DOUBLES
+    * (float widened before the subtraction, like every oracle-checked
+    * distance here). Takes the cell as a COLUMN — pass the [[cellId]]
+    * projection — so the argmin lives in exactly one (codegen) kernel and
+    * this udf can never disagree with the routing. */
+  def residual(model: IvfModel)(vecCol: Column, cellCol: Column): Column = {
+    val cents = model.centroids
+    val f = udf { (v: Seq[Float], cell: Int) =>
+      val c = cents(cell)
+      Array.tabulate(c.length)(j => v(j).toDouble - c(j))
+    }
+    f(vecCol, cellCol)
+  }
+
   /** Nearest-centroid assignment WITH the distance to that centroid:
     * struct(cell: int, dist: double). The distance feeds per-cell radius
     * bounds (see Dedup.embeddingNearDupBlocked's triangle-inequality
@@ -172,6 +186,68 @@ object Ann {
     val q = queries.select(col(queryId).as("_qid"),
       Quantization.pqLut(pq)(col(queryVec)).as("_lut"),
       explode(probeCells(ivf, nProbe)(col(queryVec))).as("_cell"))
+    val topk = udaf(new Knn.TopKAggregator(fetchK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    val candidates = coded.join(broadcast(q), "_cell")
+      .select(col("_qid"),
+        col("_cid"), Quantization.adcDistance(col("_lut"), col("_code")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), explode(col("_nbrs")).as("_n"))
+      .select(col(queryId), col("_n.id").as("neighbor_id"))
+    Quantization.rerankExact(candidates, queries, corpus, k, metric,
+      queryId, queryVec, corpusId, vecCol)
+  }
+
+  /** Per-(query, probed-cell) ADC lookup table for the RESIDUAL encoding:
+    * lut[m][c] = ‖(q − cellCentroid)_m − codebook[m][c]‖². Unlike the raw
+    * LUT (one per query) the residual LUT depends on the probed cell —
+    * the query side explodes to (query, cell) pairs anyway, so each pair
+    * carries its own table and the corpus-side join is unchanged. */
+  def pqLutResidual(ivf: IvfModel, pq: Quantization.PqModel)(
+      queryVec: Column, cellCol: Column): Column = {
+    val books = pq.codebooks; val subDim = pq.subDim; val mCount = pq.numSubspaces
+    val cents = ivf.centroids
+    val f = udf { (q: Seq[Float], cell: Int) =>
+      val cc = cents(cell)
+      Array.tabulate(mCount, books(0).length) { (m, c) =>
+        var d = 0.0; var j = 0
+        while (j < subDim) {
+          val idx = m * subDim + j
+          val diff = (q(idx).toDouble - cc(idx)) - books(m)(c)(j)
+          d += diff * diff; j += 1
+        }
+        d
+      }.map(_.toSeq).toSeq
+    }
+    f(queryVec, cellCol)
+  }
+
+  /** [[ivfPqSearch]] with RESIDUAL codes (train `pq` via
+    * [[Quantization.trainPqResidual]] against the SAME coarse model):
+    * identical plan shape — coarse prune, ADC over resident-size codes,
+    * exact rerank — but the codes quantize `vec − cellCentroid`, which is
+    * the FAISS IVFADC composition and recovers most of the recall the raw
+    * encoding loses at the same m bytes/row. The only structural delta is
+    * the LUT: per (query, cell) instead of per query, riding the already
+    * exploded probe rows, so the broadcast grows nProbe× on a batch-sized
+    * side while the corpus-side scan stays byte-for-byte the same. */
+  def ivfPqSearchResidual(queries: DataFrame, corpus: DataFrame,
+                          ivf: IvfModel, pq: Quantization.PqModel,
+                          k: Int, nProbe: Int = 4, fetchK: Int = 50,
+                          metric: String = "cosine",
+                          queryId: String = "query_id", queryVec: String = "query_vec",
+                          corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val withCell = corpus.select(col(corpusId).cast("long").as("_cid"),
+      col(vecCol).as("_v"), cellId(ivf)(col(vecCol)).as("_cell"))
+    val coded = withCell.select(col("_cid"), col("_cell"),
+      Quantization.pqEncodeDouble(pq)(
+        residual(ivf)(col("_v"), col("_cell"))).as("_code"))
+    val q = queries
+      .select(col(queryId).as("_qid"), col(queryVec).as("_qv"),
+        explode(probeCells(ivf, nProbe)(col(queryVec))).as("_cell"))
+      .select(col("_qid"), col("_cell"),
+        pqLutResidual(ivf, pq)(col("_qv"), col("_cell")).as("_lut"))
     val topk = udaf(new Knn.TopKAggregator(fetchK),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
     val candidates = coded.join(broadcast(q), "_cell")

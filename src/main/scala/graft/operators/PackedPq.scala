@@ -47,11 +47,17 @@ object PackedPq {
   }
 
   /** A packed, persisted code corpus. `unpersist()` releases executor
-    * memory; chained handles (append) release every generation. */
+    * memory; chained handles (append) release every generation.
+    * `residual = true` means the codes quantize `vec − cellCentroid`
+    * (the FAISS IVFADC composition — [[Quantization.trainPqResidual]]);
+    * the flag travels with the handle (and its slab sidecar) because ADC
+    * must build the matching per-(query, cell) LUTs or every distance is
+    * garbage. */
   final class PackedPqCorpus[I](val blocks: RDD[CodeBlock[I]],
                                 val ivf: Ann.IvfModel,
                                 val pq: Quantization.PqModel,
-                                chain: Seq[RDD[_]]) {
+                                chain: Seq[RDD[_]],
+                                val residual: Boolean = false) {
     def this(blocks: RDD[CodeBlock[I]], ivf: Ann.IvfModel, pq: Quantization.PqModel) =
       this(blocks, ivf, pq, Nil)
     def m: Int = pq.numSubspaces
@@ -68,14 +74,16 @@ object PackedPq {
     * bytes — the corpus a [[PackedKnn.packIvf]] float tier cannot hold. */
   def packIvfPq(corpus: DataFrame, ivf: Ann.IvfModel, pq: Quantization.PqModel,
                 idCol: String = "id", vecCol: String = "vec",
-                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[Long] =
-    packBy[Long](corpus, ivf, pq, idCol, "long", vecCol, storage)(_.getLong(0))
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                residual: Boolean = false): PackedPqCorpus[Long] =
+    packBy[Long](corpus, ivf, pq, idCol, "long", vecCol, storage, residual)(_.getLong(0))
 
   /** [[packIvfPq]] keyed by a natural string id (the client facade). */
   def packIvfPqStr(corpus: DataFrame, ivf: Ann.IvfModel, pq: Quantization.PqModel,
                    idCol: String = "id", vecCol: String = "vec",
-                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedPqCorpus[String] =
-    packBy[String](corpus, ivf, pq, idCol, "string", vecCol, storage)(
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   residual: Boolean = false): PackedPqCorpus[String] =
+    packBy[String](corpus, ivf, pq, idCol, "string", vecCol, storage, residual)(
       _.getUTF8String(0).toString)
 
   /** Append a batch without repacking standing slabs: the batch encodes
@@ -98,10 +106,11 @@ object PackedPq {
                                     idCol: String, idType: String, vecCol: String,
                                     storage: StorageLevel)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedPqCorpus[I] = {
-    val add = packBy[I](batch, pi.ivf, pi.pq, idCol, idType, vecCol, storage)(getId)
+    val add = packBy[I](batch, pi.ivf, pi.pq, idCol, idType, vecCol, storage,
+      pi.residual)(getId)
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
-    new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents)
+    new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents, pi.residual)
   }
 
   /** Tombstone removal, the [[PackedKnn.remove]] contract: miss blocks
@@ -117,7 +126,7 @@ object PackedPq {
       _.flatMap(pruneCodeBlock(bc.value, _)), preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     pruned.count()
-    new PackedPqCorpus(pruned, pi.ivf, pi.pq)
+    new PackedPqCorpus(pruned, pi.ivf, pi.pq, Nil, pi.residual)
   }
 
   /** Fold each cell's append-generation chain back into one code slab —
@@ -129,7 +138,7 @@ object PackedPq {
     val merged = pi.blocks.mapPartitions(mergeCodeBlocks[I], preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     merged.count()
-    new PackedPqCorpus(merged, pi.ivf, pi.pq)
+    new PackedPqCorpus(merged, pi.ivf, pi.pq, Nil, pi.residual)
   }
 
   private def mergeCodeBlocks[I: ClassTag](it: Iterator[CodeBlock[I]]): Iterator[CodeBlock[I]] = {
@@ -181,7 +190,8 @@ object PackedPq {
   private def packBy[I: ClassTag](corpus: DataFrame, ivf: Ann.IvfModel,
                                   pq: Quantization.PqModel, idCol: String,
                                   idType: String, vecCol: String,
-                                  storage: StorageLevel)(
+                                  storage: StorageLevel,
+                                  residual: Boolean = false)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedPqCorpus[I] = {
     val m = pq.numSubspaces
     require(pq.codebooks(0).length <= 256,
@@ -196,8 +206,11 @@ object PackedPq {
         when(size(col(vecCol)) === lit(dim), col(vecCol))
           .otherwise(raise_error(concat(lit(s"PackedPq.pack: vector dim "),
             size(col(vecCol)).cast("string"), lit(s" != model dim $dim")))).as("_v"))
-      .select(col(idCol), Ann.cellId(ivf)(col("_v")).as("_cell"),
-        Quantization.pqEncode(pq)(col("_v")).as("_code"))
+      .select(col(idCol), Ann.cellId(ivf)(col("_v")).as("_cell"), col("_v"))
+      .select(col(idCol), col("_cell"),
+        (if (residual)
+           Quantization.pqEncodeDouble(pq)(Ann.residual(ivf)(col("_v"), col("_cell")))
+         else Quantization.pqEncode(pq)(col("_v"))).as("_code"))
     val keyed: RDD[(Int, (I, Array[Byte]))] =
       src.queryExecution.toRdd.mapPartitions { iter =>
         iter.map { row =>
@@ -229,7 +242,7 @@ object PackedPq {
         }
       }.setName(PackedKnn.residentName).persist(storage)
     packed.count()
-    new PackedPqCorpus(packed, ivf, pq)
+    new PackedPqCorpus(packed, ivf, pq, Nil, residual)
   }
 
   // ------------------------------------------------------------- search
@@ -243,6 +256,23 @@ object PackedPq {
       var d = 0.0; var j = 0
       while (j < subDim) {
         val diff = qv(mi * subDim + j) - books(mi)(c)(j); d += diff * diff; j += 1
+      }
+      d
+    }
+  }
+
+  /** Residual-code LUT for one (query, cell) pair, replicating
+    * [[Ann.pqLutResidual]]'s arithmetic exactly:
+    * lut(m)(c) = Σ_j ((q_j − cent_j) − book(m)(c)(j))², doubles, j asc. */
+  private def lutForResidual(pq: Quantization.PqModel, qv: Array[Float],
+                             cc: Array[Double]): Array[Array[Double]] = {
+    val books = pq.codebooks; val subDim = pq.subDim
+    Array.tabulate(pq.numSubspaces, books(0).length) { (mi, c) =>
+      var d = 0.0; var j = 0
+      while (j < subDim) {
+        val idx = mi * subDim + j
+        val diff = (qv(idx).toDouble - cc(idx)) - books(mi)(c)(j)
+        d += diff * diff; j += 1
       }
       d
     }
@@ -263,10 +293,20 @@ object PackedPq {
     val dim = pi.pq.numSubspaces * pi.pq.subDim
     queries.foreach { case (qid, qv) =>
       require(qv.length == dim, s"query $qid dim ${qv.length} != model dim $dim") }
-    val luts: Array[Array[Array[Double]]] = queries.map(q => lutFor(pi.pq, q._2))
     val byCell: Map[Int, Array[Int]] = queries.indices
       .flatMap(qi => PackedKnn.driverProbes(cents, queries(qi)._2, nProbe).map(c => (c, qi)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    // raw codes: one LUT per query, shared across its probed cells.
+    // residual codes: one LUT per (query, probed cell) — Q×nProbe tables,
+    // same size class, built on the driver and shipped with the closure
+    // keyed by cell so each task indexes its own row positionally.
+    val luts: Array[Array[Array[Double]]] =
+      if (pi.residual) null else queries.map(q => lutFor(pi.pq, q._2))
+    val lutsByCell: Map[Int, Array[Array[Array[Double]]]] =
+      if (!pi.residual) null
+      else byCell.map { case (cell, qIdxs) =>
+        cell -> qIdxs.map(qi => lutForResidual(pi.pq, queries(qi)._2, cents(cell)))
+      }
     val partIds = byCell.keys.toArray.sorted
     val idOrd = implicitly[Ordering[I]]
     val sc = pi.blocks.sparkContext
@@ -275,6 +315,8 @@ object PackedPq {
         val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
         if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
         else {
+          // positional: cellLuts(qi) pairs with qIdxs(qi) (residual path)
+          val cellLuts = if (lutsByCell == null) null else lutsByCell(ctx.partitionId())
           // worst-on-top heap per probing query: keep-(fetchK) by the same
           // total order (dist, id) the TopKAggregator cut uses
           val heaps = qIdxs.map(_ => new java.util.PriorityQueue[(I, Double)](
@@ -287,7 +329,8 @@ object PackedPq {
             val codes = blk.codes; val bm = blk.m; val n = blk.rows
             var qi = 0
             while (qi < qIdxs.length) {
-              val lut = luts(qIdxs(qi)); val heap = heaps(qi)
+              val lut = if (cellLuts != null) cellLuts(qi) else luts(qIdxs(qi))
+              val heap = heaps(qi)
               var r = 0
               while (r < n) {
                 var s = 0.0; var mi = 0; val base = r * bm
@@ -367,6 +410,12 @@ object PackedPq {
     val spark = org.apache.spark.sql.SparkSession.active
     ModelStore.saveIvf(spark, pi.ivf, s"$dir/ivf")
     ModelStore.savePq(spark, pi.pq, s"$dir/pq")
+    // the encoding geometry is part of the on-disk contract: a reopened
+    // index that guessed wrong would serve garbage distances silently
+    val marker = java.nio.file.Paths.get(dir, "residual.json")
+    if (pi.residual)
+      java.nio.file.Files.writeString(marker, """{"residual": true}""")
+    else java.nio.file.Files.deleteIfExists(marker)
   }
 
   def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
@@ -385,7 +434,9 @@ object PackedPq {
     require(blocks.getNumPartitions == ivf.numCells,
       s"PQ slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
         s"but the coarse model has ${ivf.numCells} cells")
-    new PackedPqCorpus(blocks, ivf, pq)
+    val residual =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "residual.json"))
+    new PackedPqCorpus(blocks, ivf, pq, Nil, residual)
   }
 
   /** Resident footprint in code bytes (ids excluded) — rows × m. The same

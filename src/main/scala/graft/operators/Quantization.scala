@@ -190,6 +190,52 @@ object Quantization {
     enc(vecCol)
   }
 
+  /** [[pqEncode]] over an `array<double>` column — the residual path
+    * ([[trainPqResidual]]) computes `vec − cellCentroid` in doubles so the
+    * engine's arithmetic stays bit-aligned with the SQL oracle's
+    * `CAST(x AS DOUBLE) − y − z`. Same argmin + lowest-code tie rule. */
+  def pqEncodeDouble(model: PqModel)(vecCol: Column): Column = {
+    val mCount = model.numSubspaces; val subDim = model.subDim
+    val books = model.codebooks
+    val enc = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      Array.tabulate(mCount) { m =>
+        val book = books(m)
+        val base = m * subDim
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val diff = va(base + j) - cent(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    enc(vecCol)
+  }
+
+  /** Train PQ on IVF RESIDUALS (`vec − centroid(cell(vec))`) — the FAISS
+    * IVFADC default (Jegou et al., TPAMI'11 §III-B): after coarse
+    * quantization the residuals concentrate near the origin with far less
+    * variance than raw vectors, so the same byte budget quantizes much
+    * finer and ADC recall climbs. The codebooks share [[PqModel]]'s shape;
+    * what changes is only WHAT they encode, so every downstream consumer
+    * (encode/LUT/ADC/pack) reuses the same machinery with the residual
+    * column in place of the raw vector. */
+  def trainPqResidual(vecs: DataFrame, vecCol: String, ivf: Ann.IvfModel,
+                      numSubspaces: Int = 8, numCentroids: Int = 16,
+                      seed: Long = 42L, maxIter: Int = 10,
+                      sampleFraction: Double = 1.0): PqModel = {
+    val res = vecs.select(
+      Ann.residual(ivf)(col(vecCol), Ann.cellId(ivf)(col(vecCol))).as("_res"))
+    trainPq(res, "_res", numSubspaces, numCentroids, seed, maxIter, sampleFraction)
+  }
+
   /** Per-query ADC lookup table: [m][c] = squared distance from the
     * query's m-th subvector to centroid c (quantization.py:541-560). */
   def pqLut(model: PqModel)(queryVec: Column): Column = {

@@ -23,6 +23,7 @@ private[queries] object TrainedModels {
   // JVM in practice; last-wins is the matching behavior for a subset run.
   @volatile private[queries] var lastIvf: Option[Ann.IvfModel] = None
   @volatile private[queries] var lastPq: Option[Quantization.PqModel] = None
+  @volatile private[queries] var lastPqRes: Option[Quantization.PqModel] = None
   @volatile private[queries] var lastLr: Option[QualityClassifier.LrModel] = None
 
   def ivf(s: SparkSession, dir: String): Ann.IvfModel = synchronized {
@@ -63,6 +64,23 @@ private[queries] object TrainedModels {
         numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25), d)
     val m = ModelStore.loadPq(s, d)
     lastPq = Some(m)
+    m
+  }
+
+  /** PQ trained on IVF residuals against the SAME coarse model as
+    * [[ivf]] — the q123 pairing (the coarse model and the residual
+    * codebooks are one artifact: residuals from a different coarse
+    * geometry are meaningless). */
+  def pqResidual(s: SparkSession, dir: String): Quantization.PqModel = synchronized {
+    val d = s"${root(dir)}/pqres8x64"
+    if (!ModelStore.exists(d)) {
+      val im = ivf(s, dir)
+      ModelStore.savePq(s, Quantization.trainPqResidual(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding", im,
+        numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25), d)
+    }
+    val m = ModelStore.loadPq(s, d)
+    lastPqRes = Some(m)
     m
   }
 }
@@ -191,6 +209,24 @@ object QueriesQuant {
       val pi = cachedPackPq(s, dir)
       val queries = QueriesVector.queryBatch(s, dir, 5)
       val approx = PackedPq.search(pi, queries, embs,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // RESIDUAL IVF-PQ (FAISS IVFADC, Jegou'11): same funnel as q72 but
+    // the codes quantize vec - cellCentroid under the SAME coarse model,
+    // and the ADC LUT is per (query, probed cell). Hash-checked by a full
+    // DuckDB re-execution (encode, per-cell LUT, ADC, rerank) like q72 —
+    // proving the residual arithmetic end to end, not just recall floors.
+    "q123_ivfpq_residual" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val ivf = TrainedModels.ivf(s, dir)
+      val pq = TrainedModels.pqResidual(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = Ann.ivfPqSearchResidual(queries, embs, ivf, pq,
         k = 10, nProbe = 4, fetchK = 50, metric = "l2",
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
@@ -405,6 +441,9 @@ object QueriesQuant {
     // so the SAME full re-execution oracle certifies the packed tier
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
       "q122_packed_ivfpq" -> RecallOracles.ivfPqRecallSql(
+        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPqRes } yield
+      "q123_ivfpq_residual" -> RecallOracles.ivfPqResidualRecallSql(
         im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
     TrainedModels.lastIvf.map(im =>
       "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++

@@ -69,6 +69,16 @@ object RecallOracles {
        | FROM (SELECT CAST(unnest($vec) AS DOUBLE) AS x,
        |              unnest($modelVec) AS y))""".stripMargin
 
+  /** Squared L2 of a RESIDUAL against a codebook row: Σ ((x−y)−z)² with x
+    * the raw float widened to double, y the coarse-centroid slice, z the
+    * PQ centroid — the exact double arithmetic of `Ann.residual` +
+    * `Quantization.pqEncodeDouble` / `Ann.pqLutResidual`. */
+  private def sq3(vec: String, centVec: String, bookVec: String): String =
+    s"""(SELECT sum((x-y-z)*(x-y-z))
+       | FROM (SELECT CAST(unnest($vec) AS DOUBLE) AS x,
+       |              unnest($centVec) AS y,
+       |              unnest($bookVec) AS z))""".stripMargin
+
   private val qCte =
     "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)"
 
@@ -359,6 +369,62 @@ object RecallOracles {
        |    FROM rr) WHERE rk <= $k),
        |${exactCtes(l2("c.embedding", "q.qv"), k)}
        |${recallSelect(k)}""".stripMargin
+
+  /** q123: RESIDUAL IVF-PQ (the FAISS IVFADC composition). Same funnel as
+    * q72 — probe, ADC top-fetchK, exact rerank — but codes quantize
+    * `vec − cellCentroid`, so the encode compares residual subvectors to
+    * the codebook (`cd` uses [[sq3]] with the row's OWN cell centroid) and
+    * the LUT is per (query, PROBED cell) (`lut` carries the cell key and
+    * the ADC join matches on it). */
+  def ivfPqResidualRecallSql(im: Ann.IvfModel, pm: Quantization.PqModel,
+                             nProbe: Int = 4, fetchK: Int = 50, k: Int = 10): String = {
+    val sd = pm.subDim
+    s"""WITH $qCte,
+       |${ivfCtes(im, nProbe)},
+       |bk(m, c, cv) AS (VALUES
+       |  ${bookValues(pm)}),
+       |cd AS (
+       |  SELECT cc.vec_id, bk.m, bk.c,
+       |         ${sq3(s"cc.embedding[(bk.m*$sd+1):((bk.m+1)*$sd)]",
+                       s"ct.cv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM corpus_cell cc JOIN cent ct ON ct.cell = cc.cell, bk),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT p.query_id, p.cell, bk.m, bk.c,
+       |         ${sq3(s"q.qv[(bk.m*$sd+1):((bk.m+1)*$sd)]",
+                       s"ct.cv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM probed p
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN cent ct ON ct.cell = p.cell, bk),
+       |adc AS (
+       |  SELECT p.query_id, cc.vec_id AS neighbor_id, sum(l.d2) AS s
+       |  FROM probed p
+       |  JOIN corpus_cell cc ON cc.cell = p.cell
+       |  JOIN codes cs ON cs.vec_id = cc.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.cell = p.cell
+       |            AND l.m = cs.m AND l.c = cs.c
+       |  GROUP BY p.query_id, cc.vec_id),
+       |fetched AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $fetchK),
+       |rr AS (
+       |  SELECT f.query_id, f.neighbor_id, ${l2("c.embedding", "q.qv")} AS dist
+       |  FROM fetched f
+       |  JOIN embeddings c ON c.vec_id = f.neighbor_id
+       |  JOIN q ON q.query_id = f.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM rr) WHERE rk <= $k),
+       |${exactCtes(l2("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+  }
 
   /** q49: multi-probe LSH under cosine. Bucket bit h = sign of the dot
     * with plane h over the first `dim` components; probes = base bucket +

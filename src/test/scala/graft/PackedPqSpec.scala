@@ -99,6 +99,61 @@ class PackedPqSpec extends SparkSpec {
     } finally pi.unpersist()
   }
 
+  test("residual codes: packed ADC + rerank is row-identical to Ann.ivfPqSearchResidual") {
+    val pqRes = Quantization.trainPqResidual(embs, "embedding", ivf,
+      numSubspaces = 8, numCentroids = 64)
+    val pi = PackedPq.packIvfPq(embs, ivf, pqRes, idCol = "vec_id",
+      vecCol = "embedding", residual = true)
+    try {
+      assert(pi.residual)
+      for (nProbe <- Seq(2, 8)) {
+        val want = rows(Ann.ivfPqSearchResidual(queryDF, embs, ivf, pqRes,
+          k = 10, nProbe = nProbe, fetchK = 50, metric = "l2",
+          corpusId = "vec_id", vecCol = "embedding"))
+        val got = rows(PackedPq.search(pi, queryDF, embs,
+          k = 10, nProbe = nProbe, fetchK = 50, metric = "l2",
+          corpusId = "vec_id", vecCol = "embedding"))
+        assert(got === want, s"nProbe=$nProbe")
+      }
+    } finally pi.unpersist()
+  }
+
+  test("residual flag survives slab sidecar, append, remove, and compact") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-res-slabs").toString + "/idx"
+    val pqRes = Quantization.trainPqResidual(embs, "embedding", ivf,
+      numSubspaces = 8, numCentroids = 64)
+    val head = embs.where(col("vec_id") < 1500)
+    val tail = embs.where(col("vec_id") >= 1500)
+    val pi = PackedPq.packIvfPq(head, ivf, pqRes, idCol = "vec_id",
+      vecCol = "embedding", residual = true)
+    try {
+      val grown = PackedPq.appendIvfPq(pi, tail, idCol = "vec_id", vecCol = "embedding")
+      assert(grown.residual)
+      val want = rows(PackedPq.search(grown, queryDF, embs, k = 10, nProbe = 4,
+        metric = "l2", corpusId = "vec_id", vecCol = "embedding"))
+      // a fresh full pack must agree — append encoded the tail residually
+      val full = PackedPq.packIvfPq(embs, ivf, pqRes, idCol = "vec_id",
+        vecCol = "embedding", residual = true)
+      try assert(rows(PackedPq.search(full, queryDF, embs, k = 10, nProbe = 4,
+        metric = "l2", corpusId = "vec_id", vecCol = "embedding")) === want)
+      finally full.unpersist()
+      val compacted = PackedPq.compactIvfPq(grown)
+      assert(compacted.residual)
+      PackedPq.saveSlabs(compacted, dir)
+      val re = PackedPq.loadSlabs[Long](spark, dir)
+      try {
+        assert(re.residual, "slab sidecar lost the residual flag")
+        assert(rows(PackedPq.search(re, queryDF, embs, k = 10, nProbe = 4,
+          metric = "l2", corpusId = "vec_id", vecCol = "embedding")) === want)
+        val pruned = PackedPq.remove(re, Set(7L, 8L))
+        assert(pruned.residual)
+        pruned.unpersist()
+      } finally re.unpersist()
+      compacted.unpersist()
+      grown.unpersist()
+    } finally pi.unpersist()
+  }
+
   test("resident footprint is m bytes per row — the 64x cut vs the float tier") {
     val pi = PackedPq.packIvfPq(embs, ivf, pq, idCol = "vec_id", vecCol = "embedding")
     try {

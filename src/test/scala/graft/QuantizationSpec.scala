@@ -83,4 +83,46 @@ class QuantizationSpec extends SparkSpec {
     assert(pruned >= 0.4, s"ivf-pq pruned recall $pruned")
     assert(all >= pruned)
   }
+
+  test("residual IVF-PQ: ADC-stage recall beats raw codes at the same byte budget") {
+    // The Jegou'11 §III-B claim needs MATERIAL quantization error to show:
+    // on the 2k-row oracle table 64 centroids/subspace nearly memorize the
+    // data and both encodings saturate. Build the regime residual encoding
+    // exists for — a clustered corpus (64 latent centers × 78 members,
+    // hash-derived) with numCells = the center count, so cells track
+    // clusters and residuals span only the within-cell noise while raw
+    // codes must cover the full spread; small codebooks (16/subspace)
+    // make that difference measurable.
+    val n = 4992L; val dim = 64; val groupSize = 78
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(expr(s"id div $groupSize") * 7919L + i), lit(2000))
+            .cast("float") / lit(1000.0f) - lit(1.0f))
+          + (pmod(xxhash64(col("id") * 131 + i), lit(2000))
+            .cast("float") / lit(1000.0f) - lit(1.0f)) * lit(0.15f)))
+        .cast("array<float>").as("embedding"))
+    val qs = corpus.where(col("vec_id") % lit(n / 5) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = graft.operators.Ann.trainIvf(corpus, "embedding", numCells = 64, maxIter = 10)
+    val pqRaw = Quantization.trainPq(corpus, "embedding", numSubspaces = 8, numCentroids = 16)
+    val pqRes = Quantization.trainPqResidual(corpus, "embedding", ivf,
+      numSubspaces = 8, numCentroids = 16)
+    val exact = Knn.knnJoin(qs, corpus, 10, "l2",
+      corpusId = "vec_id", corpusVec = "embedding")
+    // isolate code quality: probe every cell (no cell-miss error) and set
+    // fetchK = k, so the rerank can reorder but never repair the ADC cut —
+    // recall measures what the CODES surface
+    def recallOf(approx: org.apache.spark.sql.DataFrame) =
+      Quantization.recallAtK(approx, exact, 10).agg(avg("recall")).head().getDouble(0)
+    val raw = recallOf(graft.operators.Ann.ivfPqSearch(qs, corpus, ivf, pqRaw,
+      k = 10, nProbe = 64, fetchK = 10, metric = "l2",
+      corpusId = "vec_id", vecCol = "embedding"))
+    val res = recallOf(graft.operators.Ann.ivfPqSearchResidual(qs, corpus, ivf, pqRes,
+      k = 10, nProbe = 64, fetchK = 10, metric = "l2",
+      corpusId = "vec_id", vecCol = "embedding"))
+    info(s"ADC-stage recall@10: raw=$raw residual=$res")
+    // measured (deterministic corpus + seeded fits): raw 0.14, res 0.48
+    assert(res >= raw * 2, s"residual recall $res not well above raw $raw")
+    assert(res > 0.4, s"residual ADC recall $res")
+  }
 }
