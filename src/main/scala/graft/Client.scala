@@ -960,21 +960,46 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * coarse quantizer, the model is a statistical sketch: mutations
     * route through it at append time and never invalidate it. */
   def buildQuantModel(numSubspaces: Int = 8, numCentroids: Int = 64,
-                      sampleFraction: Double = 1.0, seed: Long = 42L): Unit = {
+                      sampleFraction: Double = 1.0, seed: Long = 42L,
+                      residual: Boolean = false): Unit = {
     require(numCentroids <= 256,
       s"numCentroids=$numCentroids exceeds a byte code (PackedPq stores one " +
         "byte per subspace) — use <= 256")
-    val trained = Quantization.trainPq(df.where(col("embedding").isNotNull),
-      "embedding", numSubspaces, numCentroids, seed, sampleFraction = sampleFraction)
+    val src = df.where(col("embedding").isNotNull)
+    val trained =
+      if (residual) {
+        // residual codes quantize vec − cellCentroid (FAISS IVFADC) — they
+        // are meaningless without the coarse model they were trained against
+        require(hasVectorIndex,
+          s"collection '${config.name}' has no vector index; residual " +
+            "quantization trains against the coarse cells — run " +
+            "buildVectorIndex() first")
+        Quantization.trainPqResidual(src, "embedding",
+          ModelStore.loadIvf(spark, ivfDir),
+          numSubspaces, numCentroids, seed, sampleFraction = sampleFraction)
+      } else Quantization.trainPq(src, "embedding", numSubspaces,
+        numCentroids, seed, sampleFraction = sampleFraction)
     val sidecar = new org.apache.hadoop.fs.Path(packedPqDir)
     sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(sidecar, true)
     ModelStore.savePq(spark, trained, pqModelDir)
+    // marker AFTER the model swap: readers pair flag+model atomically
+    // enough for the single-writer lifecycle (retrain drops the slabs
+    // first, so no sidecar can pair with a mismatched flag)
+    val marker = java.nio.file.Paths.get(pqResidualMarker)
+    if (residual) java.nio.file.Files.writeString(marker, """{"residual": true}""")
+    else java.nio.file.Files.deleteIfExists(marker)
     packedPqIdx.foreach(_.unpersist())
     packedPqIdx = None
   }
 
   def hasQuantModel: Boolean = ModelStore.exists(pqModelDir)
+
+  private def pqResidualMarker = s"$dir/index_pq_residual.json"
+
+  /** Whether the persisted product quantizer encodes residuals. */
+  def quantModelIsResidual: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(pqResidualMarker))
 
   /** Pack the collection's embeddings into the resident PQ-CODE index
     * (operators.PackedPq — m bytes per row instead of 4*dim, the tier
@@ -991,7 +1016,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedPqStamp = current
     if (PackedPq.slabsExist(spark, packedPqDir) &&
         sidecarStamp(packedPqDir) == current) {
-      packedPqIdx = Some(PackedPq.loadSlabs[String](spark, packedPqDir))
+      val re = PackedPq.loadSlabs[String](spark, packedPqDir)
+      require(re.residual == quantModelIsResidual,
+        s"PQ slab sidecar of collection '${config.name}' disagrees with the " +
+          s"persisted quantizer on residual encoding (sidecar=${re.residual}, " +
+          s"model=$quantModelIsResidual) — the sidecar was tampered with or " +
+          "half-restored; rerun buildQuantModel() + buildPackedPqIndex()")
+      packedPqIdx = Some(re)
     } else {
       require(hasVectorIndex,
         s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
@@ -1000,7 +1031,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
       packedPqIdx = Some(PackedPq.packIvfPqStr(
         df.where(col("embedding").isNotNull),
         ModelStore.loadIvf(spark, ivfDir), ModelStore.loadPq(spark, pqModelDir),
-        "id", "embedding"))
+        "id", "embedding", residual = quantModelIsResidual))
     }
   }
 
@@ -1199,9 +1230,20 @@ final class GraftCollection(spark: SparkSession, dir: String,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
     // the PQ-code sidecar's CELL layout also belongs to the old coarse
-    // quantizer (its codes are model-independent, but probe routing is
+    // quantizer (raw codes are model-independent, but probe routing is
     // not) — drop it with the IVF sidecar
     fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
+    // a RESIDUAL quantizer is trained against the old cells' geometry:
+    // re-encoding under new cells with old codebooks stays self-consistent
+    // (encode and LUT agree) but quantizes the wrong distribution, so the
+    // model dies with the coarse model it belonged to — retrain explicitly
+    if (quantModelIsResidual) {
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"coarse retrain of '${config.name}' invalidates its RESIDUAL " +
+          "product quantizer; dropping it — rerun buildQuantModel(residual = true)")
+      fsI.delete(new org.apache.hadoop.fs.Path(pqModelDir), true)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pqResidualMarker))
+    }
     ModelStore.saveIvf(spark, trained, ivfDir)
     // the resident cell-partitioned packings were laid out by the OLD
     // model — serving from them would silently diverge from annQuery.

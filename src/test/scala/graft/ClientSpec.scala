@@ -425,6 +425,55 @@ class ClientSpec extends SparkSpec {
     assert(c.packedPqQuery(q.limit(0)).count() === 0)
   }
 
+  test("residual quant model: exact at full probe, CRUD-maintained, coarse retrain kills it") {
+    val c = client.getOrCreateCollection("pqres")
+    c.add((0 until 48).map(i => (s"r$i", s"unique residual document number $i body"))
+      .toDF("id", "document"))
+    // residual training needs the coarse cells: fail loud without them
+    val e0 = intercept[IllegalArgumentException] {
+      c.buildQuantModel(numSubspaces = 4, numCentroids = 16, residual = true)
+    }
+    assert(e0.getMessage.contains("buildVectorIndex"))
+    c.buildVectorIndex(numCells = 4)
+    c.buildQuantModel(numSubspaces = 4, numCentroids = 16, residual = true)
+    assert(c.quantModelIsResidual)
+
+    val q = Seq((7L, "unique residual document number 7 body"))
+      .toDF("query_id", "query_text")
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val exact = rrid(c.query(q, k = 5))
+    // all-cell probe + corpus fetchK + exact rerank = exact kNN, through
+    // residual codes and their per-cell LUTs
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    assert(c.residentPackedPq.exists(_.residual))
+
+    // CRUD deltas encode residually through the standing models
+    c.upsert(Seq(("rX", "unique residual document number X body")).toDF("id", "document"))
+    val qX = Seq((1L, "unique residual document number X body"))
+      .toDF("query_id", "query_text")
+    assert(c.packedPqQuery(qX, k = 1, nProbe = 4).head().getAs[String]("id") === "rX")
+    c.delete(ids = Seq("rX"))
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+
+    // the sidecar carries the residual flag; a fresh handle warm-starts
+    // into the same geometry
+    c.saveResidentIndex()
+    val reopened = new GraftClient(spark, root, 16).getCollection("pqres")
+    assert(reopened.quantModelIsResidual)
+    reopened.buildPackedPqIndex()
+    assert(reopened.residentPackedPq.exists(_.residual))
+    assert(rrid(reopened.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    reopened.releasePackedIndex()
+
+    // coarse retrain: residual codebooks belonged to the old geometry —
+    // the model dies with it and the next build demands a retrain
+    c.buildVectorIndex(numCells = 2)
+    assert(!c.hasQuantModel && !c.quantModelIsResidual)
+    val e1 = intercept[IllegalArgumentException] { c.packedPqQuery(q, k = 1) }
+    assert(e1.getMessage.contains("buildQuantModel"))
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
