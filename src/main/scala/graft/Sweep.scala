@@ -208,17 +208,45 @@ object Sweep {
           rows.iterator.map(_.getAs[Long]("neighbor_id")).count(exactL2(qid)) / K.toDouble }
         .sum / qArrC.length
       pi.unpersist(blocking = true)
+
+      // --- residual codes (FAISS IVFADC): same bytes, finer quantization ---
+      // Same coarse model, PQ trained on vec − cellCentroid; the ADC scan
+      // cost is identical (the LUT build is per (query, cell) instead of
+      // per query — driver-side noise), so the delta this measures is
+      // pure recall at the same byte budget.
+      val tResTrain0 = System.nanoTime()
+      val pqResM = Quantization.trainPqResidual(pqCorpus, "embedding", ivfM,
+        numSubspaces = 8, numCentroids = 64, maxIter = 5,
+        sampleFraction = math.min(1.0, 50000.0 / n))
+      val pqResTrainS = (System.nanoTime() - tResTrain0) / 1e9
+      val piRes = PackedPq.packIvfPq(pqCorpus, ivfM, pqResM,
+        idCol = "vec_id", vecCol = "embedding", residual = true)
+      def runAdcRes(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedPq.searchAdc[Long](piRes, qArrC, K, nProbe)
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"residual ADC search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runAdcRes())
+      val adcResRuns = (1 to MeasuredRuns).map(_ => runAdcRes())
+      val resRecall = recallOf(PackedPq.searchAdc[Long](piRes, qArrC, K, nProbe))
+      piRes.unpersist(blocking = true)
       pqCorpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ
       val rowScanMsPerQ = medianMs(rowScanRuns) / BatchQ
       val runsJson = packedRuns.sorted.map(r => f"$r%.4f").mkString("[", ",", "]")
       val pqMsPerQ = medianMs(adcRuns) / BatchQ
+      val pqResMsPerQ = medianMs(adcResRuns) / BatchQ
       s""""$n":{"ms_per_query":${f"$msPerQ%.3f"},"runs_s":$runsJson,""" +
         s""""rowscan_ms_per_query":${f"$rowScanMsPerQ%.3f"},""" +
         s""""floor_ms":${f"$floorMs%.2f"},"pack_s":${f"$packS%.3f"},""" +
         s""""pq_ms_per_query":${f"$pqMsPerQ%.3f"},""" +
         s""""pq_recall10":${f"$rawRecall%.3f"},"pq_funnel_recall10":${f"$funnelRecall%.3f"},""" +
+        s""""pq_res_ms_per_query":${f"$pqResMsPerQ%.3f"},""" +
+        s""""pq_res_recall10":${f"$resRecall%.3f"},""" +
+        s""""pq_res_train_s":${f"$pqResTrainS%.3f"},""" +
         s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
         s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }
