@@ -429,6 +429,185 @@ object PackedKnn {
     new PackedIvfCorpus(packed, dim, model)
   }
 
+  /** Split one HOT cell of a cell-partitioned corpus in place — the
+    * index-maintenance move for a cell that outgrew its neighbors under
+    * append traffic (skewed ingest makes one cell's scan dominate every
+    * probe that touches it). The alternatives both re-shuffle the world:
+    * retraining the coarse quantizer invalidates EVERY cell's layout, and
+    * repacking moves the whole corpus to fix one cell. This touches only
+    * the split cell:
+    *
+    *   - a seeded 2-means over the cell's own rows (every job runs on
+    *     that ONE partition, via partition pruning) refines its centroid
+    *     into two children;
+    *   - child A replaces the old centroid at index `cell`, child B
+    *     appends at index C — probe routing stays positional (partition
+    *     i = cell i, the new cell is partition C);
+    *   - the block RDD becomes union(retained, moved): every other
+    *     partition passes through by reference with NARROW dependencies
+    *     only (no shuffle — the spec asserts the lineage), the split
+    *     partition keeps the rows nearest child A, and one new partition
+    *     holds the rest.
+    *
+    * Assignment stays at-insert-time (the FAISS contract): rows in OTHER
+    * cells are not revisited even if a child centroid is now closer, and
+    * a full-probe search is exact regardless of placement — splitting
+    * tightens future routing and halves the hot scan, nothing else.
+    * Like [[remove]], the result is persisted and materialized; release
+    * the original afterwards. */
+  def splitCell[I: ClassTag](pi: PackedIvfCorpus[I], cell: Int,
+                             maxIter: Int = 10,
+                             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedIvfCorpus[I] = {
+    val numCells = pi.model.numCells
+    require(cell >= 0 && cell < numCells,
+      s"splitCell: cell $cell out of range [0, $numCells)")
+    val dim = pi.dim
+    val one = org.apache.spark.rdd.PartitionPruningRDD.create(pi.blocks, _ == cell)
+
+    // --- seeded 2-means over the one partition ---
+    // init: the parent centroid and the cell's row farthest from it — a
+    // deterministic spread (k-means++'s first step without an RNG)
+    val parent = pi.model.centroids(cell)
+    val farthestCand = one.mapPartitions { it =>
+      var best: Array[Float] = null; var bestD = -1.0
+      it.foreach { b =>
+        var r = 0
+        while (r < b.rows) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val diff = b.mat(r * dim + j) - parent(j); d += diff * diff; j += 1
+          }
+          if (d > bestD) {
+            bestD = d
+            best = java.util.Arrays.copyOfRange(b.mat, r * dim, (r + 1) * dim)
+          }
+          r += 1
+        }
+      }
+      if (best == null) Iterator.empty else Iterator.single((bestD, best))
+    }.collect()
+    require(farthestCand.nonEmpty, s"splitCell: cell $cell is empty")
+    val (spread, farthest) = farthestCand.maxBy(_._1)
+    require(spread > 0.0,
+      s"splitCell: cell $cell is degenerate (every row equals the centroid); " +
+        "splitting cannot separate identical rows")
+    var ca = parent.clone()
+    var cb = farthest.map(_.toDouble)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val (sa, na, sb, nb) = one.mapPartitions { it =>
+        val pa = new Array[Double](dim); val pb = new Array[Double](dim)
+        var na0 = 0L; var nb0 = 0L
+        it.foreach { b =>
+          var r = 0
+          while (r < b.rows) {
+            var da = 0.0; var db = 0.0; var j = 0
+            while (j < dim) {
+              val x = b.mat(r * dim + j).toDouble
+              val ea = x - ca(j); da += ea * ea
+              val eb = x - cb(j); db += eb * eb
+              j += 1
+            }
+            val tgt = if (da <= db) pa else pb
+            var j2 = 0
+            while (j2 < dim) { tgt(j2) += b.mat(r * dim + j2); j2 += 1 }
+            if (da <= db) na0 += 1 else nb0 += 1
+            r += 1
+          }
+        }
+        Iterator.single((pa, na0, pb, nb0))
+      }.collect().head
+      if (na == 0 || nb == 0) {
+        moved = false // degenerate partition this round; keep previous split
+      } else {
+        val nca = sa.map(_ / na); val ncb = sb.map(_ / nb)
+        moved = !(java.util.Arrays.equals(nca, ca) && java.util.Arrays.equals(ncb, cb))
+        ca = nca; cb = ncb
+      }
+      iter += 1
+    }
+    val caF = ca; val cbF = cb
+
+    // --- rebuild: split partition filtered two ways, everything else by
+    // reference; union keeps partition order (0..C-1, then C) ---
+    def sideOf(b: Block[I], keepA: Boolean): Iterator[Block[I]] = {
+      val keep = new ArrayBuffer[Int]()
+      var r = 0
+      while (r < b.rows) {
+        var da = 0.0; var db = 0.0; var j = 0
+        while (j < dim) {
+          val x = b.mat(r * dim + j).toDouble
+          val ea = x - caF(j); da += ea * ea
+          val eb = x - cbF(j); db += eb * eb
+          j += 1
+        }
+        if ((da <= db) == keepA) keep += r
+        r += 1
+      }
+      if (keep.isEmpty) Iterator.empty
+      else if (keep.length == b.rows) Iterator.single(b)
+      else {
+        val n = keep.length
+        val ids = new Array[I](n)
+        val mat = new Array[Float](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val r2 = keep(i)
+          ids(i) = b.ids(r2)
+          System.arraycopy(b.mat, r2 * dim, mat, i * dim, dim)
+          norms(i) = b.sqrtNorms(r2)
+          i += 1
+        }
+        Iterator.single(Block(ids, mat, dim, norms))
+      }
+    }
+    val retained = pi.blocks.mapPartitionsWithIndex((i, it) =>
+      if (i == cell) it.flatMap(sideOf(_, keepA = true)) else it)
+    val movedPart = one.mapPartitions(_.flatMap(sideOf(_, keepA = false)))
+    val newBlocks = retained.union(movedPart)
+      .setName(residentName).persist(storage)
+    newBlocks.count()
+    val newModel = Ann.IvfModel(pi.model.centroids.updated(cell, caF) :+ cbF)
+    new PackedIvfCorpus(newBlocks, dim, newModel)
+  }
+
+  /** Per-cell resident row counts — one lightweight job, the input to a
+    * split policy. Index i = cell i; empty cells report 0. */
+  def cellSizes[I](pi: PackedIvfCorpus[I]): Array[Long] = {
+    val counts = pi.blocks.mapPartitionsWithIndex((i, it) =>
+      Iterator.single(i -> it.map(_.rows.toLong).sum)).collect().toMap
+    Array.tabulate(pi.model.numCells)(i => counts.getOrElse(i, 0L))
+  }
+
+  /** Split every cell above `maxRows` until none remains (or a cell
+    * cannot split further — identical rows — which fails loud like
+    * [[splitCell]]). Each round releases the superseded handle; returns
+    * the final corpus and how many splits ran. The split order is
+    * largest-first, so the hottest scan shrinks first. */
+  def splitHotCells[I: ClassTag](pi: PackedIvfCorpus[I], maxRows: Long,
+                                 maxIter: Int = 10, maxSplits: Int = 1024,
+                                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): (PackedIvfCorpus[I], Int) = {
+    require(maxRows > 0, s"splitHotCells: maxRows must be positive, got $maxRows")
+    var cur = pi
+    var splits = 0
+    var hot = cellSizes(cur).zipWithIndex.filter(_._1 > maxRows)
+    while (hot.nonEmpty) {
+      require(splits < maxSplits,
+        s"splitHotCells: $splits splits have not brought every cell under " +
+          s"$maxRows rows (near-duplicate mass keeps re-concentrating?) — " +
+          "raise maxRows or maxSplits, or dedup the corpus first")
+      val (_, cellIdx) = hot.maxBy(_._1)
+      val next = splitCell(cur, cellIdx, maxIter, storage)
+      if (cur ne pi) cur.unpersist()
+      cur = next
+      splits += 1
+      hot = cellSizes(cur).zipWithIndex.filter(_._1 > maxRows)
+    }
+    (cur, splits)
+  }
+
   /** Approximate batch top-k through the cell-partitioned packed corpus:
     * each query probes its `nProbe` nearest cells (same squared-L2 /
     * tie-by-cell ranking as the codegen ProbeCellIds kernel, so results

@@ -217,6 +217,27 @@ object QueriesVector {
         }
       }),
 
+    // HOT-CELL SPLIT of the resident IVF index (PackedKnn.splitCell):
+    // the hottest cell's rows 2-means into two cells — a NEW partition
+    // appended at index C, every other partition passing through by
+    // reference (narrow-only rebuild, PackedKnnSpec asserts the lineage
+    // and per-cell conservation). Full probe through the REFINED model
+    // is exact, so the split index hash-checks the same q10 oracle
+    // through the same funnel as q100 — index maintenance is driver-
+    // proven to lose nothing.
+    "q124_split_ivf" -> ((s, dir) =>
+      packedFunnel(s, dir) { (embs, qArr) =>
+        val split = cachedPackIvf(dir + "#split") {
+          // base stays persisted (residentName): split partitions that
+          // fall out of memory recompute through it, not the pack shuffle
+          val base = PackedKnn.packIvf(embs, TrainedModels.ivf(s, dir),
+            idCol = "vec_id", vecCol = "embedding")
+          val hot = PackedKnn.cellSizes(base).zipWithIndex.maxBy(_._1)._2
+          PackedKnn.splitCell(base, hot)
+        }
+        PackedKnn.searchIvf(split, qArr, 20, nProbe = split.model.numCells)
+      }),
+
     // Contrastive hard-negative mining (Knn.hardNegatives): for each
     // anchor, the k nearest embeddings with a DIFFERENT label — the
     // per-anchor exclusion rides the broadcast join condition (no static
@@ -330,6 +351,7 @@ object QueriesVector {
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
     "q110_packed_warm" -> knnOracleCosine5,
+    "q124_split_ivf" -> knnOracleCosine5,
     "q113_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
          |          FROM embeddings WHERE vec_id < 5),

@@ -336,6 +336,113 @@ class PackedKnnSpec extends SparkSpec {
       case d => hasShuffle(d.rdd)
     }
 
+  test("splitCell: narrow rebuild, counts conserved, exact at full probe, new-cell routing") {
+    val pi = PackedKnn.packIvf(embs, ivfModel, idCol = "vec_id", vecCol = "embedding")
+    try {
+      val sizes0 = PackedKnn.cellSizes(pi)
+      val hot = sizes0.zipWithIndex.maxBy(_._1)._2
+      val want = PackedKnn.searchIvf(pi, qArr, 10, nProbe = ivfModel.numCells).toMap
+      val split = PackedKnn.splitCell(pi, hot)
+      try {
+        // one more cell = one more partition; every other cell untouched
+        assert(split.model.numCells === ivfModel.numCells + 1)
+        assert(split.blocks.getNumPartitions === ivfModel.numCells + 1)
+        val sizes1 = PackedKnn.cellSizes(split)
+        assert(sizes1.sum === sizes0.sum, "rows lost or duplicated")
+        for (c <- sizes0.indices if c != hot)
+          assert(sizes1(c) === sizes0(c), s"untouched cell $c changed")
+        assert(sizes1(hot) + sizes1(ivfModel.numCells) === sizes0(hot))
+        assert(sizes1(hot) < sizes0(hot) && sizes1(ivfModel.numCells) > 0,
+          "split moved nothing")
+        // the rebuild is narrow — no shuffle between the new blocks and
+        // the standing corpus (the original pack's routing shuffle is
+        // upstream of pi.blocks and out of scope)
+        def shuffleAbove(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+          (rdd.id != pi.blocks.id) && rdd.dependencies.exists {
+            case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+            case d => shuffleAbove(d.rdd)
+          }
+        assert(!shuffleAbove(split.blocks), "splitCell introduced a shuffle")
+        // full probe is exact regardless of row placement: identical rows,
+        // identical kernel => identical (id, dist) sequences
+        val got = PackedKnn.searchIvf(split, qArr, 10, nProbe = split.model.numCells).toMap
+        assert(got.keySet === want.keySet)
+        for ((qid, nbrs) <- got)
+          assert(nbrs.toSeq === want(qid).toSeq, s"query $qid")
+        // a row that landed in the NEW cell routes there: nProbe=1
+        // self-match through partition C
+        val movedIds = split.blocks.sparkContext.runJob(split.blocks,
+          (it: Iterator[PackedKnn.Block[Long]]) => it.flatMap(_.ids).toArray,
+          Seq(ivfModel.numCells)).head
+        val probe = movedIds.head
+        val pv = embs.where(col("vec_id") === probe)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val self = PackedKnn.searchIvf(split, Array((probe, pv)), 1, nProbe = 1).head._2
+        assert(self.head._1 === probe)
+        assert(math.abs(self.head._2) < 1e-6)
+      } finally split.unpersist(blocking = true)
+    } finally pi.unpersist(blocking = true)
+  }
+
+  test("splitHotCells drives every cell under the threshold; append routes into split geometry") {
+    val pi = PackedKnn.packIvf(embs.where(col("vec_id") < 1900), ivfModel,
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      val sizes0 = PackedKnn.cellSizes(pi)
+      val threshold = math.max(50L, sizes0.max / 2)
+      val (after, splits) = PackedKnn.splitHotCells(pi, maxRows = threshold)
+      try {
+        assert(splits >= 1, "fixture produced no hot cell")
+        val sizes1 = PackedKnn.cellSizes(after)
+        assert(sizes1.forall(_ <= threshold),
+          s"cells above $threshold remain: ${sizes1.mkString(",")}")
+        assert(sizes1.sum === sizes0.sum)
+        // appendIvf after splits: the batch packs against the REFINED
+        // model (numCells+splits partitions) and zips cleanly
+        val grown = PackedKnn.appendIvf(after, embs.where(col("vec_id") >= 1900),
+          idCol = "vec_id", vecCol = "embedding")
+        assert(grown.blocks.getNumPartitions === after.model.numCells)
+        val full = PackedKnn.packIvf(embs, ivfModel, idCol = "vec_id", vecCol = "embedding")
+        val want = PackedKnn.searchIvf(full, qArr, 10, nProbe = ivfModel.numCells).toMap
+        full.unpersist(blocking = true)
+        val got = PackedKnn.searchIvf(grown, qArr, 10,
+          nProbe = grown.model.numCells).toMap
+        for ((qid, nbrs) <- got)
+          assert(nbrs.toSeq === want(qid).toSeq, s"query $qid")
+        grown.unpersist(blocking = true)
+      } finally after.unpersist(blocking = true)
+    } finally pi.unpersist(blocking = true)
+  }
+
+  test("splitCell fails loud on out-of-range, empty, and degenerate cells") {
+    import spark.implicits._
+    // two tight clusters + a manual model whose third centroid is unused
+    val rows = (0 until 20).map(i => (i.toLong,
+      if (i < 10) Array(0.1f * i, 0f) else Array(10f + 0.1f * i, 0f))) :+
+      (99L, Array(5f, 5f))
+    val m3 = graft.operators.Ann.IvfModel(Array(
+      Array(0.5, 0.0), Array(11.0, 0.0), Array(1000.0, 1000.0)))
+    val pi = PackedKnn.packIvf(rows.toDF("id", "vec"), m3)
+    try {
+      val eRange = intercept[IllegalArgumentException] { PackedKnn.splitCell(pi, 7) }
+      assert(eRange.getMessage.contains("out of range"))
+      val eEmpty = intercept[IllegalArgumentException] { PackedKnn.splitCell(pi, 2) }
+      assert(eEmpty.getMessage.contains("empty"))
+    } finally pi.unpersist(blocking = true)
+    // a cell of identical rows cannot separate
+    val dup = (0 until 12).map(i => (i.toLong, Array(3f, 4f))).toDF("id", "vec")
+    val piDup = PackedKnn.packIvf(dup, graft.operators.Ann.IvfModel(Array(Array(3.0, 4.0))))
+    try {
+      val eDeg = intercept[IllegalArgumentException] { PackedKnn.splitCell(piDup, 0) }
+      assert(eDeg.getMessage.contains("degenerate"))
+      // and splitHotCells surfaces the bounded-splits guard instead of spinning
+      val eHot = intercept[IllegalArgumentException] {
+        PackedKnn.splitHotCells(piDup, maxRows = 5)
+      }
+      assert(eHot.getMessage.contains("degenerate") || eHot.getMessage.contains("maxSplits"))
+    } finally piDup.unpersist(blocking = true)
+  }
+
   test("slab-size guard fails loud with an actionable message") {
     // 20M rows x 128 dims = 2.56B floats > Int.MaxValue — the compaction
     // shape that previously died deep in allocation
