@@ -790,6 +790,44 @@ final class GraftCollection(spark: SparkSession, dir: String,
 
   @transient private var packedIvfIdx: Option[PackedKnn.PackedIvfCorpus[String]] = None
 
+  /** Incremental index maintenance: split every hot cell of the resident
+    * IVF index ([[buildPackedAnnIndex]] on first use) until none exceeds
+    * `maxRows` rows, then PERSIST the refined coarse model so [[annQuery]]
+    * and future packs route through the refined cells. Only the split
+    * cells' rows move ([[PackedKnn.splitCell]]'s narrow rebuild); the
+    * rest of the resident matrix stays where it is — the at-scale answer
+    * to skewed ingest, where a full [[buildVectorIndex]] retrain would
+    * re-shuffle the world to fix a few cells.
+    *
+    * A model change invalidates cell-routed artifacts like a retrain
+    * does — the IVF/PQ slab sidecars die, other handles' cell-routed
+    * indexes go stale via the mutation counter — but unlike a retrain
+    * the refinement only ADDS cells, so THIS handle's index is already
+    * laid out for it and stays warm, and a residual product quantizer
+    * survives (only the split cells' residual geometry moved; re-encoded
+    * codes stay encode/LUT-consistent). Returns the splits performed;
+    * 0 leaves everything untouched. */
+  def splitHotCells(maxRows: Long, maxSplits: Int = 1024): Int = {
+    ensureFreshPacked(ivf = true)
+    if (packedIvfIdx.isEmpty) buildPackedAnnIndex()
+    val old = packedIvfIdx.get
+    val (split, n) = PackedKnn.splitHotCells(old, maxRows, maxSplits = maxSplits)
+    if (n == 0) return 0
+    val fsI = new org.apache.hadoop.fs.Path(packedIvfDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
+    ModelStore.saveIvf(spark, split.model, ivfDir)
+    old.unpersist()
+    packedIvfIdx = Some(split)
+    packedPqIdx.foreach(_.unpersist())
+    packedPqIdx = None
+    val stamp = Collections.bumpMutationCount(spark, dir)
+    packedIvfStamp = stamp
+    if (packedIdx.isDefined) packedStamp = stamp // flat index: model-independent
+    n
+  }
+
   /** [[buildPackedIndex]] laid out one IVF cell per partition, so
     * [[packedAnnQuery]] probes launch tasks only on probed partitions.
     * Requires the persisted IVF model ([[buildVectorIndex]]). */

@@ -425,6 +425,49 @@ class ClientSpec extends SparkSpec {
     assert(c.packedPqQuery(q.limit(0)).count() === 0)
   }
 
+  test("splitHotCells: refined model persists, queries stay exact, other handles notice") {
+    val c = client.getOrCreateCollection("split")
+    c.add((0 until 60).map(i => (s"s$i", s"unique split document number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 2)
+    val q = Seq((7L, "unique split document number 7 body"))
+      .toDF("query_id", "query_text")
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val exact = rrid(c.query(q, k = 5))
+    // a second handle packs against the PRE-split model
+    val other = new GraftClient(spark, root, 16).getCollection("split")
+    other.buildPackedAnnIndex()
+
+    val n = c.splitHotCells(maxRows = 20)
+    assert(n >= 1, "60 rows over 2 cells must exceed 20 somewhere")
+    val cells = 2 + n
+    assert(c.residentPackedIvf.get.model.numCells === cells)
+    // full-probe searches stay exact through BOTH paths: the resident
+    // split index and annQuery's persisted (refined) model
+    assert(rrid(c.packedAnnQuery(q, k = 5, nProbe = cells)) === exact)
+    assert(rrid(c.annQuery(q, k = 5, nProbe = cells)) === exact)
+    // every cell now under the threshold
+    assert(graft.operators.PackedKnn.cellSizes(c.residentPackedIvf.get).forall(_ <= 20))
+    // CRUD keeps maintaining the split-geometry index in place
+    c.upsert(Seq(("sX", "unique split document number X body")).toDF("id", "document"))
+    val qX = Seq((1L, "unique split document number X body"))
+      .toDF("query_id", "query_text")
+    assert(c.packedAnnQuery(qX, k = 1, nProbe = cells).head()
+      .getAs[String]("id") === "sX")
+    // the pre-split handle's resident index is now stale — fail loud
+    val e = intercept[IllegalStateException] { other.packedAnnQuery(q, k = 1) }
+    assert(e.getMessage.contains("STALE"))
+    // a fresh rebuild on that handle routes through the refined model
+    other.buildPackedAnnIndex()
+    assert(other.residentPackedIvf.get.model.numCells === cells)
+    other.releasePackedIndex()
+    // zero-split call is a no-op: nothing invalidated
+    val stamp = graft.sources.Collections.readMutationCount(spark, s"$root/split")
+    assert(c.splitHotCells(maxRows = 1000000) === 0)
+    assert(graft.sources.Collections.readMutationCount(spark, s"$root/split") === stamp)
+  }
+
   test("residual quant model: exact at full probe, CRUD-maintained, coarse retrain kills it") {
     val c = client.getOrCreateCollection("pqres")
     c.add((0 until 48).map(i => (s"r$i", s"unique residual document number $i body"))
