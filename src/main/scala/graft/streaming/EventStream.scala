@@ -306,6 +306,38 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of the resident PQ-code serving tier
+    * ([[graft.operators.PackedPq.search]], q122/q123's funnel): each
+    * micro-batch of (query_id, query_vec) rows is answered by ADC over
+    * the resident byte slabs — probed partitions only, m bytes touched
+    * per candidate — and the fetchK survivors exactly reranked against
+    * the raw `corpus`. Per batch the output is row-identical to the
+    * batch [[graft.operators.Ann.ivfPqSearch]] (or its residual twin,
+    * depending on how `pi` was packed) on the same models; the spec
+    * asserts stream == batch. The query-batch collect is contract-capped
+    * inside PackedPq.search (`maxQueryRows`, the knnQueryStream cap
+    * pattern) — an oversized micro-batch fails loud, not OOM. Output is
+    * idempotent per batch: (query_id, rank, neighbor_id, dist) overwrite
+    * their own batch_id partition on replay. */
+  def pqQueryStream(stream: DataFrame, pi: graft.operators.PackedPq.PackedPqCorpus[Long],
+                    corpus: DataFrame, k: Int, outDir: String, checkpointDir: String,
+                    nProbe: Int = 4, fetchK: Int = 50, metric: String = "cosine",
+                    queryId: String = "query_id", queryVec: String = "query_vec",
+                    corpusId: String = "id", vecCol: String = "vec",
+                    maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the empty-trigger guard costs one limit(1) job (PackedPq.search
+        // fails loud on an empty batch by contract)
+        if (batch.limit(1).count() > 0) {
+          graft.operators.PackedPq.search(pi, batch, corpus, k, nProbe, fetchK,
+              metric, queryId, queryVec, corpusId, vecCol, maxQueryRows)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Ann.cellDrift]] — live
     * embedding-distribution monitoring at the ingest door: each
     * micro-batch of (vec) rows is assigned to the REFERENCE model's cells

@@ -178,6 +178,57 @@ class EventStreamSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  test("streaming PQ-code serving equals the batch IVF-PQ funnel per micro-batch") {
+    import graft.operators.{Ann, PackedPq, Quantization}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Ann.trainIvf(embs, "embedding", numCells = 4)
+    val pq = Quantization.trainPq(embs, "embedding", numSubspaces = 8, numCentroids = 16)
+    val pi = PackedPq.packIvfPq(embs, ivf, pq, idCol = "vec_id", vecCol = "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streampq")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.pqQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pi, embs, k = 5,
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck",
+        nProbe = 2, fetchK = 20, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val qVecs = embs.where(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      try {
+        mem.addData(qVecs(0), qVecs(1))
+        q.processAllAvailable()
+        mem.addData(qVecs(2), qVecs(3)) // second batch, same resident codes
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // the batch path on the same models — row-identical by the q122 contract
+      val queryDF = embs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val want = Ann.ivfPqSearch(queryDF, embs, ivf, pq, k = 5, nProbe = 2,
+          fetchK = 20, metric = "l2", corpusId = "vec_id", vecCol = "embedding")
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === want)
+      // oversized micro-batch: the contract cap fails the stream loudly
+      val q2 = EventStream.pqQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pi, embs, k = 5,
+        outDir = s"$tmp/out2", checkpointDir = s"$tmp/ck2",
+        metric = "l2", corpusId = "vec_id", vecCol = "embedding",
+        maxQueryRows = 1)
+      try {
+        mem.addData(qVecs(0), qVecs(1))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(ex.getMessage.contains("maxQueryRows") ||
+          Option(ex.getCause).exists(_.getMessage.contains("maxQueryRows")))
+      } finally q2.stop()
+    } finally pi.unpersist(blocking = true)
+  }
+
   test("continuous ingest dedup: index-backed, survivors append across batches") {
     val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, String)] }
     val tmp = java.nio.file.Files.createTempDirectory("graft-streamdedup")
