@@ -81,6 +81,28 @@ object ModelStore {
     Quantization.PqModel(books.length, books.head.head.length, books)
   }
 
+  // ------------------------------------------------------------------- OPQ
+
+  /** Rotation as (i, row_i) rows plus the rotated-space codebooks as a
+    * nested `pq/` model — one artifact, because codebooks fitted under a
+    * different rotation are meaningless (the q123 coarse-model stance). */
+  def saveOpq(spark: SparkSession, m: Quantization.OpqModel, dir: String): Unit = {
+    import spark.implicits._
+    savePq(spark, m.pq, s"$dir/pq")
+    Collections.swapWrite(
+      m.rotation.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+        .toDF("i", "r"),
+      s"$dir/data")
+    writeMeta(dir, "opq")
+  }
+
+  def loadOpq(spark: SparkSession, dir: String): Quantization.OpqModel = {
+    requireKind(dir, "opq")
+    val rot = spark.read.parquet(s"$dir/data").orderBy("i")
+      .collect().map(_.getSeq[Double](1).toArray)
+    Quantization.OpqModel(rot, loadPq(spark, s"$dir/pq"))
+  }
+
   // -------------------------------------------------------------------- LR
 
   /** Quality-classifier weights as (b, w) rows: nonzero buckets, plus

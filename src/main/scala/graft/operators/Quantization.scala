@@ -236,6 +236,157 @@ object Quantization {
     trainPq(res, "_res", numSubspaces, numCentroids, seed, maxIter, sampleFraction)
   }
 
+  // ------------------------------------------------------------- OPQ
+
+  /** Optimized Product Quantization (Ge et al., CVPR'13, non-parametric;
+    * FAISS `OPQMatrix`): a learned ORTHOGONAL rotation applied before PQ,
+    * so the subspace split cuts the data along balanced, decorrelated
+    * axes instead of whatever order the raw dimensions happen to arrive
+    * in. Rotation preserves L2/IP/cosine exactly, so the rotated-space
+    * ADC distances estimate the raw-space distances — only the encode
+    * gets better. `rotation(i)(j)` is laid out so `y_j = Σ_i x_i·R_ij`
+    * with i ascending — the exact double arithmetic the q125 oracle
+    * re-derives in SQL. */
+  final case class OpqModel(rotation: Array[Array[Double]], pq: PqModel)
+
+  /** Apply the learned rotation: float/double array in, double array out.
+    * The input is widened to double FIRST (`CAST(x AS DOUBLE)` in the
+    * oracle), then accumulated in ascending-i order so the sum is
+    * bit-identical to DuckDB's ordered list sum. */
+  def opqRotate(r: Array[Array[Double]])(vecCol: Column): Column = {
+    val rot = udf { (v: Seq[Double]) =>
+      val d = r.length
+      val va = v.toArray
+      Array.tabulate(r(0).length) { j =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += va(i) * r(i)(j); i += 1 }
+        s
+      }
+    }
+    rot(transform(vecCol, _.cast("double")))
+  }
+
+  /** Train OPQ-NP: alternate (1) fit PQ codebooks in the rotated space,
+    * (2) re-solve the rotation as an orthogonal Procrustes problem
+    * against the current reconstructions — min_R ‖XR − Ŷ‖² ⇒ R = UVᵀ
+    * where XᵀŶ = USVᵀ. The d×d cross-covariance is ONE treeAggregate
+    * (d² doubles of driver state, corpus never collected); the SVD is a
+    * d×d driver-side solve. Codebook fits reuse [[trainPq]]'s concurrent
+    * per-subspace KMeans. */
+  def trainOpq(vecs: DataFrame, vecCol: String, numSubspaces: Int = 8,
+               numCentroids: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+               opqIter: Int = 2, sampleFraction: Double = 1.0): OpqModel = {
+    import breeze.linalg.{qr => bqr, svd => bsvd, DenseMatrix => BDM}
+    val src = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    val cached = src.select(transform(col(vecCol), _.cast("double")).as("_x")).persist()
+    try {
+      val dim = cached.select(size(col("_x"))).head().getInt(0)
+      require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+      val subDim = dim / numSubspaces
+      // seeded RANDOM-orthogonal init (QR of a Gaussian), not identity:
+      // identity is a Procrustes fixed point whenever XᵀŶ comes out
+      // near-symmetric PSD (U≈V ⇒ R≈I), which is exactly the case on
+      // axis-aligned data — the regime OPQ exists to fix. Ge'13 §4 and
+      // FAISS's OPQMatrix both start from a random rotation for this
+      // reason. Sign-canonicalized so the init is unique.
+      var r: Array[Array[Double]] = {
+        val rnd = new scala.util.Random(seed)
+        val g = BDM.tabulate(dim, dim)((_, _) => rnd.nextGaussian())
+        val f = bqr(g)
+        Array.tabulate(dim, dim)((i, j) =>
+          f.q(i, j) * (if (f.r(j, j) < 0) -1.0 else 1.0))
+      }
+      for (_ <- 0 until opqIter) {
+        val pq = trainPq(cached.select(opqRotate(r)(col("_x")).as("_y")), "_y",
+          numSubspaces, numCentroids, seed, maxIter)
+        // cross-covariance M(i,j) = Σ_rows x_i·ŷ_j, accumulated
+        // column-major (acc(j·d+i)) so it loads straight into breeze
+        val books = pq.codebooks
+        val rLocal = r
+        val acc = cached.select(col("_x"), opqRotate(rLocal)(col("_x")).as("_y"))
+          .rdd.treeAggregate(new Array[Double](dim * dim))(
+            (a, row) => {
+              val x = row.getSeq[Double](0); val y = row.getSeq[Double](1)
+              val yhat = new Array[Double](dim)
+              var m = 0
+              while (m < numSubspaces) {
+                val book = books(m); val base = m * subDim
+                var best = 0; var bestD = Double.MaxValue; var c = 0
+                while (c < book.length) {
+                  val cent = book(c); var dd = 0.0; var j = 0
+                  while (j < subDim) { val df = y(base + j) - cent(j); dd += df * df; j += 1 }
+                  if (dd < bestD) { bestD = dd; best = c }
+                  c += 1
+                }
+                var j = 0
+                while (j < subDim) { yhat(base + j) = book(best)(j); j += 1 }
+                m += 1
+              }
+              var j = 0
+              while (j < dim) {
+                var i = 0
+                while (i < dim) { a(j * dim + i) += x(i) * yhat(j); i += 1 }
+                j += 1
+              }
+              a
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        val s = bsvd(new BDM(dim, dim, acc))
+        val rm = s.U * s.Vt
+        r = Array.tabulate(dim, dim)((i, j) => rm(i, j))
+      }
+      // final codebooks under the final rotation
+      val pq = trainPq(cached.select(opqRotate(r)(col("_x")).as("_y")), "_y",
+        numSubspaces, numCentroids, seed, maxIter)
+      OpqModel(r, pq)
+    } finally cached.unpersist()
+  }
+
+  /** OPQ encode: rotate (doubles), then the double-arithmetic PQ argmin —
+    * same strict-< lowest-code tie rule as [[pqEncodeDouble]]. */
+  def opqEncode(model: OpqModel)(vecCol: Column): Column =
+    pqEncodeDouble(model.pq)(opqRotate(model.rotation)(vecCol))
+
+  /** Per-query ADC LUT in the ROTATED space (double query subvectors). */
+  def opqLut(model: OpqModel)(queryVec: Column): Column = {
+    val mCount = model.pq.numSubspaces; val subDim = model.pq.subDim
+    val books = model.pq.codebooks
+    val lutUdf = udf { (q: Seq[Double]) =>
+      Array.tabulate(mCount, books(0).length) { (m, c) =>
+        var d = 0.0; var j = 0
+        while (j < subDim) { val diff = q(m * subDim + j) - books(m)(c)(j); d += diff * diff; j += 1 }
+        d
+      }.map(_.toSeq).toSeq
+    }
+    lutUdf(opqRotate(model.rotation)(queryVec))
+  }
+
+  /** ADC funnel under OPQ: rotate+encode the corpus, rotated LUT per
+    * query, asymmetric top-`fetchK`, exact rerank on the RAW vectors
+    * (rotation is orthogonal, so rotated-space ADC already estimates the
+    * raw metric; the rerank stays byte-identical to [[pqSearch]]'s).
+    * Same broadcast + bounded-aggregator plan shape as [[pqSearch]]. */
+  def opqSearch(queries: DataFrame, corpus: DataFrame, model: OpqModel,
+                k: Int, fetchK: Int = 50, metric: String = "cosine",
+                queryId: String = "query_id", queryVec: String = "query_vec",
+                corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val coded = corpus.select(col(corpusId).cast("long").as("_cid"),
+      opqEncode(model)(col(vecCol)).as("_code"))
+    val q = queries.select(col(queryId).as("_qid"),
+      opqLut(model)(col(queryVec)).as("_lut"))
+    val topk = udaf(new Knn.TopKAggregator(fetchK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    val candidates = coded.crossJoin(broadcast(q))
+      .select(col("_qid"), col("_cid"),
+        adcDistance(col("_lut"), col("_code")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), explode(col("_nbrs")).as("_n"))
+      .select(col(queryId), col("_n.id").as("neighbor_id"))
+    rerankExact(candidates, queries, corpus, k, metric,
+      queryId, queryVec, corpusId, vecCol)
+  }
+
   /** Per-query ADC lookup table: [m][c] = squared distance from the
     * query's m-th subvector to centroid c (quantization.py:541-560). */
   def pqLut(model: PqModel)(queryVec: Column): Column = {

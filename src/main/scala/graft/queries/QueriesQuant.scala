@@ -25,6 +25,7 @@ private[queries] object TrainedModels {
   @volatile private[queries] var lastPq: Option[Quantization.PqModel] = None
   @volatile private[queries] var lastPqRes: Option[Quantization.PqModel] = None
   @volatile private[queries] var lastLr: Option[QualityClassifier.LrModel] = None
+  @volatile private[queries] var lastOpq: Option[Quantization.OpqModel] = None
 
   def ivf(s: SparkSession, dir: String): Ann.IvfModel = synchronized {
     val d = s"${root(dir)}/ivf16"
@@ -71,6 +72,21 @@ private[queries] object TrainedModels {
     * [[ivf]] — the q123 pairing (the coarse model and the residual
     * codebooks are one artifact: residuals from a different coarse
     * geometry are meaningless). */
+  /** OPQ: learned rotation + codebooks fitted in the rotated space (Ge
+    * CVPR'13) — one artifact, persisted like the others so the TIMED
+    * query pays rotate + ADC + rerank, not the alternating fits. */
+  def opq(s: SparkSession, dir: String): Quantization.OpqModel = synchronized {
+    val d = s"${root(dir)}/opq8x64"
+    if (!ModelStore.exists(d))
+      ModelStore.saveOpq(s, Quantization.trainOpq(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
+        numSubspaces = 8, numCentroids = 64, opqIter = 2,
+        sampleFraction = 0.25), d)
+    val m = ModelStore.loadOpq(s, d)
+    lastOpq = Some(m)
+    m
+  }
+
   def pqResidual(s: SparkSession, dir: String): Quantization.PqModel = synchronized {
     val d = s"${root(dir)}/pqres8x64"
     if (!ModelStore.exists(d)) {
@@ -228,6 +244,23 @@ object QueriesQuant {
       val queries = QueriesVector.queryBatch(s, dir, 5)
       val approx = Ann.ivfPqSearchResidual(queries, embs, ivf, pq,
         k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // OPQ (Ge CVPR'13): learned orthogonal rotation before PQ, fitted by
+    // alternating codebook-fit / Procrustes-SVD steps; search rotates the
+    // query, ADCs the rotated-space codes, exact-reranks the raw vectors.
+    // Hash-checked by a full DuckDB re-execution — the inlined rotation
+    // matrix and codebooks re-derive rotate, encode, LUT, ADC, rerank.
+    "q125_opq_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val om = TrainedModels.opq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = Quantization.opqSearch(queries, embs, om,
+        k = 10, fetchK = 50, metric = "l2",
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
         corpusId = "vec_id", corpusVec = "embedding")
@@ -445,6 +478,9 @@ object QueriesQuant {
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPqRes } yield
       "q123_ivfpq_residual" -> RecallOracles.ivfPqResidualRecallSql(
         im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    TrainedModels.lastOpq.map(om =>
+      "q125_opq_recall" -> RecallOracles.opqRecallSql(
+        om, fetchK = 50, k = 10)).toMap ++
     TrainedModels.lastIvf.map(im =>
       "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++
     TrainedModels.lastLr.map(lm =>

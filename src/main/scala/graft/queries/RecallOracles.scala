@@ -143,6 +143,79 @@ object RecallOracles {
        |  FROM q, bk)""".stripMargin
   }
 
+  /** (j, column_j) VALUES rows for an OPQ rotation: rv[i] = R(i)(j), so
+    * the rotated coordinate y_j = Σ_i x_i·rv[i] is one position-aligned
+    * unnest sum — the same ordered-list arithmetic as [[sq2]], matching
+    * `Quantization.opqRotate`'s ascending-i accumulation exactly. */
+  private def rotValues(r: Array[Array[Double]]): String = {
+    val d = r.length
+    (0 until r(0).length).map { j =>
+      s"($j, ${arr(Array.tabulate(d)(i => r(i)(j)))})"
+    }.mkString(",\n  ")
+  }
+
+  /** Rotated twins of the corpus and query batch: (id, rv) with rv the
+    * ordered list of rotated coordinates. `$src` must expose `$id` and
+    * `$vec` (a float list — widened to DOUBLE before the product). */
+  private def rotatedCte(name: String, src: String, id: String, vec: String): String =
+    s"""$name AS (
+       |  SELECT $id, list(y ORDER BY j) AS rv FROM (
+       |    SELECT s.$id, rot.j,
+       |           (SELECT sum(x*r)
+       |            FROM (SELECT CAST(unnest(s.$vec) AS DOUBLE) AS x,
+       |                         unnest(rot.rv) AS r)) AS y
+       |    FROM $src s, rot)
+       |  GROUP BY $id)""".stripMargin
+
+  /** q125: OPQ — rotate corpus and queries by the inlined learned
+    * rotation, PQ-encode the ROTATED corpus (same argmin/tie rules as the
+    * raw-PQ oracle, over rotated slices), rotated-space ADC top-`fetchK`,
+    * exact rerank on the RAW embeddings, recall vs exact L2. */
+  def opqRecallSql(om: Quantization.OpqModel, fetchK: Int = 50,
+                   k: Int = 10): String = {
+    val pm = om.pq; val sd = pm.subDim
+    s"""WITH $qCte,
+       |rot(j, rv) AS (VALUES
+       |  ${rotValues(om.rotation)}),
+       |${rotatedCte("rx", "embeddings", "vec_id", "embedding")},
+       |${rotatedCte("rq", "q", "query_id", "qv")},
+       |bk(m, c, cv) AS (VALUES
+       |  ${bookValues(pm)}),
+       |cd AS (
+       |  SELECT rx.vec_id, bk.m, bk.c,
+       |         ${sq2(s"rx.rv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM rx, bk),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT rq.query_id, bk.m, bk.c,
+       |         ${sq2(s"rq.rv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM rq, bk),
+       |adc AS (
+       |  SELECT l.query_id, cs.vec_id AS neighbor_id, sum(l.d2) AS s
+       |  FROM codes cs JOIN lut l ON l.m = cs.m AND l.c = cs.c
+       |  GROUP BY l.query_id, cs.vec_id),
+       |fetched AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $fetchK),
+       |rr AS (
+       |  SELECT f.query_id, f.neighbor_id, ${l2("c.embedding", "q.qv")} AS dist
+       |  FROM fetched f
+       |  JOIN embeddings c ON c.vec_id = f.neighbor_id
+       |  JOIN q ON q.query_id = f.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM rr) WHERE rk <= $k),
+       |${exactCtes(l2("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+  }
+
   /** q102: same-cell kNN graph over the vec_id < `maxId` subset — cell
     * assignment from the inlined centroids (identical argmin/tie rules to
     * the NearestCell kernel the packed layout used), pairs restricted to

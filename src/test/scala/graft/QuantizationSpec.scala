@@ -125,4 +125,63 @@ class QuantizationSpec extends SparkSpec {
     assert(res >= raw * 2, s"residual recall $res not well above raw $raw")
     assert(res > 0.4, s"residual ADC recall $res")
   }
+
+  test("OPQ: learned rotation recovers recall PQ loses on axis-misaligned variance") {
+    // The Ge'13 regime: all the energy lives in the FIRST subspace's dims
+    // (0..7 full-scale, 8..63 near-zero noise), so plain PQ spends one
+    // 16-centroid codebook on the entire signal and wastes the other
+    // seven on noise. An orthogonal rotation can spread those eight
+    // directions one-per-subspace; with 16 centroids per effective
+    // dimension the codes become near-exact.
+    val n = 4000L; val dim = 64
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(col("id") * 131 + i), lit(2000))
+          .cast("float") / lit(1000.0f) - lit(1.0f))
+          * when(i < 8, lit(1.0f)).otherwise(lit(0.01f)))
+        .cast("array<float>").as("embedding"))
+    val qs = corpus.where(col("vec_id") % lit(n / 5) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pq = Quantization.trainPq(corpus, "embedding", numSubspaces = 8, numCentroids = 16)
+    val opq = Quantization.trainOpq(corpus, "embedding", numSubspaces = 8,
+      numCentroids = 16, opqIter = 2)
+    // the learned rotation is orthogonal: R·Rᵀ = I
+    val r = opq.rotation
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRᵀ($i,$j) = $dot")
+    }
+    val exact = Knn.knnJoin(qs, corpus, 10, "l2",
+      corpusId = "vec_id", corpusVec = "embedding")
+    def recallOf(approx: org.apache.spark.sql.DataFrame) =
+      Quantization.recallAtK(approx, exact, 10).agg(avg("recall")).head().getDouble(0)
+    // fetchK = k isolates code quality: rerank may reorder, never repair
+    val raw = recallOf(Quantization.pqSearch(qs,
+      corpus.withColumn("pq_code", Quantization.pqEncode(pq)(col("embedding"))),
+      pq, 10, corpusId = "vec_id"))
+    val rot = recallOf(Quantization.opqSearch(qs, corpus, opq,
+      k = 10, fetchK = 10, metric = "l2",
+      corpusId = "vec_id", vecCol = "embedding"))
+    info(s"ADC-stage recall@10: pq=$raw opq=$rot")
+    assert(rot >= raw + 0.2, s"opq recall $rot not well above pq $raw")
+  }
+
+  test("OPQ search at corpus-sized fetchK equals exact kNN") {
+    // rotation preserves L2, so with every candidate fetched the exact
+    // rerank must reproduce the exact top-k row-for-row
+    val om = Quantization.trainOpq(embs, "embedding", numSubspaces = 8,
+      numCentroids = 16, opqIter = 1, sampleFraction = 0.25)
+    val nAll = embs.count().toInt
+    val got = Quantization.opqSearch(queries, embs, om,
+        k = 5, fetchK = nAll, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Knn.knnJoin(queries, embs, 5, "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
 }
