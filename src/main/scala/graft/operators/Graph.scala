@@ -557,4 +557,55 @@ object PropertyGraph {
       } finally { oriented.unpersist() }
     } finally { und.unpersist() }
   }
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E'07) —
+    * community detection by iterated plurality voting: every node starts
+    * as its own label; each round it adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label, so every round is
+    * fully deterministic and the whole run unrolls into a cross-engine
+    * SQL oracle (the q84 stance — fixed `iterations`, no early stop).
+    * Edges vote UNDIRECTED with multigraph semantics: each edge row is
+    * one vote in each direction (graph.py has no community op; this is
+    * the standard large-graph extension next to PageRank/CC).
+    *
+    * Scale shape mirrors [[pageRank]]: the symmetrized adjacency is
+    * partitioned by src and cached ONCE; each round shuffles only the
+    * label vector — one src-keyed join, then the plurality pick as TWO
+    * hash aggregations ((dst,label) counts, then a struct-min over
+    * (-count, label) per dst — algebraically the oracle's
+    * `row_number() OVER (ORDER BY c DESC, label)` pick without the
+    * window sort). localCheckpoint per round, the measured optimum for
+    * iterated shuffle plans on this engine. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       checkpointInterval: Int = 1): DataFrame = {
+    require(iterations > 0, s"iterations must be positive: $iterations")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(nparts, col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    try {
+      var labels = nodes.withColumn("label", col("id"))
+      for (i <- 1 to iterations) {
+        val winner = und
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy("id")
+          .agg(min(struct((-col("_c")).as("n"), col("label").as("l"))).as("_w"))
+          .select(col("id"), col("_w.l").as("_new"))
+        var next = labels.select(col("id"), col("label"))
+          .join(winner, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_new"), col("label")).as("label"))
+        if (i % checkpointInterval == 0 || i == iterations)
+          next = next.localCheckpoint(eager = true)
+        labels = next
+      }
+      labels
+    } finally { und.unpersist(); nodes.unpersist() }
+  }
 }

@@ -157,6 +157,14 @@ object QueriesGraph {
           redistributeDangling = true)
         .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
 
+    // Community detection by synchronous label propagation (Raghavan'07):
+    // undirected plurality voting, smallest-label tie break, 5 fixed
+    // rounds — every round deterministic, so the oracle unrolls the whole
+    // run (the q84 stance).
+    "q126_label_propagation" -> ((s, dir) =>
+      PropertyGraph.labelPropagation(GraphData.edges(s, dir), iterations = 5)
+        .select(col("id"), col("label"))),
+
     // Triangle counts over the supplier co-location graph (suppliers in
     // the same nation are linked). The oracle never runs the joins: in a
     // co-location clique every supplier in an n-supplier nation sits in
@@ -392,6 +400,36 @@ object QueriesGraph {
          |pr0 AS (SELECT id, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns),
          |$rounds
          |SELECT id, round(rank, 6) + 0.0 AS rank FROM pr5""".stripMargin
+    },
+
+    "q126_label_propagation" -> {
+      // per round: plurality pick = count votes per (node, label), then
+      // row_number over (count DESC, label ASC) — the engine's
+      // struct-min over (-count, label) is the same total order
+      val rounds = (1 to 5).map { i =>
+        s"""lp$i AS (
+           |  SELECT p.id, coalesce(w.label, p.label) AS label
+           |  FROM lp${i - 1} p LEFT JOIN (
+           |    SELECT id, label FROM (
+           |      SELECT u.dst AS id, p2.label,
+           |             row_number() OVER (PARTITION BY u.dst
+           |               ORDER BY count(*) DESC, p2.label) AS rk
+           |      FROM und u JOIN lp${i - 1} p2 ON p2.id = u.src
+           |      GROUP BY u.dst, p2.label) WHERE rk = 1) w ON w.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |lp0 AS (SELECT id, id AS label FROM nodes),
+         |$rounds
+         |SELECT id, label FROM lp5""".stripMargin
     },
 
     "q85_triangles" ->

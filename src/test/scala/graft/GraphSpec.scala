@@ -433,4 +433,32 @@ class GraphSpec extends SparkSpec {
     assert(one.keySet === Set("a1", "a2", "a3", "b1", "b2", "b3"))
     assert(one.values.toSet === Set("a1"))
   }
+
+  test("labelPropagation: triangles converge to their min id; bridge keeps communities apart") {
+    // closed form on a triangle {a,b,c}, a<b<c: round 1 sends each node
+    // the other two ids (count 1 each, tie -> min), so a->b, b->a, c->a;
+    // round 2: a sees {a,a}->a, b sees {b,a}->a (tie), c sees {b,a}->a;
+    // round 3 is the fixpoint — all three carry the min id
+    val triA = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"))
+    val triB = Seq(("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val got = PropertyGraph.labelPropagation(
+        (triA ++ triB).toDF("src", "dst"), iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1"))
+    // ONE bridge edge does not merge dense communities (the whole point
+    // vs connectedComponents): each triangle's internal plurality keeps
+    // two distinct labels. Hand trace (min-label ties leak "a3" across
+    // the bridge as a NAME, but the partition stays two-sided):
+    // r1: a1->a2 a2->a1 a3->a1 | b1->a3 b2->b1 b3->b1
+    // r2: a-side->a1           | b1->b1 b2->a3 b3->a3
+    // r3+: a-side a1 fixed     | b-side all a3 (b1's two a3 votes win)
+    val bridged = PropertyGraph.labelPropagation(
+        (triA ++ triB :+ ("a3", "b1")).toDF("src", "dst"), iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bridged.filter(_._1.startsWith("a")).values.toSet === Set("a1"),
+      s"a-side: $bridged")
+    assert(bridged.filter(_._1.startsWith("b")).values.toSet === Set("a3"),
+      s"b-side: $bridged")
+  }
 }
