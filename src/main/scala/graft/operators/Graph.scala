@@ -576,6 +576,49 @@ object PropertyGraph {
     * `row_number() OVER (ORDER BY c DESC, label)` pick without the
     * window sort). localCheckpoint per round, the measured optimum for
     * iterated shuffle plans on this engine. */
+  /** Weighted single-source shortest paths by distributed Bellman-Ford
+    * relaxation: the known-distance vector starts as {source → 0} and
+    * each round relaxes every outgoing edge of every known node —
+    * dist_t(v) = min(dist_{t-1}(v), min_{(u,v,w)} dist_{t-1}(u) + w).
+    * Unreached nodes are simply ABSENT (no ∞ sentinel to carry or
+    * compare), so the round is one src-keyed join plus one min-aggregate
+    * over (known ∪ relaxed) — the [[pageRank]] two-exchange shape, with
+    * the shuffled vector growing only as the reachable frontier does.
+    * Fixed `iterations` (correct for all paths of ≤ that many hops;
+    * Bellman-Ford needs diameter rounds to converge), so the whole run
+    * unrolls into a cross-engine SQL oracle like q84/q126. Edges relax
+    * DIRECTED as given — symmetrize first for an undirected graph.
+    * Extends the unweighted BFS operator (graph.py shortest_path is
+    * hop-count only); weights must be non-negative for the fixed-round
+    * result to be a true distance (negative edges need n-1 rounds). */
+  def shortestPathsWeighted(edges: DataFrame, sourceId: String,
+                            iterations: Int = 4,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            weightCol: String = "weight",
+                            checkpointInterval: Int = 1): DataFrame = {
+    require(iterations > 0, s"iterations must be positive: $iterations")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("_w"))
+      .repartition(nparts, col("src")).persist()
+    try {
+      var dist = e.sparkSession.range(1)
+        .select(lit(sourceId).as("id"), lit(0.0).as("dist"))
+      for (i <- 1 to iterations) {
+        val relaxed = e
+          .join(dist.select(col("id").as("src"), col("dist")), "src")
+          .select(col("dst").as("id"), (col("dist") + col("_w")).as("dist"))
+        var next = dist.unionByName(relaxed)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+        if (i % checkpointInterval == 0 || i == iterations)
+          next = next.localCheckpoint(eager = true)
+        dist = next
+      }
+      dist
+    } finally e.unpersist()
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int = 5,
                        srcCol: String = "src", dstCol: String = "dst",
                        checkpointInterval: Int = 1): DataFrame = {

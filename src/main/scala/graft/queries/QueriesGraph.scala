@@ -157,6 +157,23 @@ object QueriesGraph {
           redistributeDangling = true)
         .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
 
+    // Weighted SSSP from region_0 by 4 rounds of Bellman-Ford relaxation
+    // over the symmetrized graph. Deterministic per-edge weights derived
+    // from the endpoint strings (1 + (len(src)+2·len(dst)) mod 5, on the
+    // ORIGINAL orientation, carried across the symmetrize) so weighted
+    // distances genuinely differ from hop counts and the oracle
+    // re-derives them in SQL.
+    "q127_weighted_sssp" -> ((s, dir) => {
+      val e = GraphData.edges(s, dir)
+      val ew = e.select(col("src"), col("dst"),
+        (lit(1.0) + (length(col("src")) + lit(2) * length(col("dst"))) % lit(5))
+          .as("weight"))
+      val und = ew.unionByName(ew.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      PropertyGraph.shortestPathsWeighted(und, "region_0", iterations = 4)
+        .select(col("id"), (round(col("dist"), 6) + lit(0.0)).as("dist"))
+    }),
+
     // Community detection by synchronous label propagation (Raghavan'07):
     // undirected plurality voting, smallest-label tie break, 5 fixed
     // rounds — every round deterministic, so the oracle unrolls the whole
@@ -400,6 +417,34 @@ object QueriesGraph {
          |pr0 AS (SELECT id, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns),
          |$rounds
          |SELECT id, round(rank, 6) + 0.0 AS rank FROM pr5""".stripMargin
+    },
+
+    "q127_weighted_sssp" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT u.dst AS id, d.dist + u.w AS dist
+           |    FROM und u JOIN d${i - 1} d ON d.id = u.src)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |ew AS (
+         |  SELECT src, dst,
+         |         CAST(1.0 + (length(src) + 2 * length(dst)) % 5 AS DOUBLE) AS w
+         |  FROM edges),
+         |und AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+         |d0 AS (SELECT 'region_0' AS id, CAST(0.0 AS DOUBLE) AS dist),
+         |$rounds
+         |SELECT id, round(dist, 6) + 0.0 AS dist FROM d4""".stripMargin
     },
 
     "q126_label_propagation" -> {

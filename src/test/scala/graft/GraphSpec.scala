@@ -434,6 +434,23 @@ class GraphSpec extends SparkSpec {
     assert(one.values.toSet === Set("a1"))
   }
 
+  test("shortestPathsWeighted: picks the cheaper multi-hop path; unreached nodes absent") {
+    // s→b direct costs 3, s→a→b costs 2: weighted relaxation must beat
+    // the hop-shortest route. z is disconnected; x is reachable only
+    // against edge direction (directed semantics) — both absent.
+    val edges = Seq(
+      ("s", "a", 1.0), ("a", "b", 1.0), ("s", "b", 3.0),
+      ("b", "c", 0.5), ("x", "s", 1.0), ("z", "z2", 1.0))
+      .toDF("src", "dst", "weight")
+    val got = PropertyGraph.shortestPathsWeighted(edges, "s", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("s" -> 0.0, "a" -> 1.0, "b" -> 2.0, "c" -> 2.5))
+    // one round relaxes only one hop: b still carries the direct edge
+    val oneHop = PropertyGraph.shortestPathsWeighted(edges, "s", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(oneHop === Map("s" -> 0.0, "a" -> 1.0, "b" -> 3.0))
+  }
+
   test("labelPropagation: triangles converge to their min id; bridge keeps communities apart") {
     // closed form on a triangle {a,b,c}, a<b<c: round 1 sends each node
     // the other two ids (count 1 each, tie -> min), so a->b, b->a, c->a;
