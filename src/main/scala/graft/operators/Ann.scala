@@ -261,6 +261,41 @@ object Ann {
       queryId, queryVec, corpusId, vecCol)
   }
 
+  /** [[ivfPqSearch]] with OPQ-ROTATED codes (train via
+    * [[Quantization.trainOpq]]): coarse routing stays in the RAW space
+    * (cell assignment and probe selection are untouched — rotation is
+    * orthogonal, so raw-space cells partition the rotated space
+    * identically well), while the code tier quantizes `R·vec` and the
+    * per-query LUT is built from `R·query`. ADC then estimates
+    * ‖R·q − R·v‖ = ‖q − v‖ with the rotation-balanced codebooks — the
+    * FAISS `OPQMatrix + IVFADC` composition with the transform scoped to
+    * the quantizer. Plan shape is byte-identical to [[ivfPqSearch]]:
+    * the rotation rides the encode/LUT column functions. */
+  def ivfPqSearchOpq(queries: DataFrame, corpus: DataFrame,
+                     ivf: IvfModel, opq: Quantization.OpqModel,
+                     k: Int, nProbe: Int = 4, fetchK: Int = 50,
+                     metric: String = "cosine",
+                     queryId: String = "query_id", queryVec: String = "query_vec",
+                     corpusId: String = "id", vecCol: String = "vec"): DataFrame = {
+    val coded = corpus.select(col(corpusId).cast("long").as("_cid"),
+      cellId(ivf)(col(vecCol)).as("_cell"),
+      Quantization.opqEncode(opq)(col(vecCol)).as("_code"))
+    val q = queries.select(col(queryId).as("_qid"),
+      Quantization.opqLut(opq)(col(queryVec)).as("_lut"),
+      explode(probeCells(ivf, nProbe)(col(queryVec))).as("_cell"))
+    val topk = udaf(new Knn.TopKAggregator(fetchK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Knn.Neighbor]())
+    val candidates = coded.join(broadcast(q), "_cell")
+      .select(col("_qid"),
+        col("_cid"), Quantization.adcDistance(col("_lut"), col("_code")).as("_dist"))
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_cid"), col("_dist")).as("_nbrs"))
+      .select(col(queryId), explode(col("_nbrs")).as("_n"))
+      .select(col(queryId), col("_n.id").as("neighbor_id"))
+    Quantization.rerankExact(candidates, queries, corpus, k, metric,
+      queryId, queryVec, corpusId, vecCol)
+  }
+
   /** IVF approximate kNN with STRING corpus ids — the collection facade's
     * id type (no hash surrogate: two distinct ids can never merge). Same
     * plan shape as [[ivfSearch]]: cell equi-join prunes the scan, bounded

@@ -57,7 +57,8 @@ object PackedPq {
                                 val ivf: Ann.IvfModel,
                                 val pq: Quantization.PqModel,
                                 chain: Seq[RDD[_]],
-                                val residual: Boolean = false) {
+                                val residual: Boolean = false,
+                                val rotation: Option[Array[Array[Double]]] = None) {
     def this(blocks: RDD[CodeBlock[I]], ivf: Ann.IvfModel, pq: Quantization.PqModel) =
       this(blocks, ivf, pq, Nil)
     def m: Int = pq.numSubspaces
@@ -75,16 +76,19 @@ object PackedPq {
   def packIvfPq(corpus: DataFrame, ivf: Ann.IvfModel, pq: Quantization.PqModel,
                 idCol: String = "id", vecCol: String = "vec",
                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                residual: Boolean = false): PackedPqCorpus[Long] =
-    packBy[Long](corpus, ivf, pq, idCol, "long", vecCol, storage, residual)(_.getLong(0))
+                residual: Boolean = false,
+                rotation: Option[Array[Array[Double]]] = None): PackedPqCorpus[Long] =
+    packBy[Long](corpus, ivf, pq, idCol, "long", vecCol, storage, residual,
+      rotation)(_.getLong(0))
 
   /** [[packIvfPq]] keyed by a natural string id (the client facade). */
   def packIvfPqStr(corpus: DataFrame, ivf: Ann.IvfModel, pq: Quantization.PqModel,
                    idCol: String = "id", vecCol: String = "vec",
                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                   residual: Boolean = false): PackedPqCorpus[String] =
-    packBy[String](corpus, ivf, pq, idCol, "string", vecCol, storage, residual)(
-      _.getUTF8String(0).toString)
+                   residual: Boolean = false,
+                   rotation: Option[Array[Array[Double]]] = None): PackedPqCorpus[String] =
+    packBy[String](corpus, ivf, pq, idCol, "string", vecCol, storage, residual,
+      rotation)(_.getUTF8String(0).toString)
 
   /** Append a batch without repacking standing slabs: the batch encodes
     * through the SAME models into its own cell-partitioned blocks and a
@@ -107,10 +111,11 @@ object PackedPq {
                                     storage: StorageLevel)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedPqCorpus[I] = {
     val add = packBy[I](batch, pi.ivf, pi.pq, idCol, idType, vecCol, storage,
-      pi.residual)(getId)
+      pi.residual, pi.rotation)(getId)
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
-    new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents, pi.residual)
+    new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents,
+      pi.residual, pi.rotation)
   }
 
   /** Tombstone removal, the [[PackedKnn.remove]] contract: miss blocks
@@ -126,7 +131,7 @@ object PackedPq {
       _.flatMap(pruneCodeBlock(bc.value, _)), preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     pruned.count()
-    new PackedPqCorpus(pruned, pi.ivf, pi.pq, Nil, pi.residual)
+    new PackedPqCorpus(pruned, pi.ivf, pi.pq, Nil, pi.residual, pi.rotation)
   }
 
   /** Fold each cell's append-generation chain back into one code slab —
@@ -138,7 +143,7 @@ object PackedPq {
     val merged = pi.blocks.mapPartitions(mergeCodeBlocks[I], preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     merged.count()
-    new PackedPqCorpus(merged, pi.ivf, pi.pq, Nil, pi.residual)
+    new PackedPqCorpus(merged, pi.ivf, pi.pq, Nil, pi.residual, pi.rotation)
   }
 
   private def mergeCodeBlocks[I: ClassTag](it: Iterator[CodeBlock[I]]): Iterator[CodeBlock[I]] = {
@@ -191,12 +196,20 @@ object PackedPq {
                                   pq: Quantization.PqModel, idCol: String,
                                   idType: String, vecCol: String,
                                   storage: StorageLevel,
-                                  residual: Boolean = false)(
+                                  residual: Boolean = false,
+                                  rotation: Option[Array[Array[Double]]] = None)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedPqCorpus[I] = {
     val m = pq.numSubspaces
     require(pq.codebooks(0).length <= 256,
       s"PackedPq: ${pq.codebooks(0).length} centroids per subspace exceed a " +
         "byte code — train with numCentroids <= 256")
+    // OPQ composes with RAW codes: coarse routing is raw-space either
+    // way, the rotation scopes to the quantizer (Ann.ivfPqSearchOpq's
+    // contract). A rotated-RESIDUAL tier would need its own verified
+    // batch twin first — refuse rather than serve unanchored distances.
+    require(!(residual && rotation.isDefined),
+      "PackedPq: rotation (OPQ) composes with raw codes only — pass one of " +
+        "residual/rotation")
     val dim = m * pq.subDim
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -208,9 +221,13 @@ object PackedPq {
             size(col(vecCol)).cast("string"), lit(s" != model dim $dim")))).as("_v"))
       .select(col(idCol), Ann.cellId(ivf)(col("_v")).as("_cell"), col("_v"))
       .select(col(idCol), col("_cell"),
-        (if (residual)
-           Quantization.pqEncodeDouble(pq)(Ann.residual(ivf)(col("_v"), col("_cell")))
-         else Quantization.pqEncode(pq)(col("_v"))).as("_code"))
+        (rotation match {
+          case Some(r) =>
+            Quantization.pqEncodeDouble(pq)(Quantization.opqRotate(r)(col("_v")))
+          case None if residual =>
+            Quantization.pqEncodeDouble(pq)(Ann.residual(ivf)(col("_v"), col("_cell")))
+          case None => Quantization.pqEncode(pq)(col("_v"))
+        }).as("_code"))
     val keyed: RDD[(Int, (I, Array[Byte]))] =
       src.queryExecution.toRdd.mapPartitions { iter =>
         iter.map { row =>
@@ -242,7 +259,7 @@ object PackedPq {
         }
       }.setName(PackedKnn.residentName).persist(storage)
     packed.count()
-    new PackedPqCorpus(packed, ivf, pq, Nil, residual)
+    new PackedPqCorpus(packed, ivf, pq, Nil, residual, rotation)
   }
 
   // ------------------------------------------------------------- search
@@ -278,6 +295,31 @@ object PackedPq {
     }
   }
 
+  /** Rotate one query, replicating [[Quantization.opqRotate]]'s
+    * arithmetic exactly: y_j = Σ_i (double)q_i · R(i)(j), i ascending. */
+  private def rotateQ(r: Array[Array[Double]], qv: Array[Float]): Array[Double] = {
+    val d = r.length
+    Array.tabulate(r(0).length) { j =>
+      var s = 0.0; var i = 0
+      while (i < d) { s += qv(i).toDouble * r(i)(j); i += 1 }
+      s
+    }
+  }
+
+  /** Rotated-query LUT, replicating [[Quantization.opqLut]]'s arithmetic
+    * exactly: lut(m)(c) = Σ_j (rq(m·subDim+j) − book(m)(c)(j))², doubles,
+    * j ascending. */
+  private def lutForRotated(pq: Quantization.PqModel, rq: Array[Double]): Array[Array[Double]] = {
+    val books = pq.codebooks; val subDim = pq.subDim
+    Array.tabulate(pq.numSubspaces, books(0).length) { (mi, c) =>
+      var d = 0.0; var j = 0
+      while (j < subDim) {
+        val diff = rq(mi * subDim + j) - books(mi)(c)(j); d += diff * diff; j += 1
+      }
+      d
+    }
+  }
+
   /** Resident ADC stage: per query, the `fetchK` smallest asymmetric
     * distances (sqrt of the LUT sum — [[Quantization.adcDistance]]) over
     * the `nProbe` probed cells, ties by id. The job runs ONLY on probed
@@ -301,7 +343,11 @@ object PackedPq {
     // same size class, built on the driver and shipped with the closure
     // keyed by cell so each task indexes its own row positionally.
     val luts: Array[Array[Array[Double]]] =
-      if (pi.residual) null else queries.map(q => lutFor(pi.pq, q._2))
+      if (pi.residual) null
+      else pi.rotation match {
+        case Some(r) => queries.map(q => lutForRotated(pi.pq, rotateQ(r, q._2)))
+        case None => queries.map(q => lutFor(pi.pq, q._2))
+      }
     val lutsByCell: Map[Int, Array[Array[Array[Double]]]] =
       if (!pi.residual) null
       else byCell.map { case (cell, qIdxs) =>
@@ -416,6 +462,19 @@ object PackedPq {
     if (pi.residual)
       java.nio.file.Files.writeString(marker, """{"residual": true}""")
     else java.nio.file.Files.deleteIfExists(marker)
+    pi.rotation match {
+      case Some(r) =>
+        ModelStore.saveOpq(spark, Quantization.OpqModel(r, pi.pq), s"$dir/opq")
+      case None =>
+        // a stale rotation sidecar from an earlier pack of this dir
+        // would silently rotate queries against unrotated codes
+        val p = java.nio.file.Paths.get(s"$dir/opq")
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+    }
   }
 
   def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
@@ -436,7 +495,11 @@ object PackedPq {
         s"but the coarse model has ${ivf.numCells} cells")
     val residual =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "residual.json"))
-    new PackedPqCorpus(blocks, ivf, pq, Nil, residual)
+    val rotation =
+      if (ModelStore.exists(s"$dir/opq"))
+        Some(ModelStore.loadOpq(spark, s"$dir/opq").rotation)
+      else None
+    new PackedPqCorpus(blocks, ivf, pq, Nil, residual, rotation)
   }
 
   /** Resident footprint in code bytes (ids excluded) — rows × m. The same

@@ -125,6 +125,25 @@ object QueriesQuant {
         }
     }
 
+  /** q129's OPQ-rotated code corpus, packed once per JVM/sf like the raw
+    * tier above. */
+  private val packedOpqCache =
+    scala.collection.mutable.Map.empty[String, PackedPq.PackedPqCorpus[Long]]
+  private def cachedPackOpq(s: SparkSession, dir: String): PackedPq.PackedPqCorpus[Long] =
+    packedOpqCache.synchronized {
+      packedOpqCache.get(dir)
+        .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .getOrElse {
+          val om = TrainedModels.opq(s, dir)
+          val pi = PackedPq.packIvfPq(t(s, dir, "embeddings"),
+            TrainedModels.ivf(s, dir), om.pq,
+            idCol = "vec_id", vecCol = "embedding",
+            rotation = Some(om.rotation))
+          packedOpqCache(dir) = pi
+          pi
+        }
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A7 + F6: per-dim SQ model + reconstruction error
     "q16_sq_stats" -> ((s, dir) => {
@@ -261,6 +280,39 @@ object QueriesQuant {
       val queries = QueriesVector.queryBatch(s, dir, 5)
       val approx = Quantization.opqSearch(queries, embs, om,
         k = 10, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // OPQ + IVFADC (the FAISS OPQMatrix composition): coarse routing on
+    // raw vectors, codes/LUTs in the learned rotated space, exact rerank.
+    // Same full-re-execution oracle stance as q72/q123/q125.
+    "q128_ivfpq_opq" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val ivf = TrainedModels.ivf(s, dir)
+      val om = TrainedModels.opq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = Ann.ivfPqSearchOpq(queries, embs, ivf, om,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // RESIDENT OPQ tier: the q128 funnel served from the packed byte
+    // slabs — rotated-query LUTs on the driver, ADC over probed
+    // partitions, exact rerank. Row-identical to Ann.ivfPqSearchOpq
+    // (PackedPqSpec), so it hash-checks against the SAME DuckDB
+    // re-execution as q128 — the q122↔q72 stance.
+    "q129_packed_opq" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val pi = cachedPackOpq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = PackedPq.search(pi, queries, embs,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
         corpusId = "vec_id", corpusVec = "embedding")
@@ -481,6 +533,12 @@ object QueriesQuant {
     TrainedModels.lastOpq.map(om =>
       "q125_opq_recall" -> RecallOracles.opqRecallSql(
         om, fetchK = 50, k = 10)).toMap ++
+    (for { im <- TrainedModels.lastIvf; om <- TrainedModels.lastOpq } yield
+      "q128_ivfpq_opq" -> RecallOracles.ivfOpqRecallSql(
+        im, om, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    (for { im <- TrainedModels.lastIvf; om <- TrainedModels.lastOpq } yield
+      "q129_packed_opq" -> RecallOracles.ivfOpqRecallSql(
+        im, om, nProbe = 4, fetchK = 50, k = 10)).toMap ++
     TrainedModels.lastIvf.map(im =>
       "q114_embedding_drift" -> RecallOracles.cellDriftSql(im)).toMap ++
     TrainedModels.lastLr.map(lm =>

@@ -216,6 +216,59 @@ object RecallOracles {
        |${recallSelect(k)}""".stripMargin
   }
 
+  /** q128: OPQ + IVFADC — coarse routing on the RAW vectors (the same
+    * `ivfCtes` cell/probe algebra as q72), codes and LUTs in the ROTATED
+    * space (the q125 algebra), ADC restricted to probed cells, exact
+    * rerank on raw embeddings. */
+  def ivfOpqRecallSql(im: Ann.IvfModel, om: Quantization.OpqModel,
+                      nProbe: Int = 4, fetchK: Int = 50, k: Int = 10): String = {
+    val pm = om.pq; val sd = pm.subDim
+    s"""WITH $qCte,
+       |${ivfCtes(im, nProbe)},
+       |rot(j, rv) AS (VALUES
+       |  ${rotValues(om.rotation)}),
+       |${rotatedCte("rx", "embeddings", "vec_id", "embedding")},
+       |${rotatedCte("rq", "q", "query_id", "qv")},
+       |bk(m, c, cv) AS (VALUES
+       |  ${bookValues(pm)}),
+       |cd AS (
+       |  SELECT rx.vec_id, bk.m, bk.c,
+       |         ${sq2(s"rx.rv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM rx, bk),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT rq.query_id, bk.m, bk.c,
+       |         ${sq2(s"rq.rv[(bk.m*$sd+1):((bk.m+1)*$sd)]", "bk.cv")} AS d2
+       |  FROM rq, bk),
+       |adc AS (
+       |  SELECT p.query_id, cc.vec_id AS neighbor_id, sum(l.d2) AS s
+       |  FROM probed p
+       |  JOIN corpus_cell cc ON cc.cell = p.cell
+       |  JOIN codes cs ON cs.vec_id = cc.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = cs.m AND l.c = cs.c
+       |  GROUP BY p.query_id, cc.vec_id),
+       |fetched AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $fetchK),
+       |rr AS (
+       |  SELECT f.query_id, f.neighbor_id, ${l2("c.embedding", "q.qv")} AS dist
+       |  FROM fetched f
+       |  JOIN embeddings c ON c.vec_id = f.neighbor_id
+       |  JOIN q ON q.query_id = f.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |    FROM rr) WHERE rk <= $k),
+       |${exactCtes(l2("c.embedding", "q.qv"), k)}
+       |${recallSelect(k)}""".stripMargin
+  }
+
   /** q102: same-cell kNN graph over the vec_id < `maxId` subset — cell
     * assignment from the inlined centroids (identical argmin/tie rules to
     * the NearestCell kernel the packed layout used), pairs restricted to

@@ -154,6 +154,79 @@ class PackedPqSpec extends SparkSpec {
     } finally pi.unpersist()
   }
 
+  test("OPQ codes: packed ADC + rerank is row-identical to Ann.ivfPqSearchOpq") {
+    val opq = Quantization.trainOpq(embs, "embedding",
+      numSubspaces = 8, numCentroids = 64, opqIter = 1, sampleFraction = 0.25)
+    val pi = PackedPq.packIvfPq(embs, ivf, opq.pq, idCol = "vec_id",
+      vecCol = "embedding", rotation = Some(opq.rotation))
+    try {
+      assert(pi.rotation.isDefined)
+      for (nProbe <- Seq(2, 8)) {
+        val want = rows(Ann.ivfPqSearchOpq(queryDF, embs, ivf, opq,
+          k = 10, nProbe = nProbe, fetchK = 50, metric = "l2",
+          corpusId = "vec_id", vecCol = "embedding"))
+        val got = rows(PackedPq.search(pi, queryDF, embs,
+          k = 10, nProbe = nProbe, fetchK = 50, metric = "l2",
+          corpusId = "vec_id", vecCol = "embedding"))
+        assert(got === want, s"nProbe=$nProbe")
+      }
+    } finally pi.unpersist()
+  }
+
+  test("rotation survives slab sidecar, append, remove, compact; residual+rotation refused") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-opq-slabs").toString + "/idx"
+    val opq = Quantization.trainOpq(embs, "embedding",
+      numSubspaces = 8, numCentroids = 64, opqIter = 1, sampleFraction = 0.25)
+    val head = embs.where(col("vec_id") < 1500)
+    val tail = embs.where(col("vec_id") >= 1500)
+    val pi = PackedPq.packIvfPq(head, ivf, opq.pq, idCol = "vec_id",
+      vecCol = "embedding", rotation = Some(opq.rotation))
+    try {
+      val grown = PackedPq.appendIvfPq(pi, tail, idCol = "vec_id", vecCol = "embedding")
+      assert(grown.rotation.isDefined)
+      val want = rows(PackedPq.search(grown, queryDF, embs, k = 10, nProbe = 4,
+        metric = "l2", corpusId = "vec_id", vecCol = "embedding"))
+      // a fresh full pack must agree — append rotated the tail's encode
+      val full = PackedPq.packIvfPq(embs, ivf, opq.pq, idCol = "vec_id",
+        vecCol = "embedding", rotation = Some(opq.rotation))
+      try assert(rows(PackedPq.search(full, queryDF, embs, k = 10, nProbe = 4,
+        metric = "l2", corpusId = "vec_id", vecCol = "embedding")) === want)
+      finally full.unpersist()
+      val compacted = PackedPq.compactIvfPq(grown)
+      assert(compacted.rotation.isDefined)
+      PackedPq.saveSlabs(compacted, dir)
+      val re = PackedPq.loadSlabs[Long](spark, dir)
+      try {
+        assert(re.rotation.isDefined, "slab sidecar lost the rotation")
+        assert(re.rotation.get.map(_.toSeq).toSeq ===
+          opq.rotation.map(_.toSeq).toSeq, "rotation did not round-trip exactly")
+        assert(rows(PackedPq.search(re, queryDF, embs, k = 10, nProbe = 4,
+          metric = "l2", corpusId = "vec_id", vecCol = "embedding")) === want)
+        val pruned = PackedPq.remove(re, Set(7L, 8L))
+        assert(pruned.rotation.isDefined)
+        pruned.unpersist()
+      } finally re.unpersist()
+      // re-saving an UNROTATED pack into the same dir must clear the
+      // rotation sidecar — a stale one would rotate queries against
+      // unrotated codes on the next warm start
+      val plain = PackedPq.packIvfPq(embs, ivf, pq, idCol = "vec_id",
+        vecCol = "embedding")
+      try {
+        PackedPq.saveSlabs(plain, dir)
+        val re2 = PackedPq.loadSlabs[Long](spark, dir)
+        try assert(re2.rotation.isEmpty, "stale rotation sidecar survived")
+        finally re2.unpersist()
+      } finally plain.unpersist()
+      compacted.unpersist()
+      grown.unpersist()
+      val ex = intercept[IllegalArgumentException] {
+        PackedPq.packIvfPq(embs, ivf, opq.pq, idCol = "vec_id",
+          vecCol = "embedding", residual = true, rotation = Some(opq.rotation))
+      }
+      assert(ex.getMessage.contains("rotation"))
+    } finally pi.unpersist()
+  }
+
   test("resident footprint is m bytes per row — the 64x cut vs the float tier") {
     val pi = PackedPq.packIvfPq(embs, ivf, pq, idCol = "vec_id", vecCol = "embedding")
     try {
