@@ -999,11 +999,17 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * route through it at append time and never invalidate it. */
   def buildQuantModel(numSubspaces: Int = 8, numCentroids: Int = 64,
                       sampleFraction: Double = 1.0, seed: Long = 42L,
-                      residual: Boolean = false): Unit = {
+                      residual: Boolean = false,
+                      opq: Boolean = false): Unit = {
     require(numCentroids <= 256,
       s"numCentroids=$numCentroids exceeds a byte code (PackedPq stores one " +
         "byte per subspace) — use <= 256")
+    require(!(residual && opq),
+      "residual and opq are alternative encodings — pass one (rotated " +
+        "residuals need their own verified batch twin; see PackedPq)")
     val src = df.where(col("embedding").isNotNull)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trained =
       if (residual) {
         // residual codes quantize vec − cellCentroid (FAISS IVFADC) — they
@@ -1015,11 +1021,19 @@ final class GraftCollection(spark: SparkSession, dir: String,
         Quantization.trainPqResidual(src, "embedding",
           ModelStore.loadIvf(spark, ivfDir),
           numSubspaces, numCentroids, seed, sampleFraction = sampleFraction)
+      } else if (opq) {
+        // OPQ: learned orthogonal rotation + codebooks fitted in the
+        // rotated space (Ge CVPR'13); coarse routing stays raw-space, so
+        // unlike residual this needs no standing vector index and
+        // survives a coarse retrain
+        val om = Quantization.trainOpq(src, "embedding", numSubspaces,
+          numCentroids, seed, sampleFraction = sampleFraction)
+        ModelStore.saveOpq(spark, om, opqModelDir)
+        om.pq
       } else Quantization.trainPq(src, "embedding", numSubspaces,
         numCentroids, seed, sampleFraction = sampleFraction)
-    val sidecar = new org.apache.hadoop.fs.Path(packedPqDir)
-    sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sidecar, true)
+    if (!opq) fs.delete(new org.apache.hadoop.fs.Path(opqModelDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
     ModelStore.savePq(spark, trained, pqModelDir)
     // marker AFTER the model swap: readers pair flag+model atomically
     // enough for the single-writer lifecycle (retrain drops the slabs
@@ -1034,10 +1048,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def hasQuantModel: Boolean = ModelStore.exists(pqModelDir)
 
   private def pqResidualMarker = s"$dir/index_pq_residual.json"
+  private def opqModelDir = s"$dir/index_pq_opq"
 
   /** Whether the persisted product quantizer encodes residuals. */
   def quantModelIsResidual: Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(pqResidualMarker))
+
+  /** Whether the persisted product quantizer carries an OPQ rotation. */
+  def quantModelIsOpq: Boolean = ModelStore.exists(opqModelDir)
 
   /** Pack the collection's embeddings into the resident PQ-CODE index
     * (operators.PackedPq — m bytes per row instead of 4*dim, the tier
@@ -1060,16 +1078,24 @@ final class GraftCollection(spark: SparkSession, dir: String,
           s"persisted quantizer on residual encoding (sidecar=${re.residual}, " +
           s"model=$quantModelIsResidual) — the sidecar was tampered with or " +
           "half-restored; rerun buildQuantModel() + buildPackedPqIndex()")
+      require(re.rotation.isDefined == quantModelIsOpq,
+        s"PQ slab sidecar of collection '${config.name}' disagrees with the " +
+          s"persisted quantizer on OPQ rotation (sidecar=${re.rotation.isDefined}, " +
+          s"model=$quantModelIsOpq) — rerun buildQuantModel() + buildPackedPqIndex()")
       packedPqIdx = Some(re)
     } else {
       require(hasVectorIndex,
         s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
       require(hasQuantModel,
         s"collection '${config.name}' has no product quantizer; run buildQuantModel() first")
+      val rotation =
+        if (quantModelIsOpq) Some(ModelStore.loadOpq(spark, opqModelDir).rotation)
+        else None
       packedPqIdx = Some(PackedPq.packIvfPqStr(
         df.where(col("embedding").isNotNull),
         ModelStore.loadIvf(spark, ivfDir), ModelStore.loadPq(spark, pqModelDir),
-        "id", "embedding", residual = quantModelIsResidual))
+        "id", "embedding", residual = quantModelIsResidual,
+        rotation = rotation))
     }
   }
 

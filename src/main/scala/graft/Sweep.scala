@@ -232,6 +232,30 @@ object Sweep {
       val adcResRuns = (1 to MeasuredRuns).map(_ => runAdcRes())
       val resRecall = recallOf(PackedPq.searchAdc[Long](piRes, qArrC, K, nProbe))
       piRes.unpersist(blocking = true)
+
+      // --- OPQ codes (Ge'13): learned rotation, same bytes, same scan ---
+      // Coarse routing stays raw-space; the rotation only re-balances
+      // what the codebooks see, so like the residual tier the delta is
+      // pure recall at the same byte budget (the per-query rotate is a
+      // d×d driver-side matvec — noise).
+      val tOpqTrain0 = System.nanoTime()
+      val opqM = Quantization.trainOpq(pqCorpus, "embedding",
+        numSubspaces = 8, numCentroids = 64, maxIter = 5, opqIter = 1,
+        sampleFraction = math.min(1.0, 50000.0 / n))
+      val opqTrainS = (System.nanoTime() - tOpqTrain0) / 1e9
+      val piOpq = PackedPq.packIvfPq(pqCorpus, ivfM, opqM.pq,
+        idCol = "vec_id", vecCol = "embedding", rotation = Some(opqM.rotation))
+      def runAdcOpq(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedPq.searchAdc[Long](piOpq, qArrC, K, nProbe)
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"OPQ ADC search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runAdcOpq())
+      val adcOpqRuns = (1 to MeasuredRuns).map(_ => runAdcOpq())
+      val opqRecall = recallOf(PackedPq.searchAdc[Long](piOpq, qArrC, K, nProbe))
+      piOpq.unpersist(blocking = true)
       pqCorpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ
@@ -247,6 +271,9 @@ object Sweep {
         s""""pq_res_ms_per_query":${f"$pqResMsPerQ%.3f"},""" +
         s""""pq_res_recall10":${f"$resRecall%.3f"},""" +
         s""""pq_res_train_s":${f"$pqResTrainS%.3f"},""" +
+        s""""pq_opq_ms_per_query":${f"${medianMs(adcOpqRuns) / BatchQ}%.3f"},""" +
+        s""""pq_opq_recall10":${f"$opqRecall%.3f"},""" +
+        s""""pq_opq_train_s":${f"$opqTrainS%.3f"},""" +
         s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
         s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }

@@ -517,6 +517,60 @@ class ClientSpec extends SparkSpec {
     assert(e1.getMessage.contains("buildQuantModel"))
   }
 
+  test("OPQ quant model: exact at full probe, CRUD-maintained, survives coarse retrain") {
+    val c = client.getOrCreateCollection("pqopq")
+    c.add((0 until 48).map(i => (s"o$i", s"unique rotated document number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 4)
+    // residual and opq are alternatives, not a composition
+    val e0 = intercept[IllegalArgumentException] {
+      c.buildQuantModel(numSubspaces = 4, numCentroids = 16,
+        residual = true, opq = true)
+    }
+    assert(e0.getMessage.contains("alternative"))
+    c.buildQuantModel(numSubspaces = 4, numCentroids = 16, opq = true)
+    assert(c.quantModelIsOpq && !c.quantModelIsResidual)
+
+    val q = Seq((7L, "unique rotated document number 7 body"))
+      .toDF("query_id", "query_text")
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val exact = rrid(c.query(q, k = 5))
+    // all-cell probe + corpus fetchK + exact rerank = exact kNN, through
+    // rotated codes and rotated-query LUTs
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    assert(c.residentPackedPq.exists(_.rotation.isDefined))
+
+    // CRUD deltas rotate through the standing model
+    c.upsert(Seq(("oX", "unique rotated document number X body")).toDF("id", "document"))
+    val qX = Seq((1L, "unique rotated document number X body"))
+      .toDF("query_id", "query_text")
+    assert(c.packedPqQuery(qX, k = 1, nProbe = 4).head().getAs[String]("id") === "oX")
+    c.delete(ids = Seq("oX"))
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+
+    // warm start keeps the rotation
+    c.saveResidentIndex()
+    val reopened = new GraftClient(spark, root, 16).getCollection("pqopq")
+    assert(reopened.quantModelIsOpq)
+    reopened.buildPackedPqIndex()
+    assert(reopened.residentPackedPq.exists(_.rotation.isDefined))
+    assert(rrid(reopened.packedPqQuery(q, k = 5, nProbe = 4, fetchK = 48)) === exact)
+    reopened.releasePackedIndex()
+
+    // coarse retrain: OPQ codes are raw-space — the model SURVIVES (only
+    // the cell-partitioned slabs rebuild under the new routing)
+    c.buildVectorIndex(numCells = 2)
+    assert(c.hasQuantModel && c.quantModelIsOpq)
+    assert(rrid(c.packedPqQuery(q, k = 5, nProbe = 2, fetchK = 48)) === exact)
+
+    // retraining without opq clears the rotation end to end
+    c.buildQuantModel(numSubspaces = 4, numCentroids = 16)
+    assert(!c.quantModelIsOpq)
+    c.buildPackedPqIndex()
+    assert(c.residentPackedPq.exists(_.rotation.isEmpty))
+  }
+
   test("update, upsert, delete-by-filter, peek, reload") {
     val c = client.getCollection("docs")
     c.update(Seq(("doc2", "lazy dogs nap", "animals", 2024)).toDF("id", "document", "category", "year"))
