@@ -1,0 +1,424 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Resident scalar-quantized (SQ8) serving layer — the middle rung of the
+  * packed-index memory ladder:
+  *
+  *   [[PackedKnn]]  raw float32   4·dim bytes/row  exact
+  *   [[PackedSq]]   uint8 per dim    dim bytes/row  ~exact (decode error)
+  *   [[PackedPq]]   PQ codes           m bytes/row  coarse, needs rerank
+  *
+  * The reference's scalar quantizer searches decoded codes the same way
+  * (quantization.py:119-174: encode clips+truncates to uint8, search
+  * decodes and measures in float space); this is that operator rebuilt for
+  * a corpus that lives as one byte slab per IVF cell across executors —
+  * 4× less resident memory than the float tier with near-exact ranking,
+  * and unlike PQ the distances are usually good enough to serve unreranked.
+  *
+  * Distributed shape is [[PackedPq]]'s: partition i = IVF cell i, a query
+  * batch ships per-query per-dim lookup tables (dim×256 doubles) to its
+  * probed partitions only, each task scans its cell's codes with pure
+  * byte-indexed adds, and the driver merges ≤ cells×Q×k triples.
+  *
+  * Numeric contract: with nProbe = numCells, [[searchSq]] is ROW-IDENTICAL
+  * to [[Quantization.sqSearch]] on the same [[Quantization.SqModel]]: the
+  * LUT entries are precisely the per-dimension products/squares the
+  * codegen distance kernels (functions/VectorExpressions.scala) compute on
+  * the decoded arrays — v̂_i(c) = c/255·scale_i + min_i, the query
+  * round-tripped through encode∘decode exactly as `sqSearch` does — and
+  * both sides accumulate doubles in ascending-dimension order, so every
+  * distance is bit-identical and the (dist, id) total order matches the
+  * TopKAggregator cut. q130 hash-checks the packed tier against the same
+  * DuckDB re-derivation as q17.
+  */
+object PackedSq {
+
+  /** One IVF cell's codes: row r occupies bytes [r*dim, (r+1)*dim). */
+  final case class SqBlock[I](ids: Array[I], codes: Array[Byte], dim: Int) {
+    def rows: Int = ids.length
+  }
+
+  /** A packed, persisted SQ-code corpus. `unpersist()` releases executor
+    * memory; chained handles (append) release every generation. */
+  final class PackedSqCorpus[I](val blocks: RDD[SqBlock[I]],
+                                val ivf: Ann.IvfModel,
+                                val sq: Quantization.SqModel,
+                                chain: Seq[RDD[_]]) {
+    def dim: Int = sq.mins.length
+    private[PackedSq] def parents: Seq[RDD[_]] =
+      if (chain.isEmpty) Seq(blocks) else chain
+    def unpersist(blocking: Boolean = false): Unit =
+      parents.foreach(_.unpersist(blocking))
+  }
+
+  /** Pack a corpus into resident per-cell SQ slabs: one codegen pass
+    * computes (cell id, uint8 codes), one shuffle routes rows to their
+    * cell partition, each partition packs one byte slab. Cell routing uses
+    * the RAW vector (like [[PackedPq.packIvfPq]]) so probe pruning agrees
+    * with [[Ann.ivfSearch]]'s geometry; the codes themselves are
+    * metric-free and searchable under cosine / l2 / ip. */
+  def packIvfSq(corpus: DataFrame, ivf: Ann.IvfModel, sq: Quantization.SqModel,
+                idCol: String = "id", vecCol: String = "vec",
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[Long] =
+    packBy[Long](corpus, ivf, sq, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[packIvfSq]] keyed by a natural string id (the client facade). */
+  def packIvfSqStr(corpus: DataFrame, ivf: Ann.IvfModel, sq: Quantization.SqModel,
+                   idCol: String = "id", vecCol: String = "vec",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[String] =
+    packBy[String](corpus, ivf, sq, idCol, "string", vecCol, storage)(
+      _.getUTF8String(0).toString)
+
+  /** Append a batch without repacking standing slabs ([[PackedPq.appendIvfPq]]'s
+    * zip-generations contract: partition i stays cell i). */
+  def appendIvfSq(pi: PackedSqCorpus[Long], batch: DataFrame,
+                  idCol: String = "id", vecCol: String = "vec",
+                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[Long] =
+    appendBy[Long](pi, batch, idCol, "long", vecCol, storage)(_.getLong(0))
+
+  /** [[appendIvfSq]] keyed by a natural string id. */
+  def appendIvfSqStr(pi: PackedSqCorpus[String], batch: DataFrame,
+                     idCol: String = "id", vecCol: String = "vec",
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[String] =
+    appendBy[String](pi, batch, idCol, "string", vecCol, storage)(
+      _.getUTF8String(0).toString)
+
+  private def appendBy[I: ClassTag](pi: PackedSqCorpus[I], batch: DataFrame,
+                                    idCol: String, idType: String, vecCol: String,
+                                    storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedSqCorpus[I] = {
+    val add = packBy[I](batch, pi.ivf, pi.sq, idCol, idType, vecCol, storage)(getId)
+    val zipped = pi.blocks.zipPartitions(add.blocks,
+      preservesPartitioning = true)((a, b) => a ++ b)
+    new PackedSqCorpus(zipped, pi.ivf, pi.sq, pi.parents ++ add.parents)
+  }
+
+  /** Tombstone removal ([[PackedPq.remove]]'s contract): miss blocks pass
+    * through by reference, hit blocks rebuild minus the dead rows, no
+    * per-candidate check ever reaches the scan hot loop. */
+  def remove[I: ClassTag](pi: PackedSqCorpus[I], ids: Set[I],
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[I] = {
+    if (ids.isEmpty) return pi
+    val bc = pi.blocks.sparkContext.broadcast(ids)
+    val pruned = pi.blocks.mapPartitions(
+      _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
+    pruned.count()
+    new PackedSqCorpus(pruned, pi.ivf, pi.sq, Nil)
+  }
+
+  /** Fold each cell's append-generation chain back into one slab — no
+    * shuffle, no partition change. */
+  def compactIvfSq[I: ClassTag](pi: PackedSqCorpus[I],
+                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[I] = {
+    val merged = pi.blocks.mapPartitions(mergeBlocks[I], preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
+    merged.count()
+    new PackedSqCorpus(merged, pi.ivf, pi.sq, Nil)
+  }
+
+  private def mergeBlocks[I: ClassTag](it: Iterator[SqBlock[I]]): Iterator[SqBlock[I]] = {
+    val bs = it.toArray
+    if (bs.length <= 1) bs.iterator
+    else {
+      val d = bs.head.dim
+      require(bs.forall(_.dim == d),
+        s"PackedSq.compact: mixed dims ${bs.map(_.dim).distinct.mkString(",")}")
+      PackedKnn.requireSlabFits(bs.map(_.rows.toLong).sum, d, "PackedSq.compact")
+      val n = bs.map(_.rows).sum
+      val ids = new Array[I](n)
+      val codes = new Array[Byte](n * d)
+      var off = 0
+      for (b <- bs) {
+        System.arraycopy(b.ids, 0, ids, off, b.rows)
+        System.arraycopy(b.codes, 0, codes, off * d, b.rows * d)
+        off += b.rows
+      }
+      Iterator.single(SqBlock(ids, codes, d))
+    }
+  }
+
+  private def pruneBlock[I: ClassTag](dead: Set[I], b: SqBlock[I]): Iterator[SqBlock[I]] = {
+    var hits = 0
+    var r = 0
+    while (r < b.ids.length) { if (dead.contains(b.ids(r))) hits += 1; r += 1 }
+    if (hits == 0) Iterator.single(b)
+    else if (hits == b.rows) Iterator.empty
+    else {
+      val n = b.rows - hits
+      val d = b.dim
+      val ids2 = new Array[I](n)
+      val codes2 = new Array[Byte](n * d)
+      var j = 0
+      r = 0
+      while (r < b.ids.length) {
+        if (!dead.contains(b.ids(r))) {
+          ids2(j) = b.ids(r)
+          System.arraycopy(b.codes, r * d, codes2, j * d, d)
+          j += 1
+        }
+        r += 1
+      }
+      Iterator.single(SqBlock(ids2, codes2, d))
+    }
+  }
+
+  private def packBy[I: ClassTag](corpus: DataFrame, ivf: Ann.IvfModel,
+                                  sq: Quantization.SqModel, idCol: String,
+                                  idType: String, vecCol: String,
+                                  storage: StorageLevel)(
+      getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedSqCorpus[I] = {
+    val dim = sq.mins.length
+    val src = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast(idType),
+        // fail loud on a ragged corpus BEFORE the encode indexes past the
+        // end of a short vector
+        when(size(col(vecCol)) === lit(dim), col(vecCol))
+          .otherwise(raise_error(concat(lit(s"PackedSq.pack: vector dim "),
+            size(col(vecCol)).cast("string"), lit(s" != model dim $dim")))).as("_v"))
+      .select(col(idCol), Ann.cellId(ivf)(col("_v")).as("_cell"),
+        Quantization.sqEncode(sq)(col("_v")).as("_code"))
+    val keyed: RDD[(Int, (I, Array[Byte]))] =
+      src.queryExecution.toRdd.mapPartitions { iter =>
+        iter.map { row =>
+          val arr = row.getArray(2)
+          val code = new Array[Byte](dim)
+          var i = 0
+          while (i < dim) { code(i) = (arr.getInt(i) & 0xFF).toByte; i += 1 }
+          (row.getInt(1), (getId(row), code))
+        }
+      }
+    val packed: RDD[SqBlock[I]] = keyed
+      .partitionBy(new PackedKnn.CellPartitioner(ivf.numCells))
+      .mapPartitions { iter =>
+        val ids = new ArrayBuffer[I]()
+        val codes = new ArrayBuffer[Array[Byte]]()
+        while (iter.hasNext) {
+          val (_, (id, c)) = iter.next()
+          ids += id; codes += c
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          PackedKnn.requireSlabFits(ids.length.toLong, dim, "PackedSq.pack")
+          val flat = new Array[Byte](ids.length * dim)
+          var r = 0
+          while (r < ids.length) {
+            System.arraycopy(codes(r), 0, flat, r * dim, dim); r += 1
+          }
+          Iterator.single(SqBlock(ids.toArray, flat, dim))
+        }
+      }.setName(PackedKnn.residentName).persist(storage)
+    packed.count()
+    new PackedSqCorpus(packed, ivf, sq, Nil)
+  }
+
+  // ------------------------------------------------------------- search
+
+  /** Query round-trip through the quantizer, replicating
+    * [[Quantization.sqEncode]]∘[[Quantization.sqDecode]]'s Column
+    * arithmetic exactly: clip to [0,255], floor-truncate, decode
+    * c/255·scale + min — all in doubles. */
+  private def roundtrip(sq: Quantization.SqModel, qv: Array[Float]): Array[Double] = {
+    Array.tabulate(qv.length) { i =>
+      val c = math.floor(math.min(math.max(
+        (qv(i).toDouble - sq.mins(i)) / sq.scales(i) * 255.0, 0.0), 255.0))
+      c / 255.0 * sq.scales(i) + sq.mins(i)
+    }
+  }
+
+  /** Decoded corpus value for (dim i, code c). */
+  @inline private def dec(sq: Quantization.SqModel, i: Int, c: Int): Double =
+    c / 255.0 * sq.scales(i) + sq.mins(i)
+
+  /** Resident SQ scan: per query, the k smallest decoded-space distances
+    * over the `nProbe` probed cells, ties by id — with nProbe = numCells
+    * this is row-identical to [[Quantization.sqSearch]] (bit-equal
+    * distances, same (dist, id) cut). Returns, per query id,
+    * (neighbor_id, dist) sorted by (dist, id). */
+  def searchSq[I: ClassTag: Ordering](pi: PackedSqCorpus[I],
+                                      queries: Array[(Long, Array[Float])],
+                                      k: Int, nProbe: Int,
+                                      metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
+    require(queries.nonEmpty, "empty query batch")
+    require(metric == "cosine" || metric == "l2" || metric == "ip",
+      s"unknown metric: $metric")
+    val dim = pi.dim
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == dim, s"query $qid dim ${qv.length} != model dim $dim") }
+    val sq = pi.sq
+    val cents = pi.ivf.centroids
+    val byCell: Map[Int, Array[Int]] = queries.indices
+      .flatMap(qi => PackedKnn.driverProbes(cents, queries(qi)._2, nProbe).map(c => (c, qi)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    // per-dim decode tables. The distance kernels compute, per element,
+    //   cosine: dot += x*y; na += x*x; nb += y*y   (x = corpus, y = query)
+    //   l2:     s += (x-y)^2
+    //   ip:     s += x*y, negated at the end
+    // so per (dim, code) we pre-tabulate exactly those products; the scan
+    // then sums the SAME doubles in the SAME ascending-dim order.
+    val qhat: Array[Array[Double]] = queries.map(q => roundtrip(sq, q._2))
+    // corpus-side x*x per (dim, code) — query-independent
+    val sqLut: Array[Array[Double]] =
+      if (metric == "cosine") Array.tabulate(dim, 256)((i, c) => {
+        val x = dec(sq, i, c); x * x
+      }) else null
+    // query norms Σ y*y, ascending-dim like the kernel's nb accumulator
+    val qNorm: Array[Double] =
+      if (metric == "cosine") qhat.map { qd =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += qd(i) * qd(i); i += 1 }
+        s
+      } else null
+    // per-query main table: x*y (cosine/ip) or (x-y)^2 (l2)
+    val luts: Array[Array[Array[Double]]] = qhat.map { qd =>
+      Array.tabulate(dim, 256) { (i, c) =>
+        val x = dec(sq, i, c)
+        if (metric == "l2") { val d = x - qd(i); d * d } else x * qd(i)
+      }
+    }
+    val cosine = metric == "cosine"
+    val l2 = metric == "l2"
+    val partIds = byCell.keys.toArray.sorted
+    val idOrd = implicitly[Ordering[I]]
+    val sc = pi.blocks.sparkContext
+    val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[SqBlock[I]]) => {
+        val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
+        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
+        else {
+          val heaps = qIdxs.map(_ => new java.util.PriorityQueue[(I, Double)](
+            k + 1, (a: (I, Double), b: (I, Double)) => {
+              val c = java.lang.Double.compare(b._2, a._2)
+              if (c != 0) c else idOrd.compare(b._1, a._1)
+            }))
+          while (it.hasNext) {
+            val blk = it.next()
+            val codes = blk.codes; val bd = blk.dim; val n = blk.rows
+            var qi = 0
+            while (qi < qIdxs.length) {
+              val lut = luts(qIdxs(qi))
+              val nb = if (cosine) qNorm(qIdxs(qi)) else 0.0
+              val heap = heaps(qi)
+              var r = 0
+              while (r < n) {
+                val base = r * bd
+                var d = 0.0
+                if (cosine) {
+                  var dot = 0.0; var na = 0.0; var i = 0
+                  while (i < bd) {
+                    val c = codes(base + i) & 0xFF
+                    dot += lut(i)(c); na += sqLut(i)(c); i += 1
+                  }
+                  d = if (na == 0.0 || nb == 0.0) 1.0
+                      else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+                } else {
+                  var s = 0.0; var i = 0
+                  while (i < bd) { s += lut(i)(codes(base + i) & 0xFF); i += 1 }
+                  d = if (l2) math.sqrt(s) else -s
+                }
+                val id = blk.ids(r)
+                if (heap.size < k) heap.add((id, d))
+                else {
+                  val worst = heap.peek()
+                  if (d < worst._2 || (d == worst._2 && idOrd.lt(id, worst._1))) {
+                    heap.poll(); heap.add((id, d))
+                  }
+                }
+                r += 1
+              }
+              qi += 1
+            }
+          }
+          val out = new ArrayBuffer[(Int, I, Double)]()
+          var qi = 0
+          while (qi < qIdxs.length) {
+            heaps(qi).forEach(c => out += ((qIdxs(qi), c._1, c._2)))
+            qi += 1
+          }
+          out.toArray
+        }
+      }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
+    val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
+    queries.indices.map { qi =>
+      val merged = byQuery.getOrElse(qi, Array.empty[(Int, I, Double)])
+        .map(t => (t._2, t._3))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+      (queries(qi)._1, merged)
+    }.toArray
+  }
+
+  /** Drop-in for [[Quantization.sqSearch]] backed by the resident tier:
+    * collect the (contract-capped) query batch, resident scan, emit the
+    * [[Knn.knnJoin]] result shape (query_id, rank, neighbor_id, dist).
+    * With nProbe = numCells the output is row-identical to `sqSearch`;
+    * smaller nProbe trades recall for probed-cell pruning. Runs eagerly —
+    * callers may `unpersist()` the index once this returns. */
+  def search(pi: PackedSqCorpus[Long], queries: DataFrame,
+             k: Int, nProbe: Int, metric: String = "cosine",
+             queryId: String = "query_id", queryVec: String = "query_vec",
+             maxQueryRows: Int = 65536): DataFrame = {
+    val spark = queries.sparkSession
+    val rows = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .limit(maxQueryRows + 1)
+      .collect()
+    require(rows.length <= maxQueryRows,
+      s"PackedSq.search query batch exceeds maxQueryRows=$maxQueryRows: the " +
+        "packed path ships per-query LUTs and merges on the driver — route " +
+        "corpus-sized query sets through Quantization.sqSearch instead")
+    require(rows.nonEmpty, "empty query batch")
+    val qArr = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = searchSq[Long](pi, qArr, k, nProbe, metric)
+    import spark.implicits._
+    res.toSeq
+      .flatMap { case (qid, nbrs) =>
+        nbrs.iterator.zipWithIndex.map { case ((nid, d), pos) => (qid, pos + 1, nid, d) }
+      }
+      .toDF(queryId, "rank", "neighbor_id", "dist")
+  }
+
+  // ------------------------------------------------------ slab sidecars
+
+  /** Persist for warm start ([[PackedKnn.saveSlabs]]'s rename-swap
+    * contract) plus both models — the quantizer stats MUST reload
+    * byte-identical or the reopened index decodes a different geometry. */
+  def saveSlabs[I: ClassTag](pi: PackedSqCorpus[I], dir: String): Unit = {
+    PackedKnn.writeSlabDir(pi.blocks, pi.dim, dir)
+    val spark = org.apache.spark.sql.SparkSession.active
+    ModelStore.saveIvf(spark, pi.ivf, s"$dir/ivf")
+    ModelStore.saveSq(spark, pi.sq, s"$dir/sq")
+  }
+
+  def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    PackedKnn.slabsExist(spark, dir) &&
+      ModelStore.exists(s"$dir/ivf") && ModelStore.exists(s"$dir/sq")
+
+  /** Reopen: one task per cell reading exactly its slab — zero Exchange,
+    * zero re-encode. Partition i = cell i survives the sidecar. */
+  def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
+                             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[I] = {
+    val ivf = ModelStore.loadIvf(spark, s"$dir/ivf")
+    val sq = ModelStore.loadSq(spark, s"$dir/sq")
+    val (blocks, d) = PackedKnn.readSlabDir[SqBlock[I]](spark, dir, storage)
+    require(d == sq.mins.length,
+      s"SQ slab sidecar at $dir has $d bytes/row but the model has ${sq.mins.length} dims")
+    require(blocks.getNumPartitions == ivf.numCells,
+      s"SQ slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
+        s"but the coarse model has ${ivf.numCells} cells")
+    new PackedSqCorpus(blocks, ivf, sq, Nil)
+  }
+
+  /** Resident footprint in code bytes (ids excluded) — rows × dim; the
+    * float tier is rows × dim × 4. */
+  def codeBytes[I](pi: PackedSqCorpus[I]): Long =
+    pi.blocks.map(_.codes.length.toLong).fold(0L)(_ + _)
+}

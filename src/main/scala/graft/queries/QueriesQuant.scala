@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ann, Knn, ModelStore, PackedPq, QualityClassifier, Quantization}
+import graft.operators.{Ann, Knn, ModelStore, PackedPq, PackedSq, QualityClassifier, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -144,7 +144,41 @@ object QueriesQuant {
         }
     }
 
+  /** q130's resident SQ8 corpus, packed once per JVM/sf like the PQ
+    * tiers above. The SQ model is the full-corpus fit (the q17 oracle
+    * re-derives the same stats in SQL). */
+  private val packedSqCache =
+    scala.collection.mutable.Map.empty[String, PackedSq.PackedSqCorpus[Long]]
+  private def cachedPackSq(s: SparkSession, dir: String): PackedSq.PackedSqCorpus[Long] =
+    packedSqCache.synchronized {
+      packedSqCache.get(dir)
+        .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .getOrElse {
+          val embs = t(s, dir, "embeddings")
+          val pi = PackedSq.packIvfSq(embs, TrainedModels.ivf(s, dir),
+            Quantization.trainSq(embs, "embedding"),
+            idCol = "vec_id", vecCol = "embedding")
+          packedSqCache(dir) = pi
+          pi
+        }
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RESIDENT SQ8 tier (PackedSq): q17's decode-and-distance search
+    // served from per-cell byte slabs at full probe — row-identical to
+    // Quantization.sqSearch (PackedSqSpec: bit-equal distances, same
+    // (dist, id) cut), so it hash-checks against the SAME DuckDB
+    // re-derivation as q17. The middle rung of the resident ladder:
+    // 4x less memory than the float slabs, byte-LUT scans, no rerank
+    // needed to serve.
+    "q130_packed_sq" -> ((s, dir) => {
+      val pi = cachedPackSq(s, dir)
+      PackedSq.search(pi, QueriesVector.queryBatch(s, dir, 5),
+          k = 10, nProbe = pi.ivf.numCells)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // A7 + F6: per-dim SQ model + reconstruction error
     "q16_sq_stats" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -436,6 +470,13 @@ object QueriesQuant {
          |GROUP BY s.dim, s.mn, s.mx""".stripMargin,
 
     "q17_sq_knn" ->
+      s"""$sqKnn
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // full-probe resident SQ8 == sqSearch (PackedSqSpec) == q17's oracle
+    "q130_packed_sq" ->
       s"""$sqKnn
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |       round(dist, 6) + 0.0 AS dist
