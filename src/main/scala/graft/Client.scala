@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Embedder
-import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn, PackedPq, Quantization}
+import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn, PackedPq, PackedSq, Quantization}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -514,6 +514,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (packedIdx.isDefined) packedStamp = stamp
       if (packedIvfIdx.isDefined) packedIvfStamp = stamp
       if (packedPqIdx.isDefined) packedPqStamp = stamp
+      if (packedSqIdx.isDefined) packedSqStamp = stamp
     }
   }
 
@@ -531,6 +532,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
       PackedKnn.appendIvfStr(_, rows, "id", "embedding"))
     packedPqIdx = packedPqIdx.map(
       PackedPq.appendIvfPqStr(_, rows, "id", "embedding"))
+    packedSqIdx = packedSqIdx.map(
+      PackedSq.appendIvfSqStr(_, rows, "id", "embedding"))
     packedMaintained = true
   }
 
@@ -556,6 +559,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (!(pruned eq old)) old.unpersist()
       PackedPq.appendIvfPqStr(pruned, rows, "id", "embedding")
     }
+    packedSqIdx = packedSqIdx.map { old =>
+      val pruned = PackedSq.remove(old, ids)
+      if (!(pruned eq old)) old.unpersist()
+      PackedSq.appendIvfSqStr(pruned, rows, "id", "embedding")
+    }
     packedMaintained = true
   }
 
@@ -576,6 +584,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     }
     packedPqIdx = packedPqIdx.map { old =>
       val nw = PackedPq.remove(old, ids)
+      if (!(nw eq old)) old.unpersist()
+      nw
+    }
+    packedSqIdx = packedSqIdx.map { old =>
+      val nw = PackedSq.remove(old, ids)
       if (!(nw eq old)) old.unpersist()
       nw
     }
@@ -690,6 +703,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     ensureFreshPacked(ivf = false)
     ensureFreshPacked(ivf = true)
     ensureFreshPackedPq()
+    ensureFreshPackedSq()
     packedIdx.foreach { pc =>
       PackedKnn.saveSlabs(pc, packedDir)
       writeSidecarStamp(packedDir, packedStamp)
@@ -701,6 +715,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedPqIdx.foreach { pi =>
       PackedPq.saveSlabs(pi, packedPqDir)
       writeSidecarStamp(packedPqDir, packedPqStamp)
+    }
+    packedSqIdx.foreach { pi =>
+      PackedSq.saveSlabs(pi, packedSqDir)
+      writeSidecarStamp(packedSqDir, packedSqStamp)
     }
   }
 
@@ -730,6 +748,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     fs.delete(new Path(packedDir), true)
     fs.delete(new Path(packedIvfDir), true)
     fs.delete(new Path(packedPqDir), true)
+    fs.delete(new Path(packedSqDir), true)
   }
 
   def hasPackedIndex: Boolean = packedIdx.isDefined
@@ -743,6 +762,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIvfIdx = None
     packedPqIdx.foreach(_.unpersist())
     packedPqIdx = None
+    packedSqIdx.foreach(_.unpersist())
+    packedSqIdx = None
   }
 
   /** One operational compaction pass over everything this collection
@@ -786,6 +807,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       old.unpersist()
       nw
     }
+    packedSqIdx = packedSqIdx.map { old =>
+      val nw = PackedSq.compactIvfSq(old)
+      old.unpersist()
+      nw
+    }
   }
 
   @transient private var packedIvfIdx: Option[PackedKnn.PackedIvfCorpus[String]] = None
@@ -817,11 +843,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
     fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedSqDir), true)
     ModelStore.saveIvf(spark, split.model, ivfDir)
     old.unpersist()
     packedIvfIdx = Some(split)
     packedPqIdx.foreach(_.unpersist())
     packedPqIdx = None
+    packedSqIdx.foreach(_.unpersist())
+    packedSqIdx = None
     val stamp = Collections.bumpMutationCount(spark, dir)
     packedIvfStamp = stamp
     if (packedIdx.isDefined) packedStamp = stamp // flat index: model-independent
@@ -1177,6 +1206,108 @@ final class GraftCollection(spark: SparkSession, dir: String,
       PackedPq.searchAdc[String](packedPqIdx.get, qArr, fetchK, nProbe)
     }
 
+  // ------------------------------------------- resident SQ8 (byte) tier
+
+  @transient private var packedSqIdx: Option[PackedSq.PackedSqCorpus[String]] = None
+  @transient private var packedSqStamp: Long = -1L
+
+  private def packedSqDir = s"$dir/index_packed_sq"
+  private def sqModelDir = s"$dir/index_sq"
+
+  /** Train and persist the per-dimension scalar quantizer (min/max stats,
+    * the reference's ScalarQuantizer fit — quantization.py:85-106) for
+    * the SQ8 resident tier. Unlike the coarse/product quantizers the
+    * stats are cell-independent, so the model survives coarse retrains
+    * and cell splits; only the cell-partitioned SLABS die with those.
+    * Same crash order as [[buildQuantModel]]: train, drop the old-model
+    * slab sidecar, persist. */
+  def buildScalarQuantModel(sampleFraction: Double = 1.0, seed: Long = 42L): Unit = {
+    val m = Quantization.trainSq(df.where(col("embedding").isNotNull),
+      "embedding", sampleFraction, seed)
+    new org.apache.hadoop.fs.Path(packedSqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(packedSqDir), true)
+    ModelStore.saveSq(spark, m, sqModelDir)
+    packedSqIdx.foreach(_.unpersist())
+    packedSqIdx = None
+  }
+
+  def hasScalarQuantModel: Boolean = ModelStore.exists(sqModelDir)
+
+  /** Pack the collection's embeddings into the resident SQ8 index
+    * (operators.PackedSq — dim bytes per row, 4× less memory than the
+    * float slabs with near-exact decoded-space ranking; the middle rung
+    * between [[buildPackedIndex]] and [[buildPackedPqIndex]]). Requires
+    * [[buildVectorIndex]] (cell routing) and [[buildScalarQuantModel]].
+    * Same handle-scoped lifecycle as the other resident tiers. */
+  def buildPackedSqIndex(): Unit = {
+    packedSqIdx.foreach(_.unpersist())
+    val current = Collections.readMutationCount(spark, dir)
+    packedSqStamp = current
+    if (PackedSq.slabsExist(spark, packedSqDir) &&
+        sidecarStamp(packedSqDir) == current) {
+      packedSqIdx = Some(PackedSq.loadSlabs[String](spark, packedSqDir))
+    } else {
+      require(hasVectorIndex,
+        s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+      require(hasScalarQuantModel,
+        s"collection '${config.name}' has no scalar quantizer; run " +
+          "buildScalarQuantModel() first")
+      packedSqIdx = Some(PackedSq.packIvfSqStr(
+        df.where(col("embedding").isNotNull),
+        ModelStore.loadIvf(spark, ivfDir), ModelStore.loadSq(spark, sqModelDir),
+        "id", "embedding"))
+    }
+  }
+
+  def hasPackedSqIndex: Boolean = packedSqIdx.isDefined
+
+  private[graft] def residentPackedSq: Option[PackedSq.PackedSqCorpus[String]] = packedSqIdx
+
+  /** [[annQuery]] through the resident SQ8 tier ([[buildPackedSqIndex]]
+    * on first use): per-query per-dim byte LUTs score only the probed
+    * cells' codes; distances are the decoded-space metric (the
+    * reference's SQ search serves these directly, quantization.py:154-174
+    * — no rerank needed at 8 bits/dim). nProbe = numCells reproduces
+    * [[Quantization.sqSearch]] exactly. Same output shape as [[query]]. */
+  def packedSqQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    ensureFreshPackedSq()
+    if (packedSqIdx.isEmpty) buildPackedSqIndex()
+    val (q, qRows, qArr) = collectQueries(queries)
+    if (qArr.isEmpty) return packedResult(q, qRows, Array.empty)
+    packedResult(q, qRows, sqSearchRecovering(qArr, k, nProbe))
+  }
+
+  /** [[ensureFreshPacked]] for the SQ tier. */
+  private def ensureFreshPackedSq(): Unit = {
+    if (packedSqIdx.isEmpty) return
+    val current = Collections.readMutationCount(spark, dir)
+    if (current != packedSqStamp) {
+      if (autoRebuildStalePacked) {
+        packedSqIdx.foreach(_.unpersist()); packedSqIdx = None
+      } else throw new IllegalStateException(
+        s"resident packed SQ index of collection '${config.name}' is STALE: " +
+          s"the collection was mutated ${current - packedSqStamp} time(s) " +
+          "through another handle or process since this handle packed it " +
+          s"(packed at mutation $packedSqStamp, collection now at $current). " +
+          "Rebuild via buildPackedSqIndex(), or set " +
+          "autoRebuildStalePacked = true to rebuild on demand.")
+    }
+  }
+
+  /** SQ scan with the same warm-start loss recovery as
+    * [[packedSearchRecovering]]. */
+  private def sqSearchRecovering(qArr: Array[(Long, Array[Float])],
+                                 k: Int, nProbe: Int): Array[(Long, Array[(String, Double)])] =
+    try PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+    catch { case e: Exception if slabReadFailure(e) =>
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"resident packed SQ index of '${config.name}' lost a warm-start " +
+          "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
+      buildPackedSqIndex()
+      PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+    }
+
   /** True when the failure's cause chain is a missing `.slab` sidecar
     * file — the one unrecoverable-by-lineage read in the packed paths. */
   private def slabReadFailure(e: Throwable): Boolean = {
@@ -1293,10 +1424,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val fsI = new org.apache.hadoop.fs.Path(packedIvfDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
-    // the PQ-code sidecar's CELL layout also belongs to the old coarse
-    // quantizer (raw codes are model-independent, but probe routing is
-    // not) — drop it with the IVF sidecar
+    // the PQ- and SQ-code sidecars' CELL layout also belongs to the old
+    // coarse quantizer (raw codes and per-dim stats are model-independent,
+    // but probe routing is not) — drop them with the IVF sidecar
     fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedSqDir), true)
     // a RESIDUAL quantizer is trained against the old cells' geometry:
     // re-encoding under new cells with old codebooks stays self-consistent
     // (encode and LUT agree) but quantizes the wrong distribution, so the
@@ -1316,6 +1448,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedIvfIdx = None
     packedPqIdx.foreach(_.unpersist())
     packedPqIdx = None
+    packedSqIdx.foreach(_.unpersist())
+    packedSqIdx = None
     // a model retrain changes ANN routing without touching the data dir,
     // so it must ALSO bump the mutation counter — otherwise a different
     // handle's resident IVF packing keeps serving the old centroids with

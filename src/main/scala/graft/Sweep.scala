@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedKnn, PackedPq, Quantization}
+import graft.operators.{Ann, Knn, PackedKnn, PackedPq, PackedSq, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -256,6 +256,28 @@ object Sweep {
       val adcOpqRuns = (1 to MeasuredRuns).map(_ => runAdcOpq())
       val opqRecall = recallOf(PackedPq.searchAdc[Long](piOpq, qArrC, K, nProbe))
       piOpq.unpersist(blocking = true)
+
+      // --- SQ8 tier: dim bytes/row, near-exact, served unreranked ---
+      // The middle memory rung: 4× under the float slabs, 16× over the
+      // PQ codes at dim=128/m=8 — measures what the byte budget buys.
+      val tSqTrain0 = System.nanoTime()
+      val sqM = Quantization.trainSq(pqCorpus, "embedding",
+        sampleFraction = math.min(1.0, 100000.0 / n))
+      val sqTrainS = (System.nanoTime() - tSqTrain0) / 1e9
+      val piSq = PackedSq.packIvfSq(pqCorpus, ivfM, sqM,
+        idCol = "vec_id", vecCol = "embedding")
+      def runSq(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedSq.searchSq[Long](piSq, qArrC, K, nProbe, "l2")
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"SQ search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runSq())
+      val sqRuns = (1 to MeasuredRuns).map(_ => runSq())
+      val sqRecall = recallOf(PackedSq.searchSq[Long](piSq, qArrC, K, nProbe, "l2"))
+      val sqBytes = PackedSq.codeBytes(piSq)
+      piSq.unpersist(blocking = true)
       pqCorpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ
@@ -274,6 +296,9 @@ object Sweep {
         s""""pq_opq_ms_per_query":${f"${medianMs(adcOpqRuns) / BatchQ}%.3f"},""" +
         s""""pq_opq_recall10":${f"$opqRecall%.3f"},""" +
         s""""pq_opq_train_s":${f"$opqTrainS%.3f"},""" +
+        s""""sq_ms_per_query":${f"${medianMs(sqRuns) / BatchQ}%.3f"},""" +
+        s""""sq_recall10":${f"$sqRecall%.3f"},""" +
+        s""""sq_train_s":${f"$sqTrainS%.3f"},"sq_code_bytes":$sqBytes,""" +
         s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
         s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }

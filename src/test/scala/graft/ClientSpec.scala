@@ -517,6 +517,60 @@ class ClientSpec extends SparkSpec {
     assert(e1.getMessage.contains("buildQuantModel"))
   }
 
+  test("SQ8 tier: full-probe ranking, CRUD-maintained, stale-guarded, survives retrain") {
+    val c = client.getOrCreateCollection("sq8")
+    c.add((0 until 48).map(i => (s"s$i", s"unique scalar quantized doc number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 4)
+    val e0 = intercept[IllegalArgumentException] { c.buildPackedSqIndex() }
+    assert(e0.getMessage.contains("buildScalarQuantModel"))
+    c.buildScalarQuantModel()
+    assert(c.hasScalarQuantModel)
+
+    val q = Seq((7L, "unique scalar quantized doc number 7 body"))
+      .toDF("query_id", "query_text")
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    // decoded-space distances rank the hash-embedder's well-separated
+    // vectors identically to the exact scan at full probe (deterministic
+    // data, deterministic quantizer — a stable equality)
+    val exact = rrid(c.query(q, k = 5))
+    assert(rrid(c.packedSqQuery(q, k = 5, nProbe = 4)) === exact)
+    assert(c.hasPackedSqIndex)
+    // footprint: dim bytes/row vs the float tier's 4*dim
+    val pi = c.residentPackedSq.get
+    assert(graft.operators.PackedSq.codeBytes(pi) === 48L * pi.dim)
+
+    // CRUD deltas encode through the standing model
+    c.upsert(Seq(("sX", "unique scalar quantized doc number X body")).toDF("id", "document"))
+    val qX = Seq((1L, "unique scalar quantized doc number X body"))
+      .toDF("query_id", "query_text")
+    assert(c.packedSqQuery(qX, k = 1, nProbe = 4).head().getAs[String]("id") === "sX")
+    c.delete(ids = Seq("sX"))
+    assert(rrid(c.packedSqQuery(q, k = 5, nProbe = 4)) === exact)
+
+    // warm start from the slab sidecar
+    c.saveResidentIndex()
+    val reopened = new GraftClient(spark, root, 16).getCollection("sq8")
+    assert(reopened.hasScalarQuantModel)
+    reopened.buildPackedSqIndex()
+    assert(rrid(reopened.packedSqQuery(q, k = 5, nProbe = 4)) === exact)
+
+    // foreign mutation -> THIS handle's resident SQ index is fail-loud stale
+    reopened.upsert(Seq(("sY", "another unique doc body Y")).toDF("id", "document"))
+    val e1 = intercept[IllegalStateException] { c.packedSqQuery(q, k = 5) }
+    assert(e1.getMessage.contains("STALE") && e1.getMessage.contains("SQ"))
+    reopened.delete(ids = Seq("sY"))
+    reopened.releasePackedIndex()
+
+    // coarse retrain: per-dim stats are cell-independent — model SURVIVES,
+    // only the cell-partitioned slabs rebuild under the new routing
+    c.buildVectorIndex(numCells = 2)
+    assert(c.hasScalarQuantModel)
+    c.buildPackedSqIndex()
+    assert(rrid(c.packedSqQuery(q, k = 5, nProbe = 2)) === exact)
+  }
+
   test("OPQ quant model: exact at full probe, CRUD-maintained, survives coarse retrain") {
     val c = client.getOrCreateCollection("pqopq")
     c.add((0 until 48).map(i => (s"o$i", s"unique rotated document number $i body"))
