@@ -492,6 +492,65 @@ object PropertyGraph {
     }
   }
 
+  /** HITS hubs-and-authorities (Kleinberg JACM'99) in the sum-normalized
+    * formulation: hubs start at 1/N; each round
+    * `auth(v) = Σ_{u→v} hub(u)` then `auth ← auth/Σauth`, followed by
+    * `hub(u) = Σ_{u→v} auth(v)` then `hub ← hub/Σhub`. Sum-normalization
+    * (not the L2 of the original paper) keeps every intermediate a plain
+    * ratio of sums — the same cross-engine-roundable regime as
+    * [[pageRank]]'s 1/N formulation — and converges to the same ranking
+    * (normalization never reorders a non-negative eigenvector iterate).
+    * Fixed iteration count, deterministic, oracle-checkable. Returns
+    * (id, authority, hub) over all nodes; pure sources score authority 0,
+    * pure sinks hub 0 — not NULL — like the reference's degree-style
+    * stats over its node universe (graph.py:436-515).
+    *
+    * Scale shape mirrors [[pageRank]]: the edge list is cached ONCE in
+    * both join layouts (src-keyed for the auth gather, dst-keyed for the
+    * hub gather); each half-round shuffles only the node-sized score
+    * vector, and the normalization sum rides an observe() metric on the
+    * half-round's own checkpoint action — zero extra jobs. */
+  def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations > 0, s"iterations must be positive: $iterations")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+    val bySrc = e.repartition(nparts, col("src")).persist()
+    val byDst = e.repartition(nparts, col("dst")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    try {
+      val n = nodes.count().toDouble
+      var hubs = nodes.withColumn("score", lit(1.0) / lit(n))
+      var auths = hubs
+      // one half-round: gather scores across edges in the given
+      // direction, zero-fill the node universe, materialize the RAW
+      // vector with its sum observed, then normalize lazily on top of
+      // the checkpointed rows (the division never re-runs the gather)
+      def halfRound(scores: DataFrame, keyIn: String, keyOut: String,
+                    layout: DataFrame, tag: String): DataFrame = {
+        val raw = layout
+          .join(scores.select(col("id").as(keyIn), col("score")), keyIn)
+          .groupBy(col(keyOut).as("id")).agg(sum(col("score")).as("_raw"))
+        val o = org.apache.spark.sql.Observation(tag)
+        val mat = nodes.join(raw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+          .observe(o, sum(col("_raw")).as("s"))
+          .localCheckpoint(eager = true)
+        val s = o.get("s").asInstanceOf[Double]
+        mat.select(col("id"), (col("_raw") / lit(s)).as("score"))
+      }
+      for (i <- 1 to iterations) {
+        auths = halfRound(hubs, "src", "dst", bySrc, s"hits_a_$i")
+        hubs = halfRound(auths, "dst", "src", byDst, s"hits_h_$i")
+      }
+      auths.select(col("id"), col("score").as("authority"))
+        .join(hubs.select(col("id"), col("score").as("hub")), "id")
+    } finally {
+      bySrc.unpersist(); byDst.unpersist(); nodes.unpersist()
+    }
+  }
+
   /** Orient each canonical undirected edge {a,b} from its LOWER-degree
     * endpoint (ties broken by id), returning (u, v, rv) where rv is v's
     * (degree, id) rank struct — kept so the wedge join can order the two

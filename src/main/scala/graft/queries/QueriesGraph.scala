@@ -174,6 +174,18 @@ object QueriesGraph {
         .select(col("id"), (round(col("dist"), 6) + lit(0.0)).as("dist"))
     }),
 
+    // HITS hubs-and-authorities (Kleinberg'99), sum-normalized, 5 fixed
+    // rounds. On this derived graph the bipartite-ish order→customer→
+    // nation→region chain makes hub and authority genuinely different
+    // rankings (orders are pure hubs, regions pure authorities). The
+    // oracle unrolls each half-round with its normalization-sum CTE —
+    // the q84 stance.
+    "q131_hits" -> ((s, dir) =>
+      PropertyGraph.hits(GraphData.edges(s, dir), iterations = 5)
+        .select(col("id"),
+          (round(col("authority"), 6) + lit(0.0)).as("authority"),
+          (round(col("hub"), 6) + lit(0.0)).as("hub"))),
+
     // Community detection by synchronous label propagation (Raghavan'07):
     // undirected plurality voting, smallest-label tie break, 5 fixed
     // rounds — every round deterministic, so the oracle unrolls the whole
@@ -445,6 +457,42 @@ object QueriesGraph {
          |d0 AS (SELECT 'region_0' AS id, CAST(0.0 AS DOUBLE) AS dist),
          |$rounds
          |SELECT id, round(dist, 6) + 0.0 AS dist FROM d4""".stripMargin
+    },
+
+    "q131_hits" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""araw$i AS (
+           |  SELECT n.id, coalesce(s.v, 0.0) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(h.score) AS v
+           |    FROM edges e JOIN hub${i - 1} h ON h.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id),
+           |aut$i AS (
+           |  SELECT id, raw / sum(raw) OVER () AS score FROM araw$i),
+           |hraw$i AS (
+           |  SELECT n.id, coalesce(s.v, 0.0) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS id, sum(a.score) AS v
+           |    FROM edges e JOIN aut$i a ON a.id = e.dst
+           |    GROUP BY e.src) s ON s.id = n.id),
+           |hub$i AS (
+           |  SELECT id, raw / sum(raw) OVER () AS score FROM hraw$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |hub0 AS (SELECT id, 1.0 / ns.n AS score FROM nodes CROSS JOIN nstat ns),
+         |$rounds
+         |SELECT a.id, round(a.score, 6) + 0.0 AS authority,
+         |       round(h.score, 6) + 0.0 AS hub
+         |FROM aut5 a JOIN hub5 h ON h.id = a.id""".stripMargin
     },
 
     "q126_label_propagation" -> {

@@ -382,6 +382,31 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ps("hub") - (leaf + 0.85 * 3 * leaf)) < 1e-12)
   }
 
+  test("hits: star and chain closed forms; scores each sum to 1") {
+    // star p1,p2,p3 -> c reaches its fixed point in one round:
+    // auth = (c: 1), hub = (p_i: 1/3)
+    val star = Seq(("p1", "c"), ("p2", "c"), ("p3", "c")).toDF("src", "dst")
+    val got = PropertyGraph.hits(star, iterations = 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def close(a: Double, b: Double) = assert(math.abs(a - b) < 1e-12, s"$a != $b")
+    close(got("c")._1, 1.0)
+    assert(got("c")._2 === 0.0)
+    for (p <- Seq("p1", "p2", "p3")) {
+      assert(got(p)._1 === 0.0)
+      close(got(p)._2, 1.0 / 3)
+    }
+    // chain a -> b -> c: auth (b,c) = 1/2 each, hub (a,b) = 1/2 each
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val gc = PropertyGraph.hits(chain, iterations = 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(gc("a")._1 === 0.0); assert(gc("c")._2 === 0.0)
+    close(gc("b")._1, 0.5); close(gc("c")._1, 0.5)
+    close(gc("a")._2, 0.5); close(gc("b")._2, 0.5)
+    // sum-normalized: both score vectors are distributions
+    close(got.values.map(_._1).sum, 1.0)
+    close(got.values.map(_._2).sum, 1.0)
+  }
+
   test("triangleCounts: K4 has 3 per node, a pendant edge has none") {
     import spark.implicits._
     val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b)
