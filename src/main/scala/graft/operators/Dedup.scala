@@ -36,6 +36,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
       .where(col("n_dups") >= minSize)
 
+  /** URL canonicalization for URL-level dedup (the RefinedWeb/CCNet
+    * pre-pass: the same page is crawled under scheme, www, fragment,
+    * tracking-parameter, and trailing-slash variants — canonicalize
+    * BEFORE any content hashing and most "duplicates" never reach the
+    * expensive stages). Heuristic, deliberately regex-only so the exact
+    * same six rewrites run in any engine (the DuckDB oracle inlines
+    * them): lowercase (hosts are case-insensitive; whole-URL lowercase
+    * is the common pipeline simplification), strip scheme, strip a
+    * leading `www.`, drop the fragment, drop `utm_*`/`fbclid`/`gclid`
+    * tracking parameters, strip a trailing `/index.html` and a trailing
+    * slash. Pure column algebra — codegen'd, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val s1 = lower(url)
+    val s2 = regexp_replace(s1, "^https?://", "")
+    val s3 = regexp_replace(s2, "^www\\.", "")
+    val s4 = regexp_replace(s3, "#.*$", "")
+    val s5 = regexp_replace(s4, "[?&](utm_[a-z_]*|fbclid|gclid)=[^&]*", "")
+    val s6 = regexp_replace(s5, "/index\\.html$", "")
+    regexp_replace(s6, "/$", "")
+  }
+
+  /** URL-level dedup: group by [[canonicalizeUrl]], keep the LONGEST
+    * document per canonical URL (ties by smallest id) — the survivor
+    * convention of URL-dedup passes, where the longest capture is
+    * usually the least-truncated crawl. Returns the surviving rows with
+    * their `canonical_url` and the class size `n_variants`. One
+    * fingerprint-keyed aggregation — the exact-dedup scale shape, no
+    * pairs, no shuffle beyond the group-by. */
+  def dedupByUrl(docs: DataFrame, urlCol: String, idCol: String,
+                 textCol: String): DataFrame = {
+    val canon = docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    // survivor pick as one struct-min aggregation (longest = smallest
+    // negated length, ties by smallest id) — no Window sort
+    val ranked = canon
+      .select(col("canonical_url").as("_curl"),
+        struct((-length(col(textCol))).as("_nl"), col(idCol).as("_id")).as("_rk"))
+      .groupBy("_curl")
+      .agg(min(col("_rk")).as("_win"), count(lit(1)).as("n_variants"))
+    canon.join(ranked,
+        col("canonical_url") === col("_curl") && col("_win._id") === col(idCol))
+      .select(col(idCol), col(urlCol), col("canonical_url"), col("n_variants"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic universal-hash parameters for the MinHash permutations:

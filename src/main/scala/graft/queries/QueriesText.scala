@@ -59,6 +59,26 @@ object QueriesText {
   private val dedupIndexSidecar = scala.collection.mutable.Map.empty[String, String]
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL-level dedup (RefinedWeb/CCNet pre-pass): deterministic URL
+    // variants planted on the documents table — scheme case, www,
+    // trailing slash, fragment, utm params — collapse under
+    // Dedup.canonicalizeUrl; survivor = longest text, ties by smallest
+    // id. The oracle re-runs the same six rewrites in DuckDB regex.
+    "q132_url_dedup" -> ((s, dir) => {
+      val urled = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://")),
+          col("source"), lit(".example.com/page/"),
+          (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
+            .when(col("doc_id") % 4 === 1, lit("/"))
+            .when(col("doc_id") % 4 === 2, lit("#section-2"))
+            .otherwise(lit(""))).as("url"))
+      Dedup.dedupByUrl(urled, "url", "doc_id", "text")
+        .select(col("doc_id"), col("canonical_url"), col("n_variants"))
+        .orderBy("doc_id")
+    }),
+
     // A3/F9: term frequencies, top 20 corpus-wide
     "q21_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -804,6 +824,33 @@ object QueriesText {
        |  GROUP BY tfc.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q132_url_dedup" ->
+      """WITH urled AS (
+        |  SELECT doc_id, text,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END)
+        |           || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |           || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss'
+        |                    WHEN doc_id % 4 = 1 THEN '/'
+        |                    WHEN doc_id % 4 = 2 THEN '#section-2'
+        |                    ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(lower(url),
+        |             '^https?://', ''), '^www\.', ''), '#.*$', ''),
+        |           '[?&](utm_[a-z_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |           '/index\.html$', ''), '/$', '') AS canonical_url
+        |  FROM urled),
+        |ranked AS (
+        |  SELECT doc_id, canonical_url,
+        |         count(*) OVER (PARTITION BY canonical_url) AS n_variants,
+        |         row_number() OVER (PARTITION BY canonical_url
+        |           ORDER BY length(text) DESC, doc_id) AS rk
+        |  FROM canon)
+        |SELECT doc_id, canonical_url, CAST(n_variants AS BIGINT) AS n_variants
+        |FROM ranked WHERE rk = 1""".stripMargin,
+
     "q21_top_terms" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),
         |tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),

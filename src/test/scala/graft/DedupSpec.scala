@@ -20,6 +20,38 @@ class DedupSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("keeper_id") === 1L)
   }
 
+  test("canonicalizeUrl collapses scheme/www/fragment/tracking/slash variants") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.com/A/B/",
+      "http://example.com/a/b",
+      "https://example.com/a/b#frag",
+      "http://www.example.com/a/b?utm_source=x&utm_medium=y",
+      "example.com/a/b/index.html",
+      // and ones that must NOT collapse:
+      "https://example.com/a/b?page=2",
+      "https://other.com/a/b").toDF("url")
+    val canon = urls.select(Dedup.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.take(5).toSet === Set("example.com/a/b"))
+    assert(canon(5) === "example.com/a/b?page=2")
+    assert(canon(6) === "other.com/a/b")
+  }
+
+  test("dedupByUrl keeps the longest variant, ties by smallest id") {
+    val rows = Seq(
+      (1L, "short", "https://www.site.com/p/1"),
+      (2L, "much longer capture of page one", "http://site.com/p/1/"),
+      (3L, "much longer capture of page one", "http://site.com/p/1#x"), // tie with 2 -> 2 wins
+      (4L, "only capture of page two", "https://site.com/p/2")
+    ).toDF("doc_id", "text", "url")
+    val got = Dedup.dedupByUrl(rows, "url", "doc_id", "text")
+      .select("doc_id", "canonical_url", "n_variants").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (2L, "site.com/p/1", 3L),
+      (4L, "site.com/p/2", 1L)))
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
