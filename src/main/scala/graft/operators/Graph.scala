@@ -551,6 +551,59 @@ object PropertyGraph {
     }
   }
 
+  /** k-core of the undirected graph (Seidman'83): the maximal subgraph
+    * in which every node has degree >= k, computed by synchronous
+    * peeling — each round drops EVERY node whose degree within the
+    * current survivor set is below k, until a fixpoint. Rounds are
+    * deterministic, so a fixed-round SQL unroll reproduces the result
+    * exactly once both sides have converged (peeling is idempotent at
+    * the fixpoint — extra rounds are no-ops). Returns the surviving
+    * nodes with their within-core degree.
+    *
+    * Scale shape: input edges are symmetrized + distinct ONCE and
+    * cached; each round is one semi-join of the edge list against the
+    * survivor set (both endpoints) + one degree aggregation — the edge
+    * relation never rebuilds, only the node-sized survivor vector
+    * moves. The fixpoint probe rides the survivor count the round
+    * already pays for. Peel depth is bounded by the longest removal
+    * cascade; `maxIters` is a fail-loud bound, not a silent truncation. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .repartition(nparts, col("src")).persist()
+    try {
+      var alive = und.select(col("src").as("id")).distinct()
+        .localCheckpoint(eager = true)
+      var aliveN = alive.count()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < maxIters) {
+        val deg = und
+          .join(alive.select(col("id").as("src")), "src")
+          .join(alive.select(col("id").as("dst")), "dst")
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+        val next = deg.where(col("degree") >= k)
+          .localCheckpoint(eager = true)
+        val nextN = next.count()
+        converged = nextN == aliveN
+        alive = next.select("id")
+        aliveN = nextN
+        iters += 1
+        if (aliveN == 0) converged = true
+      }
+      require(converged,
+        s"kCore(k=$k) did not converge within $maxIters peel rounds — raise maxIters")
+      // final degrees over the fixpoint survivor set
+      und.join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    } finally und.unpersist()
+  }
+
   /** Orient each canonical undirected edge {a,b} from its LOWER-degree
     * endpoint (ties broken by id), returning (u, v, rv) where rv is v's
     * (degree, id) rank struct — kept so the wedge join can order the two

@@ -174,6 +174,29 @@ object QueriesGraph {
         .select(col("id"), (round(col("dist"), 6) + lit(0.0)).as("dist"))
     }),
 
+    // k-core (Seidman'83) over the supplier/nation/region graph
+    // densified with the q85 supplier co-location cliques: k=3 keeps the
+    // big-enough cliques and their attachment spine, while small-nation
+    // cliques peel away in cascades. Synchronous peeling is
+    // deterministic, so the oracle unrolls the rounds (MATERIALIZED CTEs
+    // — the naive unroll re-inlines each survivor set 3x per round and
+    // blows up exponentially).
+    "q133_kcore" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val coloc = sup.as("a")
+        .join(sup.as("b"), col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(concat(lit("supplier_"), col("a.s_suppkey")).as("src"),
+          concat(lit("supplier_"), col("b.s_suppkey")).as("dst"))
+      val spine = sup
+        .select(concat(lit("supplier_"), col("s_suppkey")).as("src"),
+          concat(lit("nation_"), col("s_nationkey")).as("dst"))
+        .unionByName(t(s, dir, "nation")
+          .select(concat(lit("nation_"), col("n_nationkey")).as("src"),
+            concat(lit("region_"), col("n_regionkey")).as("dst")))
+      PropertyGraph.kCore(spine.unionByName(coloc), k = 3)
+    }),
+
     // HITS hubs-and-authorities (Kleinberg'99), sum-normalized, 5 fixed
     // rounds. On this derived graph the bipartite-ish order→customer→
     // nation→region chain makes hub and authority genuinely different
@@ -457,6 +480,39 @@ object QueriesGraph {
          |d0 AS (SELECT 'region_0' AS id, CAST(0.0 AS DOUBLE) AS dist),
          |$rounds
          |SELECT id, round(dist, 6) + 0.0 AS dist FROM d4""".stripMargin
+    },
+
+    "q133_kcore" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT u.src AS id
+           |  FROM und u
+           |  JOIN a${i - 1} s ON s.id = u.src
+           |  JOIN a${i - 1} t ON t.id = u.dst
+           |  GROUP BY u.src
+           |  HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH coloc AS (
+         |  SELECT 'supplier_' || a.s_suppkey AS src, 'supplier_' || b.s_suppkey AS dst
+         |  FROM supplier a JOIN supplier b
+         |    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey),
+         |spine AS (
+         |  SELECT 'supplier_' || s_suppkey AS src, 'nation_' || s_nationkey AS dst
+         |  FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation),
+         |e AS (SELECT src, dst FROM coloc UNION ALL SELECT src, dst FROM spine),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+         |$rounds
+         |SELECT u.src AS id, count(*) AS degree
+         |FROM und u
+         |JOIN a10 s ON s.id = u.src
+         |JOIN a10 t ON t.id = u.dst
+         |GROUP BY u.src""".stripMargin
     },
 
     "q131_hits" -> {

@@ -407,6 +407,26 @@ class GraphSpec extends SparkSpec {
     close(got.values.map(_._2).sum, 1.0)
   }
 
+  test("kCore: pendant chains peel over multiple rounds, the clique core survives") {
+    // K4 on w,x,y,z plus a pendant chain z-p-q: k=2 must peel q (deg 1),
+    // THEN p (deg 1 after q goes) — a genuine multi-round cascade — and
+    // leave exactly the K4 with within-core degree 3
+    val k4 = Seq(("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"),
+      ("y", "z"), ("z", "p"), ("p", "q")).toDF("src", "dst")
+    val got = PropertyGraph.kCore(k4, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L))
+    // k = 4: even K4 dies (max degree 3) -> empty core
+    assert(PropertyGraph.kCore(k4, k = 4).count() === 0L)
+    // k = 1 keeps every non-isolated node with its plain degree
+    val all = PropertyGraph.kCore(k4, k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all("q") === 1L && all("z") === 4L && all.size === 6)
+    // a pure path peels to nothing at k = 2, several cascades deep
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    assert(PropertyGraph.kCore(path, k = 2).count() === 0L)
+  }
+
   test("triangleCounts: K4 has 3 per node, a pendant edge has none") {
     import spark.implicits._
     val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b)
