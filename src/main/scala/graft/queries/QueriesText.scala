@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Bm25, Dedup, Filter, Knn, Sampling}
+import graft.operators.{Bm25, Dedup, Filter, Knn, NgramLm, Sampling}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -76,6 +76,21 @@ object QueriesText {
             .otherwise(lit(""))).as("url"))
       Dedup.dedupByUrl(urled, "url", "doc_id", "text")
         .select(col("doc_id"), col("canonical_url"), col("n_variants"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style LM quality scoring: an add-alpha bigram LM fitted on
+    // the English slice scores every document; low perplexity = close to
+    // the reference distribution. The oracle re-derives the pair/context
+    // counts, the vocabulary size, the smoothed log-probs and the
+    // per-doc mean in SQL — the whole model is re-executed, not trusted.
+    "q134_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+      NgramLm.crossEntropy(docs, lm, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          (round(col("avg_logp"), 6) + lit(0.0)).as("avg_logp"),
+          (round(col("ppl"), 6) + lit(0.0)).as("ppl"))
         .orderBy("doc_id")
     }),
 
@@ -824,6 +839,38 @@ object QueriesText {
        |  GROUP BY tfc.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q134_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, generate_subscripts(ts, 1) AS i, unnest(ts) AS w
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |tpairs AS (SELECT w1, w2 FROM pairs WHERE lang = 'en'),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM tpairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cc FROM tpairs GROUP BY 1),
+        |voc AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM pos WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln((coalesce(big.cb, 0) + 0.5) / (coalesce(ctx.cc, 0) + 0.5 * voc.v)) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        |  LEFT JOIN ctx ON ctx.w1 = p.w1
+        |  CROSS JOIN voc),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logp
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(avg_logp, 6) + 0.0 AS avg_logp,
+        |       round(exp(-avg_logp), 6) + 0.0 AS ppl
+        |FROM agg""".stripMargin,
+
     "q132_url_dedup" ->
       """WITH urled AS (
         |  SELECT doc_id, text,

@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("NgramLm: hand-computed smoothed bigram log-probs and perplexity") {
+    import graft.operators.NgramLm
+    // train "a b a c": pairs (a,b),(b,a),(a,c); ctx a=2, b=1; vocab {a,b,c}
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text", alpha = 0.5)
+    assert(lm.vocabSize === 3L)
+    val got = NgramLm.crossEntropy(Seq(
+        (10L, "a b"),     // seen pair:   ln((1+.5)/(2+1.5))
+        (11L, "c c"),     // unseen ctx:  ln(.5/(0+1.5))
+        (12L, "a b a c"), // the training doc itself
+        (13L, "solo")     // one token -> absent
+      ).toDF("doc_id", "text"), lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def close(a: Double, b: Double) = assert(math.abs(a - b) < 1e-12, s"$a != $b")
+    assert(got(10L)._1 === 1L)
+    close(got(10L)._2, math.log(1.5 / 3.5))
+    close(got(11L)._2, math.log(0.5 / 1.5))
+    val wantTrain = (math.log(1.5 / 3.5) + math.log(1.5 / 2.5) + math.log(1.5 / 3.5)) / 3
+    assert(got(12L)._1 === 3L)
+    close(got(12L)._2, wantTrain)
+    close(got(12L)._3, math.exp(-wantTrain))
+    assert(!got.contains(13L))
+    // the training slice itself scores lower perplexity than garble
+    assert(got(12L)._3 < got(11L)._3)
+  }
+
   test("repetitionSignals: duplicate lines, duplicate trigrams, top bigram") {
     // "a b a b a b": trigrams = [aba, bab, aba, bab] -> dup 0.5;
     // bigrams = [a b]x3 + [b a]x2 -> top "a b", frac = 3*3/11
