@@ -55,6 +55,43 @@ object NgramLm {
     BigramLm(big, ctx, v, alpha)
   }
 
+  /** Persist the fitted LM as a sidecar (count tables as parquet, the
+    * scalars as a small json) — the fit-once/score-many lifecycle of the
+    * other persisted models, except these tables are corpus-vocabulary-
+    * sized, so unlike [[ModelStore]]'s inlineable models they stay
+    * distributed relations on disk and reload as lazy scans. */
+  def save(lm: BigramLm, dir: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$dir/contexts")
+    val spark = lm.bigrams.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lm.json")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(
+      s"""{"vocab_size": ${lm.vocabSize}, "alpha": ${lm.alpha}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def exists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lm.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): BigramLm = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lm.json")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val v = """"vocab_size":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(s"malformed LM sidecar at $dir: $meta"))
+      .group(1).toLong
+    val a = """"alpha":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(s"malformed LM sidecar at $dir: $meta"))
+      .group(1).toDouble
+    BigramLm(spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/contexts"), v, a)
+  }
+
   /** Score documents against the fitted LM: per doc, the bigram count,
     * the mean log-probability, and perplexity exp(−mean). Unseen pairs
     * back off to the smoothed floor (ln(alpha/(alpha·V)) = −ln V when

@@ -37,6 +37,17 @@ final case class PipelineSpec(
     qualityModel: Option[QualityClassifier.LrModel] = None,
     /** Floor for [[qualityModel]]'s sigmoid score. */
     minClassifierScore: Double = 0.5,
+    /** LM quality gate (CCNet): keep docs whose bigram-LM perplexity
+      * under this model clears [[maxPerplexity]]. The model is fitted
+      * ONCE on a trusted slice ([[NgramLm.fit]]) and its count tables
+      * join in distributed — nothing broadcasts. Per-doc scoring against
+      * standing tables, so the gate is ingest-stream-safe like
+      * [[qualityModel]]. Docs with < 2 tokens carry no LM evidence and
+      * are dropped by the gate. */
+    lmModel: Option[NgramLm.BigramLm] = None,
+    /** Ceiling for [[lmModel]]'s perplexity (compared rounded to 1e-6,
+      * the minQuality stance). */
+    maxPerplexity: Double = Double.PositiveInfinity,
     /** Gopher repetition gates: drop docs whose duplicate-line /
       * duplicate-trigram fraction exceeds these caps. Pure per-row
       * column algebra — no shuffle. */
@@ -147,6 +158,14 @@ object Pipeline {
         .where(round(col("score"), 6) >= spec.minClassifierScore)
         .select(col(idCol))
       cur = checkpoint(cur.join(passing, Seq(idCol), "left_semi"), "classifier")
+    }
+
+    spec.lmModel.foreach { lm =>
+      val passing = NgramLm
+        .crossEntropy(cur.select(col(idCol), col(textCol)), lm, idCol, textCol)
+        .where(round(col("ppl"), 6) <= spec.maxPerplexity)
+        .select(col(idCol))
+      cur = checkpoint(cur.join(passing, Seq(idCol), "left_semi"), "lm_quality")
     }
 
     spec.adaptiveQualityKeep.foreach { keep =>

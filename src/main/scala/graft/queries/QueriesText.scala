@@ -94,6 +94,25 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    // The LM gate composed in the Pipeline plan (the q117 stance):
+    // perplexity gate at the corpus median -> exact dedup over the
+    // SURVIVORS. Planted +100000 duplicates ride their original's fate
+    // through the gate (identical text, identical ppl) and die in the
+    // dedup stage. Oracle: the q134 CTE chain scored over the augmented
+    // corpus, chained into the q27 fingerprint window.
+    "q135_pipeline_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 25)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val lm = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+      val spec = graft.operators.PipelineSpec(
+        lmModel = Some(lm), maxPerplexity = 30.0, exactDedup = true)
+      graft.operators.Pipeline.prepare(corpus, "doc_id", "text", spec).data
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // A3/F9: term frequencies, top 20 corpus-wide
     "q21_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -870,6 +889,53 @@ object QueriesText {
         |SELECT doc_id, n_bigrams, round(avg_logp, 6) + 0.0 AS avg_logp,
         |       round(exp(-avg_logp), 6) + 0.0 AS ppl
         |FROM agg""".stripMargin,
+
+    "q135_pipeline_lm" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        |ttok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE lang = 'en'),
+        |tpos AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w FROM ttok),
+        |tpairs AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM tpos a JOIN tpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM tpairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cc FROM tpairs GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM tpos),
+        |stok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM corpus),
+        |spos AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w FROM stok),
+        |spairs AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM spos a JOIN spos b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln((coalesce(big.cb, 0) + 0.5) / (coalesce(ctx.cc, 0) + 0.5 * voc.v)) AS lp
+        |  FROM spairs p
+        |  LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        |  LEFT JOIN ctx ON ctx.w1 = p.w1
+        |  CROSS JOIN voc),
+        |agg AS (SELECT doc_id, avg(lp) AS avg_logp FROM scored GROUP BY doc_id),
+        |surv AS (
+        |  SELECT c.doc_id, c.text
+        |  FROM corpus c JOIN agg ON agg.doc_id = c.doc_id
+        |  WHERE round(exp(-agg.avg_logp), 6) <= 30.0),
+        |dedup AS (
+        |  SELECT doc_id, text,
+        |         min(doc_id) OVER (PARTITION BY
+        |           md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
+        |         ) AS keeper
+        |  FROM surv)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM dedup WHERE doc_id = keeper""".stripMargin,
 
     "q132_url_dedup" ->
       """WITH urled AS (

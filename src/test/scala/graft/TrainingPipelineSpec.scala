@@ -34,6 +34,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("LM gate equals manual crossEntropy filter; sidecar round-trips") {
+    import graft.operators.NgramLm
+    val lm = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    val spec = PipelineSpec(lmModel = Some(lm), maxPerplexity = 30.0)
+    val got = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
+    val gotIds = got.data.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val wantIds = NgramLm.crossEntropy(docs, lm, "doc_id", "text")
+      .where(round(col("ppl"), 6) <= 30.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds === wantIds)
+    // the gate genuinely cuts, and the audit shows the lm_quality stage
+    assert(gotIds.nonEmpty && gotIds.size < docs.count())
+    val stages = got.stageCounts().toMap
+    assert(stages("lm_quality") === gotIds.size.toLong)
+
+    // persisted LM scores identically after reload
+    val dir = java.nio.file.Files.createTempDirectory("lm-sidecar").toString + "/lm"
+    NgramLm.save(lm, dir)
+    assert(NgramLm.exists(spark, dir))
+    val re = NgramLm.load(spark, dir)
+    assert(re.vocabSize === lm.vocabSize && re.alpha === lm.alpha)
+    val reIds = NgramLm.crossEntropy(docs, re, "doc_id", "text")
+      .where(round(col("ppl"), 6) <= 30.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reIds === wantIds)
+  }
+
   test("audit counts come from one pass, in stage order, monotone") {
     val spec = PipelineSpec(langAllow = Set("en"), minQuality = 0.65,
       exactDedup = true, mixtureRates = Map("en" -> 0.5), numShards = 2)
