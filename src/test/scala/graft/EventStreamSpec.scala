@@ -296,6 +296,40 @@ class EventStreamSpec extends SparkSpec {
     assert(graft.operators.Dedup.readDedupStats(ixDir).nDocs === 3L)
   }
 
+  test("streaming ingest applies the LM gate identically to the batch pipeline") {
+    import graft.operators.NgramLm
+    val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, String)] }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamlm")
+    val (ixDir, outDir, ckDir) = (s"$tmp/ix", s"$tmp/out", s"$tmp/ck")
+    graft.operators.Dedup.saveDedupIndex(
+      Seq((1L, "an utterly unrelated standing corpus document zzz"))
+        .toDF("doc_id", "text"), "doc_id", "text", ixDir)
+    val lm = NgramLm.fit(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the lazy dog sleeps under the warm sun")).toDF("doc_id", "text"),
+      "text")
+    val good = "the quick brown fox sleeps under the sun"
+    val bad = "zz qq ww rr tt yy uu ii oo pp"
+    // self-calibrating cut: midway between the two batch-scored ppls —
+    // the stream must reproduce the batch decision exactly
+    val ppl = NgramLm.crossEntropy(
+        Seq((1L, good), (2L, bad)).toDF("doc_id", "text"), lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(ppl(1L) < ppl(2L))
+    val spec = graft.operators.PipelineSpec(
+      lmModel = Some(lm), maxPerplexity = (ppl(1L) + ppl(2L)) / 2)
+    val q = EventStream.prepareIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      spec, ixDir, outDir, ckDir)
+    try {
+      mem.addData((101L, good), (102L, bad))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(101L))
+  }
+
   test("funnel counts only in-order completions") {
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
     val events = Seq(
