@@ -492,6 +492,58 @@ object PropertyGraph {
     }
   }
 
+  /** Personalized PageRank (the random surfer teleports back to the
+    * SOURCE set, not uniformly — Jeh & Widom WWW'03): mass starts at
+    * 1/|S| on the sources, each round
+    * `rank = (1-d)·1[v∈S]/|S| + d·Σ_in rank_src/outdeg_src`. The
+    * relevance ranking "how reachable is v FROM these seeds" — the graph
+    * side of seed-expansion retrieval, where plain PageRank is global
+    * importance. Fixed-iteration, no dangling redistribution — the
+    * [[pageRank]] oracle-stable stance — and the same two-exchange round
+    * shape: cached src-partitioned adjacency, only the rank vector
+    * shuffles per round. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[String],
+                           iterations: Int = 5, damping: Double = 0.85,
+                           checkpointInterval: Int = 1): DataFrame = {
+    require(iterations > 0, s"iterations must be positive: $iterations")
+    require(sources.nonEmpty, "personalizedPageRank needs at least one source")
+    val spark = edges.sparkSession
+    val nparts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("_outdeg")), "src")
+      .repartition(nparts, col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .withColumn("_src", col("id").isin(sources: _*)).persist()
+    try {
+      val nSrc = nodes.where(col("_src")).count()
+      require(nSrc == sources.distinct.length,
+        s"personalizedPageRank: ${sources.distinct.length - nSrc} source(s) " +
+          s"absent from the graph: sources must be existing node ids")
+      // teleport algebra mirrors pageRank: (1.0 - d)/|S| as COLUMN ops so
+      // the SQL oracle's literal arithmetic lands on the identical double
+      val teleport = (lit(1.0) - lit(damping)) / lit(nSrc.toDouble)
+      val seed = when(col("_src"), lit(1.0) / lit(nSrc.toDouble)).otherwise(lit(0.0))
+      var ranks = nodes.withColumn("rank", seed)
+      for (i <- 1 to iterations) {
+        val inflow = adj
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
+          .groupBy("id").agg(sum(col("_c")).as("_inflow"))
+        var next = nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"), col("_src"),
+            (when(col("_src"), teleport).otherwise(lit(0.0)) +
+              lit(damping) * coalesce(col("_inflow"), lit(0.0))).as("rank"))
+        if (i % checkpointInterval == 0 || i == iterations)
+          next = next.localCheckpoint(eager = true)
+        ranks = next
+      }
+      ranks.drop("_src")
+    } finally {
+      adj.unpersist(); nodes.unpersist()
+    }
+  }
+
   /** HITS hubs-and-authorities (Kleinberg JACM'99) in the sum-normalized
     * formulation: hubs start at 1/N; each round
     * `auth(v) = Σ_{u→v} hub(u)` then `auth ← auth/Σauth`, followed by

@@ -174,6 +174,16 @@ object QueriesGraph {
         .select(col("id"), (round(col("dist"), 6) + lit(0.0)).as("dist"))
     }),
 
+    // Personalized PageRank seeded at two regions: reachability-weighted
+    // relevance FROM the seeds, not global importance (on this DAG the
+    // mass flows only along region<-nation<-... reversed edges — i.e.
+    // stays near the seeds — so the ranking genuinely differs from q84).
+    // Oracle: q84's unroll with the teleport term gated on the seed set.
+    "q136_ppr" -> ((s, dir) =>
+      PropertyGraph.personalizedPageRank(GraphData.edges(s, dir),
+          Seq("region_0", "region_1"), iterations = 5)
+        .select(col("id"), (round(col("rank"), 6) + lit(0.0)).as("rank"))),
+
     // k-core (Seidman'83) over the supplier/nation/region graph
     // densified with the q85 supplier co-location cliques: k=3 keeps the
     // big-enough cliques and their attachment spine, while small-nation
@@ -480,6 +490,39 @@ object QueriesGraph {
          |d0 AS (SELECT 'region_0' AS id, CAST(0.0 AS DOUBLE) AS dist),
          |$rounds
          |SELECT id, round(dist, 6) + 0.0 AS dist FROM d4""".stripMargin
+    },
+
+    "q136_ppr" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.id,
+           |         (CASE WHEN n.id IN ('region_0', 'region_1')
+           |               THEN (1.0 - 0.85) / 2.0 ELSE 0.0 END)
+           |           + 0.85 * coalesce(s.inflow, 0.0) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.rank / e.outdeg) AS inflow
+           |    FROM edeg e JOIN pr${i - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT 'customer_' || c_custkey AS src, 'nation_' || c_nationkey AS dst FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+         |  UNION ALL
+         |  SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation
+         |  UNION ALL
+         |  SELECT 'order_' || o_orderkey, 'customer_' || o_custkey FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |edeg AS (
+         |  SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d
+         |    ON d.src = e.src),
+         |pr0 AS (
+         |  SELECT id, CASE WHEN id IN ('region_0', 'region_1')
+         |                  THEN 1.0 / 2.0 ELSE 0.0 END AS rank
+         |  FROM nodes),
+         |$rounds
+         |SELECT id, round(rank, 6) + 0.0 AS rank FROM pr5""".stripMargin
     },
 
     "q133_kcore" -> {

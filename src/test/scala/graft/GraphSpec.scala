@@ -407,6 +407,21 @@ class GraphSpec extends SparkSpec {
     close(got.values.map(_._2).sum, 1.0)
   }
 
+  test("personalizedPageRank: chain closed form; absent source fails loud") {
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = PropertyGraph.personalizedPageRank(chain, Seq("a"), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def close(x: Double, y: Double) = assert(math.abs(x - y) < 1e-12, s"$x != $y")
+    // r1: a=.15, b=.85, c=0; r2: a=.15, b=.85*.15, c=.85*.85
+    close(got("a"), 0.15)
+    close(got("b"), 0.85 * 0.15)
+    close(got("c"), 0.85 * 0.85)
+    val e = intercept[IllegalArgumentException] {
+      PropertyGraph.personalizedPageRank(chain, Seq("a", "zz"), iterations = 1)
+    }
+    assert(e.getMessage.contains("absent"))
+  }
+
   test("kCore: pendant chains peel over multiple rounds, the clique core survives") {
     // K4 on w,x,y,z plus a pendant chain z-p-q: k=2 must peel q (deg 1),
     // THEN p (deg 1 after q goes) — a genuine multi-round cascade — and
