@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedKnn}
+import graft.operators.{Ann, Knn, PackedKnn, PackedPq, PackedSq, Quantization}
 import org.apache.spark.sql.functions._
 
 /** Scale-tier recall validation: the oracle embeddings table is 2,000
@@ -109,6 +109,78 @@ class RecallFloorSpec extends SparkSpec {
       assert(r(4) >= 0.90, s"nProbe=4 recall ${r(4)}")
       assert(r(2) > r(1) && r(4) > r(2),
         s"recall must CLIMB with probes: $sweep")
+    } finally corpus.unpersist()
+  }
+
+  test("200k-row resident quantized tiers: SQ near-exact, PQ funnel repairs ADC") {
+    val t0 = System.nanoTime()
+    val corpus = clusteredCorpus(200000L)
+    try {
+      corpus.count()
+      val model = Ann.trainIvf(corpus, "embedding", numCells = 64, seed = 42L,
+        maxIter = 5, sampleFraction = 0.05)
+      val (qArr, truthSearch, _) = truthFor(corpus)
+
+      // SQ8 tier under the truth metric (cosine): full probe isolates
+      // pure quantization error; nProbe=4 adds the routing error on top
+      val sq = Quantization.trainSq(corpus, "embedding", sampleFraction = 0.05)
+      val piSq = PackedSq.packIvfSq(corpus, model, idCol = "vec_id",
+        vecCol = "embedding", sq = sq)
+      val sqFull = PackedSq.searchSq[Long](piSq, qArr, K, nProbe = 64, "cosine")
+        .map { case (q, nbrs) => q -> nbrs.map(_._1).toSet }.toMap
+      val sqP4 = PackedSq.searchSq[Long](piSq, qArr, K, nProbe = 4, "cosine")
+        .map { case (q, nbrs) => q -> nbrs.map(_._1).toSet }.toMap
+      piSq.unpersist()
+      val rSqFull = recall(sqFull, truthSearch)
+      val rSqP4 = recall(sqP4, truthSearch)
+
+      // PQ tier: on THIS data shape (dense 12.5k-member clusters whose
+      // true neighbors differ only by the noise term) raw-space PQ is
+      // the textbook failure — codebooks trained on the full
+      // distribution spend their centroids separating CLUSTERS, so
+      // within-cluster ranking collapses (funnel 0.227 measured even at
+      // fetchK=500). Residual codes (vec − cellCentroid, the IVFADC
+      // composition) train on the noise itself and recover it (0.553
+      // measured, 2.4x) — the measured case FOR the residual tier, not
+      // just a recorded number.
+      def pqRecall(pqM: Quantization.PqModel, residual: Boolean): Double = {
+        val pi = PackedPq.packIvfPq(corpus, model, pqM, idCol = "vec_id",
+          vecCol = "embedding", residual = residual)
+        val adc = PackedPq.searchAdc[Long](pi, qArr, fetchK = 500, nProbe = 4)
+        import spark.implicits._
+        val candDF = adc.toSeq
+          .flatMap { case (q, nbrs) => nbrs.map(n => (q, n._1)) }
+          .toDF("query_id", "neighbor_id")
+        val queries = qArr.toSeq.map { case (id, v) => (id, v.toSeq) }
+          .toDF("query_id", "query_vec")
+        val funnel = Quantization.rerankExact(candDF, queries, corpus, K,
+            metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+          .collect().groupBy(_.getAs[Long]("query_id")).view
+          .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+        pi.unpersist()
+        recall(funnel, truthSearch)
+      }
+      val rFunnelRaw = pqRecall(Quantization.trainPq(corpus, "embedding",
+        numSubspaces = 8, numCentroids = 64, seed = 42L, maxIter = 3,
+        sampleFraction = 0.03), residual = false)
+      val rFunnelRes = pqRecall(Quantization.trainPqResidual(corpus, "embedding",
+        model, numSubspaces = 8, numCentroids = 64, seed = 42L, maxIter = 3,
+        sampleFraction = 0.03), residual = true)
+
+      info(f"resident tiers recall@10 over 200k: SQ full $rSqFull%.3f, " +
+        f"SQ nProbe=4 $rSqP4%.3f, PQ funnel raw $rFunnelRaw%.3f, " +
+        f"PQ funnel residual $rFunnelRes%.3f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      // clean-box measurements recorded in the info line above on first
+      // landing; floors sit well under them (deterministic corpora —
+      // margins are platform drift allowances, not noise)
+      assert(rSqFull >= 0.90, s"SQ full-probe recall $rSqFull")
+      assert(rSqP4 >= 0.80, s"SQ nProbe=4 recall $rSqP4")
+      assert(rSqFull >= rSqP4 - 1e-9, s"probes can only help: $rSqP4 > $rSqFull")
+      assert(rFunnelRes >= rFunnelRaw + 0.2,
+        s"residual codes must recover within-cluster ranking: " +
+          s"raw $rFunnelRaw vs residual $rFunnelRes")
+      assert(rFunnelRes >= 0.40, s"residual funnel recall $rFunnelRes")
     } finally corpus.unpersist()
   }
 
