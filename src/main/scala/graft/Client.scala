@@ -417,6 +417,33 @@ final class GraftCollection(spark: SparkSession, dir: String,
     graft.operators.QualityClassifier.score(
       df.where(col("document").isNotNull), model, "id", "document")
 
+  private def lmModelDir = s"$dir/model_lm"
+
+  /** Fit and persist the bigram LM for perplexity-based quality scoring
+    * (CCNet stance: fit on a trusted slice, score everything). The count
+    * tables persist as a parquet sidecar — at 100 TB vocabulary they are
+    * relations, not broadcastable models. */
+  def trainLmModel(where: Option[Filter] = None, alpha: Double = 0.5): Unit = {
+    val slice = where.map(f => df.where(coalesce(f.compile, lit(false)))).getOrElse(df)
+    graft.operators.NgramLm.save(
+      graft.operators.NgramLm.fit(
+        slice.where(col("document").isNotNull), "document", alpha),
+      lmModelDir)
+  }
+
+  def hasLmModel: Boolean = graft.operators.NgramLm.exists(spark, lmModelDir)
+
+  /** Score every document against the persisted bigram LM:
+    * (id, n_bigrams, avg_logp, ppl). Docs with < 2 tokens are absent
+    * (no LM evidence). */
+  def perplexityScores(): DataFrame = {
+    require(hasLmModel,
+      s"collection '${config.name}' has no LM model; run trainLmModel() first")
+    graft.operators.NgramLm.crossEntropy(
+      df.where(col("document").isNotNull),
+      graft.operators.NgramLm.load(spark, lmModelDir), "id", "document")
+  }
+
   /** Contrastive hard negatives against this collection: for each anchor
     * row of `anchors` (query_id, query_vec|query_text, query_label), the
     * k nearest docs whose `labelCol` differs from the anchor's label

@@ -970,5 +970,15 @@ class ClientSpec extends SparkSpec {
       .collect().map(_.getAs[String]("id")).toSet
     assert(negs.subsetOf(Set("f2", "f4")), s"label-1 docs must be excluded: $negs")
     assert(negs.nonEmpty)
+    // LM perplexity: fit on the school slice, score everything — the
+    // in-distribution docs sit closer to the reference LM than spam
+    val e0 = intercept[IllegalArgumentException] { c.perplexityScores() }
+    assert(e0.getMessage.contains("trainLmModel"))
+    c.trainLmModel(where = Some(Filter.Eq("category", "school")))
+    assert(c.hasLmModel)
+    val ppl = c.perplexityScores()
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ppl")).toMap
+    assert(ppl("f1") < ppl("f2"), s"$ppl")
+    assert(ppl("f3") < ppl("f2"), s"$ppl")
   }
 }
