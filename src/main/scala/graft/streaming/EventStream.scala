@@ -338,6 +338,29 @@ object EventStream {
       }
       .start()
 
+  /** Streaming serving twin of the resident SQ8 tier
+    * ([[graft.operators.PackedSq.search]]): each micro-batch of queries
+    * answers from the standing byte slabs — decoded-space distances
+    * served directly, no rerank (8 bits/dim is near-exact; route through
+    * [[pqQueryStream]] when a funnel is wanted). Same idempotent
+    * batch-stamped output and empty-trigger guard as the other serving
+    * twins; the query-batch cap lives inside PackedSq.search. */
+  def sqQueryStream(stream: DataFrame, pi: graft.operators.PackedSq.PackedSqCorpus[Long],
+                    k: Int, outDir: String, checkpointDir: String,
+                    nProbe: Int = 4, metric: String = "cosine",
+                    queryId: String = "query_id", queryVec: String = "query_vec",
+                    maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.limit(1).count() > 0) {
+          graft.operators.PackedSq.search(pi, batch, k, nProbe, metric,
+              queryId, queryVec, maxQueryRows)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Ann.cellDrift]] — live
     * embedding-distribution monitoring at the ingest door: each
     * micro-batch of (vec) rows is assigned to the REFERENCE model's cells

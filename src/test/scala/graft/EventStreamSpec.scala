@@ -178,6 +178,54 @@ class EventStreamSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  test("streaming SQ8 serving equals the batch decoded-space search per micro-batch") {
+    import graft.operators.{Ann, PackedSq, Quantization}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Ann.trainIvf(embs, "embedding", numCells = 4)
+    val sq = Quantization.trainSq(embs, "embedding")
+    val pi = PackedSq.packIvfSq(embs, ivf, sq, idCol = "vec_id", vecCol = "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamsq")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.sqQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pi, k = 5,
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck",
+        nProbe = 4, metric = "cosine")
+      val qVecs = embs.where(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      try {
+        mem.addData(qVecs(0), qVecs(1))
+        q.processAllAvailable()
+        mem.addData(qVecs(2), qVecs(3)) // second batch, same resident slabs
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("query_id", "rank", "neighbor_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // full probe == sqSearch row-identity (the q130 contract)
+      val coded = embs.withColumn("sq_code", Quantization.sqEncode(sq)(col("embedding")))
+      val queryDF = embs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val want = Quantization.sqSearch(queryDF, coded, sq, k = 5, corpusId = "vec_id")
+        .select("query_id", "rank", "neighbor_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want)
+      // oversized micro-batch: the contract cap fails the stream loudly
+      val q2 = EventStream.sqQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pi, k = 5,
+        outDir = s"$tmp/out2", checkpointDir = s"$tmp/ck2", maxQueryRows = 1)
+      try {
+        mem.addData(qVecs(0), qVecs(1))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(ex.getMessage.contains("maxQueryRows") ||
+          Option(ex.getCause).exists(_.getMessage.contains("maxQueryRows")))
+      } finally q2.stop()
+    } finally pi.unpersist(blocking = true)
+  }
+
   test("streaming PQ-code serving equals the batch IVF-PQ funnel per micro-batch") {
     import graft.operators.{Ann, PackedPq, Quantization}
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
