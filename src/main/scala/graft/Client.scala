@@ -289,11 +289,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * the layout a training loader streams sequentially, shard-parallel
     * across readers. Returns per-shard row counts. */
   def exportTrainingData(spec: graft.operators.PipelineSpec,
-                         outDir: String): DataFrame = {
+                         outDir: String, format: String = "parquet"): DataFrame = {
     require(spec.numShards > 0, "exportTrainingData needs numShards > 0")
     graft.operators.Pipeline.writeShards(
-      prepareTrainingData(spec).data, outDir)
-    spark.read.parquet(outDir).groupBy("shard")
+      prepareTrainingData(spec).data, outDir, format)
+    (if (format == "json") spark.read.json(outDir)
+     else spark.read.parquet(outDir)).groupBy("shard")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
       .orderBy("shard")
   }

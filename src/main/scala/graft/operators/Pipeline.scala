@@ -19,6 +19,13 @@ import org.apache.spark.sql.{DataFrame, Observation}
 final case class PipelineSpec(
     /** Keep only these language codes (empty = no language gate). */
     langAllow: Set[String] = Set.empty,
+    /** URL-level dedup pre-pass (RefinedWeb/CCNet: run BEFORE content
+      * gates — most crawl duplicates are URL variants and should never
+      * reach the expensive stages): keep the longest doc per
+      * [[Dedup.canonicalizeUrl]] of this column. Within-batch in the
+      * ingest stream (the exactDedup stance — cross-batch near-dups fall
+      * to the index probe). */
+    urlDedupCol: Option[String] = None,
     /** Column the language gate reads. */
     langCol: String = "lang",
     /** Keep docs whose heuristic quality score clears this floor. The
@@ -140,6 +147,13 @@ object Pipeline {
 
     var cur = checkpoint(docs.where(col(textCol).isNotNull), "input")
 
+    spec.urlDedupCol.foreach { u =>
+      val keep = Dedup
+        .dedupByUrl(cur.select(col(idCol), col(u), col(textCol)), u, idCol, textCol)
+        .select(col(idCol))
+      cur = checkpoint(cur.join(keep, Seq(idCol), "left_semi"), "url_dedup")
+    }
+
     if (spec.langAllow.nonEmpty)
       cur = checkpoint(
         cur.where(col(spec.langCol).isin(spec.langAllow.toSeq.sorted: _*)),
@@ -246,12 +260,16 @@ object Pipeline {
     * deterministic shuffle order — the layout a training loader streams
     * sequentially, shard-parallel across readers. Crash-safe swap
     * (Collections.swapWrite). */
-  def writeShards(prepared: DataFrame, outDir: String): Unit = {
+  def writeShards(prepared: DataFrame, outDir: String,
+                  format: String = "parquet"): Unit = {
     require(prepared.columns.contains("shard") && prepared.columns.contains("seq"),
       "writeShards needs a prepare() result with numShards > 0")
+    // format "json" writes JSONL (one object per line, the interchange
+    // shape most training loaders read) with the same shard dirs,
+    // in-file shuffle order, and crash-safe swap as parquet
     graft.sources.Collections.swapWrite(
       prepared.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col("seq")),
-      outDir, partitionCols = Seq("shard"))
+      outDir, partitionCols = Seq("shard"), format = format)
   }
 }

@@ -102,7 +102,8 @@ object Collections {
     * (not deleted) before the new one moves in, and only deleted once the
     * swap has succeeded. */
   def swapWrite(result: DataFrame, dir: String,
-                partitionCols: Seq[String] = Nil): Unit = {
+                partitionCols: Seq[String] = Nil,
+                format: String = "parquet"): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = result.sparkSession
     val tmpPath = new Path(s"${dir}_tmp")
@@ -112,8 +113,13 @@ object Collections {
     // live on a non-default scheme (s3a://, hdfs://...).
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val w = result.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmpPath.toString)
+    val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    format match {
+      case "parquet" => pw.parquet(tmpPath.toString)
+      case "json" => pw.json(tmpPath.toString) // JSONL, one object per line
+      case other => throw new IllegalArgumentException(
+        s"swapWrite format must be parquet or json, got: $other")
+    }
     fs.delete(oldPath, true) // leftover from a prior crashed swap, if any
     if (fs.exists(dataPath)) fs.rename(dataPath, oldPath)
     fs.rename(tmpPath, dataPath)

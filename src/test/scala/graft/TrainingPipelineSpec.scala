@@ -34,6 +34,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("URL-dedup stage equals the standalone dedupByUrl survivor set") {
+    import graft.operators.Dedup
+    val urled = docs.limit(60).withColumn("url",
+      concat(lit("https://www.site"), col("doc_id") % 2, lit(".com/p/"),
+        (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit(""))))
+    val spec = PipelineSpec(urlDedupCol = Some("url"))
+    val res = Pipeline.prepare(urled, "doc_id", "text", spec, audit = true)
+    val got = res.data.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Dedup.dedupByUrl(urled, "url", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 60)
+    // metadata columns (url) survive the semi-join stage
+    assert(res.data.columns.contains("url"))
+    assert(res.stageCounts().toMap.apply("url_dedup") === got.size.toLong)
+  }
+
   test("LM gate equals manual crossEntropy filter; sidecar round-trips") {
     import graft.operators.NgramLm
     val lm = NgramLm.fit(docs.where(col("lang") === "en"), "text")
@@ -176,6 +194,25 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pipeline.writeShards(
         Pipeline.prepare(docs, "doc_id", "text", PipelineSpec()).data, out)
+    }
+    // JSONL export: same rows, same shard layout, physical LINE order in
+    // each file is seq order (training loaders stream lines)
+    val outJ = java.nio.file.Files.createTempDirectory("graft-export-jsonl").toString
+    Pipeline.writeShards(res.data, outJ, format = "json")
+    val backJ = spark.read.json(outJ)
+    assert(backJ.count() === res.data.count())
+    assert(backJ.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      back.select("doc_id").collect().map(_.getLong(0)).toSet)
+    for (sh <- 0 until 4) {
+      val files = new java.io.File(s"$outJ/shard=$sh").listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      val lines = files.sortBy(_.getName).flatMap(f =>
+        scala.io.Source.fromFile(f).getLines())
+      val seqs = lines.map(l => """"seq":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+      assert(seqs.toSeq === seqs.sorted.toSeq, s"jsonl shard $sh out of order")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.writeShards(res.data, outJ, format = "csvx")
     }
   }
 
