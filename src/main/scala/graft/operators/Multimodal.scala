@@ -323,6 +323,95 @@ object Multimodal {
         .select(col("id"), col("phash").as("simhash")),
       "id", maxHamming, bits = 56)
 
+  /** 31-bit energy-contour hash over decoded PCM: the audio analog of
+    * [[dHash]] — 32 equal-ish windows of mean |sample|, bit w set when
+    * window w is louder than window w+1. Like dHash it captures SHAPE
+    * (the loudness contour) and shrugs off small edits, so banded
+    * Hamming dedup works on 8-byte sketches without ever moving PCM.
+    * Comparisons are cross-multiplied (sumL·cntR > sumR·cntL): 16-bit
+    * samples are exact in float/double, the sums and products stay far
+    * inside the 53-bit mantissa, so every bit is integer-exact and a SQL
+    * oracle can re-derive the hash from a closed sample formula. */
+  private[graft] def audioHash(au: Codecs.Audio): Long = {
+    val w = 32
+    val n = au.samples.length
+    require(n >= w, s"audioHash needs >= $w samples, got $n")
+    val acc = new Array[Double](w)
+    val cnt = new Array[Int](w)
+    var i = 0
+    while (i < n) {
+      val g = (i.toLong * w / n).toInt
+      acc(g) += math.abs(au.samples(i)); cnt(g) += 1
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < w - 1) {
+      if (acc(j) * cnt(j + 1) > acc(j + 1) * cnt(j)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  private val audioHashUdf = udf((bytes: Array[Byte]) =>
+    try {
+      if (Codecs.isWav(bytes)) Some(audioHash(Codecs.decodeWav(bytes))) else None
+    } catch { case _: IllegalArgumentException => None })
+
+  /** (id, ahash) for every decodable PCM-WAV blob; null otherwise. */
+  def audioPerceptualHash(mm: DataFrame): DataFrame =
+    mm.select(col("id"), audioHashUdf(col("content")).as("ahash"))
+
+  /** Perceptual near-duplicate audio pairs: the [[imageNearDup]] shape
+    * over the 31-bit energy-contour sketches — banded Hamming candidate
+    * join (lossless pigeonhole), exact bit_count verify; candidate
+    * generation touches (id, int64) rows only, never samples. */
+  def audioNearDup(mm: DataFrame, maxHamming: Int = 2): DataFrame =
+    Dedup.simhashPairs(
+      audioPerceptualHash(mm).where(col("ahash").isNotNull)
+        .select(col("id"), col("ahash").as("simhash")),
+      "id", maxHamming, bits = 31)
+
+  /** Deterministic 1024-sample 16-bit mono PCM WAV generator for
+    * tests/oracles (the [[syntheticPpm]] stance): sample i is
+    * ((seed*73 + i*i*13 + i*seed) mod 4001) − 2000, and `tweakCol` rows
+    * get sample 0 bumped by +17 — a one-sample edit that moves one
+    * window's energy by ≤ 17/32768, a near-duplicate within 1 Hamming
+    * bit by construction. The closed formula lets a SQL oracle
+    * recompute the expected contour hash from integer window sums
+    * without parsing WAV. */
+  def syntheticWav(ids: DataFrame, idCol: String, seedCol: String,
+                   tweakCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("id"),
+      lit("audio").as("modality"),
+      syntheticWavUdf(col(seedCol).cast("long"), col(tweakCol)).as("content"),
+      struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(128).cast("int").as("duration_ms"),
+        lit(8000).cast("int").as("sample_rate")).as("meta"))
+
+  private val syntheticWavUdf = udf((seed: Long, tweak: Boolean) => {
+    val n = 1024
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var k = (((seed * 73 + i.toLong * i * 13 + i * seed) % 4001) - 2000).toInt
+      if (tweak && i == 0) k += 17
+      data(2 * i) = (k & 0xff).toByte
+      data(2 * i + 1) = ((k >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  })
+
   /** Deterministic 8x8 grayscale P6 PPM generator for tests/oracles:
     * pixel i (row-major) has R=G=B = (seed*37 + i*i*11 + i*seed) mod 251
     * (nonlinear in i with a seed interaction, so distinct seeds hash

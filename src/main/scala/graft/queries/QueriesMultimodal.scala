@@ -46,9 +46,52 @@ object QueriesMultimodal {
       val mm = Multimodal.syntheticPpm(base.unionByName(dups), "img_id", "seed", "tweak")
       Multimodal.imageNearDup(mm, maxHamming = 3)
     }),
+    // Perceptual audio near-dup: REAL 16-bit PCM WAV decode + 31-bit
+    // energy-contour hash + banded Hamming join, checked hash-exact
+    // against a DuckDB oracle that recomputes the contour from the
+    // synthetic samples' closed integer formula (the q82 stance for the
+    // audio modality). doc_id<25 get one-sample-edited copies (near-dups
+    // within 1 bit by construction).
+    "q138_audio_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") < 200)
+        .select(col("doc_id").as("aud_id"), col("doc_id").as("seed"),
+          lit(false).as("tweak"))
+      val dups = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("aud_id"), col("doc_id").as("seed"),
+          lit(true).as("tweak"))
+      val mm = Multimodal.syntheticWav(base.unionByName(dups), "aud_id", "seed", "tweak")
+      Multimodal.audioNearDup(mm, maxHamming = 2)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_audio_neardup" ->
+      """WITH auds AS (
+        |  SELECT doc_id AS id, doc_id AS seed, FALSE AS tweak
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, doc_id AS seed, TRUE AS tweak
+        |  FROM documents WHERE doc_id < 25),
+        |smp AS (
+        |  SELECT id, i,
+        |    (seed * 73 + i * i * 13 + i * seed) % 4001 - 2000
+        |      + (CASE WHEN tweak AND i = 0 THEN 17 ELSE 0 END) AS k
+        |  FROM auds, LATERAL (SELECT unnest(range(0, 1024)) AS i)),
+        |wsum AS (SELECT id, i // 32 AS w, sum(abs(k)) AS e FROM smp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT l.id, l.w AS b
+        |  FROM wsum l JOIN wsum r ON r.id = l.id AND r.w = l.w + 1
+        |  WHERE l.e > r.e),
+        |hashes AS (
+        |  SELECT a.id,
+        |         coalesce(CAST(sum(1::BIGINT << CAST(b.b AS INT)) AS BIGINT), 0) AS h
+        |  FROM auds a LEFT JOIN bits b ON b.id = a.id
+        |  GROUP BY a.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
     "q46_multimodal_meta" ->
       """SELECT doc_id AS id, 'image' AS modality,
         |       CAST(length(text) % 1024 AS INT) AS width,

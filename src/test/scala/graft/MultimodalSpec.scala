@@ -198,4 +198,37 @@ class MultimodalSpec extends SparkSpec {
         lit(null).cast(Multimodal.metaSchema).as("meta")))
     assert(Multimodal.perceptualHash(mixed).where(col("phash").isNull).count() === 1)
   }
+
+  test("audioNearDup pairs a 1-sample edit with its original through real WAV decode") {
+    val auds = Seq(
+      (1L, 10L, false), (2L, 10L, true),      // near-dup pair (1-sample edit)
+      (3L, 77L, false), (4L, 123L, false))    // unrelated seeds
+      .toDF("aud_id", "seed", "tweak")
+    val mm = Multimodal.syntheticWav(auds, "aud_id", "seed", "tweak")
+    // the synthetic blob decodes through the REAL PCM path: 1024 samples
+    // at 8 kHz mono, sample values matching the closed formula
+    val au = graft.operators.Multimodal.Codecs.decodeWav(
+      mm.where(col("id") === 1L).head().getAs[Array[Byte]]("content"))
+    assert(au.sampleRate === 8000 && au.channels === 1 && au.samples.length === 1024)
+    val k0 = ((10L * 73 + 0) % 4001 - 2000).toInt
+    assert(math.abs(au.samples(0) - k0 / 32768.0f) < 1e-9)
+    val pairs = Multimodal.audioNearDup(mm, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 <= 1) // a sample-0 edit flips at most bit 0
+    // banded join == all-pairs scan (pigeonhole losslessness at 31 bits)
+    val sk = Multimodal.audioPerceptualHash(mm)
+      .select(col("id"), col("ahash").as("simhash"))
+    val banded = graft.operators.Dedup.simhashPairs(sk, "id", 2, bits = 31)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Dedup.simhashPairsExact(sk, "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact)
+    // ahash null for non-WAV bytes
+    val mixed = mm.unionByName(Seq((9L, "image", "not audio".getBytes, null))
+      .toDF("id", "modality", "content", "meta")
+      .select(col("id"), col("modality"), col("content"),
+        lit(null).cast(Multimodal.metaSchema).as("meta")))
+    assert(Multimodal.audioPerceptualHash(mixed).where(col("ahash").isNull).count() === 1)
+  }
 }
