@@ -265,10 +265,14 @@ object PackedSq {
     // so per (dim, code) we pre-tabulate exactly those products; the scan
     // then sums the SAME doubles in the SAME ascending-dim order.
     val qhat: Array[Array[Double]] = queries.map(q => roundtrip(sq, q._2))
+    // LUTs are FLAT dim*256 arrays indexed (i << 8) | c — one bounds
+    // check and contiguous row-major locality in the scan's hot loop
+    // (a nested Array[Array[Double]] costs an extra dereference per
+    // element and scatters rows across the heap)
     // corpus-side x*x per (dim, code) — query-independent
-    val sqLut: Array[Array[Double]] =
-      if (metric == "cosine") Array.tabulate(dim, 256)((i, c) => {
-        val x = dec(sq, i, c); x * x
+    val sqLut: Array[Double] =
+      if (metric == "cosine") Array.tabulate(dim * 256)(j => {
+        val x = dec(sq, j >> 8, j & 0xFF); x * x
       }) else null
     // query norms Σ y*y, ascending-dim like the kernel's nb accumulator
     val qNorm: Array[Double] =
@@ -278,9 +282,9 @@ object PackedSq {
         s
       } else null
     // per-query main table: x*y (cosine/ip) or (x-y)^2 (l2)
-    val luts: Array[Array[Array[Double]]] = qhat.map { qd =>
-      Array.tabulate(dim, 256) { (i, c) =>
-        val x = dec(sq, i, c)
+    val luts: Array[Array[Double]] = qhat.map { qd =>
+      Array.tabulate(dim * 256) { j =>
+        val i = j >> 8; val x = dec(sq, i, j & 0xFF)
         if (metric == "l2") { val d = x - qd(i); d * d } else x * qd(i)
       }
     }
@@ -314,14 +318,16 @@ object PackedSq {
                 if (cosine) {
                   var dot = 0.0; var na = 0.0; var i = 0
                   while (i < bd) {
-                    val c = codes(base + i) & 0xFF
-                    dot += lut(i)(c); na += sqLut(i)(c); i += 1
+                    val j = (i << 8) | (codes(base + i) & 0xFF)
+                    dot += lut(j); na += sqLut(j); i += 1
                   }
                   d = if (na == 0.0 || nb == 0.0) 1.0
                       else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
                 } else {
                   var s = 0.0; var i = 0
-                  while (i < bd) { s += lut(i)(codes(base + i) & 0xFF); i += 1 }
+                  while (i < bd) {
+                    s += lut((i << 8) | (codes(base + i) & 0xFF)); i += 1
+                  }
                   d = if (l2) math.sqrt(s) else -s
                 }
                 val id = blk.ids(r)
