@@ -264,12 +264,20 @@ object PackedPq {
 
   // ------------------------------------------------------------- search
 
+  /** LUTs are FLAT numSubspaces*numCentroids arrays indexed mi*nC + c —
+    * one bounds check, one dereference, and DENSE cache lines in the ADC
+    * hot loop (the PackedSq lesson, minus its 256-padding: padding to a
+    * power of two wastes 4x the cache at 64 centroids and measured 5x
+    * SLOWER at 1M — density beats shift-indexing). */
+  private def flatLut(m: Int, nC: Int)(entry: (Int, Int) => Double): Array[Double] =
+    Array.tabulate(m * nC)(j => entry(j / nC, j % nC))
+
   /** Per-query ADC lookup table, replicating [[Quantization.pqLut]]'s
     * arithmetic exactly: lut(m)(c) = Σ_j (q_float(m*subDim+j) − book(m)(c)(j))²
     * accumulated in doubles, j ascending. */
-  private def lutFor(pq: Quantization.PqModel, qv: Array[Float]): Array[Array[Double]] = {
+  private def lutFor(pq: Quantization.PqModel, qv: Array[Float]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
-    Array.tabulate(pq.numSubspaces, books(0).length) { (mi, c) =>
+    flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
       var d = 0.0; var j = 0
       while (j < subDim) {
         val diff = qv(mi * subDim + j) - books(mi)(c)(j); d += diff * diff; j += 1
@@ -282,9 +290,9 @@ object PackedPq {
     * [[Ann.pqLutResidual]]'s arithmetic exactly:
     * lut(m)(c) = Σ_j ((q_j − cent_j) − book(m)(c)(j))², doubles, j asc. */
   private def lutForResidual(pq: Quantization.PqModel, qv: Array[Float],
-                             cc: Array[Double]): Array[Array[Double]] = {
+                             cc: Array[Double]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
-    Array.tabulate(pq.numSubspaces, books(0).length) { (mi, c) =>
+    flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
       var d = 0.0; var j = 0
       while (j < subDim) {
         val idx = mi * subDim + j
@@ -309,9 +317,9 @@ object PackedPq {
   /** Rotated-query LUT, replicating [[Quantization.opqLut]]'s arithmetic
     * exactly: lut(m)(c) = Σ_j (rq(m·subDim+j) − book(m)(c)(j))², doubles,
     * j ascending. */
-  private def lutForRotated(pq: Quantization.PqModel, rq: Array[Double]): Array[Array[Double]] = {
+  private def lutForRotated(pq: Quantization.PqModel, rq: Array[Double]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
-    Array.tabulate(pq.numSubspaces, books(0).length) { (mi, c) =>
+    flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
       var d = 0.0; var j = 0
       while (j < subDim) {
         val diff = rq(mi * subDim + j) - books(mi)(c)(j); d += diff * diff; j += 1
@@ -342,19 +350,20 @@ object PackedPq {
     // residual codes: one LUT per (query, probed cell) — Q×nProbe tables,
     // same size class, built on the driver and shipped with the closure
     // keyed by cell so each task indexes its own row positionally.
-    val luts: Array[Array[Array[Double]]] =
+    val luts: Array[Array[Double]] =
       if (pi.residual) null
       else pi.rotation match {
         case Some(r) => queries.map(q => lutForRotated(pi.pq, rotateQ(r, q._2)))
         case None => queries.map(q => lutFor(pi.pq, q._2))
       }
-    val lutsByCell: Map[Int, Array[Array[Array[Double]]]] =
+    val lutsByCell: Map[Int, Array[Array[Double]]] =
       if (!pi.residual) null
       else byCell.map { case (cell, qIdxs) =>
         cell -> qIdxs.map(qi => lutForResidual(pi.pq, queries(qi)._2, cents(cell)))
       }
     val partIds = byCell.keys.toArray.sorted
     val idOrd = implicitly[Ordering[I]]
+    val nC = pi.pq.codebooks(0).length // flat-LUT row stride
     val sc = pi.blocks.sparkContext
     val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
       (ctx: org.apache.spark.TaskContext, it: Iterator[CodeBlock[I]]) => {
@@ -379,8 +388,10 @@ object PackedPq {
               val heap = heaps(qi)
               var r = 0
               while (r < n) {
-                var s = 0.0; var mi = 0; val base = r * bm
-                while (mi < bm) { s += lut(mi)(codes(base + mi) & 0xFF); mi += 1 }
+                var s = 0.0; var mi = 0; val base = r * bm; var off = 0
+                while (mi < bm) {
+                  s += lut(off + (codes(base + mi) & 0xFF)); mi += 1; off += nC
+                }
                 val d = math.sqrt(s)
                 val id = blk.ids(r)
                 if (heap.size < fetchK) heap.add((id, d))
