@@ -91,6 +91,13 @@ final case class PipelineSpec(
     mixtureDefaultRate: Double = 1.0,
     /** Column the mixture rates key on (language, source, ...). */
     mixtureGroupCol: String = "lang",
+    /** Per-group whitespace-token budget (applied after mixture): each
+      * [[mixtureGroupCol]] group keeps docs in deterministic hash order
+      * until its budget is exhausted ([[Sampling.budgetSample]] — the
+      * crossing doc is kept, so budgets are met-or-slightly-exceeded,
+      * never undershot). Corpus-global (per-group running sums) —
+      * cleared in the ingest stream like the other global knobs. */
+    tokenBudgetPerGroup: Option[Long] = None,
     /** Assign shuffle-shard + in-shard position (0 = skip). */
     numShards: Int = 0)
 
@@ -247,6 +254,14 @@ object Pipeline {
         Sampling.stratifiedSample(cur, spec.mixtureGroupCol, idCol,
           spec.mixtureRates, spec.mixtureDefaultRate),
         "mixture")
+
+    spec.tokenBudgetPerGroup.foreach { b =>
+      val weighted = cur.withColumn("_wtok",
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      cur = checkpoint(
+        Sampling.budgetSample(weighted, spec.mixtureGroupCol, idCol, "_wtok", b)
+          .drop("_wtok"), "token_budget")
+    }
 
     if (spec.numShards > 0)
       cur = Sampling.shuffleShards(cur, idCol, spec.numShards)

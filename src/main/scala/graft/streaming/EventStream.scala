@@ -452,6 +452,7 @@ object EventStream {
       spec.nearDupIndexDir.map(_ => "nearDupIndexDir"),
       spec.adaptiveQualityKeep.map(_ => "adaptiveQualityKeep"),
       spec.stripBoilerplateMinDocs.map(_ => "stripBoilerplateMinDocs"),
+      spec.tokenBudgetPerGroup.map(_ => "tokenBudgetPerGroup"),
       if (spec.numShards > 0) Some("numShards") else None).flatten
     if (globalKnobs.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
@@ -460,7 +461,7 @@ object EventStream {
           "the rest belong to the export/compaction pass")
     val batchSpec = spec.copy(nearDupThreshold = None, nearDupIndexDir = None,
       adaptiveQualityKeep = None, stripBoilerplateMinDocs = None,
-      numShards = 0)
+      tokenBudgetPerGroup = None, numShards = 0)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -34,6 +34,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("token-budget stage equals the standalone budgetSample draw") {
+    import graft.operators.Sampling
+    import graft.functions.TextAnalysis
+    val spec = PipelineSpec(mixtureGroupCol = "lang",
+      tokenBudgetPerGroup = Some(2000L))
+    val res = Pipeline.prepare(docs, "doc_id", "text", spec, audit = true)
+    val got = res.data.select("doc_id").collect().map(_.getLong(0)).toSet
+    val weighted = docs.where(col("text").isNotNull)
+      .withColumn("_wtok", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+    val want = Sampling.budgetSample(weighted, "lang", "doc_id", "_wtok", 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < docs.count())
+    // the helper weight column never leaks into the result
+    assert(!res.data.columns.contains("_wtok"))
+    assert(res.stageCounts().toMap.apply("token_budget") === got.size.toLong)
+    // per-group token totals land within one crossing doc of the budget
+    val totals = res.data
+      .withColumn("_wtok", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+      .groupBy("lang").agg(sum("_wtok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (g, t) => assert(t >= math.min(2000L, 1L), s"$g: $t") }
+  }
+
   test("URL-dedup stage equals the standalone dedupByUrl survivor set") {
     import graft.operators.Dedup
     val urled = docs.limit(60).withColumn("url",
