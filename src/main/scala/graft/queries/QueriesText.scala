@@ -113,6 +113,40 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    // The FULL RefinedWeb-order curation chain as ONE Pipeline plan:
+    // URL dedup (pre-pass) -> language gate -> LM perplexity gate ->
+    // exact dedup -> per-group token budget. Three planted populations
+    // probe stage ORDER: +200000 truncated URL-variants die in the URL
+    // stage (their longer originals survive), +100000 verbatim copies
+    // ride through every gate identically and die in exact dedup, and
+    // the budget cuts the en survivors at 5k whitespace tokens in hash
+    // order. The oracle chains all five stages' proven SQL fragments.
+    "q139_pipeline_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val urlVar = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 40).as("text"), col("lang"), col("source"))
+      val dups = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+      val corpus = base.unionByName(urlVar).unionByName(dups)
+        .withColumn("url", concat(
+          when(col("doc_id") >= 200000, lit("HTTP://")).otherwise(lit("https://www.")),
+          col("source"), lit(".ex.com/p/"),
+          when(col("doc_id") >= 200000, col("doc_id") - 200000)
+            .otherwise(col("doc_id")).cast("string"),
+          when(col("doc_id") >= 200000, lit("/")).otherwise(lit(""))))
+      val lm = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+      val spec = graft.operators.PipelineSpec(
+        urlDedupCol = Some("url"), langAllow = Set("en"),
+        lmModel = Some(lm), maxPerplexity = 30.0, exactDedup = true,
+        mixtureGroupCol = "lang", tokenBudgetPerGroup = Some(5000L))
+      graft.operators.Pipeline.prepare(corpus, "doc_id", "text", spec).data
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // A3/F9: term frequencies, top 20 corpus-wide
     "q21_top_terms" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -858,6 +892,92 @@ object QueriesText {
        |  GROUP BY tfc.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q139_pipeline_full" ->
+      """WITH docs0 AS (SELECT doc_id, text, lang, source FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text, lang, source FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, substr(text, 1, 40), lang, source
+        |  FROM docs0 WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source FROM docs0 WHERE doc_id < 25),
+        |urled AS (
+        |  SELECT doc_id, text, lang,
+        |    (CASE WHEN doc_id >= 200000 THEN 'HTTP://' ELSE 'https://www.' END)
+        |      || source || '.ex.com/p/'
+        |      || CAST(CASE WHEN doc_id >= 200000 THEN doc_id - 200000
+        |                   ELSE doc_id END AS VARCHAR)
+        |      || (CASE WHEN doc_id >= 200000 THEN '/' ELSE '' END) AS url
+        |  FROM corpus),
+        |canon AS (
+        |  SELECT doc_id, text, lang,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(lower(url),
+        |             '^https?://', ''), '^www\.', ''), '#.*$', ''),
+        |           '[?&](utm_[a-z_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |           '/index\.html$', ''), '/$', '') AS curl
+        |  FROM urled),
+        |u AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |           row_number() OVER (PARTITION BY curl
+        |             ORDER BY length(text) DESC, doc_id) AS rk
+        |    FROM canon) WHERE rk = 1),
+        |l AS (SELECT doc_id, text, lang FROM u WHERE lang = 'en'),
+        |ttok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM docs0 WHERE lang = 'en'),
+        |tpos AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w FROM ttok),
+        |tpairs AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM tpos a JOIN tpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM tpairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cc FROM tpairs GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM tpos),
+        |stok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM l),
+        |spos AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w FROM stok),
+        |spairs AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM spos a JOIN spos b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         ln((coalesce(big.cb, 0) + 0.5) / (coalesce(ctx.cc, 0) + 0.5 * voc.v)) AS lp
+        |  FROM spairs p
+        |  LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        |  LEFT JOIN ctx ON ctx.w1 = p.w1
+        |  CROSS JOIN voc),
+        |agg AS (SELECT doc_id, avg(lp) AS avg_logp FROM scored GROUP BY doc_id),
+        |lm AS (
+        |  SELECT l.doc_id, l.text, l.lang
+        |  FROM l JOIN agg ON agg.doc_id = l.doc_id
+        |  WHERE round(exp(-agg.avg_logp), 6) <= 30.0),
+        |dd AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      min(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
+        |      ) AS keeper
+        |    FROM lm) WHERE doc_id = keeper),
+        |h AS (
+        |  SELECT doc_id, text, lang,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv,
+        |         len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+        |             x -> x <> '')) AS wtok
+        |  FROM dd),
+        |c AS (
+        |  SELECT doc_id, text, wtok,
+        |         sum(wtok) OVER (PARTITION BY lang ORDER BY hv, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM c WHERE cum - wtok < 5000""".stripMargin,
+
     "q134_lm_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, lang,
