@@ -66,7 +66,12 @@ object Dedup {
     * pairs, no shuffle beyond the group-by. */
   def dedupByUrl(docs: DataFrame, urlCol: String, idCol: String,
                  textCol: String): DataFrame = {
-    val canon = docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    // null-URL rows carry no URL-dedup evidence and are EXCLUDED from
+    // the result (grouping them as one null class would silently pick
+    // one "survivor" among unrelated docs); callers wanting pass-through
+    // union them back, as the Pipeline stage does
+    val canon = docs.where(col(urlCol).isNotNull)
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
     // survivor pick as one struct-min aggregation (longest = smallest
     // negated length, ties by smallest id) — no Window sort
     val ranked = canon

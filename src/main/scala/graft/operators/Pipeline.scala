@@ -158,7 +158,12 @@ object Pipeline {
       val keep = Dedup
         .dedupByUrl(cur.select(col(idCol), col(u), col(textCol)), u, idCol, textCol)
         .select(col(idCol))
-      cur = checkpoint(cur.join(keep, Seq(idCol), "left_semi"), "url_dedup")
+      // null-URL rows carry no URL evidence: they PASS THROUGH rather
+      // than silently vanishing from the semi-join
+      cur = checkpoint(
+        cur.where(col(u).isNull)
+          .unionByName(cur.where(col(u).isNotNull)
+            .join(keep, Seq(idCol), "left_semi")), "url_dedup")
     }
 
     if (spec.langAllow.nonEmpty)

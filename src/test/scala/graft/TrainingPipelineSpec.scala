@@ -74,6 +74,14 @@ class TrainingPipelineSpec extends SparkSpec {
     // metadata columns (url) survive the semi-join stage
     assert(res.data.columns.contains("url"))
     assert(res.stageCounts().toMap.apply("url_dedup") === got.size.toLong)
+    // null-URL rows pass through (no URL evidence), never silently drop
+    val withNulls = urled.unionByName(docs.where(col("doc_id") >= 400)
+      .limit(5).withColumn("url", lit(null).cast("string")))
+    val gotN = Pipeline.prepare(withNulls, "doc_id", "text", spec).data
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nullIds = withNulls.where(col("url").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds.subsetOf(gotN) && gotN === got ++ nullIds)
   }
 
   test("LM gate equals manual crossEntropy filter; sidecar round-trips") {
