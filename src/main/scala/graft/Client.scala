@@ -1298,12 +1298,33 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * reference's SQ search serves these directly, quantization.py:154-174
     * — no rerank needed at 8 bits/dim). nProbe = numCells reproduces
     * [[Quantization.sqSearch]] exactly. Same output shape as [[query]]. */
-  def packedSqQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+  def packedSqQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+                    where: Option[Filter] = None): DataFrame = {
     ensureFreshPackedSq()
     if (packedSqIdx.isEmpty) buildPackedSqIndex()
     val (q, qRows, qArr) = collectQueries(queries)
     if (qArr.isEmpty) return packedResult(q, qRows, Array.empty)
-    packedResult(q, qRows, sqSearchRecovering(qArr, k, nProbe))
+    where match {
+      case None => packedResult(q, qRows, sqSearchRecovering(qArr, k, nProbe))
+      case Some(f) =>
+        // the packedAnnQuery filtered contract: probed cells return an
+        // over-fetched page, one metadata job marks passing ids,
+        // survivors keep their decoded-space distances — approximate by
+        // contract (probed cells only); exact filtered membership lives
+        // on query/packedQuery
+        val over = sqSearchRecovering(qArr, k * PackedFilterOverFetch, nProbe)
+        val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
+        val pass: Set[String] =
+          if (candIds.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            df.where(coalesce(f.compile, lit(false))).select("id")
+              .join(candIds.toDF("id"), Seq("id"), "left_semi")
+              .collect().map(_.getString(0)).toSet
+          }
+        packedResult(q, qRows, over.map { case (qi, nbrs) =>
+          (qi, nbrs.filter(n => pass(n._1)).take(k)) })
+    }
   }
 
   /** [[ensureFreshPacked]] for the SQ tier. */

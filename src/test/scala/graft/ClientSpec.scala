@@ -519,8 +519,9 @@ class ClientSpec extends SparkSpec {
 
   test("SQ8 tier: full-probe ranking, CRUD-maintained, stale-guarded, survives retrain") {
     val c = client.getOrCreateCollection("sq8")
-    c.add((0 until 48).map(i => (s"s$i", s"unique scalar quantized doc number $i body"))
-      .toDF("id", "document"))
+    c.add((0 until 48).map(i => (s"s$i", s"unique scalar quantized doc number $i body",
+        if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "document", "parity"))
     c.buildVectorIndex(numCells = 4)
     val e0 = intercept[IllegalArgumentException] { c.buildPackedSqIndex() }
     assert(e0.getMessage.contains("buildScalarQuantModel"))
@@ -569,6 +570,18 @@ class ClientSpec extends SparkSpec {
     assert(c.hasScalarQuantModel)
     c.buildPackedSqIndex()
     assert(rrid(c.packedSqQuery(q, k = 5, nProbe = 2)) === exact)
+
+    // filtered fast path: survivors of the metadata filter keep their
+    // decoded-space ranking (the packedAnnQuery over-fetch contract) —
+    // the query doc itself (s7, odd) is filtered out
+    val filtered = c.packedSqQuery(q, k = 5, nProbe = 2,
+      where = Some(Filter.Ne("parity", "odd")))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!filtered.contains("s7") && filtered.nonEmpty)
+    assert(filtered.forall(_.stripPrefix("s").toInt % 2 == 0))
+    val unfiltered = c.packedSqQuery(q, k = 48, nProbe = 2)
+      .select("id").collect().map(_.getString(0))
+    assert(filtered.subsetOf(unfiltered.toSet))
   }
 
   test("OPQ quant model: exact at full probe, CRUD-maintained, survives coarse retrain") {
