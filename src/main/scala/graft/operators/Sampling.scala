@@ -137,10 +137,24 @@ object Sampling {
     * sort independently, so the layout holds at any corpus size. Writing
     * with `partitionBy("shard")` aligns the file layout with the
     * assignment. */
-  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame =
+    shuffleShards(df, idCol, numShards, epoch = 0L)
+
+  /** [[shuffleShards]] with an epoch salt: epoch e permutes both shard
+    * assignment and in-shard order by hashing (id, e) instead of id —
+    * each training epoch gets a fresh deterministic global shuffle
+    * WITHOUT rewriting any data (re-derive the layout, stream in the new
+    * order). Epoch 0 hashes the bare id, so existing layouts (q79/q80)
+    * are byte-identical. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    epoch: Long): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    val salted =
+      if (epoch == 0L) hash32(col(idCol))
+      else hash32(concat(col(idCol).cast("string"), lit(s"#epoch$epoch")))
     val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
-    df.withColumn("_h", hash32(col(idCol)))
+    df.withColumn("_h", salted)
       .withColumn("shard", (col("_h") % numShards).cast("int"))
       .withColumn("seq", (row_number().over(w) - 1).cast("long"))
       .drop("_h")

@@ -90,6 +90,26 @@ class SamplingSpec extends SparkSpec {
       .select(col("id"), col("shard"), col("seq")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(s.sorted.toSeq == again.sorted.toSeq)
+
+    // epoch salt: epoch 0 IS the legacy layout; a later epoch is a fresh
+    // deterministic permutation of the same corpus (same membership,
+    // dense seqs, different placements) with no data rewrite
+    val e0 = Sampling.shuffleShards(rows, "id", numShards = 4, epoch = 0L)
+      .select(col("id"), col("shard"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e0.sorted.toSeq == s.sorted.toSeq)
+    val e1 = Sampling.shuffleShards(rows, "id", numShards = 4, epoch = 1L)
+      .select(col("id"), col("shard"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.map(_._1).sorted.toSeq == s.map(_._1).sorted.toSeq)
+    e1.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    assert(e1.sorted.toSeq != s.sorted.toSeq)
+    val e1again = Sampling.shuffleShards(rows, "id", numShards = 4, epoch = 1L)
+      .select(col("id"), col("shard"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.sorted.toSeq == e1again.sorted.toSeq)
   }
 
   test("packSequences: contiguous token spans per shard, correct seq cuts") {
