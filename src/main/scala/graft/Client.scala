@@ -1095,9 +1095,9 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // marker AFTER the model swap: readers pair flag+model atomically
     // enough for the single-writer lifecycle (retrain drops the slabs
     // first, so no sidecar can pair with a mismatched flag)
-    val marker = java.nio.file.Paths.get(pqResidualMarker)
-    if (residual) java.nio.file.Files.writeString(marker, """{"residual": true}""")
-    else java.nio.file.Files.deleteIfExists(marker)
+    if (residual)
+      ModelStore.writeString(pqResidualMarker, """{"residual": true}""")
+    else ModelStore.deleteIfExists(pqResidualMarker)
     packedPqIdx.foreach(_.unpersist())
     packedPqIdx = None
   }
@@ -1108,8 +1108,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
   private def opqModelDir = s"$dir/index_pq_opq"
 
   /** Whether the persisted product quantizer encodes residuals. */
-  def quantModelIsResidual: Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(pqResidualMarker))
+  def quantModelIsResidual: Boolean = ModelStore.pathExists(pqResidualMarker)
 
   /** Whether the persisted product quantizer carries an OPQ rotation. */
   def quantModelIsOpq: Boolean = ModelStore.exists(opqModelDir)
@@ -1487,7 +1486,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
         s"coarse retrain of '${config.name}' invalidates its RESIDUAL " +
           "product quantizer; dropping it — rerun buildQuantModel(residual = true)")
       fsI.delete(new org.apache.hadoop.fs.Path(pqModelDir), true)
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pqResidualMarker))
+      ModelStore.deleteIfExists(pqResidualMarker)
     }
     ModelStore.saveIvf(spark, trained, ivfDir)
     // the resident cell-partitioned packings were laid out by the OLD

@@ -98,7 +98,7 @@ object Bm25 {
     * docs append into their terms' buckets; replace/delete is a
     * copy-on-write rewrite preserving the layout. */
   def indexExists(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stats.json"))
+    ModelStore.pathExists(s"$dir/stats.json")
 
   /** Deterministic term-hash bucket (the postings partition key). */
   def termBucket(buckets: Int)(term: Column): Column =
@@ -130,21 +130,15 @@ object Bm25 {
   }
 
   def writeStats(dir: String, nDocs: Long, avgDocLen: Double,
-                 termBuckets: Int): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dir))
-    // write-then-atomic-rename: a crash mid-write never leaves a torn
-    // stats.json (same stance as Collections.swapWrite for the relations)
-    val tmp = Paths.get(dir, ".stats.json.tmp")
-    Files.writeString(tmp,
+                 termBuckets: Int): Unit =
+    // tmp + rename inside writeString: a crash mid-write never leaves a
+    // torn stats.json (same stance as Collections.swapWrite); scheme-aware
+    // so the sidecar follows the postings onto s3a/hdfs
+    ModelStore.writeString(s"$dir/stats.json",
       s"""{"n_docs": $nDocs, "avg_doc_len": $avgDocLen, "term_buckets": $termBuckets}""")
-    Files.move(tmp, Paths.get(dir, "stats.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
 
   private def statsField(dir: String, k: String): String = {
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "stats.json"))
+    val raw = ModelStore.readString(s"$dir/stats.json")
     (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(raw).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(s"missing $k in index stats"))
   }

@@ -675,7 +675,7 @@ object Dedup {
                                    nDocs: Long)
 
   def dedupIndexExists(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stats.json"))
+    ModelStore.pathExists(s"$dir/stats.json")
 
   private def bandBucket(buckets: Int)(band: Column, sig: Column): Column =
     pmod(xxhash64(band, sig), lit(buckets.toLong)).cast("int")
@@ -866,21 +866,15 @@ object Dedup {
     } finally { shB.unpersist(); bandsB.unpersist() }
   }
 
-  private def writeDedupStats(dir: String, st: DedupIndexStats): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, ".stats.json.tmp")
-    Files.writeString(tmp,
+  private def writeDedupStats(dir: String, st: DedupIndexStats): Unit =
+    // tmp + rename inside writeString, scheme-aware (s3a/hdfs/file)
+    ModelStore.writeString(s"$dir/stats.json",
       s"""{"num_hashes": ${st.numHashes}, "bands": ${st.bands}, """ +
         s""""shingle_n": ${st.shingleN}, "band_buckets": ${st.bandBuckets}, """ +
         s""""doc_buckets": ${st.docBuckets}, "n_docs": ${st.nDocs}}""")
-    Files.move(tmp, Paths.get(dir, "stats.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
 
   def readDedupStats(dir: String): DedupIndexStats = {
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "stats.json"))
+    val raw = ModelStore.readString(s"$dir/stats.json")
     def f(k: String): Long =
       (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(raw).map(_.group(1).toLong)
         .getOrElse(throw new IllegalArgumentException(s"missing $k in dedup stats"))

@@ -722,24 +722,6 @@ object PropertyGraph {
     } finally { und.unpersist() }
   }
 
-  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E'07) —
-    * community detection by iterated plurality voting: every node starts
-    * as its own label; each round it adopts the most frequent label among
-    * its neighbors, ties broken by the SMALLEST label, so every round is
-    * fully deterministic and the whole run unrolls into a cross-engine
-    * SQL oracle (the q84 stance — fixed `iterations`, no early stop).
-    * Edges vote UNDIRECTED with multigraph semantics: each edge row is
-    * one vote in each direction (graph.py has no community op; this is
-    * the standard large-graph extension next to PageRank/CC).
-    *
-    * Scale shape mirrors [[pageRank]]: the symmetrized adjacency is
-    * partitioned by src and cached ONCE; each round shuffles only the
-    * label vector — one src-keyed join, then the plurality pick as TWO
-    * hash aggregations ((dst,label) counts, then a struct-min over
-    * (-count, label) per dst — algebraically the oracle's
-    * `row_number() OVER (ORDER BY c DESC, label)` pick without the
-    * window sort). localCheckpoint per round, the measured optimum for
-    * iterated shuffle plans on this engine. */
   /** Weighted single-source shortest paths by distributed Bellman-Ford
     * relaxation: the known-distance vector starts as {source → 0} and
     * each round relaxes every outgoing edge of every known node —
@@ -783,6 +765,24 @@ object PropertyGraph {
     } finally e.unpersist()
   }
 
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E'07) —
+    * community detection by iterated plurality voting: every node starts
+    * as its own label; each round it adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label, so every round is
+    * fully deterministic and the whole run unrolls into a cross-engine
+    * SQL oracle (the q84 stance — fixed `iterations`, no early stop).
+    * Edges vote UNDIRECTED with multigraph semantics: each edge row is
+    * one vote in each direction (graph.py has no community op; this is
+    * the standard large-graph extension next to PageRank/CC).
+    *
+    * Scale shape mirrors [[pageRank]]: the symmetrized adjacency is
+    * partitioned by src and cached ONCE; each round shuffles only the
+    * label vector — one src-keyed join, then the plurality pick as TWO
+    * hash aggregations ((dst,label) counts, then a struct-min over
+    * (-count, label) per dst — algebraically the oracle's
+    * `row_number() OVER (ORDER BY c DESC, label)` pick without the
+    * window sort). localCheckpoint per round, the measured optimum for
+    * iterated shuffle plans on this engine. */
   def labelPropagation(edges: DataFrame, iterations: Int = 5,
                        srcCol: String = "src", dstCol: String = "dst",
                        checkpointInterval: Int = 1): DataFrame = {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.sources.Collections
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Persisted sidecars for TRAINED models — IVF coarse centroids, PQ
   * codebooks, SQ min/max stats, BQ thresholds — following the BM25 index
@@ -20,21 +20,66 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object ModelStore {
 
-  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "model.json"))
+  // ------------------------------------------- filesystem-scheme helpers
+  //
+  // Every sidecar touch goes through the Hadoop FileSystem OF THE TARGET
+  // PATH (the swapWrite stance, Collections.scala:112-114): a model dir
+  // may live on s3a://, hdfs://, or file:/ and NIO Paths.get would either
+  // crash on the URI or silently operate on a nonexistent local path —
+  // the exact stale-sidecar hazard the opq deletion below exists to close.
 
-  private def writeMeta(dir: String, kind: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    // write-then-atomic-rename: a crash mid-write never leaves a torn
-    // marker, and the marker lands only after the parquet swap succeeded
-    val tmp = Paths.get(dir, ".model.json.tmp")
-    Files.writeString(tmp, s"""{"kind": "$kind"}""")
-    Files.move(tmp, Paths.get(dir, "model.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  private def fsOf(p: Path) =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Scheme-aware file/dir existence check (plain path, not a model dir). */
+  private[graft] def pathExists(path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(p).exists(p)
   }
+
+  /** Write a small marker/manifest string via tmp + delete + rename — a
+    * crash mid-write never leaves a torn marker visible at `path`. */
+  private[graft] def writeString(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val fs = fsOf(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  private[graft] def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fsOf(p).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Delete a file or directory tree if present (idempotent). */
+  private[graft] def deleteIfExists(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def exists(dir: String): Boolean = pathExists(s"$dir/model.json")
+
+  private def writeMeta(dir: String, kind: String): Unit =
+    // marker lands only after the parquet swap succeeded; the tmp+rename
+    // inside writeString keeps the crash window torn-marker-free
+    writeString(s"$dir/model.json", s"""{"kind": "$kind"}""")
 
   private def requireKind(dir: String, kind: String): Unit = {
     require(exists(dir), s"no persisted model at $dir")
-    val raw = Files.readString(Paths.get(dir, "model.json"))
+    val raw = readString(s"$dir/model.json")
     require(raw.contains(s""""kind": "$kind""""),
       s"model at $dir is not a $kind model: $raw")
   }

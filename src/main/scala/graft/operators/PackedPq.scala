@@ -469,22 +469,19 @@ object PackedPq {
     ModelStore.savePq(spark, pi.pq, s"$dir/pq")
     // the encoding geometry is part of the on-disk contract: a reopened
     // index that guessed wrong would serve garbage distances silently
-    val marker = java.nio.file.Paths.get(dir, "residual.json")
+    // scheme-aware (s3a/hdfs/file) like writeSlabDir and ModelStore — an
+    // NIO path here would crash on a remote URI, or worse, silently no-op
+    // the stale-opq deletion and serve rotated queries against raw codes
     if (pi.residual)
-      java.nio.file.Files.writeString(marker, """{"residual": true}""")
-    else java.nio.file.Files.deleteIfExists(marker)
+      ModelStore.writeString(s"$dir/residual.json", """{"residual": true}""")
+    else ModelStore.deleteIfExists(s"$dir/residual.json")
     pi.rotation match {
       case Some(r) =>
         ModelStore.saveOpq(spark, Quantization.OpqModel(r, pi.pq), s"$dir/opq")
       case None =>
         // a stale rotation sidecar from an earlier pack of this dir
         // would silently rotate queries against unrotated codes
-        val p = java.nio.file.Paths.get(s"$dir/opq")
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
+        ModelStore.deleteIfExists(s"$dir/opq")
     }
   }
 
@@ -504,8 +501,7 @@ object PackedPq {
     require(blocks.getNumPartitions == ivf.numCells,
       s"PQ slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
         s"but the coarse model has ${ivf.numCells} cells")
-    val residual =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "residual.json"))
+    val residual = ModelStore.pathExists(s"$dir/residual.json")
     val rotation =
       if (ModelStore.exists(s"$dir/opq"))
         Some(ModelStore.loadOpq(spark, s"$dir/opq").rotation)

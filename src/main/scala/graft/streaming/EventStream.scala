@@ -328,10 +328,15 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null query rows are SKIPPED, not fatal — the collectQueryBatch
+        // stance of the knn/maxP twins (a malformed row in a live stream
+        // must not kill the serving query with an NPE)
+        val clean = batch
+          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
         // the empty-trigger guard costs one limit(1) job (PackedPq.search
         // fails loud on an empty batch by contract)
-        if (batch.limit(1).count() > 0) {
-          graft.operators.PackedPq.search(pi, batch, corpus, k, nProbe, fetchK,
+        if (clean.limit(1).count() > 0) {
+          graft.operators.PackedPq.search(pi, clean, corpus, k, nProbe, fetchK,
               metric, queryId, queryVec, corpusId, vecCol, maxQueryRows)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
@@ -353,8 +358,11 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batch.limit(1).count() > 0) {
-          graft.operators.PackedSq.search(pi, batch, k, nProbe, metric,
+        // same skip-null stance as pqQueryStream
+        val clean = batch
+          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
+        if (clean.limit(1).count() > 0) {
+          graft.operators.PackedSq.search(pi, clean, k, nProbe, metric,
               queryId, queryVec, maxQueryRows)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
