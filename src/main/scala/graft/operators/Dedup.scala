@@ -113,6 +113,81 @@ object Dedup {
         array((0 until numHashes).map(i => coalesce(col(s"m$i"), lit(MinhashP))): _*).as("sig"))
   }
 
+  /** Candidate (id_a, id_b) pairs from a banded relation, with the one
+    * unbounded blowup of banded LSH closed: a single band bucket holding
+    * K rows emits K²/2 pairs under the plain self-join, so a boilerplate
+    * mega-cluster (millions of near-identical docs landing on one band
+    * value) turns a linear stage quadratic at corpus scale. Contract:
+    *
+    *  - bucket sizes are counted FIRST (one aggregation over the banded
+    *    relation — the same shuffle key the join itself uses), so the
+    *    guard adds one cheap pass, never a second tokenization;
+    *  - `hotBucketMode = "fail"` (default): any bucket over `maxBucket`
+    *    rows aborts with the offending band values and sizes listed —
+    *    the stage fails loud BEFORE the quadratic join launches;
+    *  - `hotBucketMode = "star"`: oversized buckets emit only
+    *    (bucket-min, member) star edges — linear in K and connectivity-
+    *    preserving for [[duplicateClusters]]-style workflows (every
+    *    member stays attached to the bucket hub) — while buckets within
+    *    the cap keep exact all-pairs candidates. The caller's exact
+    *    verify (Jaccard / Hamming) still runs on every emitted edge, so
+    *    emitted pairs are never WRONG; star mode trades pair recall
+    *    inside mega-buckets for a linear bound — the curation stance
+    *    where a 10k-copy cluster needs one surviving hub, not 50M
+    *    verified pairs;
+    *  - `maxBucket <= 0`: guard off (unbounded self-join).
+    *
+    * The hot-key list is at most |corpus| / maxBucket rows by
+    * construction, so broadcasting it is always safe. */
+  private[graft] def bandedPairCandidates(banded0: DataFrame,
+                                          keyCols: Seq[String], docCol: String,
+                                          maxBucket: Int, hotBucketMode: String,
+                                          op: String): DataFrame = {
+    require(hotBucketMode == "fail" || hotBucketMode == "star",
+      s"hotBucketMode must be 'fail' or 'star': '$hotBucketMode'")
+    def fullPairs(df: DataFrame): DataFrame = {
+      val a = df.select(keyCols.map(col) :+ col(docCol).as("id_a"): _*)
+      val b = df.select(keyCols.map(col) :+ col(docCol).as("id_b"): _*)
+      a.join(b, keyCols).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }
+    if (maxBucket <= 0) return fullPairs(banded0).distinct()
+    val banded = banded0.persist()
+    try {
+      val counts = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_bc"))
+      val worst = counts.where(col("_bc") > maxBucket)
+        .orderBy(col("_bc").desc).limit(20).collect()
+      val cand =
+        if (worst.isEmpty) fullPairs(banded).distinct()
+        else if (hotBucketMode == "fail")
+          throw new IllegalStateException(
+            s"$op: ${worst.length}${if (worst.length == 20) "+" else ""} band " +
+              s"bucket(s) exceed maxBucket=$maxBucket rows — the candidate " +
+              "self-join would go quadratic (K rows -> K^2/2 pairs). Worst: " +
+              worst.map(r => keyCols.map(k => s"$k=${r.getAs[Any](k)}")
+                  .mkString("(", ", ", ")") + s" size=${r.getAs[Long]("_bc")}")
+                .mkString("; ") +
+              ". Raise maxBucket deliberately, or pass hotBucketMode=\"star\" " +
+              "to emit linear (bucket-min, member) edges inside oversized " +
+              "buckets (connectivity-preserving for cluster workflows).")
+        else {
+          val hotKeys = broadcast(
+            counts.where(col("_bc") > maxBucket).select(keyCols.map(col): _*))
+          val cold = banded.join(hotKeys, keyCols, "left_anti")
+          val hotRows = banded.join(hotKeys, keyCols, "left_semi")
+          val hubs = hotRows.groupBy(keyCols.map(col): _*)
+            .agg(min(col(docCol)).as("id_a"))
+          val star = hotRows.join(broadcast(hubs), keyCols)
+            .where(col("id_a") < col(docCol))
+            .select(col("id_a"), col(docCol).as("id_b"))
+          fullPairs(cold).unionByName(star).distinct()
+        }
+      // materialize while `banded` is still cached: the caller unpersists
+      // its own inputs right after, and candidates are verify-side small
+      cand.localCheckpoint(eager = true)
+    } finally banded.unpersist()
+  }
+
   /** LSH banding: candidate pairs whose signatures collide in >= 1 band,
     * then verified with exact shingle-set Jaccard. Returns
     * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -120,10 +195,14 @@ object Dedup {
     * The shingle relation is computed once and reused for hashing,
     * signatures, sizes, and verification (one persist instead of five
     * re-tokenizations); candidate pairs stay tiny so verification is two
-    * candidate-sided joins, never an all-pairs pass. */
+    * candidate-sided joins, never an all-pairs pass. Candidate generation
+    * runs under the [[bandedPairCandidates]] hot-bucket guard: a
+    * boilerplate mega-cluster fails loud (or degrades to linear star
+    * edges) instead of stalling the stage quadratically. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 8192,
+                 hotBucketMode: String = "fail"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingleSets(docs, idCol, textCol, shingleN)
@@ -141,11 +220,8 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "band_sig")))
-      val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
-      val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
-      val candidates = a.join(b, Seq("band", "band_sig"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val candidates = bandedPairCandidates(banded, Seq("band", "band_sig"),
+        "doc", maxBucket, hotBucketMode, "minhashLsh")
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
       val inter = candidates
         .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
@@ -924,27 +1000,31 @@ object Dedup {
     * within Hamming h must agree EXACTLY on at least one band, so
     * candidates are an equi-join on (band, band_value) and the result is
     * provably identical to the all-pairs scan. One shuffle keyed on the
-    * band value instead of an O(N^2) cross join. */
+    * band value instead of an O(N^2) cross join. Candidate generation
+    * runs under the [[bandedPairCandidates]] hot-bucket guard (identical
+    * sketches collide on EVERY band, so a mega-cluster of exact dups is
+    * precisely the quadratic case the guard closes). */
   def simhashPairs(sketches: DataFrame, idCol: String,
-                   maxHamming: Int = 8, bits: Int = 60): DataFrame = {
+                   maxHamming: Int = 8, bits: Int = 60,
+                   maxBucket: Int = 8192,
+                   hotBucketMode: String = "fail"): DataFrame = {
     val bands = maxHamming + 1
     val width = (bits + bands - 1) / bands
     val bandVals = (0 until bands).map { b =>
       shiftrightunsigned(col("simhash"), b * width)
         .bitwiseAND(lit((1L << width) - 1L))
     }
-    val banded = sketches.select(col(idCol).as("_id"), col("simhash").as("_sh"),
+    val banded = sketches.select(col(idCol).as("_doc"),
       posexplode(array(bandVals: _*)).as(Seq("_band", "_bval")))
-    val a = banded.select(col("_band"), col("_bval"),
-      col("_id").as("id_a"), col("_sh").as("sh_a"))
-    val b = banded.select(col("_band"), col("_bval"),
-      col("_id").as("id_b"), col("_sh").as("sh_b"))
-    a.join(b, Seq("_band", "_bval"))
-      .where(col("id_a") < col("id_b"))
+    val candidates = bandedPairCandidates(banded, Seq("_band", "_bval"),
+      "_doc", maxBucket, hotBucketMode, "simhashPairs")
+    val sk = sketches.select(col(idCol), col("simhash"))
+    candidates
+      .join(sk.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sk.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** All-pairs SimHash scan — the test oracle for the banded

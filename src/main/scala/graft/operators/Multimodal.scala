@@ -317,11 +317,14 @@ object Multimodal {
     * [[Dedup.simhashPairs]] over the 56-bit sketches. The LAION-style
     * image-dedup primitive: candidate generation touches only (id, int64)
     * rows, never pixel data. */
-  def imageNearDup(mm: DataFrame, maxHamming: Int = 3): DataFrame =
+  def imageNearDup(mm: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 8192,
+                   hotBucketMode: String = "fail"): DataFrame =
     Dedup.simhashPairs(
       perceptualHash(mm).where(col("phash").isNotNull)
         .select(col("id"), col("phash").as("simhash")),
-      "id", maxHamming, bits = 56)
+      "id", maxHamming, bits = 56,
+      maxBucket = maxBucket, hotBucketMode = hotBucketMode)
 
   /** 31-bit energy-contour hash over decoded PCM: the audio analog of
     * [[dHash]] — 32 equal-ish windows of mean |sample|, bit w set when
@@ -366,11 +369,14 @@ object Multimodal {
     * over the 31-bit energy-contour sketches — banded Hamming candidate
     * join (lossless pigeonhole), exact bit_count verify; candidate
     * generation touches (id, int64) rows only, never samples. */
-  def audioNearDup(mm: DataFrame, maxHamming: Int = 2): DataFrame =
+  def audioNearDup(mm: DataFrame, maxHamming: Int = 2,
+                   maxBucket: Int = 8192,
+                   hotBucketMode: String = "fail"): DataFrame =
     Dedup.simhashPairs(
       audioPerceptualHash(mm).where(col("ahash").isNotNull)
         .select(col("id"), col("ahash").as("simhash")),
-      "id", maxHamming, bits = 31)
+      "id", maxHamming, bits = 31,
+      maxBucket = maxBucket, hotBucketMode = hotBucketMode)
 
   /** Deterministic 1024-sample 16-bit mono PCM WAV generator for
     * tests/oracles (the [[syntheticPpm]] stance): sample i is

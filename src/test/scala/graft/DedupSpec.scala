@@ -198,6 +198,74 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  // --------------------------------------------------- hot-bucket guard
+
+  /** 10_000 byte-identical copies (one LSH band bucket of 10k rows in
+    * EVERY band) + 3 distinct docs that form their own small buckets. */
+  private lazy val megaCluster = {
+    val copies = (1L to 10000L).map(i =>
+      (i, "the exact same boilerplate footer text repeated across the whole crawl"))
+    val rest = Seq(
+      (20001L, "completely different content about database engines and query planners"),
+      (20002L, "completely different content about database engines and query planner"),
+      (20003L, "another unrelated string with its own vocabulary entirely"))
+    (copies ++ rest).toDF("doc_id", "text")
+  }
+
+  test("hot-bucket guard: a planted 10k-copy mega-cluster fails loud by default") {
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5).collect()
+    }
+    assert(e.getMessage.contains("maxBucket=8192"))
+    assert(e.getMessage.contains("size=10000"))
+    assert(e.getMessage.contains("hotBucketMode"))
+  }
+
+  test("star mode bounds the mega-cluster to linear candidates, keeps one component") {
+    val pairs = Dedup.minhashLsh(megaCluster, "doc_id", "text",
+      threshold = 0.5, hotBucketMode = "star")
+    val rows = pairs.collect()
+    // linear, not quadratic: 9999 hub edges from the mega-bucket plus the
+    // one small-bucket near-dup pair — nowhere near the 5*10^7 all-pairs
+    assert(rows.length < 10100, s"expected ~10k star edges, got ${rows.length}")
+    val hubEdges = rows.filter(r => r.getLong(0) == 1L)
+    assert(hubEdges.length === 9999) // hub = min doc id of the bucket
+    assert(hubEdges.forall(_.getDouble(2) === 1.0)) // exact verify still ran
+    assert(rows.map(r => (r.getLong(0), r.getLong(1)))
+      .contains((20001L, 20002L))) // cold buckets keep all-pairs semantics
+    // connectivity-preserving: the whole mega-cluster is ONE component
+    val comps = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 10000L).forall(i => comps(i) === comps(1L)))
+  }
+
+  test("star mode output is a connectivity-equal subset of the unbounded join") {
+    val full = Dedup.minhashLsh(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Dedup.minhashLsh(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 2, hotBucketMode = "star")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.subsetOf(full))
+    // the (1,2,4) near-dup cluster stays one component even though the
+    // tiny cap forced its buckets through the star path
+    assert(star.contains((1L, 2L)) || star.contains((1L, 4L)))
+  }
+
+  test("simhashPairs hot-bucket guard: fail lists the bucket, star is linear") {
+    val sketches = spark.range(1, 101)
+      .select(col("id").as("doc_id"), lit(0x123456789ABL).as("simhash"))
+    val e = intercept[IllegalStateException] {
+      Dedup.simhashPairs(sketches, "doc_id", maxHamming = 8, maxBucket = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("simhashPairs") && e.getMessage.contains("size=100"))
+    val star = Dedup.simhashPairs(sketches, "doc_id", maxHamming = 8,
+        maxBucket = 10, hotBucketMode = "star")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === (2L to 100L).map(i => (1L, i)).toSet)
+  }
+
   test("banded simhashPairs is identical to the all-pairs scan") {
     val sketches = Dedup.simhash(docs, "doc_id", "text")
     for (h <- Seq(2, 8, 20)) {
