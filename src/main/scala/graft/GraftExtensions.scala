@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("l2_normalize", es => L2Normalize(es.head))
     reg("hamming_distance", es => HammingDistance(es.head, es(1)))
     reg("pack_bits", es => PackBits(es.head))
+    reg("fp16_encode", es => Fp16Encode(es.head))
+    reg("fp16_decode", es => Fp16Decode(es.head))
     ext.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
   }
 }

@@ -283,6 +283,136 @@ case class PackBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IEEE 754 half-precision conversion kernels for the fp16 at-rest codec
+  * (reference binary_persistence.py:347-349 compress_vectors: none | fp16 |
+  * int8 — int8 is the SQ path, this is the fp16 rung: 2 bytes/dim, ~no
+  * recall loss at embedding magnitudes).
+  *
+  * Float -> half uses ROUND-HALF-TO-EVEN on the half grid, the IEEE
+  * default (numpy's astype(float16) behavior). The arithmetic is done in
+  * exact double steps (power-of-two grid spacing), so a SQL oracle can
+  * replay decode(encode(x)) with plain floor/CASE arithmetic and match
+  * bit-for-bit — the q16/q17 stance for SQ. */
+object Fp16 {
+  /** Round a float to IEEE half, returned as the raw 16-bit pattern.
+    * All arithmetic exact: |f| as double is exact, the grid spacing is a
+    * power of two, the quotient keeps the full mantissa, and rint is
+    * round-half-even. */
+  def floatToHalf(f: Float): Short = {
+    if (java.lang.Float.isNaN(f)) return 0x7e00.toShort
+    val sign = if ((java.lang.Float.floatToRawIntBits(f) & 0x80000000) != 0) 0x8000 else 0
+    val a = math.abs(f).toDouble
+    if (a == 0.0) return sign.toShort
+    if (a >= 65520.0) return (sign | 0x7c00).toShort // rounds past max half -> inf
+    var e = math.getExponent(a)
+    if (e < -14) e = -14 // subnormal half grid
+    val scale = java.lang.Math.scalb(1.0, e - 10) // grid spacing 2^(e-10)
+    var q = java.lang.Math.rint(a / scale).toInt // exact quotient, RNE
+    if (q == 2048) { q = 1024; e += 1 } // rounding carried into the next binade
+    val bits =
+      if (q < 1024) sign | q // subnormal (e == -14)
+      else sign | ((e + 15) << 10) | (q - 1024)
+    bits.toShort
+  }
+
+  /** Exact value of a half bit pattern (half values are exact in float). */
+  def halfToFloat(h: Short): Float = {
+    val u = h & 0xffff
+    val sign = if ((u & 0x8000) != 0) -1.0 else 1.0
+    val exp = (u >>> 10) & 0x1f
+    val mant = u & 0x3ff
+    if (exp == 0x1f)
+      return if (mant != 0) Float.NaN
+      else (sign * Double.PositiveInfinity).toFloat
+    val v =
+      if (exp == 0) mant * java.lang.Math.scalb(1.0, -24)
+      else (1024 + mant) * java.lang.Math.scalb(1.0, exp - 25)
+    (sign * v).toFloat
+  }
+}
+
+/** ARRAY<FLOAT/DOUBLE> -> BINARY, 2 bytes per element, little-endian IEEE
+  * half. Halves the at-rest footprint vs float32 with ~2^-11 relative
+  * rounding error — the cheap middle rung between raw floats and SQ int8. */
+case class Fp16Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fp16_encode"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fp16_encode requires ARRAY<FLOAT>/ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i) else a.getDouble(i).toFloat
+      val h = Fp16.floatToHalf(x)
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >>> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  // Interpreted body behind a codegen call — encode runs once per row at
+  // write time, never in a per-pair hot loop.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("fp16enc", this, classOf[Fp16Encode].getName)
+      s"${ev.value} = (byte[]) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** BINARY (little-endian halves) -> ARRAY<FLOAT>. */
+case class Fp16Decode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fp16_decode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fp16_decode requires BINARY, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val n = b.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = Fp16.halfToFloat(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("fp16dec", this, classOf[Fp16Decode].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API for the vector kernels. */
 object vector {
   def cosineDistance(a: Column, b: Column): Column =
@@ -297,6 +427,8 @@ object vector {
   def hammingDistance(a: Column, b: Column): Column =
     Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
   def packBits(a: Column): Column = Bridge.column(PackBits(Bridge.expression(a)))
+  def fp16Encode(a: Column): Column = Bridge.column(Fp16Encode(Bridge.expression(a)))
+  def fp16Decode(a: Column): Column = Bridge.column(Fp16Decode(Bridge.expression(a)))
 
   /** Distance column for a metric name (cosine | l2 | ip), mirroring the
     * reference's metric enum (vectordb.py:59-62). */
@@ -316,5 +448,7 @@ object vector {
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming_distance", es => HammingDistance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("pack_bits", es => PackBits(es.head), "built-in")
+    reg.createOrReplaceTempFunction("fp16_encode", es => Fp16Encode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("fp16_decode", es => Fp16Decode(es.head), "built-in")
   }
 }

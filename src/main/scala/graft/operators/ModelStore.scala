@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Collections
 import org.apache.spark.sql.SparkSession
-import org.apache.hadoop.fs.Path
 
 /** Persisted sidecars for TRAINED models — IVF coarse centroids, PQ
   * codebooks, SQ min/max stats, BQ thresholds — following the BM25 index
@@ -23,52 +22,27 @@ object ModelStore {
   // ------------------------------------------- filesystem-scheme helpers
   //
   // Every sidecar touch goes through the Hadoop FileSystem OF THE TARGET
-  // PATH (the swapWrite stance, Collections.scala:112-114): a model dir
-  // may live on s3a://, hdfs://, or file:/ and NIO Paths.get would either
-  // crash on the URI or silently operate on a nonexistent local path —
-  // the exact stale-sidecar hazard the opq deletion below exists to close.
+  // PATH (the swapWrite stance): a model dir may live on s3a://, hdfs://,
+  // or file:/ and NIO Paths.get would either crash on the URI or silently
+  // operate on a nonexistent local path — the exact stale-sidecar hazard
+  // the opq deletion in PackedPq.saveSlabs exists to close. The
+  // implementations live next to swapWrite in [[Collections]]; these
+  // delegates keep the model-layer call sites short.
 
-  private def fsOf(p: Path) =
-    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-
-  /** Scheme-aware file/dir existence check (plain path, not a model dir). */
-  private[graft] def pathExists(path: String): Boolean = {
-    val p = new Path(path)
-    fsOf(p).exists(p)
-  }
+  private[graft] def pathExists(path: String): Boolean =
+    Collections.pathExists(path)
 
   /** Write a small marker/manifest string via tmp + delete + rename — a
     * crash mid-write never leaves a torn marker visible at `path`. */
-  private[graft] def writeString(path: String, content: String): Unit = {
-    val p = new Path(path)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val fs = fsOf(p)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
-  }
+  private[graft] def writeString(path: String, content: String): Unit =
+    Collections.writeString(path, content)
 
-  private[graft] def readString(path: String): String = {
-    val p = new Path(path)
-    val in = fsOf(p).open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private[graft] def readString(path: String): String =
+    Collections.readString(path)
 
   /** Delete a file or directory tree if present (idempotent). */
-  private[graft] def deleteIfExists(path: String): Unit = {
-    val p = new Path(path)
-    val fs = fsOf(p)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  private[graft] def deleteIfExists(path: String): Unit =
+    Collections.deleteIfExists(path)
 
   def exists(dir: String): Boolean = pathExists(s"$dir/model.json")
 

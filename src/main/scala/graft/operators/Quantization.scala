@@ -76,6 +76,26 @@ object Quantization {
       k, metric, queryId, queryVec, corpusId, "_dec")
   }
 
+  // ------------------------------------------------------------- fp16 codec
+
+  /** Approximate kNN over fp16-encoded vectors (binary_persistence.py:
+    * 347-349's `fp16` compression level): decode-and-distance, with the
+    * query round-tripped through the codec for symmetry — the [[sqSearch]]
+    * stance one rung up the fidelity ladder (2 bytes/dim, ~2^-11 relative
+    * error, no training pass needed). */
+  def fp16Search(queries: DataFrame, corpus: DataFrame, k: Int,
+                 metric: String = "cosine",
+                 queryId: String = "query_id", queryVec: String = "query_vec",
+                 corpusId: String = "id", codeCol: String = "fp16_code"): DataFrame = {
+    val decoded = corpus.withColumn("_dec", vector.fp16Decode(col(codeCol)))
+    val q = queries.withColumn("_qdec",
+      vector.fp16Decode(vector.fp16Encode(col(queryVec))))
+    Knn.knnJoin(
+      q.select(col(queryId), col("_qdec").as(queryVec)),
+      decoded.select(col(corpusId), col("_dec")),
+      k, metric, queryId, queryVec, corpusId, "_dec")
+  }
+
   // ------------------------------------------------------------ Binary (BQ)
 
   /** Per-dimension median thresholds (quantization.py:307-327). Exact

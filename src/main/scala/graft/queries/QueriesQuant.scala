@@ -443,6 +443,37 @@ object QueriesQuant {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
+
+    // S9 fp16 at-rest codec (binary_persistence.py:347-349): per-dim
+    // round-trip reconstruction error. Encode is IEEE half with
+    // round-half-to-even (2 bytes/dim, no training pass); the oracle
+    // replays decode(encode(v)) as exact power-of-two grid arithmetic
+    // in SQL — the q16 stance for the fp16 rung.
+    "q140_fp16_stats" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      embs.select(posexplode(arrays_zip(
+          transform(col("embedding"), _.cast("double")),
+          transform(graft.functions.vector.fp16Decode(
+            graft.functions.vector.fp16Encode(col("embedding"))), _.cast("double"))
+        )).as(Seq("dim0", "z")))
+        .select(col("dim0"), abs(col("z.0") - col("z.1")).as("err"))
+        .groupBy("dim0").agg(round(avg("err"), 8).as("mean_abs_err"),
+          round(max("err"), 9).as("max_abs_err"))
+        .select((col("dim0") + 1).as("dim"),
+          col("mean_abs_err"), col("max_abs_err"))
+    }),
+
+    // S9 fp16 decode-and-distance kNN (the q17 shape one fidelity rung
+    // up): corpus at 2 bytes/dim, query round-tripped for symmetry.
+    "q141_fp16_knn" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val corpus = embs.withColumn("fp16_code",
+        graft.functions.vector.fp16Encode(col("embedding")))
+      Quantization.fp16Search(QueriesVector.queryBatch(s, dir, 5), corpus,
+          k = 10, corpusId = "vec_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
   )
 
   /** Shared SQ CTE prefix: per-dim stats + decoded vectors, matching
@@ -479,6 +510,45 @@ object QueriesQuant {
        |  SELECT query_id, neighbor_id, dist,
        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
        |  FROM pairs)""".stripMargin
+
+  /** Shared fp16 CTE: decode(encode(v)) replayed as exact half-grid
+    * rounding. The binade exponent comes from floor(log2) with a
+    * two-sided power-of-two correction (log2 can land an epsilon off an
+    * exact power); grid spacing is 2^(e-10) clamped to the subnormal
+    * grid at e = -14; rounding is half-to-even. Every step is exact in
+    * double (the float value, the power-of-two spacing, and their
+    * quotient all keep the full mantissa), so the SQL value equals the
+    * engine's bit-twiddled IEEE half exactly — no tolerance needed. */
+  private val fp16Cte =
+    """elems AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |fe0 AS (
+      |  SELECT vec_id, dim, v, abs(v) AS a,
+      |         CAST(floor(log2(abs(v))) AS INT) AS e0
+      |  FROM elems WHERE v <> 0),
+      |fe1 AS (
+      |  SELECT vec_id, dim, v, a,
+      |         CASE WHEN power(2.0, e0) > a THEN e0 - 1
+      |              WHEN power(2.0, e0 + 1) <= a THEN e0 + 1
+      |              ELSE e0 END AS e1
+      |  FROM fe0),
+      |fq AS (
+      |  SELECT vec_id, dim, v,
+      |         a / power(2.0, greatest(e1, -14) - 10) AS q,
+      |         power(2.0, greatest(e1, -14) - 10) AS s
+      |  FROM fe1),
+      |fdec AS (
+      |  SELECT vec_id, dim, v,
+      |         (CASE WHEN q - floor(q) > 0.5 THEN floor(q) + 1
+      |               WHEN q - floor(q) < 0.5 THEN floor(q)
+      |               WHEN CAST(floor(q) AS BIGINT) % 2 = 0 THEN floor(q)
+      |               ELSE floor(q) + 1 END)
+      |           * s * (CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END) AS vd
+      |  FROM fq
+      |  UNION ALL
+      |  SELECT vec_id, dim, v, 0.0 AS vd FROM elems WHERE v = 0)""".stripMargin
 
   /** `def`, not `val`: the q19/q72 recall oracles inline the PQ/IVF model
     * parameters loaded by the query run (see RecallOracles) — present
@@ -522,6 +592,30 @@ object QueriesQuant {
     // full-probe resident SQ8 == sqSearch (PackedSqSpec) == q17's oracle
     "q130_packed_sq" ->
       s"""$sqKnn
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q140_fp16_stats" ->
+      s"""WITH $fp16Cte
+         |SELECT dim, round(avg(abs(v - vd)), 8) AS mean_abs_err,
+         |       round(max(abs(v - vd)), 9) AS max_abs_err
+         |FROM fdec GROUP BY dim""".stripMargin,
+
+    "q141_fp16_knn" ->
+      s"""WITH $fp16Cte,
+         |qd AS (SELECT vec_id AS query_id, dim, vd FROM fdec WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN sum(c.vd * c.vd) = 0 OR sum(q.vd * q.vd) = 0 THEN 1.0
+         |              ELSE 1.0 - sum(c.vd * q.vd) /
+         |                   (sqrt(sum(c.vd * c.vd)) * sqrt(sum(q.vd * q.vd))) END AS dist
+         |  FROM fdec c JOIN qd q USING (dim)
+         |  GROUP BY q.query_id, c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM pairs)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |       round(dist, 6) + 0.0 AS dist
          |FROM ranked WHERE rank <= 10""".stripMargin,

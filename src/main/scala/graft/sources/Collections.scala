@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths}
 
 /** Collection persistence + discovery (SURVEY §2.1 S1-S5, S10): a
   * collection is a parquet directory plus a `config.json` sidecar — the
@@ -17,6 +16,54 @@ import java.nio.file.{Files, Paths}
   */
 object Collections {
 
+  // ---------------------------------------------- scheme-aware sidecar IO
+  //
+  // Every sidecar touch (config.json, stats.json, model markers) goes
+  // through the Hadoop FileSystem OF THE TARGET PATH, like swapWrite: a
+  // collection may live on s3a://, hdfs://, or file:/ and java.nio would
+  // either crash on the URI or silently operate on a nonexistent local
+  // path. Writes are tmp + delete + rename, so a crash mid-write never
+  // leaves a torn sidecar visible.
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  def pathExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fsOf(p).exists(p)
+  }
+
+  def writeString(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val fs = fsOf(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false) // HDFS rename onto an existing file fails
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  def readString(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = fsOf(p).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Delete a file or directory tree if present (idempotent). */
+  def deleteIfExists(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Per-collection config mirroring CollectionConfig (vectordb.py:220-229)
     * plus the embedding PROVIDER name, recorded like the reference records
     * its model in collection config (vectordb.py:322-332) — a reopened
@@ -24,22 +71,21 @@ object Collections {
   final case class Config(name: String, dimensions: Int, metric: String,
                           embedder: String = "mock")
 
-  private def configPath(dir: String) = Paths.get(dir, "config.json")
+  private def configPath(dir: String) = s"$dir/config.json"
 
   def save(df: DataFrame, dir: String, config: Config,
            mode: String = "overwrite"): Unit = {
     df.write.mode(mode).parquet(s"$dir/data")
     val json =
       s"""{"name": "${config.name}", "dimensions": ${config.dimensions}, "metric": "${config.metric}", "embedder": "${config.embedder}"}"""
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(configPath(dir), json)
+    writeString(configPath(dir), json)
   }
 
   def load(spark: SparkSession, dir: String): (DataFrame, Config) =
     (spark.read.parquet(s"$dir/data"), loadConfig(dir))
 
   def loadConfig(dir: String): Config = {
-    val raw = Files.readString(configPath(dir))
+    val raw = readString(configPath(dir))
     def opt(k: String): Option[String] =
       s""""$k"\\s*:\\s*("([^"]*)"|[0-9]+)""".r.findFirstMatchIn(raw)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
@@ -204,32 +250,20 @@ object Collections {
 
   /** Directory scan for collections (S3, vectordb.py:627-646). */
   def list(root: String): Seq[String] = {
-    val p = Paths.get(root)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val it = Files.list(p).iterator()
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      while (it.hasNext) {
-        val child = it.next()
-        if (Files.exists(child.resolve("config.json"))) out += child.getFileName.toString
-      }
-      out.toSeq.sorted
-    }
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(p)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "config.json")))
+      .map(_.getPath.getName).sorted
   }
 
   def delete(root: String, name: String): Boolean = {
-    val dir = Paths.get(root, name)
-    if (!Files.isDirectory(dir)) false
-    else {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val it = Files.list(p).iterator()
-          while (it.hasNext) rm(it.next())
-        }
-        Files.delete(p)
-      }
-      rm(dir); true
-    }
+    val dir = new org.apache.hadoop.fs.Path(root, name)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) false
+    else fs.delete(dir, true)
   }
 }
 

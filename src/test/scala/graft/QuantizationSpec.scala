@@ -184,4 +184,79 @@ class QuantizationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got === want)
   }
+
+  // ----------------------------------------------------------- fp16 codec
+
+  test("fp16: every finite half bit pattern round-trips to itself") {
+    import graft.functions.Fp16
+    var h = 0
+    while (h < 0x10000) {
+      val exp = (h >>> 10) & 0x1f
+      if (exp != 0x1f) { // skip inf/NaN patterns (NaN is canonicalized)
+        val f = Fp16.halfToFloat(h.toShort)
+        val back = Fp16.floatToHalf(f) & 0xffff
+        assert(back === h, f"pattern 0x$h%04x -> $f -> 0x$back%04x")
+      }
+      h += 1
+    }
+  }
+
+  test("fp16: round-half-to-even at exact midpoints, specials") {
+    import graft.functions.Fp16
+    def rt(f: Float): Float = Fp16.halfToFloat(Fp16.floatToHalf(f))
+    // midpoint between 1.0 and 1 + 2^-10 -> even mantissa (1.0)
+    assert(rt(1.0f + math.pow(2, -11).toFloat) === 1.0f)
+    // midpoint between 1 + 2^-10 and 1 + 2*2^-10 -> even (1 + 2*2^-10)
+    assert(rt(1.0f + 3 * math.pow(2, -11).toFloat) ===
+      1.0f + 2 * math.pow(2, -10).toFloat)
+    // midpoint between 0 and the smallest subnormal 2^-24 -> even (0)
+    assert(rt(math.pow(2, -25).toFloat) === 0.0f)
+    assert(rt(math.pow(2, -24).toFloat) === math.pow(2, -24).toFloat)
+    assert(rt(65504.0f) === 65504.0f) // max finite half
+    assert(rt(65520.0f).isPosInfinity) // rounds past max -> inf
+    assert(rt(-65520.0f).isNegInfinity)
+    assert(rt(Float.NaN).isNaN)
+    assert(java.lang.Float.floatToRawIntBits(rt(-0.0f)) ===
+      java.lang.Float.floatToRawIntBits(-0.0f)) // sign of zero survives
+  }
+
+  test("fp16 column codec: 2 bytes/dim and bounded relative error") {
+    import graft.functions.vector
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val stats = embs.select(
+        vector.fp16Encode(col("embedding")).as("code"),
+        col("embedding"))
+      .select(length(col("code")).as("bytes"),
+        posexplode(arrays_zip(
+          transform(col("embedding"), _.cast("double")),
+          transform(vector.fp16Decode(vector.fp16Encode(col("embedding"))),
+            _.cast("double")))).as(Seq("d", "z")))
+      .select(col("bytes"), col("z.0").as("x"), abs(col("z.0") - col("z.1")).as("err"))
+    assert(stats.agg(max("bytes")).head().getInt(0) === 2 * dim)
+    // RNE half: |err| <= max(|x| * 2^-11, 2^-25)
+    val viol = stats.where(col("err") >
+      greatest(abs(col("x")) * math.pow(2, -11), lit(math.pow(2, -25)))).count()
+    assert(viol === 0L)
+  }
+
+  test("fp16 decode-and-distance search reaches near-perfect recall") {
+    val corpus = embs.withColumn("fp16_code",
+      graft.functions.vector.fp16Encode(col("embedding")))
+    val approx = Quantization.fp16Search(queries, corpus, 10, corpusId = "vec_id")
+    val exact = Knn.knnJoin(queries, embs, 10, "cosine",
+      corpusId = "vec_id", corpusVec = "embedding")
+    val recall = Quantization.recallAtK(approx, exact, 10)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.99, s"fp16 recall@10 $recall") // ~2^-11 error: no loss
+  }
+
+  test("fp16 SQL surface: fp16_decode(fp16_encode(v)) via spark.sql") {
+    graft.functions.vector.registerSql(spark)
+    embs.limit(8).createOrReplaceTempView("fp16_probe")
+    val n = spark.sql(
+      """SELECT vec_id FROM fp16_probe
+        |WHERE fp16_decode(fp16_encode(embedding)) IS NOT NULL""".stripMargin)
+      .count()
+    assert(n === 8L)
+  }
 }
