@@ -30,6 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("pack_bits", es => PackBits(es.head))
     reg("fp16_encode", es => Fp16Encode(es.head))
     reg("fp16_decode", es => Fp16Decode(es.head))
+    // Curation scalar surface for the SQL-only user. The column-algebra
+    // builders inject the exact Catalyst tree the DataFrame API produces
+    // (its unresolved function nodes resolve in the analyzer fixpoint).
+    import org.apache.spark.sql.graft.Bridge
+    def regCol(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      reg(name, es => Bridge.convertedExpression(f(Bridge.column(es.head))))
+    regCol("fingerprint", TextAnalysis.fingerprint)
+    regCol("quality_score", TextAnalysis.qualityScore)
+    regCol("canonical_url", graft.operators.Dedup.canonicalizeUrl)
+    // token count under the repo's shipped merge fixture — for a TRAINED
+    // table use Bpe.tokenCount(model) from the DataFrame API (SQL
+    // function signatures cannot carry a model object)
+    reg("bpe_token_count", es => BpeTokenCount(es.head, Bpe.fixture))
     ext.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
   }
 }

@@ -230,6 +230,24 @@ object TextAnalysis {
   /** 60-bit hash (15 hex chars — keeps the value inside a signed int64). */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Register the curation scalar surface as SQL functions on a LIVE
+    * session (the [[vector.registerSql]] twin; GraftExtensions registers
+    * the same names at session construction): fingerprint, quality_score,
+    * canonical_url, bpe_token_count — so a SQL-only user reaches the
+    * curation primitives without the DataFrame API. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val reg = spark.sessionState.functionRegistry
+    def regCol(name: String, f: Column => Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => Bridge.convertedExpression(f(Bridge.column(es.head))), "built-in")
+    regCol("fingerprint", fingerprint)
+    regCol("quality_score", qualityScore)
+    regCol("canonical_url", graft.operators.Dedup.canonicalizeUrl)
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      es => BpeTokenCount(es.head, Bpe.fixture), "built-in")
+  }
 }
 
 /** Shared tokenizer (kept separate so Bm25 and TextAnalysis agree). */

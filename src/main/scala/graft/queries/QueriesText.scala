@@ -235,6 +235,21 @@ object QueriesText {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // SQL interface parity for the curation surface (the q52 stance):
+    // a curation predicate + fingerprint computed from pure spark.sql
+    // text over the registered scalar functions — proves the SQL-only
+    // user reaches the curation primitives. Oracle: q25's quality CTE +
+    // q27's fingerprint expression with the same >= 0.5 gate.
+    "q142_sql_curation" -> ((s, dir) => {
+      TextAnalysis.registerSql(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, fingerprint(text) AS fp,
+          |       quality_score(text) AS quality
+          |FROM documents_v
+          |WHERE quality_score(text) >= 0.5""".stripMargin)
+    }),
+
     // Token counting (whitespace + BPE-ish) per source
     "q26_token_counts" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -845,6 +860,31 @@ object QueriesText {
       |  SELECT doc_id + 100000 AS doc_id, text
       |  FROM documents WHERE doc_id < 25)""".stripMargin
 
+  /** TextAnalysis.qualityScore replayed in SQL over a `corpus(doc_id,
+    * text)` CTE — shared by q25 and the SQL-surface parity check q142. */
+  private val qualityScoreCte =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
+      |    length(text) * 1.0 AS n_chars,
+      |    length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) * 1.0 AS punct
+      |  FROM corpus),
+      |c AS (
+      |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
+      |    CASE WHEN len(tk) > 0
+      |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+      |         ELSE 0.0 END AS mwl,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
+      |  FROM t),
+      |qscore AS (
+      |  SELECT doc_id, round(
+      |      least(n_chars / 500.0, 1.0) * 0.3
+      |    + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
+      |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
+      |    + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+      |  FROM c)""".stripMargin
+
   private val shingleCte =
     """sh AS (
       |  SELECT DISTINCT doc_id,
@@ -1214,27 +1254,18 @@ object QueriesText {
     },
 
     "q25_quality" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk,
-        |    length(text) * 1.0 AS n_chars,
-        |    length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0B]', '', 'g')) * 1.0 AS punct
-        |  FROM corpus),
-        |c AS (
-        |  SELECT doc_id, n_chars, punct, len(tk) * 1.0 AS n_toks,
-        |    CASE WHEN len(tk) > 0
-        |         THEN list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
-        |         ELSE 0.0 END AS mwl,
-        |    len(list_filter(tk, x -> list_contains(
-        |      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 AS sw
-        |  FROM t)
-        |SELECT doc_id, round(
-        |    least(n_chars / 500.0, 1.0) * 0.3
-        |  + (1.0 - least(abs(mwl - 5.0) / 5.0, 1.0)) * 0.2
-        |  + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END) * 4.0, 1.0)) * 0.3
-        |  + least((CASE WHEN n_toks > 0 THEN sw / n_toks ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
-        |FROM c""".stripMargin,
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$qualityScoreCte
+         |SELECT doc_id, quality FROM qscore""".stripMargin,
+
+    "q142_sql_curation" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$qualityScoreCte
+         |SELECT q.doc_id,
+         |       md5(trim(regexp_replace(lower(d.text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fp,
+         |       q.quality
+         |FROM qscore q JOIN documents d ON d.doc_id = q.doc_id
+         |WHERE q.quality >= 0.5""".stripMargin,
 
     // Explicit whitespace class (Java vs RE2 `\s` drift) and BIGINT casts:
     // a raw DuckDB sum(BIGINT) is HUGEINT, which the driver's fetch path

@@ -17,6 +17,16 @@ object Bridge {
   /** Extract the Catalyst Expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully CONVERT a Column's node tree into a plain Catalyst Expression
+    * tree (UnresolvedFunction and friends, which the analyzer then
+    * resolves), unlike [[expression]] which wraps the node behind an
+    * opaque ColumnNodeExpression leaf the analyzer passes through but
+    * codegen cannot evaluate. Required when a column-algebra builder is
+    * injected as a SQL function: the function's body must be a real
+    * expression tree inside the registered plan. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a LogicalPlan as a DataFrame (classic Dataset.ofRows is
     * private[sql]). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
