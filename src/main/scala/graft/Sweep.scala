@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedKnn, PackedPq, PackedSq, Quantization}
+import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedSq, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -278,6 +278,35 @@ object Sweep {
       val sqRecall = recallOf(PackedSq.searchSq[Long](piSq, qArrC, K, nProbe, "l2"))
       val sqBytes = PackedSq.codeBytes(piSq)
       piSq.unpersist(blocking = true)
+
+      // --- graph tier: NSW-per-cell over the float slabs (PackedGraph) ---
+      // The fifth rung of the resident ladder — full float footprint plus
+      // ~degree int slots/row of adjacency, bought back as walk-bounded
+      // distance evaluations: recall competitive with MORE probed cells
+      // than the flat scan can afford at the same ms/q. Operating point
+      // deg=24/efC=128/ef=160 from the GraphTune sweep; probes 2x the PQ
+      // tiers' budget because each probe is ef-bounded, not cell-sized.
+      val pcG = PackedKnn.packIvf(pqCorpus, ivfM,
+        idCol = "vec_id", vecCol = "embedding")
+      val tGBuild0 = System.nanoTime()
+      val pg = PackedGraph.build(pcG, degree = 24, efConstruction = 128)
+      val graphBuildS = (System.nanoTime() - tGBuild0) / 1e9
+      pcG.unpersist(blocking = true) // the graph tier holds its own slabs
+      val gProbe = math.min(ivfM.numCells, nProbe * 2)
+      def runGraph(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedGraph.searchGraph(pg, qArrC, K, nProbe = gProbe,
+          ef = 160, metric = "l2")
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"graph search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runGraph())
+      val graphRuns = (1 to MeasuredRuns).map(_ => runGraph())
+      val graphRecall = recallOf(
+        PackedGraph.searchGraph(pg, qArrC, K, nProbe = gProbe, ef = 160, metric = "l2"))
+      val graphEdges = PackedGraph.edgeSlots(pg)
+      pg.unpersist(blocking = true)
       pqCorpus.unpersist(blocking = true)
       // median: single-run GC pauses otherwise dominate the small shapes
       val msPerQ = medianMs(packedRuns) / BatchQ
@@ -299,6 +328,10 @@ object Sweep {
         s""""sq_ms_per_query":${f"${medianMs(sqRuns) / BatchQ}%.3f"},""" +
         s""""sq_recall10":${f"$sqRecall%.3f"},""" +
         s""""sq_train_s":${f"$sqTrainS%.3f"},"sq_code_bytes":$sqBytes,""" +
+        s""""graph_ms_per_query":${f"${medianMs(graphRuns) / BatchQ}%.3f"},""" +
+        s""""graph_recall10":${f"$graphRecall%.3f"},""" +
+        s""""graph_build_s":${f"$graphBuildS%.3f"},""" +
+        s""""graph_nprobe":$gProbe,"graph_edge_slots":$graphEdges,""" +
         s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
         s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }

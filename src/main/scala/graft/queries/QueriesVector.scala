@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.vector
-import graft.operators.{Ann, Knn, PackedKnn, Pooling, Quantization}
+import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, Pooling, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -49,6 +49,12 @@ object QueriesVector {
 
   private def cachedPackIvf(key: String)(build: => PackedKnn.PackedIvfCorpus[Long]) =
     cached(packedIvfCache, key)(
+      _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
+
+  private val packedGraphCache =
+    scala.collection.mutable.Map.empty[String, PackedGraph.PackedGraphCorpus]
+  private def cachedPackGraph(key: String)(build: => PackedGraph.PackedGraphCorpus) =
+    cached(packedGraphCache, key)(
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 
   /** Shared candidate -> exact-rerank funnel for the graph queries
@@ -192,6 +198,25 @@ object QueriesVector {
           PackedKnn.packIvf(embs, TrainedModels.ivf(s, dir),
             idCol = "vec_id", vecCol = "embedding"))
         PackedKnn.searchIvf(pi, qArr, 20, nProbe = pi.model.numCells)
+      }),
+
+    // GRAPH-ANN resident tier (PackedGraph.build/searchGraph): one NSW
+    // graph per IVF cell over the resident float slabs — the analog of
+    // the reference's hnswlib headline index (vectordb.py:527). Full
+    // probe + unbounded ef is EXHAUSTIVE by the protected-spanning-tree
+    // contract (PackedGraphSpec), so like q99/q100 it hash-checks the
+    // exact q10 oracle through the over-fetch + exact-rerank funnel;
+    // the bounded-ef recall floor at 1M lives in RecallFloorSpec.
+    "q143_packed_graph" -> ((s, dir) =>
+      packedFunnel(s, dir) { (embs, qArr) =>
+        val pg = cachedPackGraph(dir) {
+          val pi = cachedPackIvf(dir)(
+            PackedKnn.packIvf(embs, TrainedModels.ivf(s, dir),
+              idCol = "vec_id", vecCol = "embedding"))
+          PackedGraph.build(pi, degree = 16, efConstruction = 64)
+        }
+        PackedGraph.searchGraph(pg, qArr, 20,
+          nProbe = pg.model.numCells, ef = 0)
       }),
 
     // WARM-START of the resident index (PackedKnn.saveSlabs/loadSlabs):
@@ -351,6 +376,7 @@ object QueriesVector {
     "q99_packed_knn" -> knnOracleCosine5,
     "q100_packed_ivf" -> knnOracleCosine5,
     "q110_packed_warm" -> knnOracleCosine5,
+    "q143_packed_graph" -> knnOracleCosine5,
     "q124_split_ivf" -> knnOracleCosine5,
     "q113_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
