@@ -33,8 +33,69 @@ import org.apache.spark.unsafe.types.UTF8String
   * Zipfian (the cache hit-rate approaches 1 at scale). */
 object Bpe {
 
-  /** Ranked merge table. Construct via [[fromLines]]/[[fromResource]]. */
-  final case class BpeModel(merges: IndexedSeq[(String, String)]) {
+  /** GPT-2's byte→unicode map (the published `bytes_to_unicode`
+    * construction from Radford et al. 2019's released tokenizer code):
+    * the three printable ranges `!..~`, `¡..¬`, `®..ÿ` map to
+    * themselves; the remaining 68 byte values are assigned
+    * `U+0100 + n` in ascending byte order — so every byte gets a
+    * DISTINCT printable codepoint (space → Ġ, newline → Ċ, tab → ĉ)
+    * and merge rules over arbitrary UTF-8 stay printable one-liners in
+    * `merges.txt`. */
+  lazy val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    val keep = (('!'.toInt to '~'.toInt) ++ ('¡'.toInt to '¬'.toInt) ++
+      ('®'.toInt to 'ÿ'.toInt)).toSet
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** GPT-2's published pre-tokenization regex (contractions, optionally
+    * space-prefixed letter/number/punctuation runs, then whitespace with
+    * the keep-the-last-space-for-the-next-word lookahead).
+    * UNICODE_CHARACTER_CLASS makes Java's `\s` match the same Unicode
+    * whitespace set as the reference Python `regex` module. */
+  private val Gpt2Pretok = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Split raw text with the GPT-2 pre-tokenizer (no lowercasing — the
+    * byte-level path is case-preserving, unlike the engine word
+    * convention). */
+  def gpt2PreTokenize(text: String): Array[String] = {
+    val m = Gpt2Pretok.matcher(text)
+    val out = Array.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** One pre-token's initial symbol string: UTF-8 bytes, each mapped
+    * through [[byteToUnicode]] — the string BPE merges then run on
+    * (each char = one initial symbol, [[BpeModel.tokenizeWord]]'s
+    * contract). */
+  def toByteSymbols(preToken: String): String = {
+    val bytes = preToken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToUnicode(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Ranked merge table. Construct via [[fromLines]]/[[fromResource]].
+    * `byteLevel = true` is the published GPT-2 tokenization contract:
+    * pre-tokenize with [[gpt2PreTokenize]] (case-preserving, spaces ride
+    * the following word), remap each pre-token's UTF-8 bytes through
+    * [[byteToUnicode]], THEN run the merge loop — the mode a published
+    * `merges.txt` (whose rules are written over Ġ-prefixed byte symbols)
+    * assumes. The default keeps the engine's word convention
+    * (lowercase + `[^a-z0-9_]+` split, symbols = characters). */
+  final case class BpeModel(merges: IndexedSeq[(String, String)],
+                            byteLevel: Boolean = false) {
     @transient private lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.length * 2)
       merges.zipWithIndex.foreach { case ((a, b), i) =>
@@ -90,48 +151,71 @@ object Bpe {
       n
     }
 
-    /** Subword token count of a full text: lowercase, split on the
-      * engine-wide `[^a-z0-9_]+` word convention, sum per-word counts.
-      * Public (not just expression-internal) so generated code can call
-      * it. */
+    /** Subword token count of a full text: under the default word mode,
+      * lowercase + the engine-wide `[^a-z0-9_]+` split, sum per-word
+      * counts; under `byteLevel`, the GPT-2 pre-tokenize → byte-remap →
+      * merge pipeline. Public (not just expression-internal) so
+      * generated code can call it. */
     def countTokens(text: String): Long = {
       if (text == null) return 0L
-      val words = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9_]+")
-      var total = 0L
-      var i = 0
-      while (i < words.length) {
-        if (words(i).nonEmpty) total += wordTokenCount(words(i))
-        i += 1
+      if (byteLevel) {
+        val pts = gpt2PreTokenize(text)
+        var total = 0L
+        var i = 0
+        while (i < pts.length) { total += wordTokenCount(toByteSymbols(pts(i))); i += 1 }
+        total
+      } else {
+        val words = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9_]+")
+        var total = 0L
+        var i = 0
+        while (i < words.length) {
+          if (words(i).nonEmpty) total += wordTokenCount(words(i))
+          i += 1
+        }
+        total
       }
-      total
+    }
+
+    /** Full byte-level tokenization of a text — the token STRINGS in
+      * mapped-symbol space (what a published tokenizer's vocab lookup
+      * would see), for spec assertions and debugging. Byte-level mode
+      * only. */
+    def tokenizeByteLevel(text: String): Array[String] = {
+      require(byteLevel, "tokenizeByteLevel requires a byteLevel model")
+      gpt2PreTokenize(text).flatMap(pt => tokenizeWord(toByteSymbols(pt)))
     }
   }
 
-  /** Parse GPT-2 `merges.txt` lines: rank = order, `#`/blank skipped. */
-  def fromLines(lines: Iterator[String]): BpeModel =
+  /** Parse GPT-2 `merges.txt` lines: rank = order, `#`/blank skipped.
+    * `byteLevel = true` for a vocabulary written over byte symbols (the
+    * published-file convention — pass it when loading a real GPT-2-family
+    * `merges.txt`). */
+  def fromLines(lines: Iterator[String], byteLevel: Boolean = false): BpeModel =
     BpeModel(lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val p = l.split(" ")
         require(p.length == 2, s"bad merges line (want 'a b'): '$l'")
         (p(0), p(1))
-      }.toIndexedSeq)
+      }.toIndexedSeq, byteLevel)
 
   /** Load a merges table bundled on the classpath. */
-  def fromResource(name: String): BpeModel = {
+  def fromResource(name: String, byteLevel: Boolean = false): BpeModel = {
     val in = getClass.getClassLoader.getResourceAsStream(name)
     require(in != null, s"merges resource not found on classpath: $name")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try fromLines(src.getLines()) finally src.close()
+    try fromLines(src.getLines(), byteLevel) finally src.close()
   }
 
   /** Load a merges.txt from any Hadoop-visible path (a user-supplied
-    * published vocabulary). */
-  def fromFile(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    * published vocabulary — pass `byteLevel = true` for GPT-2-family
+    * files, whose rules are written over [[byteToUnicode]] symbols). */
+  def fromFile(spark: org.apache.spark.sql.SparkSession, path: String,
+               byteLevel: Boolean = false): BpeModel = {
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try fromLines(src.getLines()) finally src.close()
+    try fromLines(src.getLines(), byteLevel) finally src.close()
   }
 
   /** The small test/oracle fixture shipped with the repo (44 hand-ranked
@@ -139,6 +223,13 @@ object Bpe {
     * identical-symbol pair, see [[graft.queries.QueriesText]]'s q118
     * oracle note). */
   lazy val fixture: BpeModel = fromResource("graft/bpe_merges.txt")
+
+  /** Byte-level test/oracle fixture: 22 hand-ranked merges written over
+    * GPT-2 byte symbols (Ġ-prefixed words, one multibyte `Ã ©` rule for
+    * the UTF-8 path), no identical-symbol pair — the q144 oracle
+    * replays it in SQL under the q118 double-replace proof. */
+  lazy val byteFixture: BpeModel =
+    fromResource("graft/bpe_merges_byte.txt", byteLevel = true)
 
   /** Persist a merge table in the interchange `merges.txt` format
     * [[fromFile]] reads — so a [[train]]ed vocabulary is a reusable

@@ -269,6 +269,21 @@ object QueriesText {
             .as("n_bpe"))
         .orderBy("doc_id")),
 
+    // BYTE-LEVEL GPT-2 tokenization (the published-tokenizer contract —
+    // the drop-in mode for real merges.txt files): pre-tokenize with the
+    // released GPT-2 regex (case-preserving, each word carries its
+    // leading space), remap every pre-token's UTF-8 bytes through
+    // bytes_to_unicode (space -> Ġ), then the SAME greedy merge loop
+    // over the byte-level fixture. The oracle replays all three stages
+    // in SQL — see bpeByteOracleSql for the charset argument that makes
+    // the RE2 pre-tokenizer provably equal to the published regex here.
+    "q144_bpe_byte_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(graft.functions.Bpe.byteFixture)(col("text"))
+            .as("n_bpe"))
+        .orderBy("doc_id")),
+
     // DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich'16): learn 16 merge
     // rules from the documents corpus — one distributed word-count pass,
     // then the vocab-sized merge loop (graft.functions.Bpe.train).
@@ -704,16 +719,42 @@ object QueriesText {
     * implementation handles identical-symbol rules too, the spec covers
     * them by hand. Terminal state per word = the minimum symbol count
     * (counts strictly decrease). */
-  private def bpeOracleSql(m: graft.functions.Bpe.BpeModel): String = {
+  private def bpeOracleSql(m: graft.functions.Bpe.BpeModel): String =
+    bpeOracleSqlOver(m,
+      """  SELECT doc_id, t AS w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |               lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2""".stripMargin)
+
+  /** q144 oracle: the q118 merge-loop replay with the BYTE-LEVEL front
+    * end — GPT-2 pre-tokenization then the bytes_to_unicode remap. The
+    * corpus charset is lowercase letters + single separator spaces (no
+    * leading/trailing/double spaces, no other bytes), on which the
+    * published GPT-2 regex reduces EXACTLY to ` ?[a-z]+| ?[0-9]+` runs
+    * (the contraction / punctuation / lookahead branches can never
+    * match), RE2-expressible without the lookahead DuckDB lacks; any
+    * future corpus character outside that set would make the two sides
+    * tokenize differently and fail the hash LOUDLY rather than silently
+    * agree. The remap on this charset is the single printable-range
+    * identity plus space → Ġ (U+0120), inlined as one replace. The full
+    * regex (contractions, multi-space backtracking, multibyte UTF-8) is
+    * covered by hand fixtures in TextQualitySpec. */
+  private def bpeByteOracleSql(m: graft.functions.Bpe.BpeModel): String =
+    bpeOracleSqlOver(m,
+      """  SELECT doc_id, replace(t, ' ', 'Ġ') AS w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+        |               ' ?[a-z]+| ?[0-9]+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2""".stripMargin)
+
+  private def bpeOracleSqlOver(m: graft.functions.Bpe.BpeModel,
+                               wordsCte: String): String = {
     require(m.merges.forall { case (a, b) => a != b },
       "bpe oracle SQL requires a fixture with no identical-symbol merges")
     val pairs = m.merges.map { case (a, b) => s"'$a $b'" }.mkString(", ")
     s"""WITH RECURSIVE words AS (
-       |  SELECT doc_id, t AS w, count(*) AS cnt
-       |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
-       |               lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t
-       |        FROM documents)
-       |  GROUP BY 1, 2),
+       |$wordsCte),
        |dw AS (SELECT w FROM words GROUP BY w),
        |it(w, s) AS (
        |  SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' FROM dw
@@ -1279,6 +1320,7 @@ object QueriesText {
         |FROM documents GROUP BY source""".stripMargin,
 
     "q118_bpe_tokens" -> bpeOracleSql(graft.functions.Bpe.fixture),
+    "q144_bpe_byte_tokens" -> bpeByteOracleSql(graft.functions.Bpe.byteFixture),
 
     "q120_bpe_train" -> bpeTrainOracleSql(16),
 

@@ -238,6 +238,80 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("BPE byte level: bytes_to_unicode map, GPT-2 pre-tokenizer, end-to-end merges") {
+    import graft.functions.Bpe
+
+    // --- the byte→unicode map: the published construction's invariants —
+    // 256 DISTINCT printable codepoints, the three keep-ranges map to
+    // themselves, the 68 excluded bytes get U+0100+n in byte order
+    val b2u = Bpe.byteToUnicode
+    assert(b2u.distinct.length === 256)
+    assert(b2u('a'.toInt) === 'a' && b2u('!'.toInt) === '!' && b2u('~'.toInt) === '~')
+    assert(b2u(0xC3) === 'Ã' && b2u(0xA9) === '©') // é's UTF-8 bytes keep themselves
+    assert(b2u(0) === 'Ā')     // Ā — first excluded byte
+    assert(b2u(9) === 'ĉ')     // ĉ — tab
+    assert(b2u(10) === 'Ċ')    // Ċ — newline
+    assert(b2u(32) === 'Ġ')    // Ġ — space, the leading-space marker
+    assert(b2u(127) === 'ġ')   // ġ — DEL, first excluded byte after space
+
+    // --- the published pre-tokenizer regex, hand-traced branch by branch
+    assert(Bpe.gpt2PreTokenize("Hello world!").toSeq === Seq("Hello", " world", "!"))
+    assert(Bpe.gpt2PreTokenize("don't stop").toSeq === Seq("don", "'t", " stop"))
+    assert(Bpe.gpt2PreTokenize("abc123 45").toSeq === Seq("abc", "123", " 45"))
+    // multi-space: \s+(?!\S) keeps the LAST space for the next word
+    assert(Bpe.gpt2PreTokenize("a  b").toSeq === Seq("a", " ", " b"))
+    assert(Bpe.gpt2PreTokenize("hi ").toSeq === Seq("hi", " "))
+    assert(Bpe.gpt2PreTokenize("a\nb").toSeq === Seq("a", "\n", "b"))
+    // all seven contraction branches
+    assert(Bpe.gpt2PreTokenize("I'll we've he's I'm you're they'd can't").toSeq ===
+      Seq("I", "'ll", " we", "'ve", " he", "'s", " I", "'m",
+        " you", "'re", " they", "'d", " can", "'t"))
+
+    // --- byte-symbol remap of a pre-token (leading space -> Ġ; é -> its
+    // two UTF-8 bytes' mapped chars)
+    assert(Bpe.toByteSymbols(" world") === "Ġworld")
+    assert(Bpe.toByteSymbols("café") === "cafÃ©")
+
+    // --- end-to-end under the byte-level fixture, each hand-run:
+    val m = Bpe.byteFixture
+    assert(m.byteLevel)
+    assert(m.merges.length === 22)
+    // " the": Ġ t (0) -> Ġt; h e (1) -> he... no wait: [Ġ,t,h,e] fuses
+    // rank 0 first -> [Ġt,h,e], then h e (1) -> [Ġt,he], then Ġt he (2)
+    assert(m.tokenizeByteLevel(" the").toSeq === Seq("Ġthe"))
+    // word-initial "the" has no Ġ: t h absent, h e (1) -> [t, he]
+    assert(m.tokenizeByteLevel("the").toSeq === Seq("t", "he"))
+    // " table": Ġ t (0) wins over t a (7) and consumes the t
+    assert(m.tokenizeByteLevel("the table").toSeq ===
+      Seq("t", "he", "Ġt", "a", "bl", "e"))
+    // " row" chains r o (5), ro w (6), Ġ row (15); " rows" leaves the s
+    assert(m.tokenizeByteLevel(" row rows").toSeq ===
+      Seq("Ġrow", "Ġrow", "s"))
+    // case-preserving: "The" keeps the capital T (no lowercasing)
+    assert(m.tokenizeByteLevel("The").toSeq === Seq("T", "he"))
+    // multibyte merge: Ã © (20) fuses é's two byte symbols
+    assert(m.tokenizeByteLevel(" café").toSeq ===
+      Seq("Ġ", "c", "a", "f", "Ã©"))
+    // " value": l u (16) before v a (17) before va lu (18), valu e (19)
+    assert(m.countTokens(" the table value") === 1L + 4L + 2L)
+    assert(m.countTokens("") === 0L)
+
+    // --- the codegen column path scores byte-level models too
+    import spark.implicits._
+    val got = Seq((1L, "the table"), (2L, " row rows"))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Bpe.tokenCount(m)(org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 6L, 2L -> 3L))
+
+    // --- merges.txt round-trip keeps the byte-level rules verbatim
+    val dir = java.nio.file.Files.createTempDirectory("bpe-byte").toString
+    Bpe.saveMerges(spark, m.copy(byteLevel = false), s"$dir/merges.txt")
+    val back = Bpe.fromFile(spark, s"$dir/merges.txt", byteLevel = true)
+    assert(back.merges === m.merges && back.byteLevel)
+  }
+
   test("BPE column expression counts through codegen and matches the driver-side count") {
     import graft.functions.Bpe
     val m = Bpe.fixture
