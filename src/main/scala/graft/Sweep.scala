@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedSq, Quantization}
+import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,30 @@ object Sweep {
         .sum / qArrC.length
       pi.unpersist(blocking = true)
 
+      // --- 4-bit nibble codes (fastscan layout): HALF the bytes again ---
+      // 16-centroid subspaces, two codes per byte, L1-dense 16-entry
+      // LUTs; ADC bit-identical to an 8-bit pack of the same model, so
+      // the delta vs pq_* is pure byte-budget-vs-recall at the ladder's
+      // bottom rung.
+      val tPq4Train0 = System.nanoTime()
+      val pq4M = Quantization.trainPq(pqCorpus, "embedding", numSubspaces = 8,
+        numCentroids = 16, maxIter = 5, sampleFraction = math.min(1.0, 50000.0 / n))
+      val pq4TrainS = (System.nanoTime() - tPq4Train0) / 1e9
+      val pi4 = PackedPq4.packIvfPq4(pqCorpus, ivfM, pq4M,
+        idCol = "vec_id", vecCol = "embedding")
+      def runAdc4(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedPq4.searchAdc4[Long](pi4, qArrC, K, nProbe)
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"4-bit ADC search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runAdc4())
+      val adc4Runs = (1 to MeasuredRuns).map(_ => runAdc4())
+      val pq4Recall = recallOf(PackedPq4.searchAdc4[Long](pi4, qArrC, K, nProbe))
+      val pq4CodeBytes = PackedPq4.codeBytes(pi4)
+      pi4.unpersist(blocking = true)
+
       // --- residual codes (FAISS IVFADC): same bytes, finer quantization ---
       // Same coarse model, PQ trained on vec − cellCentroid; the ADC scan
       // cost is identical (the LUT build is per (query, cell) instead of
@@ -319,6 +343,9 @@ object Sweep {
         s""""floor_ms":${f"$floorMs%.2f"},"pack_s":${f"$packS%.3f"},""" +
         s""""pq_ms_per_query":${f"$pqMsPerQ%.3f"},""" +
         s""""pq_recall10":${f"$rawRecall%.3f"},"pq_funnel_recall10":${f"$funnelRecall%.3f"},""" +
+        s""""pq4_ms_per_query":${f"${medianMs(adc4Runs) / BatchQ}%.3f"},""" +
+        s""""pq4_recall10":${f"$pq4Recall%.3f"},""" +
+        s""""pq4_train_s":${f"$pq4TrainS%.3f"},"pq4_code_bytes":$pq4CodeBytes,""" +
         s""""pq_res_ms_per_query":${f"$pqResMsPerQ%.3f"},""" +
         s""""pq_res_recall10":${f"$resRecall%.3f"},""" +
         s""""pq_res_train_s":${f"$pqResTrainS%.3f"},""" +

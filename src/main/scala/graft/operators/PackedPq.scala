@@ -269,13 +269,13 @@ object PackedPq {
     * hot loop (the PackedSq lesson, minus its 256-padding: padding to a
     * power of two wastes 4x the cache at 64 centroids and measured 5x
     * SLOWER at 1M — density beats shift-indexing). */
-  private def flatLut(m: Int, nC: Int)(entry: (Int, Int) => Double): Array[Double] =
+  private[operators] def flatLut(m: Int, nC: Int)(entry: (Int, Int) => Double): Array[Double] =
     Array.tabulate(m * nC)(j => entry(j / nC, j % nC))
 
   /** Per-query ADC lookup table, replicating [[Quantization.pqLut]]'s
     * arithmetic exactly: lut(m)(c) = Σ_j (q_float(m*subDim+j) − book(m)(c)(j))²
     * accumulated in doubles, j ascending. */
-  private def lutFor(pq: Quantization.PqModel, qv: Array[Float]): Array[Double] = {
+  private[operators] def lutFor(pq: Quantization.PqModel, qv: Array[Float]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
     flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
       var d = 0.0; var j = 0
@@ -289,7 +289,7 @@ object PackedPq {
   /** Residual-code LUT for one (query, cell) pair, replicating
     * [[Ann.pqLutResidual]]'s arithmetic exactly:
     * lut(m)(c) = Σ_j ((q_j − cent_j) − book(m)(c)(j))², doubles, j asc. */
-  private def lutForResidual(pq: Quantization.PqModel, qv: Array[Float],
+  private[operators] def lutForResidual(pq: Quantization.PqModel, qv: Array[Float],
                              cc: Array[Double]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
     flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
@@ -305,7 +305,7 @@ object PackedPq {
 
   /** Rotate one query, replicating [[Quantization.opqRotate]]'s
     * arithmetic exactly: y_j = Σ_i (double)q_i · R(i)(j), i ascending. */
-  private def rotateQ(r: Array[Array[Double]], qv: Array[Float]): Array[Double] = {
+  private[operators] def rotateQ(r: Array[Array[Double]], qv: Array[Float]): Array[Double] = {
     val d = r.length
     Array.tabulate(r(0).length) { j =>
       var s = 0.0; var i = 0
@@ -317,7 +317,7 @@ object PackedPq {
   /** Rotated-query LUT, replicating [[Quantization.opqLut]]'s arithmetic
     * exactly: lut(m)(c) = Σ_j (rq(m·subDim+j) − book(m)(c)(j))², doubles,
     * j ascending. */
-  private def lutForRotated(pq: Quantization.PqModel, rq: Array[Double]): Array[Double] = {
+  private[operators] def lutForRotated(pq: Quantization.PqModel, rq: Array[Double]): Array[Double] = {
     val books = pq.codebooks; val subDim = pq.subDim
     flatLut(pq.numSubspaces, books(0).length) { (mi, c) =>
       var d = 0.0; var j = 0

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ann, Knn, ModelStore, PackedPq, PackedSq, QualityClassifier, Quantization}
+import graft.operators.{Ann, Knn, ModelStore, PackedPq, PackedPq4, PackedSq, QualityClassifier, Quantization}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,6 +24,7 @@ private[queries] object TrainedModels {
   @volatile private[queries] var lastIvf: Option[Ann.IvfModel] = None
   @volatile private[queries] var lastPq: Option[Quantization.PqModel] = None
   @volatile private[queries] var lastPqRes: Option[Quantization.PqModel] = None
+  @volatile private[queries] var lastPq4: Option[Quantization.PqModel] = None
   @volatile private[queries] var lastLr: Option[QualityClassifier.LrModel] = None
   @volatile private[queries] var lastOpq: Option[Quantization.OpqModel] = None
 
@@ -65,6 +66,20 @@ private[queries] object TrainedModels {
         numSubspaces = 8, numCentroids = 64, sampleFraction = 0.25), d)
     val m = ModelStore.loadPq(s, d)
     lastPq = Some(m)
+    m
+  }
+
+  /** 16-centroid PQ for the 4-bit (fastscan-layout) tier — nibble codes
+    * need every code < 16; same subspace count as [[pq]] so the byte
+    * budget halves at comparable geometry. */
+  def pq4(s: SparkSession, dir: String): Quantization.PqModel = synchronized {
+    val d = s"${root(dir)}/pq8x16"
+    if (!ModelStore.exists(d))
+      ModelStore.savePq(s, Quantization.trainPq(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding",
+        numSubspaces = 8, numCentroids = 16, sampleFraction = 0.25), d)
+    val m = ModelStore.loadPq(s, d)
+    lastPq4 = Some(m)
     m
   }
 
@@ -121,6 +136,23 @@ object QueriesQuant {
             TrainedModels.ivf(s, dir), TrainedModels.pq(s, dir),
             idCol = "vec_id", vecCol = "embedding")
           packedPqCache(dir) = pi
+          pi
+        }
+    }
+
+  /** q145's 4-bit nibble corpus, packed once per JVM/sf like the raw
+    * tier above (8-bit encode pass + narrow re-layout). */
+  private val packedPq4Cache =
+    scala.collection.mutable.Map.empty[String, PackedPq4.PackedPq4Corpus[Long]]
+  private def cachedPackPq4(s: SparkSession, dir: String): PackedPq4.PackedPq4Corpus[Long] =
+    packedPq4Cache.synchronized {
+      packedPq4Cache.get(dir)
+        .filter(_.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        .getOrElse {
+          val pi = PackedPq4.packIvfPq4(t(s, dir, "embeddings"),
+            TrainedModels.ivf(s, dir), TrainedModels.pq4(s, dir),
+            idCol = "vec_id", vecCol = "embedding")
+          packedPq4Cache(dir) = pi
           pi
         }
     }
@@ -301,6 +333,25 @@ object QueriesQuant {
       val pi = cachedPackPq(s, dir)
       val queries = QueriesVector.queryBatch(s, dir, 5)
       val approx = PackedPq.search(pi, queries, embs,
+        k = 10, nProbe = 4, fetchK = 50, metric = "l2",
+        corpusId = "vec_id", vecCol = "embedding")
+      val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
+        corpusId = "vec_id", corpusVec = "embedding")
+      Quantization.recallAtK(approx, exact, 10)
+    }),
+
+    // 4-BIT (fastscan-layout) resident PQ codes (PackedPq4): 16-centroid
+    // subspaces, two codes per byte, 16-entry L1-dense LUTs — half the
+    // 8-bit tier's code bytes (128x below the float slabs at dim=128,
+    // m=8). Nibble packing is a lossless re-layout, so the ADC stage is
+    // BIT-IDENTICAL to Ann.ivfPqSearch on the same models (PackedPq4Spec)
+    // and the query hash-checks the same full DuckDB re-execution oracle
+    // as q72/q122 — built on the 16-centroid model this tier serves.
+    "q145_packed_pq4" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val pi = cachedPackPq4(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val approx = PackedPq4.search(pi, queries, embs,
         k = 10, nProbe = 4, fetchK = 50, metric = "l2",
         corpusId = "vec_id", vecCol = "embedding")
       val exact = Knn.knnJoin(queries, embs, k = 10, metric = "l2",
@@ -705,6 +756,12 @@ object QueriesQuant {
     // so the SAME full re-execution oracle certifies the packed tier
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq } yield
       "q122_packed_ivfpq" -> RecallOracles.ivfPqRecallSql(
+        im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
+    // q145's ADC stage is bit-identical to the 8-bit tier on the same
+    // 16-centroid model (PackedPq4Spec), so the q72 re-execution oracle
+    // certifies the nibble tier too — parameterized by THAT model
+    (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPq4 } yield
+      "q145_packed_pq4" -> RecallOracles.ivfPqRecallSql(
         im, pm, nProbe = 4, fetchK = 50, k = 10)).toMap ++
     (for { im <- TrainedModels.lastIvf; pm <- TrainedModels.lastPqRes } yield
       "q123_ivfpq_residual" -> RecallOracles.ivfPqResidualRecallSql(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedSq, Quantization}
+import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Quantization}
 import org.apache.spark.sql.functions._
 
 /** Scale-tier recall validation: the oracle embeddings table is 2,000
@@ -167,9 +167,34 @@ class RecallFloorSpec extends SparkSpec {
         model, numSubspaces = 8, numCentroids = 64, seed = 42L, maxIter = 3,
         sampleFraction = 0.03), residual = true)
 
+      // 4-bit nibble rung (PackedPq4): 16-centroid residual codes at
+      // HALF the 8-bit tier's byte budget — the ladder's bottom rung.
+      // Coarser codebooks cost recall; the floor records what the last
+      // byte-halving still buys through the same funnel.
+      val rFunnel4 = {
+        val pq4M = Quantization.trainPqResidual(corpus, "embedding", model,
+          numSubspaces = 8, numCentroids = 16, seed = 42L, maxIter = 3,
+          sampleFraction = 0.03)
+        val pi = PackedPq4.packIvfPq4(corpus, model, pq4M, idCol = "vec_id",
+          vecCol = "embedding", residual = true)
+        val adc = PackedPq4.searchAdc4[Long](pi, qArr, fetchK = 500, nProbe = 4)
+        import spark.implicits._
+        val candDF = adc.toSeq
+          .flatMap { case (q, nbrs) => nbrs.map(n => (q, n._1)) }
+          .toDF("query_id", "neighbor_id")
+        val queries = qArr.toSeq.map { case (id, v) => (id, v.toSeq) }
+          .toDF("query_id", "query_vec")
+        val funnel = Quantization.rerankExact(candDF, queries, corpus, K,
+            metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+          .collect().groupBy(_.getAs[Long]("query_id")).view
+          .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+        pi.unpersist()
+        recall(funnel, truthSearch)
+      }
+
       info(f"resident tiers recall@10 over 200k: SQ full $rSqFull%.3f, " +
         f"SQ nProbe=4 $rSqP4%.3f, PQ funnel raw $rFunnelRaw%.3f, " +
-        f"PQ funnel residual $rFunnelRes%.3f " +
+        f"PQ funnel residual $rFunnelRes%.3f, 4-bit residual $rFunnel4%.3f " +
         f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
       // clean-box measurements recorded in the info line above on first
       // landing; floors sit well under them (deterministic corpora —
@@ -181,6 +206,9 @@ class RecallFloorSpec extends SparkSpec {
         s"residual codes must recover within-cluster ranking: " +
           s"raw $rFunnelRaw vs residual $rFunnelRes")
       assert(rFunnelRes >= 0.40, s"residual funnel recall $rFunnelRes")
+      // clean-box measurement 0.400 — 72% of the 8-bit residual tier's
+      // recall at HALF its bytes; floor under it with the usual margin
+      assert(rFunnel4 >= 0.30, s"4-bit residual funnel recall $rFunnel4")
     } finally corpus.unpersist()
   }
 
