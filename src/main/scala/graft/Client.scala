@@ -133,6 +133,105 @@ final class GraftCollection(spark: SparkSession, dir: String,
         col("document"), col("dist").as("distance")) ++ extra.map(col)): _*)
   }
 
+  // ------------------------------------------------ automatic route choice
+
+  /** Route-size thresholds for [[autoQuery]] (rows). Public so deployments
+    * (and specs) can tune them to their executor shapes; the defaults
+    * assume the local[32]/128d sweep measurements — an approximate tier
+    * only beats the flat resident scan once cells are big enough to
+    * amortize probe pruning, and ANY index only beats the exact scan once
+    * the corpus dwarfs the per-job scheduling floor. */
+  var autoRouteFlatRows: Long = 8192L      // below: exact scan wins on job floor
+  var autoRouteIvfRows: Long = 131072L     // above: probe pruning pays
+  var autoRoutePqRows: Long = 524288L      // above: code tier beats float slabs
+  /** Probe budget the auto router passes to the approximate tiers. */
+  var autoRouteNProbe: Int = 4
+  /** The route [[autoQuery]] chose last, for audit/tests: one of
+    * exact | packed | packed_ivf | packed_pq | packed_sq. */
+  @transient private var lastRoute: Option[String] = None
+  def lastAutoRoute: Option[String] = lastRoute
+
+  /** Corpus row count, one job per mutation stamp (the router's inputs
+    * must not cost a corpus scan per query call). */
+  @transient private var countCache: (Long, Long) = (-1L, -1L)
+  private def corpusRows: Long = {
+    val stamp = Collections.readMutationCount(spark, dir)
+    if (countCache._1 != stamp) countCache = (stamp, df.count())
+    countCache._2
+  }
+
+  /** [[query]] with AUTOMATIC engine selection — the reference auto-picks
+    * its search strategy by corpus size and batch shape
+    * (vectordb_optimized.py:650-657 brute-force-vs-index threshold;
+    * parallel_search.py:895-947 strategy selection); here the decision
+    * weighs corpus size, k, filter selectivity, and which index tiers
+    * are actually available to THIS handle (resident, warm-startable
+    * sidecar, or persisted model), and is logged + exposed via
+    * [[lastAutoRoute]]. Output is always the common
+    * (query_id, rank, id, document, distance) shape.
+    *
+    * Decision order (first match wins):
+    *  1. includeVectors/includeMetadata → exact (side columns live there).
+    *  2. k×4 ≥ corpus → exact (any index over-fetches the whole corpus).
+    *  3. filtered: a cheap pushdown count estimates selectivity; a
+    *     selective filter (pass fraction < 1/overfetch) routes exact —
+    *     the packed over-fetch page would underfill and fall back per
+    *     query anyway; a permissive filter routes to the flat packed
+    *     tier, whose filtered contract is exact-membership (bounded
+    *     fallback). Approximate tiers never serve filtered auto traffic:
+    *     membership under a filter is a correctness property.
+    *  4. unfiltered, by size: PQ codes ≥ [[autoRoutePqRows]] (SQ8 when no
+    *     product quantizer is trained), cell-probed float ≥
+    *     [[autoRouteIvfRows]], flat resident ≥ [[autoRouteFlatRows]],
+    *     exact below. Each tier is considered only when available —
+    *     availability never triggers model TRAINING (building/packing an
+    *     index from an existing model or sidecar is one corpus pass and
+    *     allowed; silently fitting quantizers inside a query is not). */
+  def autoQuery(queries: DataFrame, k: Int = 10,
+                where: Option[Filter] = None,
+                includeVectors: Boolean = false,
+                includeMetadata: Boolean = false): DataFrame = {
+    val n = corpusRows
+    val ivfAvail = packedIvfIdx.nonEmpty ||
+      PackedKnn.ivfSlabsExist(spark, packedIvfDir) || hasVectorIndex
+    val pqAvail = packedPqIdx.nonEmpty || ModelStore.exists(pqModelDir)
+    val sqAvail = packedSqIdx.nonEmpty ||
+      (ModelStore.exists(sqModelDir) && hasVectorIndex)
+    val (route, reason) =
+      if (includeVectors || includeMetadata)
+        ("exact", "side columns requested")
+      else if (k.toLong * PackedFilterOverFetch >= n)
+        ("exact", s"k=$k within overfetch of corpus n=$n")
+      else where match {
+        case Some(f) =>
+          val passing = df.where(coalesce(f.compile, lit(false))).count()
+          val sel = passing.toDouble / math.max(n, 1L)
+          if (sel * PackedFilterOverFetch < 1.0)
+            ("exact", f"selective filter (pass fraction $sel%.3f)")
+          else if (n >= autoRouteFlatRows)
+            ("packed", f"permissive filter (pass fraction $sel%.3f), flat tier")
+          else ("exact", s"n=$n under autoRouteFlatRows=$autoRouteFlatRows")
+        case None =>
+          if (n >= autoRoutePqRows && pqAvail) ("packed_pq", s"n=$n, code tier")
+          else if (n >= autoRoutePqRows && sqAvail) ("packed_sq", s"n=$n, byte tier")
+          else if (n >= autoRouteIvfRows && ivfAvail) ("packed_ivf", s"n=$n, cell-probed tier")
+          // the flat tier needs no trained model — packedQuery packs on
+          // first use, so above the floor it is always routable
+          else if (n >= autoRouteFlatRows) ("packed", s"n=$n, flat resident scan")
+          else ("exact", s"n=$n under autoRouteFlatRows=$autoRouteFlatRows")
+      }
+    lastRoute = Some(route)
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).info(
+      s"autoQuery('${config.name}') routed to $route: $reason")
+    route match {
+      case "packed" => packedQuery(queries, k, where)
+      case "packed_ivf" => packedAnnQuery(queries, k, autoRouteNProbe)
+      case "packed_pq" => packedPqQuery(queries, k, autoRouteNProbe)
+      case "packed_sq" => packedSqQuery(queries, k, autoRouteNProbe)
+      case _ => query(queries, k, where, includeVectors, includeMetadata)
+    }
+  }
+
   /** Hybrid vector+keyword search over the collection (the reference's
     * hybrid_search, hybrid_search.py:360-477): BM25 over the document
     * column fused with vector similarity at fetch_k = 5*k, alpha-weighted

@@ -994,4 +994,65 @@ class ClientSpec extends SparkSpec {
     assert(ppl("f1") < ppl("f2"), s"$ppl")
     assert(ppl("f3") < ppl("f2"), s"$ppl")
   }
+  test("auto routing: size, k, filter selectivity and tier availability drive the route") {
+    val c = client.getOrCreateCollection("auto_route")
+    c.add((0 until 60).map(i =>
+        (s"a$i", s"unique auto document number $i body",
+          if (i % 3 == 0) "tri" else "rest"))
+      .toDF("id", "document", "category"))
+    val q = Seq((1L, "unique auto document number 7 body"))
+      .toDF("query_id", "query_text")
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+
+    // tiny corpus under every threshold -> exact scan
+    val exact = routed(c.query(q, k = 5))
+    assert(routed(c.autoQuery(q, k = 5)) === exact)
+    assert(c.lastAutoRoute === Some("exact"))
+
+    // side columns pin the exact path regardless of size knobs
+    c.autoRouteFlatRows = 1L
+    c.autoQuery(q, k = 5, includeMetadata = true).collect()
+    assert(c.lastAutoRoute === Some("exact"))
+
+    // k within over-fetch of the whole corpus -> exact (20*4 >= 60)
+    c.autoQuery(q, k = 20).collect()
+    assert(c.lastAutoRoute === Some("exact"))
+
+    // above the flat floor -> flat resident scan; rows equal the exact path
+    assert(routed(c.autoQuery(q, k = 5)) === exact)
+    assert(c.lastAutoRoute === Some("packed"))
+
+    // the cell tier needs its floor AND a coarse model: without one the
+    // router stays flat rather than training inside a query
+    c.autoRouteIvfRows = 1L
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed"))
+    c.buildVectorIndex(numCells = 2)
+    assert(routed(c.autoQuery(q, k = 5)) ===
+      routed(c.packedAnnQuery(q, k = 5, nProbe = c.autoRouteNProbe)))
+    assert(c.lastAutoRoute === Some("packed_ivf"))
+
+    // the code tier outranks it once a product quantizer is trained
+    c.autoRoutePqRows = 1L
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed_ivf"))
+    c.buildQuantModel(numSubspaces = 8, numCentroids = 16)
+    assert(routed(c.autoQuery(q, k = 5)) ===
+      routed(c.packedPqQuery(q, k = 5, nProbe = c.autoRouteNProbe)))
+    assert(c.lastAutoRoute === Some("packed_pq"))
+
+    // filters never ride approximate tiers: selective -> exact; permissive
+    // -> the flat tier, whose filtered contract keeps exact membership
+    val selective = Some(Filter.Eq("id", "a7")) // 1 of 60 rows
+    val wantSel = routed(c.query(q, k = 1, where = selective))
+    assert(routed(c.autoQuery(q, k = 1, where = selective)) === wantSel)
+    assert(c.lastAutoRoute === Some("exact"))
+    val permissive = Some(Filter.Ne("category", "tri")) // 2/3 of the corpus
+    val wantPerm = routed(c.query(q, k = 5, where = permissive))
+    assert(routed(c.autoQuery(q, k = 5, where = permissive)) === wantPerm)
+    assert(c.lastAutoRoute === Some("packed"))
+  }
+
 }
