@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Embedder
-import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedKnn, PackedPq, PackedSq, Quantization}
+import graft.operators.{Ann, Bm25, Crud, Dedup, Filter, Knn, ModelStore, PackedGraph, PackedKnn, PackedPq, PackedSq, Quantization}
 import graft.sources.Collections
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -147,7 +147,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Probe budget the auto router passes to the approximate tiers. */
   var autoRouteNProbe: Int = 4
   /** The route [[autoQuery]] chose last, for audit/tests: one of
-    * exact | packed | packed_ivf | packed_pq | packed_sq. */
+    * exact | packed | packed_graph | packed_ivf | packed_pq | packed_sq. */
   @transient private var lastRoute: Option[String] = None
   def lastAutoRoute: Option[String] = lastRoute
 
@@ -181,12 +181,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
     *     fallback). Approximate tiers never serve filtered auto traffic:
     *     membership under a filter is a correctness property.
     *  4. unfiltered, by size: PQ codes ≥ [[autoRoutePqRows]] (SQ8 when no
-    *     product quantizer is trained), cell-probed float ≥
-    *     [[autoRouteIvfRows]], flat resident ≥ [[autoRouteFlatRows]],
-    *     exact below. Each tier is considered only when available —
-    *     availability never triggers model TRAINING (building/packing an
-    *     index from an existing model or sidecar is one corpus pass and
-    *     allowed; silently fitting quantizers inside a query is not). */
+    *     product quantizer is trained), graph walk then cell-probed
+    *     float ≥ [[autoRouteIvfRows]] (the graph tier outranks the flat
+    *     cell scan when already built — better recall at matched ms/q),
+    *     flat resident ≥ [[autoRouteFlatRows]], exact below. Each tier
+    *     is considered only when available — availability never triggers
+    *     model TRAINING or graph CONSTRUCTION (packing an index from an
+    *     existing model or sidecar is one corpus pass and allowed;
+    *     silently fitting quantizers or inserting a graph inside a query
+    *     is not). */
   def autoQuery(queries: DataFrame, k: Int = 10,
                 where: Option[Filter] = None,
                 includeVectors: Boolean = false,
@@ -197,6 +200,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val pqAvail = packedPqIdx.nonEmpty || ModelStore.exists(pqModelDir)
     val sqAvail = packedSqIdx.nonEmpty ||
       (ModelStore.exists(sqModelDir) && hasVectorIndex)
+    // the graph tier routes only when already BUILT (resident or warm
+    // sidecar): its cold build is a sequential per-cell insertion pass —
+    // index construction, not something to pay silently inside a query
+    val graphAvail = packedGraphIdx.nonEmpty ||
+      PackedGraph.slabsExist(spark, packedGraphDir)
     val (route, reason) =
       if (includeVectors || includeMetadata)
         ("exact", "side columns requested")
@@ -214,6 +222,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
         case None =>
           if (n >= autoRoutePqRows && pqAvail) ("packed_pq", s"n=$n, code tier")
           else if (n >= autoRoutePqRows && sqAvail) ("packed_sq", s"n=$n, byte tier")
+          // graph beats the flat cell scan's recall at matched ms/q
+          // (RecallFloorSpec), so it outranks packed_ivf when built
+          else if (n >= autoRouteIvfRows && graphAvail)
+            ("packed_graph", s"n=$n, graph tier")
           else if (n >= autoRouteIvfRows && ivfAvail) ("packed_ivf", s"n=$n, cell-probed tier")
           // the flat tier needs no trained model — packedQuery packs on
           // first use, so above the floor it is always routable
@@ -225,6 +237,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
       s"autoQuery('${config.name}') routed to $route: $reason")
     route match {
       case "packed" => packedQuery(queries, k, where)
+      case "packed_graph" => packedGraphQuery(queries, k, autoRouteNProbe)
       case "packed_ivf" => packedAnnQuery(queries, k, autoRouteNProbe)
       case "packed_pq" => packedPqQuery(queries, k, autoRouteNProbe)
       case "packed_sq" => packedSqQuery(queries, k, autoRouteNProbe)
@@ -643,6 +656,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (packedPqIdx.isDefined) packedPqStamp = stamp
       if (packedSqIdx.isDefined) packedSqStamp = stamp
     }
+    // the graph tier has NO delta maintenance (an insertion rewires
+    // adjacency): every mutation — even one this handle made — releases
+    // it; the next graph query rebuilds from the new corpus
+    packedGraphIdx.foreach(_.unpersist())
+    packedGraphIdx = None
   }
 
   @transient private var packedMaintained = false
@@ -847,6 +865,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
       PackedSq.saveSlabs(pi, packedSqDir)
       writeSidecarStamp(packedSqDir, packedSqStamp)
     }
+    ensureFreshPackedGraph() // releases (never throws) when stale
+    packedGraphIdx.foreach { pg =>
+      PackedGraph.saveSlabs(pg, packedGraphDir)
+      writeSidecarStamp(packedGraphDir, packedGraphStamp)
+    }
   }
 
   /** Mutation-count stamp riding inside a slab sidecar dir; -1 when
@@ -876,6 +899,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     fs.delete(new Path(packedIvfDir), true)
     fs.delete(new Path(packedPqDir), true)
     fs.delete(new Path(packedSqDir), true)
+    fs.delete(new Path(packedGraphDir), true)
   }
 
   def hasPackedIndex: Boolean = packedIdx.isDefined
@@ -971,6 +995,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     fsI.delete(new org.apache.hadoop.fs.Path(packedIvfDir), true)
     fsI.delete(new org.apache.hadoop.fs.Path(packedPqDir), true)
     fsI.delete(new org.apache.hadoop.fs.Path(packedSqDir), true)
+    fsI.delete(new org.apache.hadoop.fs.Path(packedGraphDir), true)
     ModelStore.saveIvf(spark, split.model, ivfDir)
     old.unpersist()
     packedIvfIdx = Some(split)
@@ -978,6 +1003,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedPqIdx = None
     packedSqIdx.foreach(_.unpersist())
     packedSqIdx = None
+    packedGraphIdx.foreach(_.unpersist())
+    packedGraphIdx = None
     val stamp = Collections.bumpMutationCount(spark, dir)
     packedIvfStamp = stamp
     if (packedIdx.isDefined) packedStamp = stamp // flat index: model-independent
@@ -1453,6 +1480,85 @@ final class GraftCollection(spark: SparkSession, dir: String,
           "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
       buildPackedSqIndex()
       PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+    }
+
+  // ------------------------------------------- resident graph-ANN tier
+
+  @transient private var packedGraphIdx: Option[PackedGraph.PackedGraphCorpus[String]] = None
+  @transient private var packedGraphStamp: Long = -1L
+
+  private def packedGraphDir = s"$dir/index_packed_graph"
+
+  /** Build (or warm-start) the resident graph-ANN tier — the reference's
+    * headline hnswlib index (vectordb.py:527), as one NSW graph per IVF
+    * cell over the resident float slabs ([[operators.PackedGraph]]).
+    * Unlike the other tiers the graph has NO delta maintenance (an
+    * insertion rewires adjacency), so every mutation through ANY handle
+    * invalidates it: this handle's writes release it eagerly, foreign
+    * writes trip the mutation-stamp guard. Requires the persisted IVF
+    * model ([[buildVectorIndex]]) when cold-building. */
+  def buildPackedGraphIndex(degree: Int = 16, efConstruction: Int = 64): Unit = {
+    packedGraphIdx.foreach(_.unpersist())
+    val current = Collections.readMutationCount(spark, dir)
+    packedGraphStamp = current
+    packedGraphIdx = Some(
+      if (PackedGraph.slabsExist(spark, packedGraphDir) &&
+          sidecarStamp(packedGraphDir) == current)
+        PackedGraph.loadSlabs[String](spark, packedGraphDir)
+      else {
+        require(hasVectorIndex,
+          s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
+        val pi = PackedKnn.packIvfStr(
+          df.where(col("embedding").isNotNull),
+          ModelStore.loadIvf(spark, ivfDir), "id", "embedding")
+        try PackedGraph.build[String](pi, degree, efConstruction, config.metric)
+        finally pi.unpersist() // the graph tier holds its OWN slabs
+      })
+  }
+
+  /** [[packedAnnQuery]] through the graph tier: probed cells run an
+    * ef-bounded best-first walk instead of a full slab scan — at equal
+    * ms/q the walk affords MORE probed cells, so recall beats the flat
+    * cell scan (RecallFloorSpec's 1M floor). `ef <= 0` walks
+    * exhaustively (the q143 exactness contract). Same output shape as
+    * [[query]]. */
+  def packedGraphQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+                       ef: Int = 64): DataFrame = {
+    ensureFreshPackedGraph()
+    if (packedGraphIdx.isEmpty) buildPackedGraphIndex()
+    val (q, qRows, qArr) = collectQueries(queries)
+    packedResult(q, qRows,
+      if (qArr.isEmpty) Array.empty
+      else graphSearchRecovering(qArr, k, nProbe, ef))
+  }
+
+  /** [[ensureFreshPacked]] for the graph tier. */
+  private def ensureFreshPackedGraph(): Unit = {
+    if (packedGraphIdx.isEmpty) return
+    val current = Collections.readMutationCount(spark, dir)
+    if (current != packedGraphStamp) {
+      // the graph tier is never delta-maintained, so unlike the other
+      // tiers a stale handle rebuilds unconditionally (a mutation ALWAYS
+      // invalidates the adjacency — there is no maintained-fresh case to
+      // protect with a fail-loud guard)
+      packedGraphIdx.foreach(_.unpersist()); packedGraphIdx = None
+    }
+  }
+
+  /** Graph walk with the same warm-start loss recovery as
+    * [[packedSearchRecovering]]. */
+  private def graphSearchRecovering(qArr: Array[(Long, Array[Float])],
+                                    k: Int, nProbe: Int,
+                                    ef: Int): Array[(Long, Array[(String, Double)])] =
+    try PackedGraph.searchGraph[String](packedGraphIdx.get, qArr, k, nProbe,
+      ef, config.metric)
+    catch { case e: Exception if slabReadFailure(e) =>
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+        s"resident graph index of '${config.name}' lost a warm-start " +
+          "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
+      buildPackedGraphIndex()
+      PackedGraph.searchGraph[String](packedGraphIdx.get, qArr, k, nProbe,
+        ef, config.metric)
     }
 
   /** True when the failure's cause chain is a missing `.slab` sidecar

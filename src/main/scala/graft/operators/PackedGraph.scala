@@ -1,6 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
@@ -55,15 +56,15 @@ object PackedGraph {
     * id order, which makes every tie-break below deterministic), the
     * resident float matrix + norms, and per-row adjacency (local row
     * indices; slot order irrelevant — the walk orders by distance). */
-  final case class GraphBlock(ids: Array[Long], mat: Array[Float], dim: Int,
-                              sqrtNorms: Array[Double],
-                              adj: Array[Array[Int]]) {
+  final case class GraphBlock[I](ids: Array[I], mat: Array[Float], dim: Int,
+                                 sqrtNorms: Array[Double],
+                                 adj: Array[Array[Int]]) {
     def rows: Int = ids.length
   }
 
-  final class PackedGraphCorpus(val blocks: RDD[GraphBlock],
-                                val model: Ann.IvfModel,
-                                val dim: Int, val degree: Int) {
+  final class PackedGraphCorpus[I](val blocks: RDD[GraphBlock[I]],
+                                   val model: Ann.IvfModel,
+                                   val dim: Int, val degree: Int) {
     def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
   }
 
@@ -214,12 +215,13 @@ object PackedGraph {
     * insertion-time nearest predecessor), which pruning never removes, so
     * the cell graph stays connected and unbounded-ef search is exhaustive
     * by construction. */
-  private[operators] def buildBlock(ids0: Array[Long], mat0: Array[Float],
-                                    dim: Int, degree: Int, efC: Int,
-                                    mcode: Int): GraphBlock = {
+  private[operators] def buildBlock[I: ClassTag](ids0: Array[I], mat0: Array[Float],
+                                                 dim: Int, degree: Int, efC: Int,
+                                                 mcode: Int)(
+      implicit ord: Ordering[I]): GraphBlock[I] = {
     val rows = ids0.length
     // sort rows by id (deterministic layout whatever shuffle order fed us)
-    val order = Array.range(0, rows).sortBy(ids0)
+    val order = Array.range(0, rows).sortBy(ids0.apply)
     val ids = order.map(ids0)
     val mat = new Array[Float](rows * dim)
     val norms = new Array[Double](rows)
@@ -323,9 +325,9 @@ object PackedGraph {
     * and inserts locally). The source corpus stays usable; this tier
     * holds its OWN copy of the slabs (id-sorted), so callers typically
     * unpersist the float tier after the build if memory is tight. */
-  def build(pi: PackedKnn.PackedIvfCorpus[Long], degree: Int = 16,
+  def build[I: ClassTag: Ordering](pi: PackedKnn.PackedIvfCorpus[I], degree: Int = 16,
             efConstruction: Int = 64, metric: String = "cosine",
-            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus = {
+            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     require(efConstruction >= degree,
       s"efConstruction ($efConstruction) must be >= degree ($degree)")
@@ -340,7 +342,7 @@ object PackedGraph {
         val rows = bs.map(_.rows.toLong).sum
         PackedKnn.requireSlabFits(rows, d, "PackedGraph.build")
         val n = rows.toInt
-        val ids = new Array[Long](n)
+        val ids = new Array[I](n)
         val mat = new Array[Float](n * d)
         var off = 0
         bs.foreach { b =>
@@ -348,7 +350,7 @@ object PackedGraph {
           System.arraycopy(b.mat, 0, mat, off * d, b.rows * d)
           off += b.rows
         }
-        Iterator.single(buildBlock(ids, mat, d, deg, efC, mcode))
+        Iterator.single(buildBlock[I](ids, mat, d, deg, efC, mcode))
       }
     }.persist(storage)
     blocks.count() // materialize: the build is ingest-time work
@@ -359,9 +361,10 @@ object PackedGraph {
     * shared driver probe ranking), walk each probed cell's graph with the
     * given ef, merge per-cell partials by (dist, id) on the driver.
     * `ef <= 0` means UNBOUNDED (exhaustive — the exactness contract). */
-  def searchGraph(pg: PackedGraphCorpus, queries: Array[(Long, Array[Float])],
+  def searchGraph[I: ClassTag: Ordering](pg: PackedGraphCorpus[I],
+                  queries: Array[(Long, Array[Float])],
                   k: Int, nProbe: Int, ef: Int = 64,
-                  metric: String = "cosine"): Array[(Long, Array[(Long, Double)])] = {
+                  metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
     require(queries.nonEmpty, "empty query batch")
     val mcode = mcodeOf(metric)
     val cents = pg.model.centroids
@@ -375,13 +378,13 @@ object PackedGraph {
     val qs = queries
     val kk = math.max(k, 1)
     val efEff = if (ef <= 0) Int.MaxValue else math.max(ef, kk)
-    val partials: Array[Array[(Int, Long, Double)]] = sc.runJob(pg.blocks,
-      (ctx: org.apache.spark.TaskContext, it: Iterator[GraphBlock]) => {
+    val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pg.blocks,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[GraphBlock[I]]) => {
         val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
-        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, Long, Double)]
+        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
         else {
           val b = it.next()
-          val out = new ArrayBuffer[(Int, Long, Double)]()
+          val out = new ArrayBuffer[(Int, I, Double)]()
           qIdxs.foreach { qi =>
             val qv = qs(qi)._2
             require(qv.length == b.dim, s"query dim ${qv.length} != corpus dim ${b.dim}")
@@ -398,7 +401,7 @@ object PackedGraph {
       }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
     val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
     queries.indices.map { qi =>
-      val merged = byQuery.getOrElse(qi, Array.empty[(Int, Long, Double)])
+      val merged = byQuery.getOrElse(qi, Array.empty[(Int, I, Double)])
         .map(t => (t._2, t._3))
         .sortBy { case (id, dd) => (dd, id) }
         .take(kk)
@@ -409,7 +412,7 @@ object PackedGraph {
   /** DataFrame serving facade — the [[PackedSq.search]] contract: capped
     * query-batch collect, resident walk, (query_id, rank, neighbor_id,
     * dist) out. Runs eagerly. */
-  def search(pg: PackedGraphCorpus, queries: DataFrame,
+  def search(pg: PackedGraphCorpus[Long], queries: DataFrame,
              k: Int, nProbe: Int, ef: Int = 64, metric: String = "cosine",
              queryId: String = "query_id", queryVec: String = "query_vec",
              maxQueryRows: Int = 65536): DataFrame = {
@@ -424,7 +427,7 @@ object PackedGraph {
         "corpus-sized query sets through Knn.knnJoin instead")
     require(rows.nonEmpty, "empty query batch")
     val qArr = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val res = searchGraph(pg, qArr, k, nProbe, ef, metric)
+    val res = searchGraph[Long](pg, qArr, k, nProbe, ef, metric)
     import spark.implicits._
     res.toSeq
       .flatMap { case (qid, nbrs) =>
@@ -436,6 +439,43 @@ object PackedGraph {
   /** Resident footprint of the graph layer itself in int edge slots
     * (adjacency only — the float slabs are the [[PackedKnn]] tier's
     * 4·dim bytes/row on top). */
-  def edgeSlots(pg: PackedGraphCorpus): Long =
+  def edgeSlots[I](pg: PackedGraphCorpus[I]): Long =
     pg.blocks.map(_.adj.iterator.map(_.length.toLong).sum).fold(0L)(_ + _)
+
+  // ------------------------------------------------------ slab sidecars
+
+  /** Persist the graph tier for warm start ([[PackedKnn.saveSlabs]]'s
+    * rename-swap contract): adjacency + slabs per partition, the coarse
+    * model, and the build degree as a marker — the graph build is the
+    * most expensive ingest artifact on the ladder (sequential insertion
+    * per cell), so at 100 TB a restart must reopen, not re-insert. */
+  def saveSlabs[I: ClassTag](pg: PackedGraphCorpus[I], dir: String): Unit = {
+    PackedKnn.writeSlabDir(pg.blocks, pg.dim, dir)
+    val spark = org.apache.spark.sql.SparkSession.active
+    ModelStore.saveIvf(spark, pg.model, s"$dir/ivf")
+    ModelStore.writeString(s"$dir/graph.json", s"""{"degree": ${pg.degree}}""")
+  }
+
+  def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    PackedKnn.slabsExist(spark, dir) && ModelStore.exists(s"$dir/ivf") &&
+      ModelStore.pathExists(s"$dir/graph.json")
+
+  /** Reopen: one task per cell reading exactly its slab — zero Exchange,
+    * zero re-insertion. Partition i = cell i survives the sidecar. */
+  def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
+    val ivf = ModelStore.loadIvf(spark, s"$dir/ivf")
+    val degree = {
+      val s = ModelStore.readString(s"$dir/graph.json")
+      """"degree"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"graph slab sidecar at $dir has a malformed graph.json: $s"))
+    }
+    val (blocks, dim) = PackedKnn.readSlabDir[GraphBlock[I]](spark, dir, storage)
+    require(blocks.getNumPartitions == ivf.numCells,
+      s"graph slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
+        s"but the coarse model has ${ivf.numCells} cells")
+    new PackedGraphCorpus(blocks, ivf, dim, degree)
+  }
 }

@@ -52,8 +52,8 @@ object QueriesVector {
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 
   private val packedGraphCache =
-    scala.collection.mutable.Map.empty[String, PackedGraph.PackedGraphCorpus]
-  private def cachedPackGraph(key: String)(build: => PackedGraph.PackedGraphCorpus) =
+    scala.collection.mutable.Map.empty[String, PackedGraph.PackedGraphCorpus[Long]]
+  private def cachedPackGraph(key: String)(build: => PackedGraph.PackedGraphCorpus[Long]) =
     cached(packedGraphCache, key)(
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 

@@ -1055,4 +1055,43 @@ class ClientSpec extends SparkSpec {
     assert(c.lastAutoRoute === Some("packed"))
   }
 
+  test("graph tier facade: exactness, auto route rank, mutation invalidation, warm start") {
+    val c = client.getOrCreateCollection("graph_tier")
+    c.add((0 until 48).map(i => (s"g$i", s"unique graph doc number $i body"))
+      .toDF("id", "document"))
+    val q = Seq((7L, "unique graph doc number 7 body")).toDF("query_id", "query_text")
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+
+    // cold build needs the coarse model
+    val e0 = intercept[IllegalArgumentException] { c.packedGraphQuery(q, k = 3) }
+    assert(e0.getMessage.contains("buildVectorIndex"))
+    c.buildVectorIndex(numCells = 2)
+    c.buildPackedGraphIndex(degree = 4, efConstruction = 16)
+
+    // full probe + unbounded ef is EXACT (the protected-spanning-tree
+    // contract riding into the facade)
+    val exact = routed(c.query(q, k = 5))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact)
+
+    // auto route: the graph tier outranks the flat cell scan once built
+    c.autoRouteFlatRows = 1L
+    c.autoRouteIvfRows = 1L
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed_graph"))
+
+    // a mutation through THIS handle releases the graph (no delta
+    // maintenance exists); the next graph query rebuilds over the new
+    // corpus and stays exact
+    c.add(Seq(("gx", "a brand new unique graph doc body")).toDF("id", "document"))
+    val exact2 = routed(c.query(q, k = 5))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact2)
+
+    // warm start: persist, reopen through a fresh handle, same answers
+    c.saveResidentIndex()
+    val other = new GraftClient(spark, root, 16).getCollection("graph_tier")
+    assert(routed(other.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact2)
+  }
+
 }

@@ -78,6 +78,26 @@ class PackedGraphSpec extends SparkSpec {
     } finally { pg.unpersist(); p.unpersist() }
   }
 
+  test("graph slabs round-trip: the reopened tier answers identically") {
+    val pg = PackedGraph.build(pi, degree = 8, efConstruction = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gslab").toString + "/g"
+    try {
+      assert(!PackedGraph.slabsExist(spark, dir))
+      PackedGraph.saveSlabs(pg, dir)
+      assert(PackedGraph.slabsExist(spark, dir))
+      val re = PackedGraph.loadSlabs[Long](spark, dir)
+      try {
+        assert(re.degree === pg.degree && re.dim === pg.dim)
+        assert(re.blocks.getNumPartitions === pg.blocks.getNumPartitions)
+        val want = PackedGraph.searchGraph(pg, qArr, 10, nProbe = 4, ef = 48)
+          .map { case (q, n) => (q, n.toSeq) }.toSeq
+        val got = PackedGraph.searchGraph(re, qArr, 10, nProbe = 4, ef = 48)
+          .map { case (q, n) => (q, n.toSeq) }.toSeq
+        assert(got === want) // identical adjacency -> identical walk
+      } finally re.unpersist()
+    } finally pg.unpersist()
+  }
+
   test("serving facade emits the knnJoin result shape and caps the batch") {
     val pg = PackedGraph.build(pi, degree = 8, efConstruction = 32)
     try {
