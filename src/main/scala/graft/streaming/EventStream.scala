@@ -369,6 +369,35 @@ object EventStream {
       }
       .start()
 
+  /** Streaming serving twin of the resident graph-ANN tier
+    * ([[graft.operators.PackedGraph.search]]): each micro-batch of
+    * queries walks the standing per-cell NSW graphs — ef-bounded
+    * best-first walks on probed partitions only, exact float distances
+    * (no decode error, no rerank needed). `ef <= 0` walks exhaustively
+    * (the q143 contract), making stream == batch == exact; the spec
+    * asserts it. Same idempotent batch-stamped output, skip-null stance
+    * and empty-trigger guard as the other serving twins; the query-batch
+    * cap lives inside PackedGraph.search. */
+  def graphQueryStream(stream: DataFrame,
+                       pg: graft.operators.PackedGraph.PackedGraphCorpus[Long],
+                       k: Int, outDir: String, checkpointDir: String,
+                       nProbe: Int = 4, ef: Int = 64, metric: String = "cosine",
+                       queryId: String = "query_id", queryVec: String = "query_vec",
+                       maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same skip-null stance as pqQueryStream
+        val clean = batch
+          .where(col(queryId).isNotNull && col(queryVec).isNotNull)
+        if (clean.limit(1).count() > 0) {
+          graft.operators.PackedGraph.search(pg, clean, k, nProbe, ef, metric,
+              queryId, queryVec, maxQueryRows)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.Ann.cellDrift]] — live
     * embedding-distribution monitoring at the ingest door: each
     * micro-batch of (vec) rows is assigned to the REFERENCE model's cells

@@ -178,6 +178,56 @@ class EventStreamSpec extends SparkSpec {
     } finally pc.unpersist(blocking = true)
   }
 
+  test("streaming graph serving equals the exact scan at full probe + unbounded ef") {
+    import graft.operators.{Ann, Knn, PackedGraph, PackedKnn}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Ann.trainIvf(embs, "embedding", numCells = 4)
+    val pk = PackedKnn.packIvf(embs, ivf, idCol = "vec_id", vecCol = "embedding")
+    val pg = PackedGraph.build[Long](pk, degree = 8, efConstruction = 32)
+    pk.unpersist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamgraph")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q = EventStream.graphQueryStream(
+        mem.toDF().toDF("query_id", "query_vec"), pg, k = 5,
+        outDir = s"$tmp/out", checkpointDir = s"$tmp/ck",
+        nProbe = 4, ef = 0, metric = "cosine") // exhaustive = the q143 contract
+      val qVecs = embs.where(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      try {
+        mem.addData(qVecs(0), qVecs(1))
+        q.processAllAvailable()
+        mem.addData(qVecs(2), qVecs(3)) // second batch, same resident graphs
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val queryDF = embs.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val want = Knn.knnJoin(queryDF, embs, k = 5, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === want)
+      // a null query row is skipped, not fatal (the serving-twin stance);
+      // a FRESH MemoryStream — a new checkpoint over the old one would
+      // replay every prior addData row into this batch
+      val mem3 = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val q3 = EventStream.graphQueryStream(
+        mem3.toDF().toDF("query_id", "query_vec"), pg, k = 5,
+        outDir = s"$tmp/out3", checkpointDir = s"$tmp/ck3", nProbe = 4, ef = 0)
+      try {
+        mem3.addData((98L, qVecs(0)._2), (99L, null: Array[Float]))
+        q3.processAllAvailable()
+      } finally q3.stop()
+      val got3 = spark.read.parquet(s"$tmp/out3").select("query_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got3 === Set(98L))
+    } finally pg.unpersist(blocking = true)
+  }
+
   test("streaming SQ8 serving equals the batch decoded-space search per micro-batch") {
     import graft.operators.{Ann, PackedSq, Quantization}
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
