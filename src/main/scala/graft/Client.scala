@@ -628,6 +628,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
     // root may live on a non-default scheme (s3a://, hdfs://...).
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     packedMaintained = false
+    graphMaintained = false
     result.write.mode("overwrite").parquet(tmpPath.toString)
     maintain
     // the slab sidecar is a point-in-time snapshot of the data dir; any
@@ -656,14 +657,16 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (packedPqIdx.isDefined) packedPqStamp = stamp
       if (packedSqIdx.isDefined) packedSqStamp = stamp
     }
-    // the graph tier has NO delta maintenance (an insertion rewires
-    // adjacency): every mutation — even one this handle made — releases
-    // it; the next graph query rebuilds from the new corpus
-    packedGraphIdx.foreach(_.unpersist())
-    packedGraphIdx = None
+    // the graph tier delta-maintains ADDS only (insertion is HNSW's
+    // native op — packedAppend sets graphMaintained); replace/delete
+    // rewires adjacency, so those mutations release it and the next
+    // graph query rebuilds from the new corpus
+    if (graphMaintained) { if (packedGraphIdx.isDefined) packedGraphStamp = stamp }
+    else { packedGraphIdx.foreach(_.unpersist()); packedGraphIdx = None }
   }
 
   @transient private var packedMaintained = false
+  @transient private var graphMaintained = false
 
   /** Append-only packed-index delta for freshly inserted rows (no id can
     * already be resident): the batch packs into its own slabs and unions
@@ -679,6 +682,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
       PackedPq.appendIvfPqStr(_, rows, "id", "embedding"))
     packedSqIdx = packedSqIdx.map(
       PackedSq.appendIvfSqStr(_, rows, "id", "embedding"))
+    // insertion is the graph's NATIVE maintenance op (unlike replace/
+    // delete, which rewire adjacency and invalidate it): new rows walk
+    // into the standing per-cell graphs under the same coarse model
+    packedGraphIdx = packedGraphIdx.map { old =>
+      val add = PackedKnn.packIvfStr(rows, old.model, "id", "embedding")
+      PackedGraph.append[String](old, add, config.metric)
+    }
+    graphMaintained = packedGraphIdx.isDefined
     packedMaintained = true
   }
 
@@ -785,6 +796,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Test-visible handles on the resident state (lineage assertions). */
   private[graft] def residentPacked: Option[PackedKnn.PackedCorpus[String]] = packedIdx
   private[graft] def residentPackedIvf: Option[PackedKnn.PackedIvfCorpus[String]] = packedIvfIdx
+  private[graft] def residentPackedGraph: Option[PackedGraph.PackedGraphCorpus[String]] = packedGraphIdx
 
   /** Pack the collection's embeddings into the distributed resident-matrix
     * index (operators.PackedKnn — per-partition float32 slabs scored by
@@ -1492,11 +1504,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Build (or warm-start) the resident graph-ANN tier — the reference's
     * headline hnswlib index (vectordb.py:527), as one NSW graph per IVF
     * cell over the resident float slabs ([[operators.PackedGraph]]).
-    * Unlike the other tiers the graph has NO delta maintenance (an
-    * insertion rewires adjacency), so every mutation through ANY handle
-    * invalidates it: this handle's writes release it eagerly, foreign
-    * writes trip the mutation-stamp guard. Requires the persisted IVF
-    * model ([[buildVectorIndex]]) when cold-building. */
+    * ADDS delta-maintain it (insertion is the graph's native op —
+    * [[PackedGraph.append]] walks new rows into the standing per-cell
+    * graphs); replace/delete rewires adjacency, so those mutations
+    * release it (own handle) or trip the mutation-stamp guard (foreign
+    * handle) and the next graph query rebuilds. Requires the persisted
+    * IVF model ([[buildVectorIndex]]) when cold-building. */
   def buildPackedGraphIndex(degree: Int = 16, efConstruction: Int = 64): Unit = {
     packedGraphIdx.foreach(_.unpersist())
     val current = Collections.readMutationCount(spark, dir)

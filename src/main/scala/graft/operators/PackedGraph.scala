@@ -52,20 +52,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object PackedGraph {
 
-  /** One cell's navigable graph: rows sorted ascending by id (row order ==
-    * id order, which makes every tie-break below deterministic), the
-    * resident float matrix + norms, and per-row adjacency (local row
-    * indices; slot order irrelevant — the walk orders by distance). */
+  /** One cell's navigable graph: rows in insertion order (the initial
+    * build inserts ascending by id; appended batches follow, each batch
+    * id-sorted — every tie-break below is deterministic for a given
+    * append history), the resident float matrix + norms, per-row
+    * adjacency (local row indices; slot order irrelevant — the walk
+    * orders by distance), and each row's PROTECTED insertion parent
+    * (-1 for the entry row) — carried in the block so appends can keep
+    * honoring the spanning-tree protection after a save/load. */
   final case class GraphBlock[I](ids: Array[I], mat: Array[Float], dim: Int,
                                  sqrtNorms: Array[Double],
-                                 adj: Array[Array[Int]]) {
+                                 adj: Array[Array[Int]],
+                                 parent: Array[Int]) {
     def rows: Int = ids.length
   }
 
   final class PackedGraphCorpus[I](val blocks: RDD[GraphBlock[I]],
                                    val model: Ann.IvfModel,
-                                   val dim: Int, val degree: Int) {
-    def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+                                   val dim: Int, val degree: Int,
+                                   val efConstruction: Int,
+                                   chain: Seq[RDD[_]] = Nil) {
+    private[PackedGraph] def parents: Seq[RDD[_]] =
+      if (chain.isEmpty) Seq(blocks) else chain
+    def unpersist(blocking: Boolean = false): Unit =
+      parents.foreach(_.unpersist(blocking))
   }
 
   private def mcodeOf(metric: String): Int = metric match {
@@ -103,7 +113,7 @@ object PackedGraph {
     def len(u: Int): Int = a(u).length
     def get(u: Int, i: Int): Int = a(u)(i)
   }
-  private final class GrowingAdj(a: Array[ArrayBuffer[Int]]) extends Adj {
+  private final class GrowingAdj(a: ArrayBuffer[ArrayBuffer[Int]]) extends Adj {
     def len(u: Int): Int = a(u).length
     def get(u: Int, i: Int): Int = a(u)(i)
   }
@@ -207,38 +217,44 @@ object PackedGraph {
     out
   }
 
-  /** Build one cell's graph by sequential NSW insertion: each row (in
-    * ascending id order — entry = smallest id) walks the partial graph
-    * with ef = efConstruction, links to its `degree` nearest results
-    * bidirectionally, and over-degree lists are pruned to the closest
-    * `degree` — EXCEPT protected spanning-tree edges (child <-> its
-    * insertion-time nearest predecessor), which pruning never removes, so
-    * the cell graph stays connected and unbounded-ef search is exhaustive
-    * by construction. */
-  private[operators] def buildBlock[I: ClassTag](ids0: Array[I], mat0: Array[Float],
-                                                 dim: Int, degree: Int, efC: Int,
-                                                 mcode: Int)(
-      implicit ord: Ordering[I]): GraphBlock[I] = {
-    val rows = ids0.length
-    // sort rows by id (deterministic layout whatever shuffle order fed us)
-    val order = Array.range(0, rows).sortBy(ids0.apply)
-    val ids = order.map(ids0)
-    val mat = new Array[Float](rows * dim)
-    val norms = new Array[Double](rows)
-    var r = 0
-    while (r < rows) {
-      System.arraycopy(mat0, order(r) * dim, mat, r * dim, dim)
-      var s = 0.0; var j = 0
-      while (j < dim) { val x = mat(r * dim + j).toDouble; s += x * x; j += 1 }
-      norms(r) = math.sqrt(s)
-      r += 1
+  /** Incremental per-cell graph constructor — ONE insertion engine for
+    * the initial build AND later appends (HNSW's native advantage over
+    * rebuild-the-world indexes: insertion IS the build step). State is
+    * growable; [[fromBlock]] reloads a finished block (adjacency +
+    * protected parents) so appended rows keep honoring the
+    * spanning-tree protection built before them. */
+  private[operators] final class GraphBuilder[I: ClassTag](
+      dim: Int, degree: Int, efC: Int, mcode: Int, hint: Int) {
+    private var ids = new Array[I](math.max(hint, 8))
+    private var mat = new Array[Float](math.max(hint, 8) * dim)
+    private var norms = new Array[Double](math.max(hint, 8))
+    private val adj = ArrayBuffer.empty[ArrayBuffer[Int]]
+    private val parent = ArrayBuffer.empty[Int]
+    // a node whose protected edges alone exceed `degree` can never be
+    // pruned again — skip the (dist-computing) prune scan from then on
+    private val saturated = new java.util.BitSet()
+    private val adjView = new GrowingAdj(adj)
+    private val q = new Array[Float](dim)
+    private val rv = new Array[Float](dim)
+    var rows: Int = 0
+
+    private def ensure(n: Int): Unit = {
+      if (n > ids.length) {
+        val cap = math.max(n, ids.length * 2)
+        val ni = new Array[I](cap) // ClassTag-aware: ids may be a primitive array
+        System.arraycopy(ids, 0, ni, 0, rows)
+        ids = ni
+        mat = java.util.Arrays.copyOf(mat, cap * dim)
+        norms = java.util.Arrays.copyOf(norms, cap)
+      }
     }
+
     // stored-row to stored-row distance (both resident)
-    val rv = new Array[Float](dim)
-    def distRR(a: Int, b: Int): Double = {
+    private def distRR(a: Int, b: Int): Double = {
       System.arraycopy(mat, a * dim, rv, 0, dim)
       rowDist(mat, b, dim, norms(b), rv, norms(a), mcode)
     }
+
     // Neighbor DIVERSIFICATION (the HNSW select-neighbors heuristic,
     // Malkov & Yashunin Alg. 4): walking candidates closest-first, keep c
     // only if it is closer to the anchor than to every already-kept
@@ -248,7 +264,7 @@ object PackedGraph {
     // closest-M vs 0.99+ diversified at the same degree); dominated
     // candidates then fill any leftover slots closest-first, so sparse
     // regions keep full degree.
-    def selectDiverse(cands: Array[(Int, Double)], cap: Int): ArrayBuffer[Int] = {
+    private def selectDiverse(cands: Array[(Int, Double)], cap: Int): ArrayBuffer[Int] = {
       val kept = new ArrayBuffer[Int](cap)
       var ci = 0
       while (ci < cands.length && kept.length < cap) {
@@ -270,14 +286,8 @@ object PackedGraph {
       }
       kept
     }
-    val adj = Array.fill(rows)(new ArrayBuffer[Int](degree + 2))
-    val parent = Array.fill(rows)(-1)
-    // a node whose protected edges alone exceed `degree` can never be
-    // pruned again — skip the (dist-computing) prune scan from then on
-    val saturated = new java.util.BitSet(rows)
-    val q = new Array[Float](dim)
 
-    def prune(n: Int): Unit = {
+    private def prune(n: Int): Unit = {
       val lst = adj(n)
       if (lst.length <= degree || saturated.get(n)) return
       val nv = new Array[Float](dim)
@@ -299,9 +309,21 @@ object PackedGraph {
       adj(n) = new ArrayBuffer[Int](keep.length + 2) ++= keep
     }
 
-    val adjView = new GrowingAdj(adj)
-    var i = 1
-    while (i < rows) {
+    /** Insert one row: walk the current graph with ef = efConstruction,
+      * link diversified bidirectional edges, protect the parent edge. */
+    def insert(id: I, vec: Array[Float]): Unit = {
+      require(vec.length == dim, s"vector dim ${vec.length} != graph dim $dim")
+      val i = rows
+      ensure(i + 1)
+      ids(i) = id
+      System.arraycopy(vec, 0, mat, i * dim, dim)
+      var sum = 0.0; var j = 0
+      while (j < dim) { val x = vec(j).toDouble; sum += x * x; j += 1 }
+      norms(i) = math.sqrt(sum)
+      adj += new ArrayBuffer[Int](degree + 2)
+      parent += -1
+      rows += 1
+      if (i == 0) return
       System.arraycopy(mat, i * dim, q, 0, dim)
       val found = walk(mat, dim, norms, adjView, activeRows = i, entry = 0,
         q, norms(i), efC, mcode)
@@ -315,9 +337,81 @@ object PackedGraph {
         adj(n) += i
         prune(n)
       }
-      i += 1
     }
-    GraphBlock(ids, mat, dim, norms, adj.map(_.toArray))
+
+    /** Adopt a finished block's state (ids, slabs, adjacency, parents)
+      * so subsequent [[insert]]s continue the same construction. */
+    def preload(b: GraphBlock[I]): Unit = {
+      require(rows == 0, "preload into a non-empty builder")
+      require(b.dim == dim, s"block dim ${b.dim} != builder dim $dim")
+      ensure(b.rows)
+      System.arraycopy(b.ids, 0, ids, 0, b.rows)
+      System.arraycopy(b.mat, 0, mat, 0, b.rows * dim)
+      System.arraycopy(b.sqrtNorms, 0, norms, 0, b.rows)
+      var n = 0
+      while (n < b.rows) {
+        adj += (new ArrayBuffer[Int](b.adj(n).length + 2) ++= b.adj(n))
+        parent += b.parent(n)
+        n += 1
+      }
+      rows = b.rows
+      // re-derive prune-skip state: a node whose protected edges alone
+      // reach `degree` can never be pruned
+      n = 0
+      while (n < b.rows) {
+        var prot = 0
+        b.adj(n).foreach { c =>
+          if (b.parent(c) == n || b.parent(n) == c) prot += 1 }
+        if (prot >= degree) saturated.set(n)
+        n += 1
+      }
+    }
+
+    def result(): GraphBlock[I] = {
+      val outIds = new Array[I](rows)
+      System.arraycopy(ids, 0, outIds, 0, rows)
+      GraphBlock(outIds, java.util.Arrays.copyOf(mat, rows * dim), dim,
+        java.util.Arrays.copyOf(norms, rows),
+        adj.iterator.map(_.toArray).toArray, parent.toArray)
+    }
+  }
+
+  private[operators] object GraphBuilder {
+    /** Reload a finished block's full state so later inserts continue the
+      * same construction (protected parents included — appended pruning
+      * must never drop a pre-existing tree edge). */
+    def fromBlock[I: ClassTag](b: GraphBlock[I], degree: Int, efC: Int,
+                               mcode: Int, extraHint: Int): GraphBuilder[I] = {
+      val g = new GraphBuilder[I](b.dim, degree, efC, mcode, b.rows + extraHint)
+      g.preload(b)
+      g
+    }
+  }
+
+  /** Build one cell's graph by sequential NSW insertion in ascending id
+    * order (entry = smallest id): each row walks the partial graph with
+    * ef = efConstruction, links to its `degree` nearest results
+    * bidirectionally, and over-degree lists are pruned to the closest
+    * `degree` — EXCEPT protected spanning-tree edges (child <-> its
+    * insertion-time nearest predecessor), which pruning never removes, so
+    * the cell graph stays connected and unbounded-ef search is exhaustive
+    * by construction. */
+  private[operators] def buildBlock[I: ClassTag](ids0: Array[I], mat0: Array[Float],
+                                                 dim: Int, degree: Int, efC: Int,
+                                                 mcode: Int)(
+      implicit ord: Ordering[I]): GraphBlock[I] = {
+    val rows = ids0.length
+    // sort rows by id (deterministic whatever shuffle order fed us)
+    val order = Array.range(0, rows).sortBy(ids0.apply)
+    val g = new GraphBuilder[I](dim, degree, efC, mcode, rows)
+    val vec = new Array[Float](dim)
+    var r = 0
+    while (r < rows) {
+      System.arraycopy(mat0, order(r) * dim, vec, 0, dim)
+      g.insert(ids0(order(r)), vec)
+      r += 1
+    }
+    g.result()
   }
 
   /** Build the graph tier over a resident IVF-packed float corpus — one
@@ -354,7 +448,74 @@ object PackedGraph {
       }
     }.persist(storage)
     blocks.count() // materialize: the build is ingest-time work
-    new PackedGraphCorpus(blocks, pi.model, d, degree)
+    new PackedGraphCorpus(blocks, pi.model, d, degree, efConstruction)
+  }
+
+  /** Append a batch WITHOUT rebuilding standing graphs — insertion is
+    * HNSW's native maintenance operation, and the blocks carry their
+    * protected parents precisely so later insertions keep the
+    * connectivity contract: appended rows link through the same
+    * ef-bounded walk + diversified selection, the pre-existing spanning
+    * tree is never pruned, and the new rows' parent edges extend it — so
+    * unbounded-ef search stays exhaustive over old AND new rows (the
+    * spec proves it). The batch routes to cells through the SAME coarse
+    * model (partition i stays cell i — probe routing unchanged); only
+    * partitions that received rows do any work. Note adjacency now
+    * depends on insertion HISTORY, so an appended graph is not
+    * edge-identical to a fresh rebuild — equivalence is the exactness
+    * contract + recall floors, not graph-isomorphism. */
+  def append[I: ClassTag: Ordering](pg: PackedGraphCorpus[I],
+             add: PackedKnn.PackedIvfCorpus[I],
+             metric: String = "cosine",
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
+    val mcode = mcodeOf(metric)
+    val d = pg.dim
+    val deg = pg.degree
+    val efC = pg.efConstruction
+    require(add.blocks.getNumPartitions == pg.model.numCells,
+      s"PackedGraph.append: batch pack has ${add.blocks.getNumPartitions} " +
+        s"partitions but the graph's coarse model has ${pg.model.numCells} " +
+        "cells — pack the batch with PackedKnn.packIvf over pg.model")
+    require(add.dim == 0 || add.dim == d,
+      s"PackedGraph.append: batch dim ${add.dim} != graph dim $d")
+    val zipped = pg.blocks.zipPartitions(add.blocks,
+      preservesPartitioning = true) { (git, bit) =>
+      val gs = git.toArray
+      val bs = bit.toArray
+      require(gs.length <= 1, s"multiple graph blocks in one cell partition")
+      if (bs.isEmpty) gs.iterator
+      else {
+        val newRows = bs.map(_.rows.toLong).sum
+        val base = gs.headOption.map(_.rows.toLong).getOrElse(0L)
+        PackedKnn.requireSlabFits(base + newRows, d, "PackedGraph.append")
+        val n = newRows.toInt
+        val ids = new Array[I](n)
+        val mat = new Array[Float](n * d)
+        var off = 0
+        bs.foreach { b =>
+          System.arraycopy(b.ids, 0, ids, off, b.rows)
+          System.arraycopy(b.mat, 0, mat, off * d, b.rows * d)
+          off += b.rows
+        }
+        val g = gs.headOption match {
+          case Some(block) => GraphBuilder.fromBlock[I](block, deg, efC, mcode, n)
+          case None => new GraphBuilder[I](d, deg, efC, mcode, n)
+        }
+        // id-sorted insertion within the batch: deterministic whatever
+        // shuffle order fed us (the buildBlock stance per append step)
+        val order = Array.range(0, n).sortBy(ids.apply)
+        val vec = new Array[Float](d)
+        order.foreach { r =>
+          System.arraycopy(mat, r * d, vec, 0, d)
+          g.insert(ids(r), vec)
+        }
+        Iterator.single(g.result())
+      }
+    }.persist(storage)
+    zipped.count()
+    add.unpersist() // transient cell-routing of the batch — zipped owns the rows now
+    new PackedGraphCorpus(zipped, pg.model, d, deg, efC,
+      pg.parents :+ (zipped: RDD[_]))
   }
 
   /** Batch search: route each query to its nProbe nearest cells (the
@@ -453,7 +614,8 @@ object PackedGraph {
     PackedKnn.writeSlabDir(pg.blocks, pg.dim, dir)
     val spark = org.apache.spark.sql.SparkSession.active
     ModelStore.saveIvf(spark, pg.model, s"$dir/ivf")
-    ModelStore.writeString(s"$dir/graph.json", s"""{"degree": ${pg.degree}}""")
+    ModelStore.writeString(s"$dir/graph.json",
+      s"""{"degree": ${pg.degree}, "efConstruction": ${pg.efConstruction}}""")
   }
 
   def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
@@ -465,17 +627,19 @@ object PackedGraph {
   def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
     val ivf = ModelStore.loadIvf(spark, s"$dir/ivf")
-    val degree = {
-      val s = ModelStore.readString(s"$dir/graph.json")
-      """"degree"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(
-          s"graph slab sidecar at $dir has a malformed graph.json: $s"))
-    }
+    val markerJson = ModelStore.readString(s"$dir/graph.json")
+    def intField(name: String, fallback: => Int): Int =
+      ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(markerJson)
+        .map(_.group(1).toInt).getOrElse(fallback)
+    val degree = intField("degree", throw new IllegalStateException(
+      s"graph slab sidecar at $dir has a malformed graph.json: $markerJson"))
+    // sidecars written before the append feature carry no efC — the
+    // build default ratio is the safe reopen value
+    val efC = intField("efConstruction", degree * 4)
     val (blocks, dim) = PackedKnn.readSlabDir[GraphBlock[I]](spark, dir, storage)
     require(blocks.getNumPartitions == ivf.numCells,
       s"graph slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
         s"but the coarse model has ${ivf.numCells} cells")
-    new PackedGraphCorpus(blocks, ivf, dim, degree)
+    new PackedGraphCorpus(blocks, ivf, dim, degree, efC)
   }
 }

@@ -1081,12 +1081,22 @@ class ClientSpec extends SparkSpec {
     c.autoQuery(q, k = 5).collect()
     assert(c.lastAutoRoute === Some("packed_graph"))
 
-    // a mutation through THIS handle releases the graph (no delta
-    // maintenance exists); the next graph query rebuilds over the new
-    // corpus and stays exact
+    // an ADD delta-maintains the graph (insertion is its native op) —
+    // the resident handle survives the write and answers exactly over
+    // the grown corpus, new row included
     c.add(Seq(("gx", "a brand new unique graph doc body")).toDF("id", "document"))
+    assert(c.residentPackedGraph.isDefined, "add must maintain, not release")
     val exact2 = routed(c.query(q, k = 5))
     assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact2)
+    val qx = Seq((9L, "a brand new unique graph doc body")).toDF("query_id", "query_text")
+    assert(routed(c.packedGraphQuery(qx, k = 1, nProbe = 2, ef = 0)).head._2 === "gx")
+
+    // an UPSERT rewires adjacency -> the graph is released; the next
+    // graph query rebuilds over the new corpus and stays exact
+    c.upsert(Seq(("g3", "a completely rewritten unique doc body")).toDF("id", "document"))
+    assert(c.residentPackedGraph.isEmpty, "upsert must release the graph tier")
+    val exact3 = routed(c.query(q, k = 5))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact3)
 
     // warm start: persist, reopen through a fresh handle, same answers
     c.saveResidentIndex()

@@ -78,6 +78,64 @@ class PackedGraphSpec extends SparkSpec {
     } finally { pg.unpersist(); p.unpersist() }
   }
 
+  test("append: inserted rows join the standing graphs; unbounded-ef stays exhaustive") {
+    val a = embs.where(col("vec_id") % 2 === 0)
+    val b = embs.where(col("vec_id") % 2 === 1)
+    val pa = PackedKnn.packIvf(a, ivf, idCol = "vec_id", vecCol = "embedding")
+    val pg0 = PackedGraph.build[Long](pa, degree = 8, efConstruction = 32)
+    pa.unpersist()
+    val addPack = PackedKnn.packIvf(b, ivf, idCol = "vec_id", vecCol = "embedding")
+    val pg = PackedGraph.append[Long](pg0, addPack)
+    try {
+      assert(pg.blocks.getNumPartitions === ivf.numCells)
+      // full probe + unbounded ef over the UNION == the exact scan: the
+      // protected spanning tree extends through appended insertions
+      val exact = Knn.knnJoin(queryDF, embs, 10, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2)).toMap
+      val got = PackedGraph.searchGraph[Long](pg, qArr, 10,
+        nProbe = ivf.numCells, ef = 0)
+      got.foreach { case (qid, nbrs) =>
+        assert(nbrs.map(_._1).toSeq === exact(qid).toSeq, s"query $qid")
+      }
+      // bounded-ef search still reaches usable recall on the grown graph
+      val bounded = PackedGraph.searchGraph[Long](pg, qArr, 10,
+        nProbe = 4, ef = 48).toMap
+      val recalls = qArr.map { case (qid, _) =>
+        bounded(qid).map(_._1).count(exact(qid).toSet) / 10.0 }
+      assert(recalls.sum / recalls.length >= 0.8)
+    } finally pg.unpersist() // chain: releases pg0's blocks too
+  }
+
+  test("append into a cell with no standing graph builds one there") {
+    import spark.implicits._
+    // two tight clusters -> two cells; the initial build sees ONLY
+    // cluster A, so cell B has no graph block until the append
+    val clA = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => 1.0f + ((i * 31 + j * 7) % 10) / 100.0f)))
+    val clB = (100L until 140L).map(i =>
+      (i, Array.tabulate(8)(j => -1.0f - ((i * 17 + j * 5) % 10) / 100.0f)))
+    val df = (clA ++ clB).toDF("vec_id", "embedding")
+    val m = Ann.trainIvf(df, "embedding", numCells = 2, seed = 3L)
+    val dfA = (clA).toDF("vec_id", "embedding")
+    val dfB = (clB).toDF("vec_id", "embedding")
+    val pg0 = {
+      val p = PackedKnn.packIvf(dfA, m, idCol = "vec_id", vecCol = "embedding")
+      try PackedGraph.build[Long](p, degree = 4, efConstruction = 8)
+      finally p.unpersist()
+    }
+    val addPack = PackedKnn.packIvf(dfB, m, idCol = "vec_id", vecCol = "embedding")
+    val pg = PackedGraph.append[Long](pg0, addPack)
+    try {
+      val q = Array((999L, Array.fill(8)(-1.05f)))
+      val got = PackedGraph.searchGraph[Long](pg, q, 80, nProbe = 2, ef = 0)
+      assert(got.head._2.map(_._1).toSet === (clA ++ clB).map(_._1).toSet)
+    } finally pg.unpersist()
+  }
+
   test("graph slabs round-trip: the reopened tier answers identically") {
     val pg = PackedGraph.build(pi, degree = 8, efConstruction = 32)
     val dir = java.nio.file.Files.createTempDirectory("graft-gslab").toString + "/g"
