@@ -657,10 +657,9 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (packedPqIdx.isDefined) packedPqStamp = stamp
       if (packedSqIdx.isDefined) packedSqStamp = stamp
     }
-    // the graph tier delta-maintains ADDS only (insertion is HNSW's
-    // native op — packedAppend sets graphMaintained); replace/delete
-    // rewires adjacency, so those mutations release it and the next
-    // graph query rebuilds from the new corpus
+    // the graph tier delta-maintains all CRUD through this handle
+    // (append = native insertion, delete = mark-deleted tombstones,
+    // replace = both); anything NOT maintained this commit releases it
     if (graphMaintained) { if (packedGraphIdx.isDefined) packedGraphStamp = stamp }
     else { packedGraphIdx.foreach(_.unpersist()); packedGraphIdx = None }
   }
@@ -715,6 +714,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (!(pruned eq old)) old.unpersist()
       PackedPq.appendIvfPqStr(pruned, rows, "id", "embedding")
     }
+    packedGraphIdx = packedGraphIdx.map { old =>
+      val pruned = PackedGraph.remove(old, ids)
+      val add = PackedKnn.packIvfStr(rows, old.model, "id", "embedding")
+      PackedGraph.append[String](pruned, add, config.metric)
+    }
+    graphMaintained = packedGraphIdx.isDefined || graphMaintained
     packedSqIdx = packedSqIdx.map { old =>
       val pruned = PackedSq.remove(old, ids)
       if (!(pruned eq old)) old.unpersist()
@@ -748,6 +753,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
       if (!(nw eq old)) old.unpersist()
       nw
     }
+    // HNSW mark-deleted: tombstoned rows keep routing walks but are
+    // never emitted — deletes maintain the graph tier in place
+    packedGraphIdx = packedGraphIdx.map(PackedGraph.remove(_, ids))
+    graphMaintained = packedGraphIdx.isDefined || graphMaintained
     packedMaintained = true
   }
 
@@ -1504,12 +1513,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** Build (or warm-start) the resident graph-ANN tier — the reference's
     * headline hnswlib index (vectordb.py:527), as one NSW graph per IVF
     * cell over the resident float slabs ([[operators.PackedGraph]]).
-    * ADDS delta-maintain it (insertion is the graph's native op —
-    * [[PackedGraph.append]] walks new rows into the standing per-cell
-    * graphs); replace/delete rewires adjacency, so those mutations
-    * release it (own handle) or trip the mutation-stamp guard (foreign
-    * handle) and the next graph query rebuilds. Requires the persisted
-    * IVF model ([[buildVectorIndex]]) when cold-building. */
+    * CRUD through this handle delta-maintains it: adds INSERT (the
+    * graph's native op — [[PackedGraph.append]] walks new rows into the
+    * standing per-cell graphs), deletes TOMBSTONE (HNSW mark-deleted:
+    * dead rows keep routing walks, are never emitted), upserts compose
+    * the two. Foreign mutations trip the mutation-stamp guard and the
+    * next graph query rebuilds; a coarse-model change
+    * ([[splitHotCells]]/retrain) kills it like every cell-routed tier.
+    * Requires the persisted IVF model ([[buildVectorIndex]]) when
+    * cold-building. */
   def buildPackedGraphIndex(degree: Int = 16, efConstruction: Int = 64): Unit = {
     packedGraphIdx.foreach(_.unpersist())
     val current = Collections.readMutationCount(spark, dir)

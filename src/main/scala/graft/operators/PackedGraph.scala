@@ -63,8 +63,11 @@ object PackedGraph {
   final case class GraphBlock[I](ids: Array[I], mat: Array[Float], dim: Int,
                                  sqrtNorms: Array[Double],
                                  adj: Array[Array[Int]],
-                                 parent: Array[Int]) {
+                                 parent: Array[Int],
+                                 dead: Array[Boolean] = null) {
     def rows: Int = ids.length
+    def liveRows: Int =
+      if (dead == null) rows else rows - dead.count(identity)
   }
 
   final class PackedGraphCorpus[I](val blocks: RDD[GraphBlock[I]],
@@ -178,13 +181,17 @@ object PackedGraph {
   private def walk(mat: Array[Float], dim: Int, norms: Array[Double],
                    adj: Adj, activeRows: Int, entry: Int,
                    q: Array[Float], qNorm: Double, ef: Int,
-                   mcode: Int): Array[(Int, Double)] = {
+                   mcode: Int, dead: Array[Boolean] = null): Array[(Int, Double)] = {
     val res = new PairHeap(ef, max = true) // head = worst kept
     val cand = new PairHeap(64, max = false) // head = closest frontier
     val visited = new java.util.BitSet(activeRows)
     val d0 = rowDist(mat, entry, dim, norms(entry), q, qNorm, mcode)
     visited.set(entry)
-    cand.add(d0, entry); res.add(d0, entry)
+    // tombstoned rows ROUTE (frontier) but are never EMITTED (kept set)
+    // — the HNSW mark-deleted contract: deleting a hub cannot disconnect
+    // the graph, and unbounded ef stays exhaustive over the live set
+    cand.add(d0, entry)
+    if (dead == null || !dead(entry)) res.add(d0, entry)
     var done = false
     while (!done && cand.size > 0) {
       val td = cand.topDist; val tu = cand.topRow
@@ -203,8 +210,11 @@ object PackedGraph {
             val dw = rowDist(mat, w, dim, norms(w), q, qNorm, mcode)
             if (res.size < ef || dw < res.topDist ||
                 (dw == res.topDist && w < res.topRow)) {
-              cand.add(dw, w); res.add(dw, w)
-              if (res.size > ef) res.pop()
+              cand.add(dw, w)
+              if (dead == null || !dead(w)) {
+                res.add(dw, w)
+                if (res.size > ef) res.pop()
+              }
             }
           }
           i += 1
@@ -230,6 +240,8 @@ object PackedGraph {
     private var norms = new Array[Double](math.max(hint, 8))
     private val adj = ArrayBuffer.empty[ArrayBuffer[Int]]
     private val parent = ArrayBuffer.empty[Int]
+    private var deadArr = new Array[Boolean](math.max(hint, 8))
+    private var deadCount = 0
     // a node whose protected edges alone exceed `degree` can never be
     // pruned again — skip the (dist-computing) prune scan from then on
     private val saturated = new java.util.BitSet()
@@ -246,6 +258,7 @@ object PackedGraph {
         ids = ni
         mat = java.util.Arrays.copyOf(mat, cap * dim)
         norms = java.util.Arrays.copyOf(norms, cap)
+        deadArr = java.util.Arrays.copyOf(deadArr, cap)
       }
     }
 
@@ -325,8 +338,20 @@ object PackedGraph {
       rows += 1
       if (i == 0) return
       System.arraycopy(mat, i * dim, q, 0, dim)
+      // link only to LIVE nodes (the kept set excludes tombstones); dead
+      // rows still route the walk, so the tree over live rows + the old
+      // protected edges keep every row reachable
       val found = walk(mat, dim, norms, adjView, activeRows = i, entry = 0,
-        q, norms(i), efC, mcode)
+        q, norms(i), efC, mcode, if (deadCount > 0) deadArr else null)
+      if (found.isEmpty) {
+        // every standing row is tombstoned: anchor the newcomer to the
+        // entry with a protected edge so it stays reachable
+        parent(i) = 0
+        adj(i) += 0
+        adj(0) += i
+        prune(0)
+        return
+      }
       parent(i) = found.head._1
       // diversified out-links; the parent edge is protected regardless of
       // whether diversification would have kept it
@@ -352,6 +377,7 @@ object PackedGraph {
       while (n < b.rows) {
         adj += (new ArrayBuffer[Int](b.adj(n).length + 2) ++= b.adj(n))
         parent += b.parent(n)
+        if (b.dead != null && b.dead(n)) { deadArr(n) = true; deadCount += 1 }
         n += 1
       }
       rows = b.rows
@@ -372,7 +398,8 @@ object PackedGraph {
       System.arraycopy(ids, 0, outIds, 0, rows)
       GraphBlock(outIds, java.util.Arrays.copyOf(mat, rows * dim), dim,
         java.util.Arrays.copyOf(norms, rows),
-        adj.iterator.map(_.toArray).toArray, parent.toArray)
+        adj.iterator.map(_.toArray).toArray, parent.toArray,
+        if (deadCount > 0) java.util.Arrays.copyOf(deadArr, rows) else null)
     }
   }
 
@@ -518,6 +545,52 @@ object PackedGraph {
       pg.parents :+ (zipped: RDD[_]))
   }
 
+  /** Tombstone removal — the HNSW mark-deleted contract: dead rows stay
+    * in the graph as ROUTING waypoints (deleting a hub cannot disconnect
+    * anything, so the exactness contract survives any delete sequence)
+    * but are never emitted by a search, and later [[append]]s never link
+    * to them. Miss blocks pass through BY REFERENCE; hit blocks rewrite
+    * only their (1 byte/row) mask. Rebuild when [[deadFraction]] says the
+    * routing overhead is no longer worth the skipped rebuild —
+    * tombstones cost walk visits, not correctness. */
+  def remove[I: ClassTag](pg: PackedGraphCorpus[I], ids: Set[I],
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
+    if (ids.isEmpty) return pg
+    val bc = pg.blocks.sparkContext.broadcast(ids)
+    val marked = pg.blocks.mapPartitions(_.map { b =>
+      val dead = bc.value
+      var hits = 0
+      var r = 0
+      while (r < b.rows) {
+        if (dead.contains(b.ids(r)) && (b.dead == null || !b.dead(r))) hits += 1
+        r += 1
+      }
+      if (hits == 0) b
+      else {
+        val mask = if (b.dead == null) new Array[Boolean](b.rows)
+          else java.util.Arrays.copyOf(b.dead, b.rows)
+        r = 0
+        while (r < b.rows) {
+          if (dead.contains(b.ids(r))) mask(r) = true
+          r += 1
+        }
+        b.copy(dead = mask)
+      }
+    }, preservesPartitioning = true).persist(storage)
+    marked.count()
+    new PackedGraphCorpus(marked, pg.model, pg.dim, pg.degree,
+      pg.efConstruction, pg.parents :+ (marked: RDD[_]))
+  }
+
+  /** Fraction of resident rows that are tombstones — the rebuild gauge:
+    * dead rows cost walk visits and resident bytes but no correctness. */
+  def deadFraction[I](pg: PackedGraphCorpus[I]): Double = {
+    val (dead, total) = pg.blocks
+      .map(b => ((b.rows - b.liveRows).toLong, b.rows.toLong))
+      .fold((0L, 0L)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+    if (total == 0L) 0.0 else dead.toDouble / total
+  }
+
   /** Batch search: route each query to its nProbe nearest cells (the
     * shared driver probe ranking), walk each probed cell's graph with the
     * given ef, merge per-cell partials by (dist, id) on the driver.
@@ -552,7 +625,7 @@ object PackedGraph {
             var s = 0.0; var j = 0
             while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
             val found = walk(b.mat, b.dim, b.sqrtNorms, new FrozenAdj(b.adj),
-              b.rows, entry = 0, qv, math.sqrt(s), efEff, mcode)
+              b.rows, entry = 0, qv, math.sqrt(s), efEff, mcode, b.dead)
             found.iterator.take(kk).foreach { case (row, dd) =>
               out += ((qi, b.ids(row), dd))
             }

@@ -1091,17 +1091,25 @@ class ClientSpec extends SparkSpec {
     val qx = Seq((9L, "a brand new unique graph doc body")).toDF("query_id", "query_text")
     assert(routed(c.packedGraphQuery(qx, k = 1, nProbe = 2, ef = 0)).head._2 === "gx")
 
-    // an UPSERT rewires adjacency -> the graph is released; the next
-    // graph query rebuilds over the new corpus and stays exact
+    // an UPSERT tombstones the old row and inserts the replacement —
+    // the resident graph survives and stays exact (old g3 never emitted)
     c.upsert(Seq(("g3", "a completely rewritten unique doc body")).toDF("id", "document"))
-    assert(c.residentPackedGraph.isEmpty, "upsert must release the graph tier")
+    assert(c.residentPackedGraph.isDefined, "upsert must maintain the graph tier")
     val exact3 = routed(c.query(q, k = 5))
     assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact3)
 
-    // warm start: persist, reopen through a fresh handle, same answers
+    // a DELETE tombstones in place: the dead row routes but never returns
+    c.delete(ids = Seq("g7"))
+    assert(c.residentPackedGraph.isDefined, "delete must maintain the graph tier")
+    val exact4 = routed(c.query(q, k = 5))
+    assert(!exact4.exists(_._2 == "g7"))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact4)
+
+    // warm start: persist (tombstones ride the slabs), reopen through a
+    // fresh handle, same answers as the fully-mutated state
     c.saveResidentIndex()
     val other = new GraftClient(spark, root, 16).getCollection("graph_tier")
-    assert(routed(other.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact2)
+    assert(routed(other.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact4)
   }
 
 }

@@ -136,6 +136,45 @@ class PackedGraphSpec extends SparkSpec {
     } finally pg.unpersist()
   }
 
+  test("remove: tombstones route but never return; exhaustive over survivors") {
+    val pg0 = PackedGraph.build[Long](pi, degree = 8, efConstruction = 32)
+    // kill the first 200 ids — including row 0 of some cell (the walk
+    // ENTRY) and, in the mega-hub sense, plenty of protected parents
+    val gone = (0L until 200L).toSet
+    val pg = PackedGraph.remove[Long](pg0, gone)
+    try {
+      assert(PackedGraph.deadFraction(pg) > 0.0)
+      val survivors = embs.where(col("vec_id") >= 200)
+      val exact = Knn.knnJoin(queryDF, survivors, 10, "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2)).toMap
+      val got = PackedGraph.searchGraph[Long](pg, qArr, 10,
+        nProbe = ivf.numCells, ef = 0)
+      got.foreach { case (qid, nbrs) =>
+        assert(nbrs.map(_._1).toSeq === exact(qid).toSeq, s"query $qid")
+        assert(!nbrs.exists(n => gone(n._1)))
+      }
+      // append after remove: new rows never link to tombstones, and the
+      // union of (survivors + appended) stays exhaustively searchable
+      import spark.implicits._
+      val extra = (5000L until 5020L)
+        .map(i => (i, Array.tabulate(qArr.head._2.length)(j =>
+          ((i * 37 + j * 11) % 100) / 50.0f - 1.0f)))
+        .toDF("vec_id", "embedding")
+      val addPack = PackedKnn.packIvf(extra, ivf, idCol = "vec_id", vecCol = "embedding")
+      val pg2 = PackedGraph.append[Long](pg, addPack)
+      val all2 = PackedGraph.searchGraph[Long](pg2, qArr.take(1),
+        k = 4000, nProbe = ivf.numCells, ef = 0)
+      val expectIds = embs.where(col("vec_id") >= 200)
+        .select("vec_id").collect().map(_.getLong(0)).toSet ++ (5000L until 5020L)
+      assert(all2.head._2.map(_._1).toSet === expectIds)
+      pg2.unpersist()
+    } finally pg.unpersist()
+  }
+
   test("graph slabs round-trip: the reopened tier answers identically") {
     val pg = PackedGraph.build(pi, degree = 8, efConstruction = 32)
     val dir = java.nio.file.Files.createTempDirectory("graft-gslab").toString + "/g"
