@@ -984,7 +984,24 @@ final class GraftCollection(spark: SparkSession, dir: String,
       old.unpersist()
       nw
     }
+    // graph "compaction" = a rebuild: tombstones cost walk visits and
+    // resident bytes (never correctness), and append chains fragment
+    // lineage — past the threshold the rebuild has paid for itself
+    packedGraphIdx.foreach { old =>
+      if (PackedGraph.deadFraction(old) > graphRebuildDeadFraction) {
+        val (deg, efC) = (old.degree, old.efConstruction)
+        // the slab sidecar snapshots the TOMBSTONED graph — a warm start
+        // from it would just reload the dead rows; cold-pack instead
+        val p = new org.apache.hadoop.fs.Path(packedGraphDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        buildPackedGraphIndex(deg, efC) // unpersists old, re-inserts live rows
+      }
+    }
   }
+
+  /** Tombstone share past which [[compactPackedIndexes]] rebuilds the
+    * graph tier instead of carrying the dead rows. */
+  var graphRebuildDeadFraction: Double = 0.25
 
   @transient private var packedIvfIdx: Option[PackedKnn.PackedIvfCorpus[String]] = None
 

@@ -1110,6 +1110,16 @@ class ClientSpec extends SparkSpec {
     c.saveResidentIndex()
     val other = new GraftClient(spark, root, 16).getCollection("graph_tier")
     assert(routed(other.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact4)
+
+    // optimize() rebuilds the graph once tombstones pass the threshold:
+    // the rebuilt tier carries NO dead rows and answers identically
+    c.graphRebuildDeadFraction = 0.0001
+    c.delete(ids = Seq("g11"))
+    assert(graft.operators.PackedGraph.deadFraction(c.residentPackedGraph.get) > 0.0)
+    c.optimize()
+    assert(graft.operators.PackedGraph.deadFraction(c.residentPackedGraph.get) === 0.0)
+    val exact5 = routed(c.query(q, k = 5))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact5)
   }
 
 }
