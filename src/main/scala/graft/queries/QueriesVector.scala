@@ -57,6 +57,12 @@ object QueriesVector {
     cached(packedGraphCache, key)(
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 
+  private val mutatedGraphCache =
+    scala.collection.mutable.Map.empty[String, PackedGraph.PackedGraphCorpus[Long]]
+  private def cachedMutatedGraph(key: String)(build: => PackedGraph.PackedGraphCorpus[Long]) =
+    cached(mutatedGraphCache, key)(
+      _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
+
   /** Shared candidate -> exact-rerank funnel for the graph queries
     * (q101/q102): float32 graph candidates (k=10 over-fetch per node),
     * exact double rerank to top-5 — one place for the funnel parameters
@@ -219,6 +225,43 @@ object QueriesVector {
           nProbe = pg.model.numCells, ef = 0)
       }),
 
+    // MUTATED graph tier under the hash gate: build on the evens, APPEND
+    // the odds (insertion is the graph's native maintenance op), then
+    // TOMBSTONE vec_id [100, 200) (HNSW mark-deleted — dead rows route
+    // walks, are never emitted). Full probe + unbounded ef is exhaustive
+    // over the live set by the append/remove contracts (PackedGraphSpec
+    // proves each), so the funnel hash-checks the exact DuckDB oracle
+    // over the SURVIVOR corpus — CRUD maintenance itself is what this
+    // row certifies, not just a fresh build.
+    "q146_graph_mutated" -> ((s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val qdf = queryBatch(s, dir, 5)
+      val qArr = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val pg = cachedMutatedGraph(dir) {
+        val model = TrainedModels.ivf(s, dir)
+        val pe = PackedKnn.packIvf(embs.where(col("vec_id") % 2 === 0), model,
+          idCol = "vec_id", vecCol = "embedding")
+        val g0 = PackedGraph.build[Long](pe, degree = 16, efConstruction = 64)
+        pe.unpersist()
+        val addPack = PackedKnn.packIvf(embs.where(col("vec_id") % 2 === 1),
+          model, idCol = "vec_id", vecCol = "embedding")
+        PackedGraph.remove[Long](PackedGraph.append[Long](g0, addPack),
+          (100L until 200L).toSet)
+      }
+      val cand = PackedGraph.searchGraph[Long](pg, qArr, 20,
+        nProbe = pg.model.numCells, ef = 0)
+      val candDF = cand.toSeq
+        .flatMap { case (qid, nbrs) => nbrs.map { case (nid, _) => (qid, nid) } }
+        .toDF("query_id", "neighbor_id")
+      val survivors = embs.where(col("vec_id") < 100 || col("vec_id") >= 200)
+      Quantization.rerankExact(candDF, qdf, survivors, k = 10,
+          metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // WARM-START of the resident index (PackedKnn.saveSlabs/loadSlabs):
     // the packed corpus is persisted as the binary slab sidecar and
     // REOPENED — one task per partition reading one slab file, zero
@@ -377,6 +420,11 @@ object QueriesVector {
     "q100_packed_ivf" -> knnOracleCosine5,
     "q110_packed_warm" -> knnOracleCosine5,
     "q143_packed_graph" -> knnOracleCosine5,
+    // the q143 oracle restricted to the survivor set — the corpus the
+    // mutated graph serves after the tombstoned range
+    "q146_graph_mutated" -> knnOracleCosine5.replace(
+      "FROM q, embeddings c)",
+      "FROM q, embeddings c WHERE c.vec_id < 100 OR c.vec_id >= 200)"),
     "q124_split_ivf" -> knnOracleCosine5,
     "q113_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
