@@ -70,7 +70,12 @@ object Bench {
       name -> Seq(once(name, fn), once(name, fn))
     }
     val loadAfter = loadAvg
-    val qs = results.map { case (k, rs) => s"\"" + k + "\":" + rs.min }
+    // per-query values rounded to ms precision on stdout: the driver's
+    // log-tail capture truncates LONG lines (rounds 6-9 each lost the
+    // parse that way at full double precision + query_runs inline), so
+    // the stdout line carries the contract fields compactly and the full
+    // raw artifact goes to BENCH_LAST.json
+    val qs = results.map { case (k, rs) => f""""$k":${rs.min}%.3f""" }
       .mkString("{", ",", "}")
     // both raw times per query: a contended driver run (both runs slammed,
     // so even the min is inflated) is self-diagnosing from the artifact
@@ -83,16 +88,15 @@ object Bench {
     // time-to-exception, not query time — a reader must not mistake a
     // 0.07 s "speedup" for a win (round-5 artifact did exactly that)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}"""
-    println(line)
-    // the stdout line is also written to a file: the driver's log-tail
-    // capture truncates long lines (round 6 lost ~60 of 108 per-query
-    // entries that way), so the durable artifact must not depend on it
+    val head = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter"""
+    val full = s"""{$head,"query_runs":$runsJson}"""
+    // durable artifact FIRST: even a crashed stdout pipe leaves the file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    println(s"{$head}")
     spark.stop()
   }
 }

@@ -72,7 +72,19 @@ final class GraftCollection(spark: SparkSession, dir: String,
                             val config: Collections.Config,
                             val embedder: Embedder) {
 
-  def df: DataFrame = spark.read.parquet(s"$dir/data")
+  /** The collection relation, cached per mutation stamp: a fresh
+    * `spark.read.parquet` per access would pay schema-inference/listing
+    * work on EVERY call (visible as a per-query job on the serving
+    * paths), while any mutation — this handle or a foreign one — bumps
+    * the stamp and forces a re-read, so staleness semantics are exactly
+    * the uncached ones. */
+  @transient private var dfCache: (Long, DataFrame) = null
+  def df: DataFrame = {
+    val stamp = Collections.readMutationCount(spark, dir)
+    if (dfCache == null || dfCache._1 != stamp)
+      dfCache = (stamp, spark.read.parquet(s"$dir/data"))
+    dfCache._2
+  }
 
   def count(): Long = df.count()
 
@@ -146,6 +158,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
   var autoRoutePqRows: Long = 524288L      // above: code tier beats float slabs
   /** Probe budget the auto router passes to the approximate tiers. */
   var autoRouteNProbe: Int = 4
+  /** Resident-bytes budget the router assumes for the float tiers.
+    * Long.MaxValue (default) = unbounded: the float tiers always outrank
+    * the SQ8 byte tier, which the sweep shows SLOWER at every shape
+    * (its 4x-smaller codes are a footprint win, not a latency win). Set
+    * a finite budget to let the router pick SQ8 once the float slabs
+    * (n * dim * 4 bytes) no longer fit — the route reason says so. */
+  var autoRouteMemoryBudgetBytes: Long = Long.MaxValue
   /** The route [[autoQuery]] chose last, for audit/tests: one of
     * exact | packed | packed_graph | packed_ivf | packed_pq | packed_sq. */
   @transient private var lastRoute: Option[String] = None
@@ -158,6 +177,31 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val stamp = Collections.readMutationCount(spark, dir)
     if (countCache._1 != stamp) countCache = (stamp, df.count())
     countCache._2
+  }
+
+  /** Filter pass-count, ONE pushdown job per (filter fingerprint,
+    * mutation stamp) — [[corpusRows]]'s caching stance for the router's
+    * selectivity input: at 100 TB an uncached per-call count() would pay
+    * a corpus scan before the query even routes (the reference's own
+    * strategy pick is O(1) on cached sizes, vectordb_optimized.py:650-657).
+    * The fingerprint is the Filter ADT's structural toString (case-class
+    * trees print canonically); bounded LRU so a pathological stream of
+    * distinct filters cannot grow the driver map. */
+  @transient private lazy val selectivityCache =
+    new java.util.LinkedHashMap[(String, Long), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), java.lang.Long]): Boolean =
+        size() > 256
+    }
+  private def filterPassRows(f: Filter, stamp: Long): Long = {
+    val key = (f.toString, stamp)
+    val cached = selectivityCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val n = df.where(coalesce(f.compile, lit(false))).count()
+      selectivityCache.put(key, java.lang.Long.valueOf(n))
+      n
+    }
   }
 
   /** [[query]] with AUTOMATIC engine selection — the reference auto-picks
@@ -173,23 +217,29 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * Decision order (first match wins):
     *  1. includeVectors/includeMetadata → exact (side columns live there).
     *  2. k×4 ≥ corpus → exact (any index over-fetches the whole corpus).
-    *  3. filtered: a cheap pushdown count estimates selectivity; a
-    *     selective filter (pass fraction < 1/overfetch) routes exact —
-    *     the packed over-fetch page would underfill and fall back per
-    *     query anyway; a permissive filter routes to the flat packed
-    *     tier, whose filtered contract is exact-membership (bounded
-    *     fallback). Approximate tiers never serve filtered auto traffic:
-    *     membership under a filter is a correctness property.
-    *  4. unfiltered, by size: PQ codes ≥ [[autoRoutePqRows]] (SQ8 when no
-    *     product quantizer is trained), graph walk then cell-probed
-    *     float ≥ [[autoRouteIvfRows]] (the graph tier outranks the flat
-    *     cell scan when already built — better recall at matched ms/q),
-    *     flat resident ≥ [[autoRouteFlatRows]], exact below. Each tier
-    *     is considered only when available — availability never triggers
-    *     model TRAINING or graph CONSTRUCTION (packing an index from an
-    *     existing model or sidecar is one corpus pass and allowed;
-    *     silently fitting quantizers or inserting a graph inside a query
-    *     is not). */
+    *  3. filtered: a pushdown count estimates selectivity — cached per
+    *     (filter fingerprint, mutation stamp) via [[filterPassRows]], so
+    *     repeated filtered calls never re-scan; a selective filter (pass
+    *     fraction < 1/overfetch) routes exact — any over-fetch page would
+    *     underfill and fall back per query anyway; a permissive filter
+    *     routes to the graph tier when one is built (≥
+    *     [[autoRouteIvfRows]]; the reference's own filtered traffic rides
+    *     its HNSW index through the same over-fetch pattern,
+    *     vectordb.py:519-559, and [[packedGraphQuery]]'s bounded exact
+    *     fallback keeps every query k-filled), else to the flat packed
+    *     tier, whose filtered contract is exact-membership.
+    *  4. unfiltered, by size: PQ codes ≥ [[autoRoutePqRows]]; the SQ8
+    *     byte tier only when PQ is absent AND the float slabs exceed
+    *     [[autoRouteMemoryBudgetBytes]] (footprint justifies it — on
+    *     latency alone the sweep shows the float scan faster at every
+    *     shape); graph walk then cell-probed float ≥ [[autoRouteIvfRows]]
+    *     (the graph tier outranks the flat cell scan when already built —
+    *     better recall at matched ms/q), flat resident ≥
+    *     [[autoRouteFlatRows]], exact below. Each tier is considered only
+    *     when available — availability never triggers model TRAINING or
+    *     graph CONSTRUCTION (packing an index from an existing model or
+    *     sidecar is one corpus pass and allowed; silently fitting
+    *     quantizers or inserting a graph inside a query is not). */
   def autoQuery(queries: DataFrame, k: Int = 10,
                 where: Option[Filter] = None,
                 includeVectors: Boolean = false,
@@ -197,7 +247,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val n = corpusRows
     val ivfAvail = packedIvfIdx.nonEmpty ||
       PackedKnn.ivfSlabsExist(spark, packedIvfDir) || hasVectorIndex
-    val pqAvail = packedPqIdx.nonEmpty || ModelStore.exists(pqModelDir)
+    // mirror sqAvail: the cold pack requires BOTH the quantizer and the
+    // coarse model — a PQ model trained without a vector index must fall
+    // through to a servable tier, not route here and throw
+    val pqAvail = packedPqIdx.nonEmpty ||
+      PackedPq.slabsExist(spark, packedPqDir) ||
+      (ModelStore.exists(pqModelDir) && hasVectorIndex)
     val sqAvail = packedSqIdx.nonEmpty ||
       (ModelStore.exists(sqModelDir) && hasVectorIndex)
     // the graph tier routes only when already BUILT (resident or warm
@@ -212,16 +267,29 @@ final class GraftCollection(spark: SparkSession, dir: String,
         ("exact", s"k=$k within overfetch of corpus n=$n")
       else where match {
         case Some(f) =>
-          val passing = df.where(coalesce(f.compile, lit(false))).count()
+          val passing = filterPassRows(f,
+            Collections.readMutationCount(spark, dir))
           val sel = passing.toDouble / math.max(n, 1L)
           if (sel * PackedFilterOverFetch < 1.0)
             ("exact", f"selective filter (pass fraction $sel%.3f)")
+          // the reference serves filtered traffic through its graph index
+          // with the same over-fetch (vectordb.py:519-559); the bounded
+          // exact fallback in packedGraphQuery keeps every query k-filled
+          else if (n >= autoRouteIvfRows && graphAvail)
+            ("packed_graph", f"permissive filter (pass fraction $sel%.3f), graph tier")
           else if (n >= autoRouteFlatRows)
             ("packed", f"permissive filter (pass fraction $sel%.3f), flat tier")
           else ("exact", s"n=$n under autoRouteFlatRows=$autoRouteFlatRows")
         case None =>
+          // SQ8 is a FOOTPRINT tier, not a latency tier (the sweep shows
+          // the float scan faster at every shape): route to it only when
+          // the float slabs exceed the declared resident budget
+          val floatBytes = n * config.dimensions.toLong * 4L
           if (n >= autoRoutePqRows && pqAvail) ("packed_pq", s"n=$n, code tier")
-          else if (n >= autoRoutePqRows && sqAvail) ("packed_sq", s"n=$n, byte tier")
+          else if (n >= autoRoutePqRows && sqAvail &&
+              floatBytes > autoRouteMemoryBudgetBytes)
+            ("packed_sq", s"n=$n, byte tier: float slabs ~$floatBytes B " +
+              s"exceed memory budget $autoRouteMemoryBudgetBytes B")
           // graph beats the flat cell scan's recall at matched ms/q
           // (RecallFloorSpec), so it outranks packed_ivf when built
           else if (n >= autoRouteIvfRows && graphAvail)
@@ -237,7 +305,8 @@ final class GraftCollection(spark: SparkSession, dir: String,
       s"autoQuery('${config.name}') routed to $route: $reason")
     route match {
       case "packed" => packedQuery(queries, k, where)
-      case "packed_graph" => packedGraphQuery(queries, k, autoRouteNProbe)
+      case "packed_graph" => packedGraphQuery(queries, k, autoRouteNProbe,
+        where = where)
       case "packed_ivf" => packedAnnQuery(queries, k, autoRouteNProbe)
       case "packed_pq" => packedPqQuery(queries, k, autoRouteNProbe)
       case "packed_sq" => packedSqQuery(queries, k, autoRouteNProbe)
@@ -947,6 +1016,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
   def optimize(maxFilesPerBucket: Int = 8): Map[String, Int] = {
     val data = graft.sources.Collections.compactDir(
       spark, s"$dir/data", maxFilesPerBucket)
+    // compaction rewrites the data FILES without bumping the mutation
+    // stamp (contents identical, so resident indexes stay valid) — the
+    // stamp-keyed relation cache must still drop its file listing
+    dfCache = null
     val kw = if (hasKeywordIndex)
       Bm25.compactIndex(spark, indexDir, maxFilesPerBucket) else 0
     val dd = if (hasDedupIndex)
@@ -1563,15 +1636,64 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * ms/q the walk affords MORE probed cells, so recall beats the flat
     * cell scan (RecallFloorSpec's 1M floor). `ef <= 0` walks
     * exhaustively (the q143 exactness contract). Same output shape as
-    * [[query]]. */
+    * [[query]].
+    *
+    * With `where`, filtered search rides the walk via the reference's
+    * filtered-HNSW over-fetch (vectordb.py:519-559 fetches k*10 from
+    * hnswlib and post-filters) with [[packedQuery]]'s bounded-fallback
+    * hardening: the walk over-fetches a k*4 page per query, ONE metadata
+    * job marks the candidate ids that pass, survivors keep their exact
+    * walk distances, and a query left under-filled while its page came
+    * back full falls back to the EXACT filtered scan for that query only
+    * — every query returns k rows whenever k filtered rows exist.
+    * Membership follows the probe/ef recall curve (probed cells only);
+    * at full probe + unbounded ef it equals [[query]](..., where). */
   def packedGraphQuery(queries: DataFrame, k: Int = 10, nProbe: Int = 4,
-                       ef: Int = 64): DataFrame = {
+                       ef: Int = 64, where: Option[Filter] = None): DataFrame = {
     ensureFreshPackedGraph()
     if (packedGraphIdx.isEmpty) buildPackedGraphIndex()
     val (q, qRows, qArr) = collectQueries(queries)
-    packedResult(q, qRows,
-      if (qArr.isEmpty) Array.empty
-      else graphSearchRecovering(qArr, k, nProbe, ef))
+    where match {
+      case None =>
+        packedResult(q, qRows,
+          if (qArr.isEmpty) Array.empty
+          else graphSearchRecovering(qArr, k, nProbe, ef))
+      case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
+      case Some(f) =>
+        val page = k * PackedFilterOverFetch
+        // the walk must be allowed to KEEP a full page: ef below the page
+        // size would truncate it before the filter ran (ef <= 0 stays
+        // unbounded)
+        val efPage = if (ef <= 0) ef else math.max(ef, page)
+        val over = graphSearchRecovering(qArr, page, nProbe, efPage)
+        val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
+        val pass: Set[String] =
+          if (candIds.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            df.where(coalesce(f.compile, lit(false))).select("id")
+              .join(candIds.toDF("id"), Seq("id"), "left_semi")
+              .collect().map(_.getString(0)).toSet
+          }
+        val kept = over.map { case (qi, nbrs) =>
+          (qi, nbrs.filter(n => pass(n._1)).take(k)) }
+        // an under-filled page proves the corpus exhausted only when
+        // EVERY cell was probed — with fewer probes, unprobed cells may
+        // still hold filtered rows, so an under-k query falls back
+        // either way
+        val allCellsProbed = nProbe >= packedGraphIdx.get.model.numCells
+        val (served, refetch) = kept.partition { case (qi, survivors) =>
+          survivors.length >= k ||
+            (allCellsProbed && over(qi.toInt)._2.length < page)
+        }
+        val fast = packedResult(q, qRows, served)
+        if (refetch.isEmpty) fast
+        else {
+          val ids = refetch.map { case (qi, _) => qRows(qi.toInt).get(0) }
+          fast.unionByName(
+            query(q.where(col("query_id").isin(ids: _*)), k, where))
+        }
+    }
   }
 
   /** [[ensureFreshPacked]] for the graph tier. */

@@ -313,7 +313,10 @@ object Sweep {
       val pcG = PackedKnn.packIvf(pqCorpus, ivfM,
         idCol = "vec_id", vecCol = "embedding")
       val tGBuild0 = System.nanoTime()
-      val pg = PackedGraph.build(pcG, degree = 24, efConstruction = 128)
+      // metric must match the searches below (l2): edge diversification
+      // under a mismatched metric skews the published operating points
+      val pg = PackedGraph.build(pcG, degree = 24, efConstruction = 128,
+        metric = "l2")
       val graphBuildS = (System.nanoTime() - tGBuild0) / 1e9
       pcG.unpersist(blocking = true) // the graph tier holds its own slabs
       val gProbe = math.min(ivfM.numCells, nProbe * 2)

@@ -122,10 +122,13 @@ object Dedup {
     *  - bucket sizes are counted FIRST (one aggregation over the banded
     *    relation — the same shuffle key the join itself uses), so the
     *    guard adds one cheap pass, never a second tokenization;
-    *  - `hotBucketMode = "fail"` (default): any bucket over `maxBucket`
+    *  - `hotBucketMode = "fail"`: any bucket over `maxBucket`
     *    rows aborts with the offending band values and sizes listed —
     *    the stage fails loud BEFORE the quadratic join launches;
-    *  - `hotBucketMode = "star"`: oversized buckets emit only
+    *  - `hotBucketMode = "star"` (default — corpora with legitimate
+    *    mega-buckets that completed before the guard existed must keep
+    *    completing; the degradation is LOGGED loud, per bucket): oversized
+    *    buckets emit only
     *    (bucket-min, member) star edges — linear in K and connectivity-
     *    preserving for [[duplicateClusters]]-style workflows (every
     *    member stays attached to the bucket hub) — while buckets within
@@ -171,6 +174,17 @@ object Dedup {
               "to emit linear (bucket-min, member) edges inside oversized " +
               "buckets (connectivity-preserving for cluster workflows).")
         else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$op: ${worst.length}${if (worst.length == 20) "+" else ""} band " +
+              s"bucket(s) exceed maxBucket=$maxBucket rows; emitting linear " +
+              "(bucket-min, member) star edges inside them instead of all " +
+              "pairs — connectivity-preserving for cluster workflows, but " +
+              "pair recall inside these buckets is reduced. Worst: " +
+              worst.map(r => keyCols.map(k => s"$k=${r.getAs[Any](k)}")
+                  .mkString("(", ", ", ")") + s" size=${r.getAs[Long]("_bc")}")
+                .mkString("; ") +
+              ". Pass hotBucketMode=\"fail\" to abort instead, or raise " +
+              "maxBucket to take the quadratic join deliberately.")
           val hotKeys = broadcast(
             counts.where(col("_bc") > maxBucket).select(keyCols.map(col): _*))
           val cold = banded.join(hotKeys, keyCols, "left_anti")
@@ -202,7 +216,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                  threshold: Double = 0.5, maxBucket: Int = 8192,
-                 hotBucketMode: String = "fail"): DataFrame = {
+                 hotBucketMode: String = "star"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingleSets(docs, idCol, textCol, shingleN)
@@ -1007,7 +1021,7 @@ object Dedup {
   def simhashPairs(sketches: DataFrame, idCol: String,
                    maxHamming: Int = 8, bits: Int = 60,
                    maxBucket: Int = 8192,
-                   hotBucketMode: String = "fail"): DataFrame = {
+                   hotBucketMode: String = "star"): DataFrame = {
     val bands = maxHamming + 1
     val width = (bits + bands - 1) / bands
     val bandVals = (0 until bands).map { b =>

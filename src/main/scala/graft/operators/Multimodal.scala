@@ -319,7 +319,7 @@ object Multimodal {
     * rows, never pixel data. */
   def imageNearDup(mm: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 8192,
-                   hotBucketMode: String = "fail"): DataFrame =
+                   hotBucketMode: String = "star"): DataFrame =
     Dedup.simhashPairs(
       perceptualHash(mm).where(col("phash").isNotNull)
         .select(col("id"), col("phash").as("simhash")),
@@ -371,7 +371,7 @@ object Multimodal {
     * generation touches (id, int64) rows only, never samples. */
   def audioNearDup(mm: DataFrame, maxHamming: Int = 2,
                    maxBucket: Int = 8192,
-                   hotBucketMode: String = "fail"): DataFrame =
+                   hotBucketMode: String = "star"): DataFrame =
     Dedup.simhashPairs(
       audioPerceptualHash(mm).where(col("ahash").isNotNull)
         .select(col("id"), col("ahash").as("simhash")),

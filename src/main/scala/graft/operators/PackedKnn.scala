@@ -60,7 +60,7 @@ object PackedKnn {
   // One BLAS handle per executor JVM. VectorBLAS needs the incubator
   // vector module (build.sbt adds --add-modules=jdk.incubator.vector);
   // without it netlib silently falls back to Java11BLAS — still correct.
-  @transient private lazy val blas: dev.ludovic.netlib.blas.BLAS =
+  @transient private[operators] lazy val blas: dev.ludovic.netlib.blas.BLAS =
     dev.ludovic.netlib.blas.BLAS.getInstance()
 
   /** Pack `corpus` (long-castable id column) into per-partition matrix

@@ -22,8 +22,9 @@ object Collections {
   // through the Hadoop FileSystem OF THE TARGET PATH, like swapWrite: a
   // collection may live on s3a://, hdfs://, or file:/ and java.nio would
   // either crash on the URI or silently operate on a nonexistent local
-  // path. Writes are tmp + delete + rename, so a crash mid-write never
-  // leaves a torn sidecar visible.
+  // path. Writes are tmp + overwrite-rename (FileContext), so a crash
+  // mid-write never leaves a torn sidecar visible AND a reader racing the
+  // write sees old-or-new, never missing.
 
   private def fsOf(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -41,8 +42,24 @@ object Collections {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(p, false) // HDFS rename onto an existing file fails
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    // old-or-new visibility: overwrite-rename via FileContext keeps the
+    // target continuously present (a crash or concurrent reader between a
+    // delete and a rename would otherwise see NO sidecar — exists() on
+    // config/stats/model markers must never transiently report missing)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        // filesystems without FileContext overwrite-rename (some object
+        // stores): fall back to delete+rename — weaker (a crash between
+        // the two leaves a missing-file window) but never torn
+        if (fs.exists(tmp)) {
+          fs.delete(p, false) // HDFS rename onto an existing file fails
+          require(fs.rename(tmp, p), s"rename $tmp -> $p failed: ${e.getMessage}")
+        } else require(fs.exists(p), s"rename $tmp -> $p failed: ${e.getMessage}")
+    }
   }
 
   def readString(path: String): String = {

@@ -1122,4 +1122,117 @@ class ClientSpec extends SparkSpec {
     assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0)) === exact5)
   }
 
+  test("auto routing: filter selectivity is ONE count job per (filter, stamp)") {
+    val c = client.getOrCreateCollection("auto_selcache")
+    c.add((0 until 40).map(i =>
+        (s"s$i", s"selectivity cache doc $i", if (i < 2) "rare" else "common"))
+      .toDF("id", "document", "category"))
+    val q = Seq((1L, "selectivity cache doc 7")).toDF("query_id", "query_text")
+    val fA = Some(Filter.Eq("category", "rare")) // 2/40 -> selective -> exact
+    val fB = Some(Filter.Eq("id", "s7")) // 1/40 -> selective -> exact
+
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    // listener events are async: wait for quiescence before reading
+    def jobsDuring(f: => Unit): Int = {
+      Thread.sleep(300)
+      val before = jobCount.get
+      f
+      var last = -1
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobCount.get != last && System.nanoTime() < deadline) {
+        last = jobCount.get; Thread.sleep(250)
+      }
+      jobCount.get - before
+    }
+
+    // warm: corpus count + the first selectivity count happen here
+    c.autoQuery(q, k = 1, where = fA)
+    assert(c.lastAutoRoute === Some("exact"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // repeated identical filtered calls: ZERO jobs before routing (the
+      // exact route is lazy, so any job here would be an uncached count)
+      assert(jobsDuring { c.autoQuery(q, k = 1, where = fA) } === 0,
+        "second identical filtered autoQuery must not re-count the corpus")
+      assert(c.lastAutoRoute === Some("exact"))
+      // a NEW filter fingerprint pays its one pushdown count (>= 1 job;
+      // AQE may stage a count as several jobs) — then never again
+      val freshFilterJobs = jobsDuring { c.autoQuery(q, k = 1, where = fB) }
+      assert(freshFilterJobs >= 1, "a first-seen filter must run its count")
+      assert(jobsDuring { c.autoQuery(q, k = 1, where = fB) } === 0)
+      // a mutation bumps the stamp: corpus + filter re-count once, then
+      // cached again for the new stamp
+      c.add(Seq(("sx", "a fresh selectivity doc", "common"))
+        .toDF("id", "document", "category"))
+      assert(jobsDuring { c.autoQuery(q, k = 1, where = fA) } >= 1)
+      assert(jobsDuring { c.autoQuery(q, k = 1, where = fA) } === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("filtered graph-tier serving: exact membership at full probe, bounded fallback, auto route") {
+    val c = client.getOrCreateCollection("graph_filtered")
+    c.add((0 until 48).map(i =>
+        (s"f$i", s"unique filtered graph doc number $i body",
+          if (i % 3 == 0) "tri" else "rest"))
+      .toDF("id", "document", "category"))
+    val q = Seq((7L, "unique filtered graph doc number 7 body"))
+      .toDF("query_id", "query_text")
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    c.buildVectorIndex(numCells = 2)
+    c.buildPackedGraphIndex(degree = 4, efConstruction = 16)
+
+    // permissive filter, full probe, unbounded ef: identical to the exact
+    // filtered scan (the spanning-tree exactness contract rides the
+    // filtered path too)
+    val permissive = Some(Filter.Ne("category", "tri"))
+    val wantPerm = routed(c.query(q, k = 5, where = permissive))
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0,
+      where = permissive)) === wantPerm)
+
+    // selective filter: the over-fetch page underfills (< k survivors of
+    // 48-row full page) and the bounded exact fallback fills in — exact
+    // membership per query, never silently short
+    val selective = Some(Filter.In("id", Seq("f1", "f2")))
+    val wantSel = routed(c.query(q, k = 5, where = selective))
+    assert(wantSel.length === 2)
+    assert(routed(c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0,
+      where = selective)) === wantSel)
+
+    // auto route: permissive filtered traffic rides the graph tier once
+    // one is built (the reference's filtered-HNSW pattern)
+    c.autoRouteFlatRows = 1L
+    c.autoRouteIvfRows = 1L
+    assert(routed(c.autoQuery(q, k = 5, where = permissive)) === wantPerm)
+    assert(c.lastAutoRoute === Some("packed_graph"))
+    // selective filters still route exact
+    c.autoQuery(q, k = 1, where = selective).collect()
+    assert(c.lastAutoRoute === Some("exact"))
+  }
+
+  test("auto routing: SQ8 is a footprint route — only under a memory budget") {
+    val c = client.getOrCreateCollection("auto_sq_budget")
+    c.add((0 until 64).map(i => (s"b$i", s"unique byte budget doc $i body"))
+      .toDF("id", "document"))
+    val q = Seq((1L, "unique byte budget doc 9 body")).toDF("query_id", "query_text")
+    c.buildVectorIndex(numCells = 2)
+    c.buildScalarQuantModel()
+    c.autoRouteFlatRows = 1L
+    c.autoRouteIvfRows = 1L
+    c.autoRoutePqRows = 1L
+    // unbounded budget (default): the float tiers outrank the byte tier
+    // even though SQ8 is available — latency-wise it loses at every shape
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed_ivf"))
+    // a binding budget flips the route: footprint now justifies the codes
+    c.autoRouteMemoryBudgetBytes = 1L
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed_sq"))
+  }
+
 }

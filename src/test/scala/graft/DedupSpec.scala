@@ -212,18 +212,19 @@ class DedupSpec extends SparkSpec {
     (copies ++ rest).toDF("doc_id", "text")
   }
 
-  test("hot-bucket guard: a planted 10k-copy mega-cluster fails loud by default") {
+  test("hot-bucket guard: fail mode aborts loud on a planted 10k-copy mega-cluster") {
     val e = intercept[IllegalStateException] {
-      Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5).collect()
+      Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5,
+        hotBucketMode = "fail").collect()
     }
     assert(e.getMessage.contains("maxBucket=8192"))
     assert(e.getMessage.contains("size=10000"))
     assert(e.getMessage.contains("hotBucketMode"))
   }
 
-  test("star mode bounds the mega-cluster to linear candidates, keeps one component") {
+  test("star mode (the default) bounds the mega-cluster to linear candidates, keeps one component") {
     val pairs = Dedup.minhashLsh(megaCluster, "doc_id", "text",
-      threshold = 0.5, hotBucketMode = "star")
+      threshold = 0.5) // hotBucketMode = "star" is the default
     val rows = pairs.collect()
     // linear, not quadratic: 9999 hub edges from the mega-bucket plus the
     // one small-bucket near-dup pair — nowhere near the 5*10^7 all-pairs
@@ -256,8 +257,8 @@ class DedupSpec extends SparkSpec {
     val sketches = spark.range(1, 101)
       .select(col("id").as("doc_id"), lit(0x123456789ABL).as("simhash"))
     val e = intercept[IllegalStateException] {
-      Dedup.simhashPairs(sketches, "doc_id", maxHamming = 8, maxBucket = 10)
-        .collect()
+      Dedup.simhashPairs(sketches, "doc_id", maxHamming = 8, maxBucket = 10,
+        hotBucketMode = "fail").collect()
     }
     assert(e.getMessage.contains("simhashPairs") && e.getMessage.contains("size=100"))
     val star = Dedup.simhashPairs(sketches, "doc_id", maxHamming = 8,
