@@ -1032,34 +1032,53 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * single-slab partitions (the resident twin of the sidecar
     * compactions): a long CRUD history otherwise turns every search into
     * many small tasks over many tiny slabs. Results are identical;
-    * only task and sgemm call counts change. */
+    * only task and sgemm call counts change.
+    *
+    * Gauged, not unconditional: each tier's `generations` counter (chain
+    * length — a free driver-side read) says whether any CRUD history is
+    * riding the handle; a freshly packed/compacted tier is skipped, so a
+    * periodic optimize() on a quiet collection re-persists nothing. */
   def compactPackedIndexes(numPartitions: Int = 0): Unit = {
     packedIdx = packedIdx.map { old =>
       val target = if (numPartitions > 0) numPartitions
         else math.min(math.max(1, old.blocks.partitions.length),
           spark.sparkContext.defaultParallelism)
-      val nw = PackedKnn.compact(old, target)
-      old.unpersist()
-      nw
+      if (old.generations <= 1 && old.blocks.partitions.length <= target) old
+      else {
+        val nw = PackedKnn.compact(old, target)
+        old.unpersist()
+        nw
+      }
     }
     packedIvfIdx = packedIvfIdx.map { old =>
-      val nw = PackedKnn.compactIvf(old)
-      old.unpersist()
-      nw
+      if (old.generations <= 1) old
+      else {
+        val nw = PackedKnn.compactIvf(old)
+        old.unpersist()
+        nw
+      }
     }
     packedPqIdx = packedPqIdx.map { old =>
-      val nw = PackedPq.compactIvfPq(old)
-      old.unpersist()
-      nw
+      if (old.generations <= 1) old
+      else {
+        val nw = PackedPq.compactIvfPq(old)
+        old.unpersist()
+        nw
+      }
     }
     packedSqIdx = packedSqIdx.map { old =>
-      val nw = PackedSq.compactIvfSq(old)
-      old.unpersist()
-      nw
+      if (old.generations <= 1) old
+      else {
+        val nw = PackedSq.compactIvfSq(old)
+        old.unpersist()
+        nw
+      }
     }
-    // graph "compaction" = a rebuild: tombstones cost walk visits and
-    // resident bytes (never correctness), and append chains fragment
-    // lineage — past the threshold the rebuild has paid for itself
+    // graph "compaction" is two-gauge: past the tombstone threshold a
+    // REBUILD has paid for itself (dead rows cost walk visits and
+    // resident bytes, never correctness); below it, a CRUD chain still
+    // holds every append/remove generation resident, so fold it into one
+    // persisted generation (identical blocks, chain memory released)
     packedGraphIdx.foreach { old =>
       if (PackedGraph.deadFraction(old) > graphRebuildDeadFraction) {
         val (deg, efC) = (old.degree, old.efConstruction)
@@ -1068,6 +1087,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
         val p = new org.apache.hadoop.fs.Path(packedGraphDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         buildPackedGraphIndex(deg, efC) // unpersists old, re-inserts live rows
+      } else if (old.generations > 1) {
+        val nw = PackedGraph.compact(old)
+        old.unpersist()
+        packedGraphIdx = Some(nw)
       }
     }
   }

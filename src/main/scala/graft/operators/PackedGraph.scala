@@ -83,6 +83,8 @@ object PackedGraph {
                                    chain: Seq[RDD[_]] = Nil) {
     private[PackedGraph] def parents: Seq[RDD[_]] =
       if (chain.isEmpty) Seq(blocks) else chain
+    /** CRUD generations riding this handle (1 = freshly built/compacted). */
+    def generations: Int = parents.length
     def unpersist(blocking: Boolean = false): Unit =
       parents.foreach(_.unpersist(blocking))
   }
@@ -773,6 +775,24 @@ object PackedGraph {
     marked.count()
     new PackedGraphCorpus(marked, pg.model, pg.dim, pg.degree,
       pg.efConstruction, pg.parents :+ (marked: RDD[_]))
+  }
+
+  /** Fold an append/remove chain into ONE persisted generation. Unlike
+    * the code tiers, graph partitions already hold a single merged block
+    * ([[append]] re-finalizes the cell's builder in place), so no merge
+    * is needed — but every chained generation's arrays stay persisted
+    * for unpersist bookkeeping and lineage, and a long CRUD history
+    * multiplies the resident footprint. The fold re-persists the newest
+    * blocks under a fresh handle and releases the chain. Results are
+    * identical; only resident bytes change. */
+  def compact[I: ClassTag](pg: PackedGraphCorpus[I],
+              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
+    if (pg.generations <= 1) return pg
+    val folded = pg.blocks.mapPartitions(it => it,
+      preservesPartitioning = true).persist(storage)
+    folded.count()
+    new PackedGraphCorpus(folded, pg.model, pg.dim, pg.degree,
+      pg.efConstruction)
   }
 
   /** Fraction of resident rows that are tombstones — the rebuild gauge:

@@ -49,7 +49,14 @@ object PackedKnn {
     * including every persisted constituent of an [[append]] union (the
     * union RDD itself holds no blocks; only its parents do). */
   final class PackedCorpus[I](val blocks: RDD[Block[I]], val dim: Int,
-                              persistedParents: Seq[RDD[_]]) {
+                              persistedParents: Seq[RDD[_]],
+                              /** Append generations riding this handle
+                                * (1 = freshly packed/compacted) — the
+                                * driver-side fragmentation gauge, so
+                                * `optimize()` skips healthy tiers for
+                                * free. Removes prune in place and carry
+                                * the count through. */
+                              val generations: Int = 1) {
     def this(blocks: RDD[Block[I]], dim: Int) = this(blocks, dim, Nil)
     private[PackedKnn] def parents: Seq[RDD[_]] =
       if (persistedParents.nonEmpty) persistedParents else Seq(blocks)
@@ -108,7 +115,7 @@ object PackedKnn {
     }
     new PackedCorpus(pc.blocks.union(add.blocks),
       if (pc.dim != 0) pc.dim else add.dim,
-      pc.parents ++ add.parents)
+      pc.parents ++ add.parents, pc.generations + 1)
   }
 
   /** Remove ids from a packed corpus WITHOUT touching blocks that hold
@@ -131,7 +138,7 @@ object PackedKnn {
       _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
       .setName(residentName).persist(storage)
     pruned.count()
-    new PackedCorpus(pruned, pc.dim)
+    new PackedCorpus(pruned, pc.dim, Nil, pc.generations)
   }
 
   /** [[remove]] for a cell-partitioned corpus: partition i stays cell i
@@ -145,7 +152,7 @@ object PackedKnn {
       _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
       .setName(residentName).persist(storage)
     pruned.count()
-    new PackedIvfCorpus(pruned, pi.dim, pi.model)
+    new PackedIvfCorpus(pruned, pi.dim, pi.model, Nil, pi.generations)
   }
 
   /** Compact a flat packed corpus after heavy append traffic: each
@@ -311,7 +318,11 @@ object PackedKnn {
     * zipped RDD itself holds no blocks; only its parents do). */
   final class PackedIvfCorpus[I](val blocks: RDD[Block[I]], val dim: Int,
                                  val model: Ann.IvfModel,
-                                 persistedParents: Seq[RDD[_]]) {
+                                 persistedParents: Seq[RDD[_]],
+                                 /** Append generations (1 = freshly
+                                   * packed/compacted) — see
+                                   * [[PackedCorpus.generations]]. */
+                                 val generations: Int = 1) {
     def this(blocks: RDD[Block[I]], dim: Int, model: Ann.IvfModel) =
       this(blocks, dim, model, Nil)
     private[PackedKnn] def parents: Seq[RDD[_]] =
@@ -372,7 +383,7 @@ object PackedKnn {
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
     new PackedIvfCorpus(zipped, if (pi.dim != 0) pi.dim else add.dim,
-      pi.model, pi.parents ++ add.parents)
+      pi.model, pi.parents ++ add.parents, pi.generations + 1)
   }
 
   private def packIvfBy[I: ClassTag](corpus: DataFrame, model: Ann.IvfModel,

@@ -58,7 +58,12 @@ object PackedPq {
                                 val pq: Quantization.PqModel,
                                 chain: Seq[RDD[_]],
                                 val residual: Boolean = false,
-                                val rotation: Option[Array[Array[Double]]] = None) {
+                                val rotation: Option[Array[Array[Double]]] = None,
+                                /** Append generations (1 = freshly packed/
+                                  * compacted) — the driver-side
+                                  * fragmentation gauge; removes prune in
+                                  * place and carry the count through. */
+                                val generations: Int = 1) {
     def this(blocks: RDD[CodeBlock[I]], ivf: Ann.IvfModel, pq: Quantization.PqModel) =
       this(blocks, ivf, pq, Nil)
     def m: Int = pq.numSubspaces
@@ -115,7 +120,8 @@ object PackedPq {
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
     new PackedPqCorpus(zipped, pi.ivf, pi.pq, pi.parents ++ add.parents,
-      pi.residual, pi.rotation)
+      residual = pi.residual, rotation = pi.rotation,
+      generations = pi.generations + 1)
   }
 
   /** Tombstone removal, the [[PackedKnn.remove]] contract: miss blocks
@@ -131,7 +137,8 @@ object PackedPq {
       _.flatMap(pruneCodeBlock(bc.value, _)), preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     pruned.count()
-    new PackedPqCorpus(pruned, pi.ivf, pi.pq, Nil, pi.residual, pi.rotation)
+    new PackedPqCorpus(pruned, pi.ivf, pi.pq, Nil, pi.residual, pi.rotation,
+      generations = pi.generations)
   }
 
   /** Fold each cell's append-generation chain back into one code slab —

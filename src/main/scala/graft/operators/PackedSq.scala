@@ -50,7 +50,12 @@ object PackedSq {
   final class PackedSqCorpus[I](val blocks: RDD[SqBlock[I]],
                                 val ivf: Ann.IvfModel,
                                 val sq: Quantization.SqModel,
-                                chain: Seq[RDD[_]]) {
+                                chain: Seq[RDD[_]],
+                                /** Append generations (1 = freshly packed/
+                                  * compacted) — the driver-side
+                                  * fragmentation gauge; removes prune in
+                                  * place and carry the count through. */
+                                val generations: Int = 1) {
     def dim: Int = sq.mins.length
     private[PackedSq] def parents: Seq[RDD[_]] =
       if (chain.isEmpty) Seq(blocks) else chain
@@ -97,7 +102,8 @@ object PackedSq {
     val add = packBy[I](batch, pi.ivf, pi.sq, idCol, idType, vecCol, storage)(getId)
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
-    new PackedSqCorpus(zipped, pi.ivf, pi.sq, pi.parents ++ add.parents)
+    new PackedSqCorpus(zipped, pi.ivf, pi.sq, pi.parents ++ add.parents,
+      generations = pi.generations + 1)
   }
 
   /** Tombstone removal ([[PackedPq.remove]]'s contract): miss blocks pass
@@ -111,7 +117,8 @@ object PackedSq {
       _.flatMap(pruneBlock(bc.value, _)), preservesPartitioning = true)
       .setName(PackedKnn.residentName).persist(storage)
     pruned.count()
-    new PackedSqCorpus(pruned, pi.ivf, pi.sq, Nil)
+    new PackedSqCorpus(pruned, pi.ivf, pi.sq, Nil,
+      generations = pi.generations)
   }
 
   /** Fold each cell's append-generation chain back into one slab — no

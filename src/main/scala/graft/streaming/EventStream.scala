@@ -398,6 +398,111 @@ object EventStream {
       }
       .start()
 
+  /** Mutable handle on the resident graph tier for [[graphIngestStream]]:
+    * the stream swaps in the appended/tombstoned corpus per committed
+    * micro-batch, readers (a [[graphQueryStream]] serving twin, tests)
+    * always see the newest generation through [[pg]]. `lastBatchId` is
+    * the replay horizon — construct with the watermark that matches a
+    * restored sidecar snapshot (-1 = the graph reflects no stream
+    * batches yet). */
+  final class GraphIngestHandle(@volatile var pg: graft.operators.PackedGraph.PackedGraphCorpus[Long],
+                                @volatile var lastBatchId: Long = -1L)
+
+  /** Streaming INGEST twin of the graph tier's CRUD maintenance — the
+    * [[dedupIngestStream]] stance applied to the resident index: each
+    * micro-batch of (id, vec, op) CRUD rows tombstones its deletes and
+    * replaced ids ([[graft.operators.PackedGraph.remove]] — HNSW
+    * mark-deleted, dead rows keep routing) and walks its upserts into the
+    * standing per-cell graphs ([[graft.operators.PackedGraph.append]] —
+    * insertion is the graph's native maintenance op; the batch routes
+    * through the SAME coarse model, so probe routing never changes).
+    *
+    * Replay contract (insertion is NOT idempotent — re-appending a batch
+    * would double its rows): a replayed batch id (<= the handle's
+    * horizon) is SKIPPED, its rows are already resident; a batch id that
+    * JUMPS the horizon (checkpoint newer than the graph snapshot it was
+    * paired with) fails loud with the remedy — missed batches cannot be
+    * reconstructed from the stream. Batches are driver-sized CRUD deltas
+    * (capped like the serving twins' query batches, fail-loud); rows
+    * with a null id or vector are skipped like the serving twins' null
+    * queries. The handle's chain grows one generation per batch — run
+    * [[graft.operators.PackedGraph.compact]] (or the collection's
+    * optimize()) on the serving cadence to fold it. */
+  def graphIngestStream(stream: DataFrame, handle: GraphIngestHandle,
+                        checkpointDir: String, metric: String = "cosine",
+                        idCol: String = "id", vecCol: String = "vec",
+                        opCol: String = "op",
+                        maxBatchRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitGraphIngestBatch(handle, batch, batchId, metric,
+          idCol, vecCol, opCol, maxBatchRows)
+      }
+      .start()
+
+  /** One [[graphIngestStream]] micro-batch commit (factored out so the
+    * replay spec can drive it directly, the [[commitIngestBatch]]
+    * pattern). */
+  private[graft] def commitGraphIngestBatch(handle: GraphIngestHandle,
+                                            batch: DataFrame, batchId: Long,
+                                            metric: String,
+                                            idCol: String, vecCol: String,
+                                            opCol: String,
+                                            maxBatchRows: Int): Unit = {
+    import graft.operators.{PackedGraph, PackedKnn}
+    if (batchId <= handle.lastBatchId) {
+      org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
+        s"graphIngestStream: skipping replayed batch $batchId (resident " +
+          s"graph horizon ${handle.lastBatchId}) — its rows are already " +
+          "in the graph and insertion is not idempotent")
+      return
+    }
+    require(batchId == handle.lastBatchId + 1,
+      s"graphIngestStream: batch $batchId jumped the resident graph's " +
+        s"replay horizon (${handle.lastBatchId}): the checkpoint is newer " +
+        "than the graph snapshot this handle restored, and the skipped " +
+        "batches cannot be reconstructed from the stream. Restore the " +
+        "sidecar snapshot paired with this checkpoint, or rebuild the " +
+        "graph from the corpus and restart the stream with a fresh " +
+        "checkpoint.")
+    val rows = batch
+      .select(col(idCol).cast("long"),
+        col(vecCol).cast("array<float>"),
+        coalesce(col(opCol).cast("string"), lit("upsert")))
+      .where(col(idCol).isNotNull)
+      .limit(maxBatchRows + 1)
+      .collect()
+    require(rows.length <= maxBatchRows,
+      s"graphIngestStream micro-batch exceeds maxBatchRows=$maxBatchRows: " +
+        "CRUD deltas are driver-sized by contract — bulk (re)builds " +
+        "belong to PackedGraph.build over a packed corpus, not the " +
+        "ingest stream.")
+    if (rows.isEmpty) { handle.lastBatchId = batchId; return }
+    val deletes = rows.iterator
+      .filter(_.getString(2) == "delete").map(_.getLong(0)).toSet
+    // an upsert REPLACES: tombstone any standing row of that id first,
+    // then insert the new one (the batch-side packedReplace contract)
+    val upserts = rows.filter(r =>
+      r.getString(2) != "delete" && !r.isNullAt(1))
+    val tombstones = deletes ++ upserts.iterator.map(_.getLong(0))
+    val pruned = PackedGraph.remove(handle.pg, tombstones)
+    val next =
+      if (upserts.isEmpty) pruned
+      else {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val addDf = upserts.toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toDF("id", "vec")
+        val add = PackedKnn.packIvf(addDf, pruned.model,
+          idCol = "id", vecCol = "vec")
+        PackedGraph.append(pruned, add, metric)
+      }
+    handle.pg = next
+    handle.lastBatchId = batchId
+  }
+
   /** Streaming twin of [[graft.operators.Ann.cellDrift]] — live
     * embedding-distribution monitoring at the ingest door: each
     * micro-batch of (vec) rows is assigned to the REFERENCE model's cells

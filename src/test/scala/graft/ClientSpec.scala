@@ -1215,6 +1215,65 @@ class ClientSpec extends SparkSpec {
     assert(c.lastAutoRoute === Some("exact"))
   }
 
+  test("mutation storm: optimize() folds every resident tier back to one generation") {
+    val c = client.getOrCreateCollection("storm")
+    c.add((0 until 64).map(i => (s"m$i", s"unique storm doc number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 2)
+    c.buildQuantModel(numSubspaces = 8, numCentroids = 16)
+    c.buildScalarQuantModel()
+    val q = Seq((1L, "unique storm doc number 9 body")).toDF("query_id", "query_text")
+    def allTiers() = Seq(
+      c.packedQuery(q, k = 5),
+      c.packedAnnQuery(q, k = 5, nProbe = 2),
+      c.packedPqQuery(q, k = 5, nProbe = 2),
+      c.packedSqQuery(q, k = 5, nProbe = 2),
+      c.packedGraphQuery(q, k = 5, nProbe = 2, ef = 0))
+      .map(_.select("rank", "id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq)
+    allTiers() // pack all five resident tiers
+
+    // the storm: appends, upserts, deletes — every op chains a generation
+    (0 until 3).foreach { g =>
+      c.add(Seq((s"n$g", s"a new storm doc gen $g")).toDF("id", "document"))
+      c.upsert(Seq((s"m${10 + g}", s"rewritten storm doc $g")).toDF("id", "document"))
+      c.delete(ids = Seq(s"m${20 + g}"))
+    }
+    def gens() = Seq(
+      c.residentPacked.get.generations,
+      c.residentPackedIvf.get.generations,
+      c.residentPackedPq.get.generations,
+      c.residentPackedSq.get.generations,
+      c.residentPackedGraph.get.generations)
+    assert(gens().forall(_ > 1), s"storm must chain generations: ${gens()}")
+    val before = allTiers()
+
+    // optimize() compacts: one generation everywhere, one slab per
+    // partition on the block tiers (task/sgemm-call count bound), no
+    // graph tombstones once past the rebuild threshold
+    c.graphRebuildDeadFraction = 0.0001
+    c.optimize()
+    assert(gens() === Seq(1, 1, 1, 1, 1))
+    def maxBlocksPerPartition[T](rdd: org.apache.spark.rdd.RDD[T]): Int =
+      rdd.mapPartitions(it => Iterator.single(it.size)).collect().max
+    assert(maxBlocksPerPartition(c.residentPacked.get.blocks) === 1)
+    assert(maxBlocksPerPartition(c.residentPackedIvf.get.blocks) === 1)
+    assert(maxBlocksPerPartition(c.residentPackedPq.get.blocks) === 1)
+    assert(maxBlocksPerPartition(c.residentPackedSq.get.blocks) === 1)
+    assert(graft.operators.PackedGraph.deadFraction(c.residentPackedGraph.get) === 0.0)
+    // results identical before and after — compaction is layout-only
+    assert(allTiers() === before)
+    // a second optimize() on the quiet collection is gauge-skipped: the
+    // SAME corpus handles survive (no re-persist churn)
+    val handles = (c.residentPacked.get, c.residentPackedIvf.get,
+      c.residentPackedPq.get, c.residentPackedSq.get, c.residentPackedGraph.get)
+    c.optimize()
+    assert((c.residentPacked.get, c.residentPackedIvf.get,
+      c.residentPackedPq.get, c.residentPackedSq.get,
+      c.residentPackedGraph.get) === handles,
+      "optimize() on a compacted collection must not rebuild any tier")
+  }
+
   test("auto routing: SQ8 is a footprint route — only under a memory budget") {
     val c = client.getOrCreateCollection("auto_sq_budget")
     c.add((0 until 64).map(i => (s"b$i", s"unique byte budget doc $i body"))

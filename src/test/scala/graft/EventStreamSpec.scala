@@ -228,6 +228,78 @@ class EventStreamSpec extends SparkSpec {
     } finally pg.unpersist(blocking = true)
   }
 
+  test("streaming graph ingest: CRUD micro-batches maintain the resident graph under the replay guard") {
+    import graft.operators.{Ann, Knn, PackedGraph, PackedKnn}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val allRows = embs.where(col("vec_id") < 260)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val base = embs.where(col("vec_id") < 200)
+    val ivf = Ann.trainIvf(base, "embedding", numCells = 4)
+    val pk = PackedKnn.packIvf(base, ivf, idCol = "vec_id", vecCol = "embedding")
+    val handle = new EventStream.GraphIngestHandle(
+      PackedGraph.build[Long](pk, degree = 8, efConstruction = 32))
+    pk.unpersist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-graphingest")
+    try {
+      val mem = { implicit val sqlc = spark.sqlContext
+        MemoryStream[(Long, Array[Float], String)] }
+      val q = EventStream.graphIngestStream(
+        mem.toDF().toDF("id", "vec", "op"), handle,
+        checkpointDir = s"$tmp/ck")
+      // batch 0: 20 inserts + 5 deletes; batch 1: 5 replacements (upsert
+      // of standing ids with DIFFERENT vectors)
+      val adds = (200L to 219L).map(i => (i, allRows(i), "upsert"))
+      val dels = (0L to 4L).map(i => (i, null: Array[Float], "delete"))
+      val repl = (5L to 9L).map(i => (i, allRows(250 + (i - 5)), "upsert"))
+      try {
+        mem.addData(adds ++ dels: _*)
+        q.processAllAvailable()
+        mem.addData(repl: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(handle.lastBatchId === 1L)
+
+      // stream == batch: full probe + unbounded ef over the ingested
+      // graph equals the exact scan over the expected final corpus
+      val expDf = ((10L until 200L).map(i => (i, allRows(i))) ++
+          (200L to 219L).map(i => (i, allRows(i))) ++
+          (5L to 9L).map(i => (i, allRows(250 + (i - 5)))))
+        .toDF("vec_id", "embedding")
+      val queryDF = Seq(100L, 101L, 102L, 103L)
+        .map(i => (i, allRows(i))).toDF("query_id", "query_vec")
+      def triples(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = triples(Knn.knnJoin(queryDF, expDf, k = 5, metric = "cosine",
+        corpusId = "vec_id", corpusVec = "embedding"))
+      def got() = triples(PackedGraph.search(handle.pg, queryDF,
+        k = 5, nProbe = 4, ef = 0, metric = "cosine"))
+      assert(got() === want)
+
+      // at-least-once replay: a re-delivered batch id is SKIPPED (its
+      // rows are already resident; insertion is not idempotent)
+      val replayDf = repl.toDF("id", "vec", "op")
+      EventStream.commitGraphIngestBatch(handle, replayDf, 1L, "cosine",
+        "id", "vec", "op", 65536)
+      assert(handle.lastBatchId === 1L)
+      assert(got() === want, "a replayed batch must not mutate the graph")
+      // a batch id that JUMPS the horizon (checkpoint newer than the
+      // restored graph snapshot) fails loud
+      val e = intercept[IllegalArgumentException] {
+        EventStream.commitGraphIngestBatch(handle, replayDf, 5L, "cosine",
+          "id", "vec", "op", 65536)
+      }
+      assert(e.getMessage.contains("replay horizon"))
+      // the ingest chain folds like any CRUD chain
+      assert(handle.pg.generations > 1)
+      val folded = PackedGraph.compact(handle.pg)
+      handle.pg.unpersist()
+      handle.pg = folded
+      assert(handle.pg.generations === 1 && got() === want)
+    } finally handle.pg.unpersist(blocking = true)
+  }
+
   test("streaming SQ8 serving equals the batch decoded-space search per micro-batch") {
     import graft.operators.{Ann, PackedSq, Quantization}
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
