@@ -63,6 +63,13 @@ object QueriesVector {
     cached(mutatedGraphCache, key)(
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 
+  /** q147's collection facade, built once per sf dir (collection write +
+    * coarse model are ingest-time work; the query measures filtered
+    * serving). The resident graph is re-packed if a hygiene sweep
+    * unpersisted it. */
+  private val graphCollectionCache =
+    scala.collection.mutable.Map.empty[String, graft.GraftCollection]
+
   /** Shared candidate -> exact-rerank funnel for the graph queries
     * (q101/q102): float32 graph candidates (k=10 over-fetch per node),
     * exact double rerank to top-5 — one place for the funnel parameters
@@ -224,6 +231,43 @@ object QueriesVector {
         PackedGraph.searchGraph(pg, qArr, 20,
           nProbe = pg.model.numCells, ef = 0)
       }),
+
+    // FILTERED serving on the graph tier through the collection facade
+    // (GraftCollection.packedGraphQuery(where) — the reference's filtered
+    // HNSW over-fetch, vectordb.py:519-559, hardened with the bounded
+    // per-query exact fallback). Full probe + unbounded ef makes the
+    // over-fetch page a distance-prefix of the corpus, so the filtered
+    // result is EXACT — survivors of the page when >= k pass, the
+    // per-query exact fallback otherwise — and the row hash-checks the
+    // q13-style filtered oracle (ids ride the facade as strings, cast
+    // back for the oracle).
+    "q147_graph_filtered" -> ((s, dir) => {
+      val c = graphCollectionCache.synchronized {
+        graphCollectionCache.getOrElseUpdate(dir, {
+          val embs = t(s, dir, "embeddings")
+          val dim = embs.select("embedding").head.getSeq[Float](0).size
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-q147-collection").toString
+          val coll = new graft.GraftClient(s, root, embedDim = dim)
+            .createCollection("graph_filtered", dimensions = dim)
+          coll.add(embs.select(
+            col("vec_id").cast("string").as("id"),
+            concat(lit("vec "), col("vec_id")).as("document"),
+            col("embedding").cast("array<float>").as("embedding"),
+            col("label")))
+          coll.buildVectorIndex(numCells = 4)
+          coll
+        })
+      }
+      if (!c.residentPackedGraph.exists(_.blocks.getStorageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE))
+        c.buildPackedGraphIndex(degree = 16, efConstruction = 64)
+      c.packedGraphQuery(queryBatch(s, dir, 5), k = 10, nProbe = 4, ef = 0,
+          where = Some(graft.operators.Filter.In("label", Seq(1, 3, 7))))
+        .select(col("query_id"), col("rank"),
+          col("id").cast("bigint").as("neighbor_id"),
+          round(col("distance"), 6).as("dist"))
+    }),
 
     // MUTATED graph tier under the hash gate: build on the evens, APPEND
     // the odds (insertion is the graph's native maintenance op), then
@@ -425,6 +469,11 @@ object QueriesVector {
     "q146_graph_mutated" -> knnOracleCosine5.replace(
       "FROM q, embeddings c)",
       "FROM q, embeddings c WHERE c.vec_id < 100 OR c.vec_id >= 200)"),
+    // the q143 oracle under the metadata filter — the filtered graph
+    // facade must keep exact membership at full probe + unbounded ef
+    "q147_graph_filtered" -> knnOracleCosine5.replace(
+      "FROM q, embeddings c)",
+      "FROM q, embeddings c WHERE c.label IN (1, 3, 7))"),
     "q124_split_ivf" -> knnOracleCosine5,
     "q113_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
