@@ -229,6 +229,35 @@ object PackedSq {
 
   // ------------------------------------------------------------- search
 
+  /** Per-executor cache of each block's decoded-space row norms
+    * (cosine's corpus-side Σ x̂², accumulated over sqLut entries in
+    * ascending-dim order — BIT-IDENTICAL to the kernel's former inline
+    * `na` loop, so [[searchSq]]'s decoded-space contract vs
+    * [[Quantization.sqSearch]] is unchanged). Weakly keyed by the block
+    * (case-class equality on array fields is reference equality), so an
+    * unpersisted block's norms are collectable with it; the sqLut is a
+    * pure function of the corpus's one quantizer, so a block can never
+    * pair with two different tables. */
+  private val normCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SqBlock[_], Array[Double]]())
+
+  private def blockNorms(blk: SqBlock[_], sqLut: Array[Double]): Array[Double] = {
+    val cached = normCache.get(blk)
+    if (cached != null) return cached
+    val bd = blk.dim; val n = blk.rows; val codes = blk.codes
+    val out = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      val base = r * bd
+      var na = 0.0; var i = 0
+      while (i < bd) { na += sqLut((i << 8) | (codes(base + i) & 0xFF)); i += 1 }
+      out(r) = na
+      r += 1
+    }
+    normCache.put(blk, out)
+    out
+  }
+
   /** Query round-trip through the quantizer, replicating
     * [[Quantization.sqEncode]]∘[[Quantization.sqDecode]]'s Column
     * arithmetic exactly: clip to [0,255], floor-truncate, decode
@@ -313,6 +342,11 @@ object PackedSq {
           while (it.hasNext) {
             val blk = it.next()
             val codes = blk.codes; val bd = blk.dim; val n = blk.rows
+            // corpus-side norms are query-independent: one pass per block
+            // (cached per block across query batches) instead of a second
+            // LUT lookup on every (query, row, dim) — the cosine scan
+            // drops to ONE lookup per element, ~2x on batch traffic
+            val rowNorms = if (cosine) blockNorms(blk, sqLut) else null
             var qi = 0
             while (qi < qIdxs.length) {
               val lut = luts(qIdxs(qi))
@@ -323,11 +357,11 @@ object PackedSq {
                 val base = r * bd
                 var d = 0.0
                 if (cosine) {
-                  var dot = 0.0; var na = 0.0; var i = 0
+                  var dot = 0.0; var i = 0
                   while (i < bd) {
-                    val j = (i << 8) | (codes(base + i) & 0xFF)
-                    dot += lut(j); na += sqLut(j); i += 1
+                    dot += lut((i << 8) | (codes(base + i) & 0xFF)); i += 1
                   }
+                  val na = rowNorms(r)
                   d = if (na == 0.0 || nb == 0.0) 1.0
                       else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
                 } else {
