@@ -270,10 +270,21 @@ object PackedGraph {
       }
     }
 
-    // stored-row to stored-row distance (both resident)
+    // stored-row to stored-row distance (both resident) — direct two-row
+    // product, no staging copy; float operands widen to double exactly as
+    // rowDist's copied path did, so distances are bit-identical
     private def distRR(a: Int, b: Int): Double = {
-      System.arraycopy(mat, a * dim, rv, 0, dim)
-      rowDist(mat, b, dim, norms(b), rv, norms(a), mcode)
+      var dot = 0.0; var j = 0; val oa = a * dim; val ob = b * dim
+      while (j < dim) { dot += mat(ob + j).toDouble * mat(oa + j).toDouble; j += 1 }
+      (mcode: @annotation.switch) match {
+        case 0 =>
+          val denom = norms(b) * norms(a)
+          if (denom == 0.0) 1.0 else 1.0 - dot / denom
+        case 1 =>
+          val sq = norms(b) * norms(b) + norms(a) * norms(a) - 2.0 * dot
+          math.sqrt(math.max(sq, 0.0))
+        case _ => -dot
+      }
     }
 
     // Neighbor DIVERSIFICATION (the HNSW select-neighbors heuristic,
@@ -308,9 +319,19 @@ object PackedGraph {
       kept
     }
 
-    private def prune(n: Int): Unit = {
+    // Deferred pruning: a node's list may grow to `pruneSlack` before a
+    // re-diversify pass trims it back to `degree` — pruning on EVERY
+    // over-degree reverse edge made the O(deg^2) diversification the
+    // build's dominant cost (each of a row's ~degree links triggered a
+    // neighbor prune). Deferral cuts prune count ~degree/2-fold, gives
+    // each prune MORE candidates to diversify from, and [[result]] runs a
+    // final exact-degree pass so finished blocks never exceed `degree`
+    // (protected tree edges excepted, as always).
+    private val pruneSlack = degree + math.max(1, degree / 2)
+
+    private def prune(n: Int, trigger: Int): Unit = {
       val lst = adj(n)
-      if (lst.length <= degree || saturated.get(n)) return
+      if (lst.length <= trigger || saturated.get(n)) return
       val nv = new Array[Float](dim)
       System.arraycopy(mat, n * dim, nv, 0, dim)
       val scored = lst.toArray.map { c =>
@@ -357,7 +378,7 @@ object PackedGraph {
         parent(i) = 0
         adj(i) += 0
         adj(0) += i
-        prune(0)
+        prune(0, pruneSlack)
         return
       }
       parent(i) = found.head._1
@@ -368,7 +389,7 @@ object PackedGraph {
       links.foreach { n =>
         adj(i) += n
         adj(n) += i
-        prune(n)
+        prune(n, pruneSlack)
       }
     }
 
@@ -409,7 +430,7 @@ object PackedGraph {
       links.foreach { n =>
         adj(i) += n
         adj(n) += i
-        prune(n)
+        prune(n, pruneSlack)
       }
     }
 
@@ -480,6 +501,10 @@ object PackedGraph {
     }
 
     def result(): GraphBlock[I] = {
+      // settle deferred pruning: finished blocks carry at most `degree`
+      // slots per row (protected tree edges excepted)
+      var fp = 0
+      while (fp < rows) { prune(fp, degree); fp += 1 }
       val outIds = new Array[I](rows)
       System.arraycopy(ids, 0, outIds, 0, rows)
       GraphBlock(outIds, java.util.Arrays.copyOf(mat, rows * dim), dim,
@@ -539,7 +564,9 @@ object PackedGraph {
     * into dense GEMM, which beats the insertion walk's scalar
     * pointer-chasing by an order of magnitude up to ~10^5-row cells
     * (past that the walk's O(n efC deg d) asymptotics win — [[build]]'s
-    * `bulkMaxRows` arbitrates). */
+    * `bulkMaxRows` arbitrates). Task memory: n*efC heap slots (~12 B
+    * each — ~200 MB at the 131072-row default cap) + a T^2-float score
+    * tile (16 MB), bounded by bulkMaxRows, on top of the slab itself. */
   private[operators] def buildBlockBulk[I: ClassTag](ids0: Array[I], mat0: Array[Float],
                                                      dim: Int, degree: Int, efC: Int,
                                                      mcode: Int)(
@@ -561,7 +588,12 @@ object PackedGraph {
       norms(r) = math.sqrt(sum)
       r += 1
     }
-    val cap = math.max(efC, degree)
+    // Candidate-list depth: efC is a WALK budget (approximate candidates
+    // need depth to compensate quality); these lists are EXACT, where the
+    // diversifier rarely keeps past ~2x degree — deeper lists only feed
+    // its reject pile at O(cands x kept) dominance cost. Floor of 48
+    // keeps clustered data enough dominated spares for the fill-up rule.
+    val cap = math.max(math.min(efC, 2 * degree), math.min(efC, 48))
     val heaps = Array.fill(n)(new PairHeap(cap, max = true))
     @inline def push(h: PairHeap, d: Double, row: Int): Unit = {
       if (h.size < cap) h.add(d, row)
