@@ -163,11 +163,32 @@ object Sweep {
         PackedKnn.search(pcC, qArrC, K, "l2")
           .map { case (qid, nbrs) => qid -> nbrs.map(_._1).toSet }.toMap
       pcC.unpersist(blocking = true)
-      val numCells = math.max(8, math.min(64, (n / 15625L).toInt))
-      val nProbe = math.max(4, numCells / 8)
+      val numCells0 = math.max(8, math.min(64, (n / 15625L).toInt))
       val tTrain0 = System.nanoTime()
-      val ivfM = Ann.trainIvf(pqCorpus, "embedding", numCells = numCells,
+      val ivfM0 = Ann.trainIvf(pqCorpus, "embedding", numCells = numCells0,
         maxIter = 5, sampleFraction = math.min(1.0, 100000.0 / n))
+      // bound cell skew the way production ingest does (splitHotCells):
+      // k-means on clustered data regularly hands one cell several times
+      // the mean — and MLlib centroids are not bit-stable run to run, so
+      // WHICH run gets the monster cell is luck. Unbounded, that cell
+      // nondeterministically dominates every per-cell cost (the graph
+      // build's bulk-vs-insertion arbitration most visibly: 21 s vs
+      // 295 s on identical code). Splitting to <= 32768 rows/cell makes
+      // the ladder measure the BOUNDED-cell discipline the operators
+      // document.
+      val ivfM = {
+        val p0 = PackedKnn.packIvf(pqCorpus, ivfM0,
+          idCol = "vec_id", vecCol = "embedding")
+        val (split, nSplits) = PackedKnn.splitHotCells(p0, maxRows = 32768)
+        if (nSplits > 0) System.err.println(
+          s"[sweep] n=$n: split $nSplits hot cell(s) to <= 32768 rows")
+        val m = split.model
+        split.unpersist(blocking = true)
+        if (nSplits > 0) p0.unpersist(blocking = true)
+        m
+      }
+      val numCells = ivfM.numCells
+      val nProbe = math.max(4, numCells / 8)
       val pqM = Quantization.trainPq(pqCorpus, "embedding", numSubspaces = 8,
         numCentroids = 64, maxIter = 5, sampleFraction = math.min(1.0, 50000.0 / n))
       val pqTrainS = (System.nanoTime() - tTrain0) / 1e9

@@ -561,12 +561,13 @@ object PackedGraph {
     * with the walk's approximate candidates replaced by exact ones, so
     * edge quality can only improve and the protected parent tree is the
     * exact nearest-predecessor tree. BLAS turns the O(n^2 d / 2) dots
-    * into dense GEMM, which beats the insertion walk's scalar
-    * pointer-chasing by an order of magnitude up to ~10^5-row cells
-    * (past that the walk's O(n efC deg d) asymptotics win — [[build]]'s
-    * `bulkMaxRows` arbitrates). Task memory: n*efC heap slots (~12 B
-    * each — ~200 MB at the 131072-row default cap) + a T^2-float score
-    * tile (16 MB), bounded by bulkMaxRows, on top of the slab itself. */
+    * into dense GEMM, but its n^2/2 dots eventually lose to the walk's
+    * O(n efC deg d): measured crossover ~26k rows at dim 128 (12.5k-row
+    * cells: bulk 3.4 s vs insertion 6.9 s; the quadratic doubles every
+    * sqrt(2)x) — [[build]]'s `bulkMaxRows` (default 32768) arbitrates,
+    * so a skewed hot cell falls back to insertion instead of paying the
+    * square. Task memory: n*cap heap slots (~12 B each) + a T^2-float
+    * score tile (16 MB), bounded by bulkMaxRows, on top of the slab. */
   private[operators] def buildBlockBulk[I: ClassTag](ids0: Array[I], mat0: Array[Float],
                                                      dim: Int, degree: Int, efC: Int,
                                                      mcode: Int)(
@@ -672,7 +673,7 @@ object PackedGraph {
   def build[I: ClassTag: Ordering](pi: PackedKnn.PackedIvfCorpus[I], degree: Int = 16,
             efConstruction: Int = 64, metric: String = "cosine",
             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-            bulkMaxRows: Int = 131072): PackedGraphCorpus[I] = {
+            bulkMaxRows: Int = 32768): PackedGraphCorpus[I] = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     require(efConstruction >= degree,
       s"efConstruction ($efConstruction) must be >= degree ($degree)")
@@ -700,7 +701,7 @@ object PackedGraph {
           if (n <= bulkMax) buildBlockBulk[I](ids, mat, d, deg, efC, mcode)
           else buildBlock[I](ids, mat, d, deg, efC, mcode))
       }
-    }.persist(storage)
+    }.setName(PackedKnn.residentName).persist(storage)
     blocks.count() // materialize: the build is ingest-time work
     new PackedGraphCorpus(blocks, pi.model, d, degree, efConstruction)
   }
@@ -765,7 +766,7 @@ object PackedGraph {
         }
         Iterator.single(g.result())
       }
-    }.persist(storage)
+    }.setName(PackedKnn.residentName).persist(storage)
     zipped.count()
     add.unpersist() // transient cell-routing of the batch — zipped owns the rows now
     new PackedGraphCorpus(zipped, pg.model, d, deg, efC,
@@ -803,7 +804,8 @@ object PackedGraph {
         }
         b.copy(dead = mask)
       }
-    }, preservesPartitioning = true).persist(storage)
+    }, preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
     marked.count()
     new PackedGraphCorpus(marked, pg.model, pg.dim, pg.degree,
       pg.efConstruction, pg.parents :+ (marked: RDD[_]))
@@ -821,7 +823,8 @@ object PackedGraph {
               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedGraphCorpus[I] = {
     if (pg.generations <= 1) return pg
     val folded = pg.blocks.mapPartitions(it => it,
-      preservesPartitioning = true).persist(storage)
+      preservesPartitioning = true)
+      .setName(PackedKnn.residentName).persist(storage)
     folded.count()
     new PackedGraphCorpus(folded, pg.model, pg.dim, pg.degree,
       pg.efConstruction)
