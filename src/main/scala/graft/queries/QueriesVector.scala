@@ -63,12 +63,31 @@ object QueriesVector {
     cached(mutatedGraphCache, key)(
       _.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)(build)
 
-  /** q147's collection facade, built once per sf dir (collection write +
-    * coarse model are ingest-time work; the query measures filtered
+  /** q147/q148's collection facade, built once per sf dir (collection
+    * write + coarse model are ingest-time work; the queries measure
     * serving). The resident graph is re-packed if a hygiene sweep
     * unpersisted it. */
   private val graphCollectionCache =
     scala.collection.mutable.Map.empty[String, graft.GraftCollection]
+
+  private def graphCollection(s: SparkSession, dir: String): graft.GraftCollection =
+    graphCollectionCache.synchronized {
+      graphCollectionCache.getOrElseUpdate(dir, {
+        val embs = t(s, dir, "embeddings")
+        val dim = embs.select("embedding").head.getSeq[Float](0).size
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q147-collection").toString
+        val coll = new graft.GraftClient(s, root, embedDim = dim)
+          .createCollection("graph_filtered", dimensions = dim)
+        coll.add(embs.select(
+          col("vec_id").cast("string").as("id"),
+          concat(lit("vec "), col("vec_id")).as("document"),
+          col("embedding").cast("array<float>").as("embedding"),
+          col("label")))
+        coll.buildVectorIndex(numCells = 4)
+        coll
+      })
+    }
 
   /** Shared candidate -> exact-rerank funnel for the graph queries
     * (q101/q102): float32 graph candidates (k=10 over-fetch per node),
@@ -242,23 +261,7 @@ object QueriesVector {
     // q13-style filtered oracle (ids ride the facade as strings, cast
     // back for the oracle).
     "q147_graph_filtered" -> ((s, dir) => {
-      val c = graphCollectionCache.synchronized {
-        graphCollectionCache.getOrElseUpdate(dir, {
-          val embs = t(s, dir, "embeddings")
-          val dim = embs.select("embedding").head.getSeq[Float](0).size
-          val root = java.nio.file.Files
-            .createTempDirectory("graft-q147-collection").toString
-          val coll = new graft.GraftClient(s, root, embedDim = dim)
-            .createCollection("graph_filtered", dimensions = dim)
-          coll.add(embs.select(
-            col("vec_id").cast("string").as("id"),
-            concat(lit("vec "), col("vec_id")).as("document"),
-            col("embedding").cast("array<float>").as("embedding"),
-            col("label")))
-          coll.buildVectorIndex(numCells = 4)
-          coll
-        })
-      }
+      val c = graphCollection(s, dir)
       if (!c.residentPackedGraph.exists(_.blocks.getStorageLevel !=
           org.apache.spark.storage.StorageLevel.NONE))
         c.buildPackedGraphIndex(degree = 16, efConstruction = 64)
@@ -267,6 +270,18 @@ object QueriesVector {
         .select(col("query_id"), col("rank"),
           col("id").cast("bigint").as("neighbor_id"),
           round(col("distance"), 6).as("dist"))
+    }),
+
+    // J3 id-lookup join through the collection facade
+    // (GraftCollection.get(ids, where) — the reference's get-by-ids,
+    // client.py:276-355): id pushdown composed with a metadata
+    // predicate, both reaching the parquet scan as PushedFilters. The
+    // previously test-only row now sits under the driver's hash gate.
+    "q148_get_lookup" -> ((s, dir) => {
+      val c = graphCollection(s, dir)
+      c.get(ids = Seq("3", "5", "8", "404", "no_such_id"),
+          where = Some(graft.operators.Filter.Gt("label", 1)))
+        .select(col("id"), col("document"), col("label"))
     }),
 
     // MUTATED graph tier under the hash gate: build on the evens, APPEND
@@ -474,6 +489,13 @@ object QueriesVector {
     "q147_graph_filtered" -> knnOracleCosine5.replace(
       "FROM q, embeddings c)",
       "FROM q, embeddings c WHERE c.label IN (1, 3, 7))"),
+    // id lookup + predicate through the same collection's corpus
+    "q148_get_lookup" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       'vec ' || CAST(vec_id AS VARCHAR) AS document, label
+        |FROM embeddings
+        |WHERE CAST(vec_id AS VARCHAR) IN ('3', '5', '8', '404', 'no_such_id')
+        |  AND label > 1""".stripMargin,
     "q124_split_ivf" -> knnOracleCosine5,
     "q113_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
