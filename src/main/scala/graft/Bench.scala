@@ -70,33 +70,42 @@ object Bench {
       name -> Seq(once(name, fn), once(name, fn))
     }
     val loadAfter = loadAvg
-    // per-query values rounded to ms precision on stdout: the driver's
-    // log-tail capture truncates LONG lines (rounds 6-9 each lost the
-    // parse that way at full double precision + query_runs inline), so
-    // the stdout line carries the contract fields compactly and the full
-    // raw artifact goes to BENCH_LAST.json
-    val qs = results.map { case (k, rs) => f""""$k":${rs.min}%.3f""" }
+    // Locale.ROOT: the f-interpolator's %.3f uses the JVM default locale,
+    // and a comma-decimal locale (de_DE) would turn the JSON contract
+    // into "q1":0,123 — format every double explicitly
+    def num(v: Double, digits: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val qs = results.map { case (k, rs) => s""""$k":${num(rs.min)}""" }
       .mkString("{", ",", "}")
     // both raw times per query: a contended driver run (both runs slammed,
     // so even the min is inflated) is self-diagnosing from the artifact
     // alone — no judge re-run needed to rule out a code regression
     val runsJson = results.map { case (k, rs) =>
-      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+      s"\"" + k + "\":" + rs.map(num(_)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     // failed queries are listed explicitly: their per-query numbers are
     // time-to-exception, not query time — a reader must not mistake a
     // 0.07 s "speedup" for a win (round-5 artifact did exactly that)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter"""
-    val full = s"""{$head,"query_runs":$runsJson}"""
+    // stdout carries a SHORT summary only: the driver's log-tail capture
+    // clips long lines mid-JSON (rounds 6-10 each lost the parse that
+    // way — even the ms-rounded 148-query map exceeded the capture), so
+    // the line keeps the contract fields plus the 10 slowest queries
+    // (always well under 1 KB) and the full per-query map + raw runs
+    // live in BENCH_LAST.json
+    val top10 = results.sortBy(-_._2.min).take(10)
+      .map { case (k, rs) => s""""$k":${num(rs.min)}""" }
+      .mkString("{", ",", "}")
+    val shared = s""""metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir","runs_per_query":2,"load_avg_before":${num(loadBefore, 2)},"load_avg_after":${num(loadAfter, 2)}"""
+    val full = s"""{$shared,"queries":$qs,"query_runs":$runsJson}"""
     // durable artifact FIRST: even a crashed stdout pipe leaves the file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(s"{$head}")
+    println(s"""{$shared,"queries":$top10,"queries_omitted":${math.max(0, results.length - 10)}}""")
     spark.stop()
   }
 }
