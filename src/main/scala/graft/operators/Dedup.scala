@@ -26,6 +26,37 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Dedup {
 
+  /** One op's cumulative star-mode degradation: band buckets over the
+    * cap and the rows inside them (each such bucket contributed only
+    * linear hub edges instead of all pairs). */
+  final case class HotBucketStats(buckets: Long, rows: Long)
+
+  /** Star-mode degradation registry — the data-side twin of the
+    * per-bucket WARN: [[bandedPairCandidates]] records every linearized
+    * bucket here (exact counts, keyed by op name), so a curation run
+    * brackets its dedup passes with [[resetHotBucketStats]] /
+    * [[hotBucketStats]] and ASSERTS zero degradation (or reports the
+    * extent) instead of grepping executor logs. Driver-side state (the
+    * hot-bucket decision is made on the driver), cumulative until reset;
+    * [[Pipeline.prepare]] snapshots the delta across its near-dup stage
+    * into the audit result. */
+  private val hotBucketRegistry =
+    scala.collection.mutable.Map.empty[String, HotBucketStats]
+
+  /** Cumulative degradation per op since JVM start / last reset; empty =
+    * every banded pass since then was exact all-pairs. */
+  def hotBucketStats: Map[String, HotBucketStats] =
+    hotBucketRegistry.synchronized { hotBucketRegistry.toMap }
+
+  def resetHotBucketStats(): Unit =
+    hotBucketRegistry.synchronized { hotBucketRegistry.clear() }
+
+  private def recordHotBuckets(op: String, buckets: Long, rows: Long): Unit =
+    hotBucketRegistry.synchronized {
+      val cur = hotBucketRegistry.getOrElse(op, HotBucketStats(0L, 0L))
+      hotBucketRegistry(op) = HotBucketStats(cur.buckets + buckets, cur.rows + rows)
+    }
+
   /** Exact duplicate classes by normalized-text fingerprint.
     * Returns (fingerprint, n_dups, keeper_id) for classes with >= minSize
     * members; keeper = min doc id (deterministic survivor pick). */
@@ -141,7 +172,12 @@ object Dedup {
     *  - `maxBucket <= 0`: guard off (unbounded self-join).
     *
     * The hot-key list is at most |corpus| / maxBucket rows by
-    * construction, so broadcasting it is always safe. */
+    * construction, so broadcasting it is always safe.
+    *
+    * Every star-mode degradation is additionally recorded in
+    * [[hotBucketStats]] (exact bucket and row counts, per op) so a
+    * curation run can ASSERT zero degradation from data instead of
+    * grepping logs. */
   private[graft] def bandedPairCandidates(banded0: DataFrame,
                                           keyCols: Seq[String], docCol: String,
                                           maxBucket: Int, hotBucketMode: String,
@@ -174,9 +210,17 @@ object Dedup {
               "to emit linear (bucket-min, member) edges inside oversized " +
               "buckets (connectivity-preserving for cluster workflows).")
         else {
+          // exact degradation extent (not just the worst-20 listing): one
+          // tiny aggregate over the same cached counts relation, recorded
+          // in the driver-side registry so the event is visible in DATA,
+          // not only in a WARN line a curation run would have to grep
+          val ext = counts.where(col("_bc") > maxBucket)
+            .agg(count(lit(1)).as("_k"), sum(col("_bc")).as("_r")).collect()(0)
+          recordHotBuckets(op, ext.getLong(0), ext.getLong(1))
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"$op: ${worst.length}${if (worst.length == 20) "+" else ""} band " +
-              s"bucket(s) exceed maxBucket=$maxBucket rows; emitting linear " +
+            s"$op: ${ext.getLong(0)} band " +
+              s"bucket(s) exceed maxBucket=$maxBucket rows (${ext.getLong(1)} " +
+              "rows inside them); emitting linear " +
               "(bucket-min, member) star edges inside them instead of all " +
               "pairs — connectivity-preserving for cluster workflows, but " +
               "pair recall inside these buckets is reduced. Worst: " +

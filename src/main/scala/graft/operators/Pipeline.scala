@@ -103,7 +103,14 @@ final case class PipelineSpec(
 
 /** The prepared corpus plus, when auditing, per-stage survivor counts. */
 final class PipelineResult private[operators] (
-    val data: DataFrame, stages: Seq[(String, Observation)]) {
+    val data: DataFrame, stages: Seq[(String, Observation)],
+    /** Star-mode hot-bucket degradation recorded while prepare() drove
+      * its eager dedup stages (near-dup LSH, index probes, the
+      * decontamination prescreen): op -> exact (buckets linearized, rows
+      * inside them). Empty = every banded pass was exact all-pairs — the
+      * assertion a curation run makes in data instead of grepping the
+      * per-bucket WARN out of executor logs. */
+    val hotBucketDegradation: Map[String, Dedup.HotBucketStats] = Map.empty) {
 
   /** Per-stage surviving row counts, collected by observe() nodes INSIDE
     * the pipeline plan — one pass total, never a count() job per stage
@@ -139,6 +146,9 @@ object Pipeline {
     * at prepare time — their survivor sets are data, not plan shape. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               spec: PipelineSpec, audit: Boolean = false): PipelineResult = {
+    // bracket the eager dedup stages with the degradation registry so the
+    // result carries THIS run's hot-bucket extent (not the JVM's history)
+    val hbBefore = Dedup.hotBucketStats
     val obs = scala.collection.mutable.ArrayBuffer[(String, Observation)]()
     def checkpoint(df: DataFrame, stage: String): DataFrame =
       if (!audit) df
@@ -271,7 +281,12 @@ object Pipeline {
     if (spec.numShards > 0)
       cur = Sampling.shuffleShards(cur, idCol, spec.numShards)
 
-    new PipelineResult(cur, obs.toSeq)
+    val hbDelta = Dedup.hotBucketStats.flatMap { case (op, s) =>
+      val b = hbBefore.getOrElse(op, Dedup.HotBucketStats(0L, 0L))
+      val d = Dedup.HotBucketStats(s.buckets - b.buckets, s.rows - b.rows)
+      if (d.buckets > 0L) Some(op -> d) else None
+    }
+    new PipelineResult(cur, obs.toSeq, hbDelta)
   }
 
   /** Write a prepared corpus (a [[prepare]] result with shards assigned)

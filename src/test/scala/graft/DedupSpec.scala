@@ -240,6 +240,25 @@ class DedupSpec extends SparkSpec {
     assert((2L to 10000L).forall(i => comps(i) === comps(1L)))
   }
 
+  test("star-mode degradation is surfaced in data: hotBucketStats counts buckets and rows") {
+    Dedup.resetHotBucketStats()
+    // a clean pass (no bucket over the cap) records nothing
+    Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).collect()
+    assert(Dedup.hotBucketStats.isEmpty)
+    // the planted mega-cluster degrades: exact extent lands in the
+    // registry (one 10k bucket per colliding band), not just a WARN line
+    Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5).collect()
+    val st = Dedup.hotBucketStats("minhashLsh")
+    assert(st.buckets >= 1, s"expected linearized buckets, got $st")
+    assert(st.rows >= 10000L, s"expected >= 10k degraded rows, got $st")
+    // a second degraded run ACCUMULATES (per-run extent = bracket with reset)
+    Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5).collect()
+    val st2 = Dedup.hotBucketStats("minhashLsh")
+    assert(st2.buckets === 2 * st.buckets && st2.rows === 2 * st.rows)
+    Dedup.resetHotBucketStats()
+    assert(Dedup.hotBucketStats.isEmpty)
+  }
+
   test("star mode output is a connectivity-equal subset of the unbounded join") {
     val full = Dedup.minhashLsh(docs, "doc_id", "text",
         threshold = 0.5, maxBucket = 0)
