@@ -406,7 +406,95 @@ object EventStream {
     * restored sidecar snapshot (-1 = the graph reflects no stream
     * batches yet). */
   final class GraphIngestHandle(@volatile var pg: graft.operators.PackedGraph.PackedGraphCorpus[Long],
-                                @volatile var lastBatchId: Long = -1L)
+                                @volatile var lastBatchId: Long = -1L,
+                                /** Identity of the CHECKPOINT the horizon
+                                  * was established under (the streaming
+                                  * metadata's query id) — batch ids are
+                                  * only comparable within one checkpoint,
+                                  * so a restored horizon paired against a
+                                  * FRESH checkpoint (ids restart at 0)
+                                  * must fail loud, not silently skip
+                                  * batches 0..N as "replays". null until
+                                  * the first commit binds it. */
+                                @volatile var checkpointId: String = null)
+
+  /** Persist a [[GraphIngestHandle]]'s graph AND replay horizon AND
+    * checkpoint identity as ONE versioned snapshot — the pairing the
+    * replay contract needs ([[commitGraphIngestBatch]]'s horizon-jump
+    * error says "restore the sidecar snapshot paired with this
+    * checkpoint"; before this call the operator had to keep the pairing
+    * by hand). Crash-safe: the triple writes under a fresh `v<k>/`
+    * subdir and the `_current` pointer file swaps in atomically LAST —
+    * a crash mid-save leaves the previous snapshot fully intact; the
+    * superseded version is deleted only after the swap. */
+  def saveGraphSnapshot(handle: GraphIngestHandle, dir: String): Unit = {
+    import graft.sources.Collections
+    val prev =
+      if (Collections.pathExists(s"$dir/_current"))
+        Some(Collections.readString(s"$dir/_current").trim)
+      else None
+    val next = s"v${prev.map(_.stripPrefix("v").toLong + 1L).getOrElse(0L)}"
+    graft.operators.PackedGraph.saveSlabs(handle.pg, s"$dir/$next/graph")
+    val cp = Option(handle.checkpointId)
+      .map(c => s""""$c"""").getOrElse("null")
+    Collections.writeString(s"$dir/$next/horizon.json",
+      s"""{"lastBatchId": ${handle.lastBatchId}, "checkpointId": $cp}""")
+    Collections.writeString(s"$dir/_current", next)
+    prev.foreach(p => Collections.deleteIfExists(s"$dir/$p"))
+  }
+
+  /** Restore the snapshot [[saveGraphSnapshot]] wrote: graph, horizon,
+    * and checkpoint identity come back TOGETHER, so resuming the ingest
+    * stream against the same checkpoint needs no manual horizon
+    * bookkeeping — and resuming against a different/fresh checkpoint
+    * fails loud at the first commit. */
+  def loadGraphSnapshot(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): GraphIngestHandle = {
+    import graft.sources.Collections
+    require(Collections.pathExists(s"$dir/_current"),
+      s"no graph snapshot at $dir (missing _current pointer)")
+    val v = Collections.readString(s"$dir/_current").trim
+    val pg = graft.operators.PackedGraph.loadSlabs[Long](spark, s"$dir/$v/graph")
+    val raw = Collections.readString(s"$dir/$v/horizon.json")
+    val last = """"lastBatchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"torn horizon sidecar at $dir/$v/horizon.json: $raw"))
+    val cp = """"checkpointId"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).orNull
+    new GraphIngestHandle(pg, last, cp)
+  }
+
+  /** The checkpoint's stable identity: the streaming query id Spark
+    * records in `checkpointDir/metadata` at first start — unlike the
+    * directory path, it CHANGES when a checkpoint is wiped and recreated,
+    * which is exactly the event the replay horizon must detect. */
+  private def checkpointIdentity(checkpointDir: String): Option[String] = {
+    import graft.sources.Collections
+    val meta = s"$checkpointDir/metadata"
+    if (!Collections.pathExists(meta)) None
+    else """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(Collections.readString(meta)).map(_.group(1))
+  }
+
+  /** Bind (or verify) the handle's checkpoint identity — called on every
+    * commit, cheap (one driver-side sidecar read) and idempotent. A
+    * handle restored with a horizon from checkpoint X fed batches from
+    * checkpoint Y fails HERE, before the batch-id comparison could
+    * misread Y's fresh ids 0..N as replays of X's. */
+  private[graft] def bindCheckpoint(handle: GraphIngestHandle,
+                                    checkpointDir: String): Unit =
+    checkpointIdentity(checkpointDir).foreach { id =>
+      if (handle.checkpointId == null) handle.checkpointId = id
+      else require(handle.checkpointId == id,
+        s"graphIngestStream: this stream's checkpoint (id $id) is not the " +
+          s"one the handle's replay horizon (batch ${handle.lastBatchId}) " +
+          s"was established under (id ${handle.checkpointId}). Batch ids " +
+          "are only comparable within one checkpoint — continuing would " +
+          "silently skip this checkpoint's genuinely new batches as " +
+          "\"replays\". Restore the snapshot paired with this checkpoint, " +
+          "or rebuild the graph from the corpus and start a fresh handle.")
+    }
 
   /** Streaming INGEST twin of the graph tier's CRUD maintenance — the
     * [[dedupIngestStream]] stance applied to the resident index: each
@@ -422,7 +510,12 @@ object EventStream {
     * horizon) is SKIPPED, its rows are already resident; a batch id that
     * JUMPS the horizon (checkpoint newer than the graph snapshot it was
     * paired with) fails loud with the remedy — missed batches cannot be
-    * reconstructed from the stream. Batches are driver-sized CRUD deltas
+    * reconstructed from the stream. [[saveGraphSnapshot]] /
+    * [[loadGraphSnapshot]] persist and restore the (graph, horizon,
+    * checkpoint identity) triple TOGETHER, so a kill/restore needs no
+    * manual horizon bookkeeping; the identity check additionally fails
+    * loud when a restored horizon meets a FRESH checkpoint whose batch
+    * ids restart at 0 (those are new batches, not replays). Batches are driver-sized CRUD deltas
     * (capped like the serving twins' query batches, fail-loud); rows
     * with a null id or vector are skipped like the serving twins' null
     * queries. The handle's chain grows one generation per batch — run
@@ -436,6 +529,9 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the checkpoint's metadata exists once the query started, so the
+        // identity binds at the first commit and is verified ever after
+        bindCheckpoint(handle, checkpointDir)
         commitGraphIngestBatch(handle, batch, batchId, metric,
           idCol, vecCol, opCol, maxBatchRows)
       }

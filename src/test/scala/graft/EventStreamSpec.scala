@@ -300,6 +300,88 @@ class EventStreamSpec extends SparkSpec {
     } finally handle.pg.unpersist(blocking = true)
   }
 
+  test("graph snapshot pairs horizon + checkpoint identity: kill/restore resumes without manual bookkeeping") {
+    import graft.operators.{Ann, Knn, PackedGraph, PackedKnn}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val allRows = embs.where(col("vec_id") < 240)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val base = embs.where(col("vec_id") < 200)
+    val ivf = Ann.trainIvf(base, "embedding", numCells = 4)
+    val pk = PackedKnn.packIvf(base, ivf, idCol = "vec_id", vecCol = "embedding")
+    val handle = new EventStream.GraphIngestHandle(
+      PackedGraph.build[Long](pk, degree = 8, efConstruction = 32))
+    pk.unpersist()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-graphsnap")
+    try {
+      // batch 0 through a real checkpointed stream: the first commit
+      // BINDS the checkpoint identity onto the handle
+      val mem = { implicit val sqlc = spark.sqlContext
+        MemoryStream[(Long, Array[Float], String)] }
+      val q = EventStream.graphIngestStream(
+        mem.toDF().toDF("id", "vec", "op"), handle,
+        checkpointDir = s"$tmp/ck")
+      try {
+        mem.addData((200L to 219L).map(i => (i, allRows(i), "upsert")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(handle.lastBatchId === 0L)
+      assert(handle.checkpointId != null,
+        "the first commit must bind the checkpoint identity")
+
+      // snapshot the (graph, horizon, checkpoint) TRIPLE, then "kill"
+      EventStream.saveGraphSnapshot(handle, s"$tmp/snap")
+      handle.pg.unpersist(blocking = true)
+
+      // restore: horizon and identity come back together — no manual
+      // bookkeeping; the at-least-once replay of batch 0 is skipped and
+      // batch 1 applies
+      val restored = EventStream.loadGraphSnapshot(spark, s"$tmp/snap")
+      assert(restored.lastBatchId === 0L)
+      assert(restored.checkpointId === handle.checkpointId)
+      EventStream.bindCheckpoint(restored, s"$tmp/ck") // same checkpoint: fine
+      val batch0 = (200L to 219L).map(i => (i, allRows(i), "upsert"))
+        .toDF("id", "vec", "op")
+      EventStream.commitGraphIngestBatch(restored, batch0, 0L, "cosine",
+        "id", "vec", "op", 65536)
+      val batch1 = (220L to 229L).map(i => (i, allRows(i), "upsert"))
+        .toDF("id", "vec", "op")
+      EventStream.commitGraphIngestBatch(restored, batch1, 1L, "cosine",
+        "id", "vec", "op", 65536)
+      assert(restored.lastBatchId === 1L)
+      val expDf = (0L until 230L).map(i => (i, allRows(i)))
+        .toDF("vec_id", "embedding")
+      val queryDF = Seq(100L, 101L, 102L)
+        .map(i => (i, allRows(i))).toDF("query_id", "query_vec")
+      def triples(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(triples(PackedGraph.search(restored.pg, queryDF,
+          k = 5, nProbe = 4, ef = 0, metric = "cosine")) ===
+        triples(Knn.knnJoin(queryDF, expDf, k = 5, metric = "cosine",
+          corpusId = "vec_id", corpusVec = "embedding")),
+        "resumed ingest must equal the exact scan — no double-applied or lost batch")
+
+      // a FRESH checkpoint (different metadata id) against the restored
+      // horizon fails LOUD — its genuinely new batches 0..N would
+      // otherwise be skip-eaten as replays
+      graft.sources.Collections.writeString(s"$tmp/ck2/metadata",
+        """{"id":"00000000-0000-0000-0000-00000000beef"}""")
+      val e = intercept[IllegalArgumentException] {
+        EventStream.bindCheckpoint(restored, s"$tmp/ck2")
+      }
+      assert(e.getMessage.contains("checkpoint"))
+
+      // a second save supersedes the first version atomically; reload
+      // round-trips the advanced horizon
+      EventStream.saveGraphSnapshot(restored, s"$tmp/snap")
+      val again = EventStream.loadGraphSnapshot(spark, s"$tmp/snap")
+      assert(again.lastBatchId === 1L && again.checkpointId === restored.checkpointId)
+      again.pg.unpersist(blocking = true)
+      restored.pg.unpersist(blocking = true)
+    } finally handle.pg.unpersist(blocking = true)
+  }
+
   test("streaming SQ8 serving equals the batch decoded-space search per micro-batch") {
     import graft.operators.{Ann, PackedSq, Quantization}
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
