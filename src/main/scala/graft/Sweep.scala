@@ -322,6 +322,20 @@ object Sweep {
       val sqRuns = (1 to MeasuredRuns).map(_ => runSq())
       val sqRecall = recallOf(PackedSq.searchSq[Long](piSq, qArrC, K, nProbe, "l2"))
       val sqBytes = PackedSq.codeBytes(piSq)
+      // integer-domain ADC twin: same codes, same probes — the hot loop
+      // is the vectorizable uint8×int dot instead of the double-LUT
+      // gather; recall must hold while ms/q drops (the tier earning
+      // latency, not just footprint)
+      def runSqInt(): Double = {
+        val t0 = System.nanoTime()
+        val res = PackedSq.searchSqInt[Long](piSq, qArrC, K, nProbe, "l2")
+        require(res.iterator.map(_._2.length).sum == BatchQ * K,
+          s"SQ int search returned ${res.iterator.map(_._2.length).sum} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).foreach(_ => runSqInt())
+      val sqIntRuns = (1 to MeasuredRuns).map(_ => runSqInt())
+      val sqIntRecall = recallOf(PackedSq.searchSqInt[Long](piSq, qArrC, K, nProbe, "l2"))
       piSq.unpersist(blocking = true)
 
       // --- graph tier: NSW-per-cell over the float slabs (PackedGraph) ---
@@ -378,6 +392,8 @@ object Sweep {
         s""""pq_opq_train_s":${f"$opqTrainS%.3f"},""" +
         s""""sq_ms_per_query":${f"${medianMs(sqRuns) / BatchQ}%.3f"},""" +
         s""""sq_recall10":${f"$sqRecall%.3f"},""" +
+        s""""sq_int_ms_per_query":${f"${medianMs(sqIntRuns) / BatchQ}%.3f"},""" +
+        s""""sq_int_recall10":${f"$sqIntRecall%.3f"},""" +
         s""""sq_train_s":${f"$sqTrainS%.3f"},"sq_code_bytes":$sqBytes,""" +
         s""""graph_ms_per_query":${f"${medianMs(graphRuns) / BatchQ}%.3f"},""" +
         s""""graph_recall10":${f"$graphRecall%.3f"},""" +

@@ -403,6 +403,151 @@ object PackedSq {
     }.toArray
   }
 
+  /** Integer-domain ADC twin of [[searchSq]] — the byte tier made to earn
+    * LATENCY, not just footprint. [[searchSq]]'s hot loop is a per-element
+    * double gather from a dim×256 LUT (256 KB at dim 128 — L2-resident,
+    * one dependent load per element, vectorization-hostile); here the
+    * decode algebra is refactored so the per-element work is a pure
+    * uint8×int multiply-add the JIT auto-vectorizes:
+    *
+    *   x̂_i(c) = c·a_i + m_i  (a_i = scale_i/255)
+    *   dot(x̂, ŷ) = Σ c_i·(a_i·ŷ_i) + Σ m_i·ŷ_i ≈ β·Σ c_i·w_i + C
+    *
+    * with the per-dim multipliers t_i = a_i·ŷ_i quantized once per query
+    * to ints w_i = round(t_i/β), β = max|t_i|/Q. Every metric folds onto
+    * the same int dot S = Σ c_i·w_i: cosine = 1 − (βS+C)/(√na·√nb), l2 =
+    * √(na − 2(βS+C) + nb), ip = −(βS+C) — the corpus-side norms na are
+    * the SAME query-independent [[blockNorms]] the cosine scan already
+    * caches per block.
+    *
+    * Contract: APPROXIMATE. Query-side quantization adds |ε| ≤
+    * 255·dim·β/2 per dot (Q is sized so the int32 accumulator is exact:
+    * Q = min(32767, Int.MaxValue/(255·dim) − 1) — at dim 128 that is
+    * ~15 bits of multiplier precision, relative dot error ~1e-4), so
+    * rankings can flip near ties; use [[searchSq]] where the decoded-space
+    * bit-exactness contract matters (q130's oracle). Recall@k at the
+    * sweep shapes is measured unchanged (Sweep sq_int_recall10). */
+  def searchSqInt[I: ClassTag: Ordering](pi: PackedSqCorpus[I],
+                                         queries: Array[(Long, Array[Float])],
+                                         k: Int, nProbe: Int,
+                                         metric: String = "cosine"): Array[(Long, Array[(I, Double)])] = {
+    require(queries.nonEmpty, "empty query batch")
+    require(metric == "cosine" || metric == "l2" || metric == "ip",
+      s"unknown metric: $metric")
+    val dim = pi.dim
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == dim, s"query $qid dim ${qv.length} != model dim $dim") }
+    val sq = pi.sq
+    val cents = pi.ivf.centroids
+    val byCell: Map[Int, Array[Int]] = queries.indices
+      .flatMap(qi => PackedKnn.driverProbes(cents, queries(qi)._2, nProbe).map(c => (c, qi)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    val qhat: Array[Array[Double]] = queries.map(q => roundtrip(sq, q._2))
+    val cosine = metric == "cosine"
+    val l2 = metric == "l2"
+    // na = Σ x̂² per row, needed by cosine AND l2 — the same per-block
+    // cached table as the exact kernel (Σ x̂² is metric-free)
+    val sqLut: Array[Double] =
+      if (metric == "ip") null
+      else Array.tabulate(dim * 256)(j => { val x = dec(sq, j >> 8, j & 0xFF); x * x })
+    // int32-exact accumulation bound: |S| <= 255 * dim * Q
+    val qCap = math.max(1, math.min(32767, Int.MaxValue / (255 * dim) - 1))
+    // per-query quantized multipliers + affine rebase (beta, C, nb)
+    val ws = new Array[Array[Int]](queries.length)
+    val betas = new Array[Double](queries.length)
+    val cAdds = new Array[Double](queries.length)
+    val qNorm = new Array[Double](queries.length)
+    var qi0 = 0
+    while (qi0 < queries.length) {
+      val qd = qhat(qi0)
+      val t = new Array[Double](dim)
+      var c0 = 0.0; var nb = 0.0; var tMax = 0.0
+      var i = 0
+      while (i < dim) {
+        t(i) = sq.scales(i) / 255.0 * qd(i)
+        c0 += sq.mins(i) * qd(i)
+        nb += qd(i) * qd(i)
+        val a = math.abs(t(i)); if (a > tMax) tMax = a
+        i += 1
+      }
+      val beta = if (tMax == 0.0) 1.0 else tMax / qCap
+      val w = new Array[Int](dim)
+      i = 0
+      while (i < dim) { w(i) = math.round(t(i) / beta).toInt; i += 1 }
+      ws(qi0) = w; betas(qi0) = beta; cAdds(qi0) = c0; qNorm(qi0) = nb
+      qi0 += 1
+    }
+    val partIds = byCell.keys.toArray.sorted
+    val idOrd = implicitly[Ordering[I]]
+    val sc = pi.blocks.sparkContext
+    val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[SqBlock[I]]) => {
+        val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
+        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
+        else {
+          val heaps = qIdxs.map(_ => new java.util.PriorityQueue[(I, Double)](
+            k + 1, (a: (I, Double), b: (I, Double)) => {
+              val c = java.lang.Double.compare(b._2, a._2)
+              if (c != 0) c else idOrd.compare(b._1, a._1)
+            }))
+          while (it.hasNext) {
+            val blk = it.next()
+            val codes = blk.codes; val bd = blk.dim; val n = blk.rows
+            val rowNorms = if (sqLut != null) blockNorms(blk, sqLut) else null
+            var qi = 0
+            while (qi < qIdxs.length) {
+              val w = ws(qIdxs(qi))
+              val beta = betas(qIdxs(qi))
+              val cAdd = cAdds(qIdxs(qi))
+              val nb = qNorm(qIdxs(qi))
+              val heap = heaps(qi)
+              var r = 0
+              while (r < n) {
+                val base = r * bd
+                // the vectorizable hot loop: zero-extended byte * int
+                var s = 0; var i = 0
+                while (i < bd) { s += (codes(base + i) & 0xFF) * w(i); i += 1 }
+                val dot = beta * s + cAdd
+                val d =
+                  if (cosine) {
+                    val na = rowNorms(r)
+                    if (na == 0.0 || nb == 0.0) 1.0
+                    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+                  } else if (l2)
+                    math.sqrt(math.max(rowNorms(r) - 2.0 * dot + nb, 0.0))
+                  else -dot
+                val id = blk.ids(r)
+                if (heap.size < k) heap.add((id, d))
+                else {
+                  val worst = heap.peek()
+                  if (d < worst._2 || (d == worst._2 && idOrd.lt(id, worst._1))) {
+                    heap.poll(); heap.add((id, d))
+                  }
+                }
+                r += 1
+              }
+              qi += 1
+            }
+          }
+          val out = new ArrayBuffer[(Int, I, Double)]()
+          var qi = 0
+          while (qi < qIdxs.length) {
+            heaps(qi).forEach(c => out += ((qIdxs(qi), c._1, c._2)))
+            qi += 1
+          }
+          out.toArray
+        }
+      }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
+    val byQuery = partials.iterator.flatten.toArray.groupBy(_._1)
+    queries.indices.map { qi =>
+      val merged = byQuery.getOrElse(qi, Array.empty[(Int, I, Double)])
+        .map(t => (t._2, t._3))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+      (queries(qi)._1, merged)
+    }.toArray
+  }
+
   /** Drop-in for [[Quantization.sqSearch]] backed by the resident tier:
     * collect the (contract-capped) query batch, resident scan, emit the
     * [[Knn.knnJoin]] result shape (query_id, rank, neighbor_id, dist).

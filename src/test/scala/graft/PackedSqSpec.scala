@@ -59,6 +59,36 @@ class PackedSqSpec extends SparkSpec {
     } finally pi.unpersist()
   }
 
+  test("integer-domain ADC matches the exact kernel's neighbors within quantization error") {
+    val pi = PackedSq.packIvfSq(embs, ivf, sq, idCol = "vec_id", vecCol = "embedding")
+    try {
+      val qArr = queryDF.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      for (metric <- Seq("cosine", "l2", "ip")) {
+        val exact = PackedSq.searchSq[Long](pi, qArr, k = 10,
+          nProbe = ivf.numCells, metric = metric)
+        val fast = PackedSq.searchSqInt[Long](pi, qArr, k = 10,
+          nProbe = ivf.numCells, metric = metric)
+        for (((qid, want), (qid2, got)) <- exact.zip(fast)) {
+          assert(qid === qid2)
+          // ~15-bit query-side multiplier quantization: distances agree
+          // to ~1e-3 relative and the top-10 SETS agree (near-tie order
+          // flips are the declared contract, wholesale misses are a bug).
+          // l2 compares SQUARED (the sqrt amplifies a tiny dot error
+          // without bound as the distance approaches 0 — a self-match's
+          // exact 0.0 comes back as sqrt(ε))
+          val overlap = (want.map(_._1).toSet & got.map(_._1).toSet).size
+          assert(overlap >= 9, s"metric=$metric query $qid: top-10 overlap $overlap")
+          want.zip(got).foreach { case ((_, dw), (_, dg)) =>
+            val (a, b) = if (metric == "l2") (dw * dw, dg * dg) else (dw, dg)
+            assert(math.abs(a - b) <= 2e-3 * math.max(1.0, math.abs(a)),
+              s"metric=$metric query $qid: $dw vs $dg")
+          }
+        }
+      }
+    } finally pi.unpersist()
+  }
+
   test("append keeps cell routing; remove + compact preserve the ranking") {
     val a = embs.where(col("vec_id") % 2 === 0)
     val b = embs.where(col("vec_id") % 2 === 1)
