@@ -72,15 +72,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
                             val config: Collections.Config,
                             val embedder: Embedder) {
 
-  /** The collection relation, cached per mutation stamp: a fresh
-    * `spark.read.parquet` per access would pay schema-inference/listing
-    * work on EVERY call (visible as a per-query job on the serving
-    * paths), while any mutation — this handle or a foreign one — bumps
-    * the stamp and forces a re-read, so staleness semantics are exactly
-    * the uncached ones. */
-  @transient private var dfCache: (Long, DataFrame) = null
+  /** The collection relation, cached per (mutation, layout) stamp pair: a
+    * fresh `spark.read.parquet` per access would pay schema-inference/
+    * listing work on EVERY call (visible as a per-query job on the
+    * serving paths). Any mutation — this handle or a foreign one — bumps
+    * the mutation stamp; a compaction swap (this handle's or a FOREIGN
+    * handle's optimize(), which rewrites the files without changing
+    * contents) bumps the layout stamp — either forces a re-read, so
+    * staleness semantics are exactly the uncached ones. */
+  @transient private var dfCache: ((Long, Long), DataFrame) = null
   def df: DataFrame = {
-    val stamp = Collections.readMutationCount(spark, dir)
+    val stamp = (Collections.readMutationCount(spark, dir),
+      Collections.readLayoutStamp(spark, dir))
     if (dfCache == null || dfCache._1 != stamp)
       dfCache = (stamp, spark.read.parquet(s"$dir/data"))
     dfCache._2
@@ -1017,8 +1020,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     val data = graft.sources.Collections.compactDir(
       spark, s"$dir/data", maxFilesPerBucket)
     // compaction rewrites the data FILES without bumping the mutation
-    // stamp (contents identical, so resident indexes stay valid) — the
-    // stamp-keyed relation cache must still drop its file listing
+    // stamp (contents identical, so resident indexes stay valid) — but
+    // EVERY handle's cached relation now lists deleted files, so bump the
+    // layout stamp (foreign handles re-list on their next df access; the
+    // pre-stamp behavior only refreshed THIS handle and left a second
+    // handle to FileNotFound)
+    if (data) graft.sources.Collections.bumpLayoutStamp(spark, dir)
     dfCache = null
     val kw = if (hasKeywordIndex)
       Bm25.compactIndex(spark, indexDir, maxFilesPerBucket) else 0
@@ -1197,14 +1204,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
         val over = ivfSearchRecovering(qArr, k * PackedFilterOverFetch,
           nProbe)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
-        val pass: Set[String] =
-          if (candIds.isEmpty) Set.empty
-          else {
-            import spark.implicits._
-            df.where(coalesce(f.compile, lit(false))).select("id")
-              .join(candIds.toDF("id"), Seq("id"), "left_semi")
-              .collect().map(_.getString(0)).toSet
-          }
+        val pass = filterMembership(candIds, f)
         packedResult(q, qRows, over.map { case (qi, nbrs) =>
           (qi, nbrs.filter(n => pass(n._1)).take(k)) })
     }
@@ -1218,8 +1218,9 @@ final class GraftCollection(spark: SparkSession, dir: String,
     *
     * With `where`, filtered search runs on the fast path via the
     * reference's post-ANN over-fetch (vectordb.py:495-561): the kernel
-    * over-fetches 4k candidates per query, ONE metadata job marks the
-    * candidate ids that pass, and survivors keep their kernel distances.
+    * over-fetches a selectivity-sized candidate page per query
+    * ([[filterPage]]), ONE id-pushdown membership job marks the candidate
+    * ids that pass, and survivors keep their kernel distances.
     * A query left with fewer than k survivors while its candidate page
     * came back full (more corpus rows existed beyond the page) falls
     * back to the EXACT filtered scan for that query only — a bounded
@@ -1237,22 +1238,16 @@ final class GraftCollection(spark: SparkSession, dir: String,
           else packedSearchRecovering(qArr, k))
       case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
       case Some(f) =>
-        val page = k * PackedFilterOverFetch
+        val page = filterPage(k, f)
         val over = packedSearchRecovering(qArr, page)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
-        val pass: Set[String] =
-          if (candIds.isEmpty) Set.empty
-          else {
-            import spark.implicits._
-            df.where(coalesce(f.compile, lit(false))).select("id")
-              .join(candIds.toDF("id"), Seq("id"), "left_semi")
-              .collect().map(_.getString(0)).toSet
-          }
+        val pass = filterMembership(candIds, f)
         val kept = over.map { case (qi, nbrs) =>
           (qi, nbrs.filter(n => pass(n._1)).take(k)) }
         val (served, refetch) = kept.partition { case (qi, survivors) =>
           survivors.length >= k || over(qi.toInt)._2.length < page
         }
+        lastFilteredFallbacks = refetch.length
         val fast = packedResult(q, qRows, served)
         if (refetch.isEmpty) fast
         else {
@@ -1267,6 +1262,65 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * reference's k*10; 4 suffices because the under-filled remainder
     * falls back exactly instead of retrying wider). */
   private val PackedFilterOverFetch = 4
+
+  /** Cap on the ADAPTIVE filtered over-fetch page ([[filterPage]]): a
+    * very selective filter would otherwise ask for a corpus-sized page;
+    * past the cap the bounded exact fallback is the cheaper path anyway. */
+  var filterOverFetchMaxPage: Int = 4096
+
+  /** How many queries of the LAST filtered packed/graph call fell back to
+    * the exact scan (page underfilled) — the adaptive-page feedback
+    * gauge, exposed for audit/specs like [[lastAutoRoute]]. */
+  @transient private[graft] var lastFilteredFallbacks: Int = 0
+
+  /** Filtered over-fetch page size, sized from the router's CACHED
+    * selectivity estimate instead of the fixed k*4: a fixed page
+    * underfills whenever the filter passes less than 1/overfetch of the
+    * corpus, sending every such query through the exact-scan fallback —
+    * the reference's own fetch_k heuristic widens with the filter
+    * (vectordb.py:520), here made cost-aware. Page ~ 2k/selectivity
+    * (2x slack over the expectation), clamped to
+    * [k*overfetch, [[filterOverFetchMaxPage]]] so a hostile estimate can
+    * never explode the walk; the bounded exact fallback still guarantees
+    * k-filled results whatever the page. Costs one cached pushdown count
+    * per (filter fingerprint, mutation stamp) — [[autoQuery]]'s routing
+    * already paid it on routed traffic. */
+  private def filterPage(k: Int, f: Filter): Int = {
+    val passing = filterPassRows(f, Collections.readMutationCount(spark, dir))
+    val sel = math.max(passing.toDouble / math.max(corpusRows, 1L), 1e-9)
+    val want = math.ceil(2.0 * k / sel)
+    val floor = k.toLong * PackedFilterOverFetch
+    math.min(math.max(want.toLong, floor),
+      math.max(filterOverFetchMaxPage.toLong, floor)).toInt
+  }
+
+  /** Max isin() literals per membership batch: bounds the In expression
+    * the scan pushes down (and the analyzer's tree size) when a wide
+    * query batch over-fetches a large page. */
+  private val FilterMembershipBatch = 32768
+
+  /** Candidate-membership check shared by the filtered over-fetch paths
+    * ([[packedQuery]], [[packedAnnQuery]], [[packedGraphQuery]]): which of
+    * the page's `candIds` pass `f`. The ids are PUSHED DOWN into the
+    * parquet scan (`col("id").isin` — the [[get]] shape, arriving as
+    * PushedFilters) so the job reads only the row groups holding the
+    * page's ids; the previous left-semi-join shape scanned the whole
+    * filtered corpus per query batch, costing at scale exactly what the
+    * over-fetch was meant to avoid. candIds is driver-resident and
+    * <= qRows * k * overfetch by construction; batched so a huge page
+    * never builds one unbounded In list. */
+  private[graft] def filterMembership(candIds: Seq[String], f: Filter): Set[String] =
+    if (candIds.isEmpty) Set.empty
+    else candIds.grouped(FilterMembershipBatch).flatMap { b =>
+      filterMembershipPlan(b, f).collect().iterator.map(_.getString(0))
+    }.toSet
+
+  /** One membership batch's plan, exposed for spec-level PushedFilters
+    * assertions. */
+  private[graft] def filterMembershipPlan(ids: Seq[String], f: Filter): DataFrame =
+    df.where(col("id").isin(ids: _*))
+      .where(coalesce(f.compile, lit(false)))
+      .select("id")
 
   /** Packed search with WARM-START LOSS RECOVERY: a warm-started index's
     * lineage reads its slab sidecar files, and a later mutation (this
@@ -1573,14 +1627,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
         // on query/packedQuery
         val over = sqSearchRecovering(qArr, k * PackedFilterOverFetch, nProbe)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
-        val pass: Set[String] =
-          if (candIds.isEmpty) Set.empty
-          else {
-            import spark.implicits._
-            df.where(coalesce(f.compile, lit(false))).select("id")
-              .join(candIds.toDF("id"), Seq("id"), "left_semi")
-              .collect().map(_.getString(0)).toSet
-          }
+        val pass = filterMembership(candIds, f)
         packedResult(q, qRows, over.map { case (qi, nbrs) =>
           (qi, nbrs.filter(n => pass(n._1)).take(k)) })
     }
@@ -1603,18 +1650,36 @@ final class GraftCollection(spark: SparkSession, dir: String,
     }
   }
 
+  /** Kernel the SQ tier serves with: "exact" ([[PackedSq.searchSq]] —
+    * bit-identical to Quantization.sqSearch, the oracle contract) or
+    * "int" ([[PackedSq.searchSqInt]] — the integer-domain ADC, ~15-bit
+    * query-side multiplier quantization, measurably faster at every
+    * sweep shape with recall@10 unchanged; rankings can flip on exact
+    * near-ties). Deployments routing to the byte tier for footprint
+    * typically also want the int kernel; the default stays exact so the
+    * tier's decoded-space bit-exactness contract holds out of the box. */
+  var sqKernelDomain: String = "exact"
+
   /** SQ scan with the same warm-start loss recovery as
     * [[packedSearchRecovering]]. */
   private def sqSearchRecovering(qArr: Array[(Long, Array[Float])],
-                                 k: Int, nProbe: Int): Array[(Long, Array[(String, Double)])] =
-    try PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+                                 k: Int, nProbe: Int): Array[(Long, Array[(String, Double)])] = {
+    require(sqKernelDomain == "exact" || sqKernelDomain == "int",
+      s"sqKernelDomain must be 'exact' or 'int': '$sqKernelDomain'")
+    def run(): Array[(Long, Array[(String, Double)])] =
+      if (sqKernelDomain == "int")
+        PackedSq.searchSqInt[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+      else
+        PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+    try run()
     catch { case e: Exception if slabReadFailure(e) =>
       org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
         s"resident packed SQ index of '${config.name}' lost a warm-start " +
           "slab partition (sidecar dropped by a mutation); cold-rebuilding", e)
       buildPackedSqIndex()
-      PackedSq.searchSq[String](packedSqIdx.get, qArr, k, nProbe, config.metric)
+      run()
     }
+  }
 
   // ------------------------------------------- resident graph-ANN tier
 
@@ -1664,10 +1729,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * With `where`, filtered search rides the walk via the reference's
     * filtered-HNSW over-fetch (vectordb.py:519-559 fetches k*10 from
     * hnswlib and post-filters) with [[packedQuery]]'s bounded-fallback
-    * hardening: the walk over-fetches a k*4 page per query, ONE metadata
-    * job marks the candidate ids that pass, survivors keep their exact
-    * walk distances, and a query left under-filled while its page came
-    * back full falls back to the EXACT filtered scan for that query only
+    * hardening: the walk over-fetches a selectivity-sized page per query
+    * ([[filterPage]] — ~2k/selectivity, clamped), ONE id-pushdown
+    * membership job marks the candidate ids that pass, survivors keep
+    * their exact walk distances, and a query left under-filled while its
+    * page came back full falls back to the EXACT filtered scan for that
+    * query only
     * — every query returns k rows whenever k filtered rows exist.
     * Membership follows the probe/ef recall curve (probed cells only);
     * at full probe + unbounded ef it equals [[query]](..., where). */
@@ -1683,21 +1750,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
           else graphSearchRecovering(qArr, k, nProbe, ef))
       case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
       case Some(f) =>
-        val page = k * PackedFilterOverFetch
+        val page = filterPage(k, f)
         // the walk must be allowed to KEEP a full page: ef below the page
         // size would truncate it before the filter ran (ef <= 0 stays
         // unbounded)
         val efPage = if (ef <= 0) ef else math.max(ef, page)
         val over = graphSearchRecovering(qArr, page, nProbe, efPage)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
-        val pass: Set[String] =
-          if (candIds.isEmpty) Set.empty
-          else {
-            import spark.implicits._
-            df.where(coalesce(f.compile, lit(false))).select("id")
-              .join(candIds.toDF("id"), Seq("id"), "left_semi")
-              .collect().map(_.getString(0)).toSet
-          }
+        val pass = filterMembership(candIds, f)
         val kept = over.map { case (qi, nbrs) =>
           (qi, nbrs.filter(n => pass(n._1)).take(k)) }
         // an under-filled page proves the corpus exhausted only when
@@ -1709,6 +1769,7 @@ final class GraftCollection(spark: SparkSession, dir: String,
           survivors.length >= k ||
             (allCellsProbed && over(qi.toInt)._2.length < page)
         }
+        lastFilteredFallbacks = refetch.length
         val fast = packedResult(q, qRows, served)
         if (refetch.isEmpty) fast
         else {

@@ -58,7 +58,16 @@ object Collections {
         if (fs.exists(tmp)) {
           fs.delete(p, false) // HDFS rename onto an existing file fails
           require(fs.rename(tmp, p), s"rename $tmp -> $p failed: ${e.getMessage}")
-        } else require(fs.exists(p), s"rename $tmp -> $p failed: ${e.getMessage}")
+        } else {
+          // tmp gone without a successful rename: only report success if
+          // the target actually HOLDS the new content — mere existence
+          // could be the OLD sidecar, silently dropping this write
+          val landed = fs.exists(p) &&
+            (try readString(path) == content catch { case _: Exception => false })
+          if (!landed) throw new java.io.IOException(
+            s"rename $tmp -> $p failed and the target does not hold the " +
+              s"new content: ${e.getMessage}", e)
+        }
     }
   }
 
@@ -129,9 +138,32 @@ object Collections {
     * through different handles/sessions); truly concurrent multi-writer
     * CRUD needs an external coordinator regardless, because the data-dir
     * swap itself is last-writer-wins. */
-  def readMutationCount(spark: SparkSession, dir: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/_mutations")
+  def readMutationCount(spark: SparkSession, dir: String): Long =
+    readCounter(spark, s"$dir/_mutations")
+
+  /** Bump [[readMutationCount]] via temp + rename (a crash mid-bump
+    * leaves the previous value, never a torn file). Returns the new
+    * count. */
+  def bumpMutationCount(spark: SparkSession, dir: String): Long =
+    bumpCounter(spark, s"$dir/_mutations")
+
+  /** Monotonic per-collection LAYOUT stamp (`$dir/_layout`): bumped when
+    * compaction swap-rewrites the data directory's FILES without changing
+    * its CONTENTS (optimize()'s small-file fold). The mutation counter
+    * deliberately does not move — resident indexes built from the old
+    * files stay valid — but any handle's cached relation (its parquet
+    * file listing) is now pointing at deleted files; a second handle over
+    * the same dir would FileNotFound on its next query without this
+    * stamp. Relation caches key on (mutation, layout); everything else
+    * keys on the mutation count alone. */
+  def readLayoutStamp(spark: SparkSession, dir: String): Long =
+    readCounter(spark, s"$dir/_layout")
+
+  def bumpLayoutStamp(spark: SparkSession, dir: String): Long =
+    bumpCounter(spark, s"$dir/_layout")
+
+  private def readCounter(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
     else {
@@ -141,15 +173,12 @@ object Collections {
     }
   }
 
-  /** Bump [[readMutationCount]] via temp + rename (a crash mid-bump
-    * leaves the previous value, never a torn file). Returns the new
-    * count. */
-  def bumpMutationCount(spark: SparkSession, dir: String): Long = {
+  private def bumpCounter(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/_mutations")
-    val tmp = new Path(s"$dir/_mutations.tmp")
+    val p = new Path(path)
+    val tmp = new Path(s"$path.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = readMutationCount(spark, dir) + 1L
+    val next = readCounter(spark, path) + 1L
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, p)) { // HDFS: rename onto existing file fails

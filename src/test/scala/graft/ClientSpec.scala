@@ -1213,6 +1213,61 @@ class ClientSpec extends SparkSpec {
     // selective filters still route exact
     c.autoQuery(q, k = 1, where = selective).collect()
     assert(c.lastAutoRoute === Some("exact"))
+
+    // the membership job PUSHES the page's candidate ids into the parquet
+    // scan (the q148 get() shape) — the filtered page costs the row
+    // groups holding those ids, never a corpus scan per query batch
+    val memberPlan = c.filterMembershipPlan(Seq("f1", "f2"), permissive.get)
+      .queryExecution.executedPlan.toString
+    assert(memberPlan.contains("PushedFilters"), memberPlan)
+    assert(memberPlan.contains("In(id"), memberPlan)
+  }
+
+  test("adaptive filtered over-fetch: mid-selectivity filters stop falling back, results identical") {
+    val c = client.getOrCreateCollection("adaptive_page")
+    c.add((0 until 256).map(i =>
+        (f"a$i%03d", s"unique adaptive page doc number $i body",
+          if (i % 16 == 0) "rare" else "common"))
+      .toDF("id", "document", "category"))
+    val q = (0 until 3).map(i =>
+        (i.toLong, s"unique adaptive page doc number ${i * 7} body"))
+      .toDF("query_id", "query_text")
+    val f = Some(Filter.Eq("category", "rare"))
+    def routed(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val exact = routed(c.query(q, k = 5, where = f))
+    assert(exact.length === 15)
+    // selectivity-sized page (~2k/sel = 160 of 256 rows): the page holds
+    // k survivors for every query — zero exact-scan fallbacks
+    assert(routed(c.packedQuery(q, k = 5, where = f)) === exact)
+    assert(c.lastFilteredFallbacks === 0,
+      "adaptive page must not underfill at 1/16 selectivity")
+    // clamp the cap back down to the fixed k*4 page: every query
+    // underfills and the bounded exact fallback fills in — results
+    // identical either way (the fallback IS the exact scan)
+    c.filterOverFetchMaxPage = 1
+    assert(routed(c.packedQuery(q, k = 5, where = f)) === exact)
+    assert(c.lastFilteredFallbacks > 0,
+      "the fixed k*4 page at 1/16 selectivity must fall back")
+    c.filterOverFetchMaxPage = 4096
+  }
+
+  test("foreign compaction: a second handle's cached relation survives optimize()'s data-dir swap") {
+    val c = client.getOrCreateCollection("foreign_compact")
+    c.add((0 until 32).map(i => (s"fc$i", s"unique foreign compact doc $i"))
+      .toDF("id", "document"))
+    val other = new GraftClient(spark, root, 16).getCollection("foreign_compact")
+    assert(other.count() === 32) // warm other's stamp-keyed relation cache
+    // optimize() swap-rewrites the data dir WITHOUT bumping the mutation
+    // stamp (contents identical) — the layout stamp is what tells the
+    // foreign handle its cached file listing is gone
+    c.optimize(maxFilesPerBucket = 0)
+    assert(other.count() === 32,
+      "foreign handle must re-list after a compaction swap, not FileNotFound")
+    assert(other.query(Seq((1L, "unique foreign compact doc 7"))
+      .toDF("query_id", "query_text"), k = 1).count() === 1)
   }
 
   test("mutation storm: optimize() folds every resident tier back to one generation") {
