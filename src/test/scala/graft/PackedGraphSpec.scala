@@ -107,6 +107,28 @@ class PackedGraphSpec extends SparkSpec {
       val recalls = qArr.map { case (qid, _) =>
         bounded(qid).map(_._1).count(exact(qid).toSet) / 10.0 }
       assert(recalls.sum / recalls.length >= 0.8)
+      // appended generations re-finalize through result(), so their walk
+      // entry is the RECOMPUTED medoid of the grown block (live row
+      // nearest the live-row mean, ties to the smaller row) — never a
+      // stale pre-append entry or a default row 0
+      pg.blocks.collect().filter(_.rows > 1).foreach { b =>
+        val sums = new Array[Double](b.dim)
+        val liveRows = (0 until b.rows).filter(r => b.dead == null || !b.dead(r))
+        liveRows.foreach { r =>
+          var j = 0; while (j < b.dim) { sums(j) += b.mat(r * b.dim + j); j += 1 } }
+        val m = Array.tabulate(b.dim)(j => (sums(j) / liveRows.length).toFloat)
+        val mNorm = math.sqrt(m.map(x => x.toDouble * x).sum)
+        def d(r: Int): Double = {
+          var dot = 0.0; var j = 0
+          while (j < b.dim) { dot += b.mat(r * b.dim + j).toDouble * m(j); j += 1 }
+          val denom = b.sqrtNorms(r) * mNorm
+          if (denom == 0.0) 1.0 else 1.0 - dot / denom
+        }
+        val medoid = liveRows.minBy(r => (d(r), r))
+        assert(b.entry === medoid,
+          s"appended block must carry the recomputed medoid entry " +
+            s"(got ${b.entry}, medoid $medoid of ${b.rows} rows)")
+      }
     } finally pg.unpersist() // chain: releases pg0's blocks too
   }
 
