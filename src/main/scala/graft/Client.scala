@@ -232,10 +232,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
     *     fallback keeps every query k-filled), else to the flat packed
     *     tier, whose filtered contract is exact-membership.
     *  4. unfiltered, by size: PQ codes ≥ [[autoRoutePqRows]]; the SQ8
-    *     byte tier only when PQ is absent AND the float slabs exceed
-    *     [[autoRouteMemoryBudgetBytes]] (footprint justifies it — on
-    *     latency alone the sweep shows the float scan faster at every
-    *     shape); graph walk then cell-probed float ≥ [[autoRouteIvfRows]]
+    *     byte tier when PQ is absent AND either the float slabs exceed
+    *     [[autoRouteMemoryBudgetBytes]] (footprint justifies the exact
+    *     byte kernel despite its latency) or — checked after the faster
+    *     graph/cell tiers — [[sqKernelDomain]] is "int" (the
+    *     integer-domain kernel beats the flat scan outright at these
+    *     sizes: sweep 1.92 vs 2.47 ms/q at 1M, recall unchanged);
+    *     graph walk then cell-probed float ≥ [[autoRouteIvfRows]]
     *     (the graph tier outranks the flat cell scan when already built —
     *     better recall at matched ms/q), flat resident ≥
     *     [[autoRouteFlatRows]], exact below. Each tier is considered only
@@ -298,6 +301,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
           else if (n >= autoRouteIvfRows && graphAvail)
             ("packed_graph", s"n=$n, graph tier")
           else if (n >= autoRouteIvfRows && ivfAvail) ("packed_ivf", s"n=$n, cell-probed tier")
+          // the int-domain byte tier EARNS latency (sweep: 1.92 vs the
+          // flat scan's 2.47 ms/q at 1M, recall unchanged), so when the
+          // deployment opted into the int kernel it outranks the flat
+          // scan on corpora big enough for the win — without the memory
+          // budget that gates the exact byte kernel above
+          else if (n >= autoRoutePqRows && sqAvail && sqKernelDomain == "int")
+            ("packed_sq", s"n=$n, byte tier: int kernel beats the flat scan")
           // the flat tier needs no trained model — packedQuery packs on
           // first use, so above the floor it is always routable
           else if (n >= autoRouteFlatRows) ("packed", s"n=$n, flat resident scan")

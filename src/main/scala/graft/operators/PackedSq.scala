@@ -477,6 +477,7 @@ object PackedSq {
       ws(qi0) = w; betas(qi0) = beta; cAdds(qi0) = c0; qNorm(qi0) = nb
       qi0 += 1
     }
+    val qSqrt = qNorm.map(math.sqrt)
     val partIds = byCell.keys.toArray.sorted
     val idOrd = implicitly[Ordering[I]]
     val sc = pi.blocks.sparkContext
@@ -494,29 +495,32 @@ object PackedSq {
             val blk = it.next()
             val codes = blk.codes; val bd = blk.dim; val n = blk.rows
             val rowNorms = if (sqLut != null) blockNorms(blk, sqLut) else null
-            var qi = 0
-            while (qi < qIdxs.length) {
-              val w = ws(qIdxs(qi))
-              val beta = betas(qIdxs(qi))
-              val cAdd = cAdds(qIdxs(qi))
-              val nb = qNorm(qIdxs(qi))
-              val heap = heaps(qi)
-              var r = 0
-              while (r < n) {
-                val base = r * bd
+            // rows OUTER, queries INNER: a row's code line (bd bytes)
+            // stays in L1 while the whole query batch dots it — the
+            // query-outer order re-reads the full code slab per query,
+            // batch-size× the memory traffic on corpus-sized blocks
+            var r = 0
+            while (r < n) {
+              val base = r * bd
+              val id = blk.ids(r)
+              val sqrtNa = if (rowNorms == null) 0.0 else math.sqrt(rowNorms(r))
+              var qi = 0
+              while (qi < qIdxs.length) {
+                val qg = qIdxs(qi)
+                val w = ws(qg)
                 // the vectorizable hot loop: zero-extended byte * int
                 var s = 0; var i = 0
                 while (i < bd) { s += (codes(base + i) & 0xFF) * w(i); i += 1 }
-                val dot = beta * s + cAdd
+                val dot = betas(qg) * s + cAdds(qg)
                 val d =
                   if (cosine) {
-                    val na = rowNorms(r)
-                    if (na == 0.0 || nb == 0.0) 1.0
-                    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+                    val sqrtNb = qSqrt(qg)
+                    if (sqrtNa == 0.0 || sqrtNb == 0.0) 1.0
+                    else 1.0 - dot / (sqrtNa * sqrtNb)
                   } else if (l2)
-                    math.sqrt(math.max(rowNorms(r) - 2.0 * dot + nb, 0.0))
+                    math.sqrt(math.max(rowNorms(r) - 2.0 * dot + qNorm(qg), 0.0))
                   else -dot
-                val id = blk.ids(r)
+                val heap = heaps(qi)
                 if (heap.size < k) heap.add((id, d))
                 else {
                   val worst = heap.peek()
@@ -524,9 +528,9 @@ object PackedSq {
                     heap.poll(); heap.add((id, d))
                   }
                 }
-                r += 1
+                qi += 1
               }
-              qi += 1
+              r += 1
             }
           }
           val out = new ArrayBuffer[(Int, I, Double)]()

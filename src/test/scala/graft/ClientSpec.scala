@@ -1349,4 +1349,37 @@ class ClientSpec extends SparkSpec {
     assert(c.lastAutoRoute === Some("packed_sq"))
   }
 
+  test("auto routing: the int-domain byte kernel earns a latency route below the cell tiers") {
+    val c = client.getOrCreateCollection("auto_sq_int")
+    c.add((0 until 64).map(i => (s"bi$i", s"unique int kernel doc $i body"))
+      .toDF("id", "document"))
+    val q = Seq((1L, "unique int kernel doc 9 body")).toDF("query_id", "query_text")
+    c.buildVectorIndex(numCells = 2)
+    c.buildScalarQuantModel()
+    c.autoRouteFlatRows = 1L
+    c.autoRoutePqRows = 1L
+    // autoRouteIvfRows stays high: neither graph nor cell tier routes, so
+    // the contest is byte tier vs flat scan
+    c.autoRouteIvfRows = Long.MaxValue
+    // exact kernel, no budget: the flat scan wins (the sweep's verdict)
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed"))
+    // int kernel: the byte tier beats the flat scan outright (1.92 vs
+    // 2.47 ms/q at 1M), so it routes without a memory budget
+    c.sqKernelDomain = "int"
+    val got = c.autoQuery(q, k = 5).select("rank", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(c.lastAutoRoute === Some("packed_sq"))
+    // ...and the faster graph/cell tiers still outrank it when routable
+    c.autoRouteIvfRows = 1L
+    c.autoQuery(q, k = 5).collect()
+    assert(c.lastAutoRoute === Some("packed_ivf"))
+    // int-kernel results: same top-k membership as the exact scan on
+    // this fixture (quantization flips only exact near-ties)
+    val want = c.query(q, k = 5).select("rank", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got.map(_._2).toSet === want.map(_._2).toSet)
+    c.sqKernelDomain = "exact"
+  }
+
 }
