@@ -87,6 +87,22 @@ object Filter {
     def compile: Column = !coalesce(f.compile, lit(false))
   }
 
+  /** Escape hatch for the reference's ARBITRARY filter closures
+    * (`Filter(evaluate_fn)`, vectordb.py:139-143): wrap any boolean
+    * [[Column]] — native expressions, struct/array predicates, even a
+    * registered UDF call — as a Filter composable with the ADT's
+    * combinators and servable through every filtered path (query,
+    * packed over-fetch, autoQuery's cached selectivity). A null
+    * predicate value reads as FALSE like the typed operators (the
+    * serving paths coalesce the compiled predicate). Prefer the typed
+    * operators where they fit: a Custom predicate pushes down only as
+    * far as Catalyst can analyze it, and an opaque UDF pins the filter
+    * to post-scan evaluation — the reference's closures pay exactly
+    * that cost on every row, which is why the typed DSL exists. */
+  final case class Custom(predicate: Column) extends Filter {
+    def compile: Column = predicate
+  }
+
   /** Dict-shorthand: AND of equalities (vectordb.py:207-213). */
   def fromMap(m: Map[String, Any]): Filter =
     m.map { case (k, v) => Eq(k, v): Filter }

@@ -38,6 +38,8 @@ class FilterDSLSpec extends SparkSpec {
     case Or(l, rr) => eval(l, r) || eval(rr, r)
     case Not(g) => !eval(g, r)
     case True => true
+    case Custom(_) => throw new UnsupportedOperationException(
+      "Custom wraps an opaque Column — not part of the random-tree property")
   }
 
   private def field(r: R, k: String): Option[Any] = k match {
@@ -104,6 +106,25 @@ class FilterDSLSpec extends SparkSpec {
     assert(ids(In("props[color]", Seq("red", "blue"))) === Set(1L, 2L))
     assert(ids(!Eq("props[color]", "red")) === Set(2L, 3L)) // Not() null-safe
     assert(ids(Contains("props[size]", "9")) === Set(1L))
+  }
+
+  test("Custom wraps arbitrary Column predicates — the reference's closure escape hatch") {
+    import org.apache.spark.sql.functions._
+    val df = rows.toDF()
+    // a native Column predicate composes with the typed combinators
+    val f = Custom(length(col("name")) > 6) && Eq("cat", "A")
+    assert(df.where(f.compile).count() ===
+      rows.count(r => r.name != null && r.name.length > 6 && r.cat == "A"))
+    // a fully opaque UDF predicate (the actual evaluate_fn analog,
+    // vectordb.py:139-143) still serves — it just can't push down
+    val redish = udf((s: String) => s != null && s.startsWith("red"))
+    val g = Custom(redish(col("name"))) || Eq("cat", "B")
+    assert(df.where(g.compile).count() ===
+      rows.count(r => (r.name != null && r.name.startsWith("red")) || r.cat == "B"))
+    // Not() keeps the ADT's null-is-false contract over a null-producing
+    // Custom predicate (null cat: === yields null, Not coalesces)
+    val h = !Custom(col("cat") === "A")
+    assert(df.where(h.compile).count() === rows.count(r => r.cat != "A"))
   }
 
   test("fromMap builds AND-of-equalities") {
