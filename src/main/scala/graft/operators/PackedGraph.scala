@@ -843,6 +843,43 @@ object PackedGraph {
     * shared driver probe ranking), walk each probed cell's graph with the
     * given ef, merge per-cell partials by (dist, id) on the driver.
     * `ef <= 0` means UNBOUNDED (exhaustive — the exactness contract). */
+  /** Blocks below this row count walk from the static medoid entry —
+    * beacon selection would cost a visible fraction of the whole walk. */
+  private val BeaconMinRows = 4096
+  /** Beacons scored per large block (one distance evaluation each). */
+  private val BeaconCount = 64
+
+  /** Query-adaptive walk entry — the FLATTENED form of hnswlib's upper
+    * layers (vectordb.py:18,527: multi-layer HNSW, where the sparse upper
+    * layers exist only to drop the query near its layer-0 neighborhood).
+    * An upper layer is a ~1/M sample of the rows wired for greedy
+    * descent; on cells bounded by splitHotCells a full descent is
+    * overkill, so this scores a deterministic stride sample of
+    * [[BeaconCount]] rows (plus the static medoid) and starts the walk at
+    * the best — the same "land close, then walk" effect for 64 extra
+    * distance evaluations and ZERO extra resident state or build cost.
+    * Correctness is untouched: any entry is exhaustive at unbounded ef
+    * through the protected spanning tree, and a tombstoned best beacon
+    * merely ROUTES (walk never emits dead rows). Small blocks keep the
+    * plain medoid entry. */
+  private def beaconEntry(b: GraphBlock[_], qv: Array[Float], qNorm: Double,
+                          mcode: Int): Int = {
+    val n = b.rows
+    if (n < BeaconMinRows) return b.entry
+    var best = b.entry
+    var bestD = rowDist(b.mat, best, b.dim, b.sqrtNorms(best), qv, qNorm, mcode)
+    val stride = n / BeaconCount
+    var r = stride / 2
+    while (r < n) {
+      if (r != best) {
+        val d = rowDist(b.mat, r, b.dim, b.sqrtNorms(r), qv, qNorm, mcode)
+        if (d < bestD || (d == bestD && r < best)) { bestD = d; best = r }
+      }
+      r += stride
+    }
+    best
+  }
+
   def searchGraph[I: ClassTag: Ordering](pg: PackedGraphCorpus[I],
                   queries: Array[(Long, Array[Float])],
                   k: Int, nProbe: Int, ef: Int = 64,
@@ -872,8 +909,10 @@ object PackedGraph {
             require(qv.length == b.dim, s"query dim ${qv.length} != corpus dim ${b.dim}")
             var s = 0.0; var j = 0
             while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
+            val qn = math.sqrt(s)
             val found = walk(b.mat, b.dim, b.sqrtNorms, new FrozenAdj(b.adj),
-              b.rows, entry = b.entry, qv, math.sqrt(s), efEff, mcode, b.dead)
+              b.rows, entry = beaconEntry(b, qv, qn, mcode), qv, qn, efEff,
+              mcode, b.dead)
             found.iterator.take(kk).foreach { case (row, dd) =>
               out += ((qi, b.ids(row), dd))
             }

@@ -284,6 +284,21 @@ object QueriesVector {
         .select(col("id"), col("document"), col("label"))
     }),
 
+    // Filter.Custom under the hash gate: the reference's ARBITRARY filter
+    // closures (Filter(evaluate_fn), vectordb.py:139-143) as a wrapped
+    // Column predicate, composed with a typed operator and served through
+    // the facade's exact filtered path — membership and distances must
+    // match the DuckDB re-derivation of the same predicate.
+    "q149_custom_filter" -> ((s, dir) => {
+      val c = graphCollection(s, dir)
+      import graft.operators.Filter
+      val f = Filter.Custom(pmod(col("label"), lit(2)) === 0) && Filter.Gt("label", 2)
+      c.query(queryBatch(s, dir, 5), k = 10, where = Some(f))
+        .select(col("query_id"), col("rank"),
+          col("id").cast("bigint").as("neighbor_id"),
+          round(col("distance"), 6).as("dist"))
+    }),
+
     // MUTATED graph tier under the hash gate: build on the evens, APPEND
     // the odds (insertion is the graph's native maintenance op), then
     // TOMBSTONE vec_id [100, 200) (HNSW mark-deleted — dead rows route
@@ -489,6 +504,11 @@ object QueriesVector {
     "q147_graph_filtered" -> knnOracleCosine5.replace(
       "FROM q, embeddings c)",
       "FROM q, embeddings c WHERE c.label IN (1, 3, 7))"),
+    // the same oracle under the Custom-closure predicate (label even AND
+    // label > 2) — Filter.Custom's membership must equal the SQL
+    "q149_custom_filter" -> knnOracleCosine5.replace(
+      "FROM q, embeddings c)",
+      "FROM q, embeddings c WHERE c.label % 2 = 0 AND c.label > 2)"),
     // id lookup + predicate through the same collection's corpus
     "q148_get_lookup" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
