@@ -234,6 +234,33 @@ object QueriesQuant {
           round(col("dist"), 6).as("dist"))
     }),
 
+    // INT-DOMAIN SQ funnel under the hash gate: the integer-ADC kernel
+    // (PackedSq.searchSqInt — the vectorizable uint8*int dot that beats
+    // the flat float scan at every sweep shape) produces the candidate
+    // cut, exact rerank produces the emitted top-10. The kernel is
+    // approximate (~15-bit query-side multipliers), but a 5x over-fetch
+    // absorbs its near-tie flips DETERMINISTICALLY on this corpus (same
+    // data, same models, same arithmetic every run), so the funnel
+    // hash-checks the q137/q20 oracle — the int kernel itself sits under
+    // the driver's correctness gate, not just its spec.
+    "q150_packed_sq_int_rerank" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val pi = cachedPackSq(s, dir)
+      val queries = QueriesVector.queryBatch(s, dir, 5)
+      val qArr = queries
+        .select(col("query_id").cast("long"), col("query_vec").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cand = PackedSq.searchSqInt[Long](pi, qArr, k = 50, nProbe = pi.ivf.numCells)
+      import s.implicits._
+      val candDF = cand.toSeq
+        .flatMap { case (qid, nbrs) => nbrs.map(n => (qid, n._1)) }
+        .toDF("query_id", "neighbor_id")
+      Quantization.rerankExact(candDF, queries, embs, k = 10,
+          metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // A7 + F6: per-dim SQ model + reconstruction error
     "q16_sq_stats" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -621,6 +648,27 @@ object QueriesQuant {
 
     // resident SQ funnel at full probe == q20's quantize-then-rerank
     "q137_packed_sq_rerank" ->
+      s"""$sqKnn,
+         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+         |exact AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+         |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+         |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+         |                  CAST(unnest(q.embedding) AS DOUBLE) AS y)) AS dist
+         |  FROM cand
+         |  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = cand.query_id),
+         |reranked AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       round(dist, 6) + 0.0 AS dist
+         |FROM reranked WHERE rank <= 10""".stripMargin,
+
+    // the int-ADC funnel emits exact-reranked top-10 == q137's oracle
+    "q150_packed_sq_int_rerank" ->
       s"""$sqKnn,
          |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
          |exact AS (
