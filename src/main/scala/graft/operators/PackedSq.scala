@@ -561,7 +561,12 @@ object PackedSq {
   def search(pi: PackedSqCorpus[Long], queries: DataFrame,
              k: Int, nProbe: Int, metric: String = "cosine",
              queryId: String = "query_id", queryVec: String = "query_vec",
-             maxQueryRows: Int = 65536): DataFrame = {
+             maxQueryRows: Int = 65536,
+             /** "exact" = [[searchSq]] (decoded-space bit-exactness);
+               * "int" = [[searchSqInt]] (the faster approximate ADC). */
+             domain: String = "exact"): DataFrame = {
+    require(domain == "exact" || domain == "int",
+      s"domain must be 'exact' or 'int': '$domain'")
     val spark = queries.sparkSession
     val rows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
@@ -573,7 +578,9 @@ object PackedSq {
         "corpus-sized query sets through Quantization.sqSearch instead")
     require(rows.nonEmpty, "empty query batch")
     val qArr = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val res = searchSq[Long](pi, qArr, k, nProbe, metric)
+    val res =
+      if (domain == "int") searchSqInt[Long](pi, qArr, k, nProbe, metric)
+      else searchSq[Long](pi, qArr, k, nProbe, metric)
     import spark.implicits._
     res.toSeq
       .flatMap { case (qid, nbrs) =>

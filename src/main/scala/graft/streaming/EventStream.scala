@@ -354,7 +354,11 @@ object EventStream {
                     k: Int, outDir: String, checkpointDir: String,
                     nProbe: Int = 4, metric: String = "cosine",
                     queryId: String = "query_id", queryVec: String = "query_vec",
-                    maxQueryRows: Int = 65536): org.apache.spark.sql.streaming.StreamingQuery =
+                    maxQueryRows: Int = 65536,
+                    /** The [[graft.operators.PackedSq.search]] kernel pick:
+                      * a deployment serving the byte tier through the int
+                      * kernel gets the same on its streaming twin. */
+                    domain: String = "exact"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -363,7 +367,7 @@ object EventStream {
           .where(col(queryId).isNotNull && col(queryVec).isNotNull)
         if (clean.limit(1).count() > 0) {
           graft.operators.PackedSq.search(pi, clean, k, nProbe, metric,
-              queryId, queryVec, maxQueryRows)
+              queryId, queryVec, maxQueryRows, domain)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }

@@ -415,6 +415,26 @@ class EventStreamSpec extends SparkSpec {
         .select("query_id", "rank", "neighbor_id", "dist")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       assert(got === want)
+      // int-domain twin: the stream serves the integer-ADC kernel's
+      // results verbatim (a deployment that opted the byte tier into the
+      // int kernel gets the same on its streaming twin)
+      val memI = { implicit val sqlc = spark.sqlContext; MemoryStream[(Long, Array[Float])] }
+      val qI = EventStream.sqQueryStream(
+        memI.toDF().toDF("query_id", "query_vec"), pi, k = 5,
+        outDir = s"$tmp/outI", checkpointDir = s"$tmp/ckI",
+        nProbe = 4, metric = "cosine", domain = "int")
+      try {
+        memI.addData(qVecs(0), qVecs(1))
+        qI.processAllAvailable()
+      } finally qI.stop()
+      val gotI = spark.read.parquet(s"$tmp/outI")
+        .select("query_id", "rank", "neighbor_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val wantI = PackedSq.searchSqInt[Long](pi,
+          qVecs.take(2), k = 5, nProbe = 4, metric = "cosine")
+        .flatMap { case (qid, nbrs) => nbrs.zipWithIndex.map {
+          case ((nid, d), pos) => (qid, pos + 1, nid, d) } }.toSet
+      assert(gotI === wantI)
       // oversized micro-batch: the contract cap fails the stream loudly
       val q2 = EventStream.sqQueryStream(
         mem.toDF().toDF("query_id", "query_vec"), pi, k = 5,
