@@ -1204,15 +1204,15 @@ final class GraftCollection(spark: SparkSession, dir: String,
       case Some(_) if qArr.isEmpty => packedResult(q, qRows, Array.empty)
       case Some(f) =>
         // filtered ANN = the reference's post-ANN over-fetch
-        // (vectordb.py:495-561): the probed cells return a 4k page, one
-        // metadata job marks passing candidate ids, survivors keep their
-        // kernel distances. No exact fallback HERE — the search is
+        // (vectordb.py:495-561): the probed cells return a selectivity-
+        // sized page ([[filterPage]]), one id-pushdown membership job
+        // marks passing candidate ids, survivors keep their kernel
+        // distances. No exact fallback HERE — the search is
         // approximate by contract (probed cells only), so the filtered
         // result is exactly filter(page) take k; recall follows the
         // probe recall curve. For exact filtered membership use
         // packedQuery/query with the same filter.
-        val over = ivfSearchRecovering(qArr, k * PackedFilterOverFetch,
-          nProbe)
+        val over = ivfSearchRecovering(qArr, filterPage(k, f), nProbe)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
         val pass = filterMembership(candIds, f)
         packedResult(q, qRows, over.map { case (qi, nbrs) =>
@@ -1630,12 +1630,12 @@ final class GraftCollection(spark: SparkSession, dir: String,
     where match {
       case None => packedResult(q, qRows, sqSearchRecovering(qArr, k, nProbe))
       case Some(f) =>
-        // the packedAnnQuery filtered contract: probed cells return an
-        // over-fetched page, one metadata job marks passing ids,
-        // survivors keep their decoded-space distances — approximate by
-        // contract (probed cells only); exact filtered membership lives
-        // on query/packedQuery
-        val over = sqSearchRecovering(qArr, k * PackedFilterOverFetch, nProbe)
+        // the packedAnnQuery filtered contract: probed cells return a
+        // selectivity-sized page, one id-pushdown membership job marks
+        // passing ids, survivors keep their decoded-space distances —
+        // approximate by contract (probed cells only); exact filtered
+        // membership lives on query/packedQuery
+        val over = sqSearchRecovering(qArr, filterPage(k, f), nProbe)
         val candIds = over.iterator.flatMap(_._2.iterator.map(_._1)).toSet.toSeq
         val pass = filterMembership(candIds, f)
         packedResult(q, qRows, over.map { case (qi, nbrs) =>

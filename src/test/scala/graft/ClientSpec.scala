@@ -135,15 +135,25 @@ class ClientSpec extends SparkSpec {
     assert(c.packedQuery(q, k = 3).count() === 3) // unfiltered unaffected
 
     // ANN twin: filtered result is BY DEFINITION filter(page).take(k) —
-    // check against the unfiltered page of the same probes
+    // check against the unfiltered page of the same probes, with the
+    // adaptive sizing clamped down to the fixed k*4 page so the page the
+    // twin fetches is the one this check replicates
     c.buildVectorIndex(numCells = 4)
     val rares = (0 until 60 by 12).map(i => s"d$i").toSet
     val page = c.packedAnnQuery(q, k = 12, nProbe = 4)
       .orderBy("rank").collect().map(_.getAs[String]("id")).toSeq
+    c.filterOverFetchMaxPage = 1 // clamp: page = k*4 exactly
     val annF = c.packedAnnQuery(q, k = 3, nProbe = 4, where = f)
       .collect().map(_.getAs[String]("id")).toSet
     assert(annF === page.filter(rares).take(3).toSet)
     assert(annF.subsetOf(rares))
+    // default adaptive page (~2k/sel = 72 > corpus): the probe-limited
+    // twin now FILLS at mid selectivity instead of returning the one
+    // rare doc the fixed 12-row page happened to hold
+    c.filterOverFetchMaxPage = 4096
+    val annA = c.packedAnnQuery(q, k = 3, nProbe = 4, where = f)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(annA.size === 3 && annA.subsetOf(rares))
 
     // optimize() compacts everything the collection owns; results identical
     c.buildKeywordIndex()
