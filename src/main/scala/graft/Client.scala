@@ -444,6 +444,14 @@ final class GraftCollection(spark: SparkSession, dir: String,
   /** peek(limit) (client.py:431-436). */
   def peek(limit: Int = 10): DataFrame = df.orderBy("id").limit(limit)
 
+  /** list_ids(limit, offset) (vectordb.py:583-586), in deterministic id
+    * order (the reference pages its insertion-ordered dict; a distributed
+    * corpus has no insertion order, so id order is the stable analog —
+    * the q6 pagination contract). Driver-sized by construction. */
+  def listIds(limit: Int = 100, offset: Int = 0): Seq[String] =
+    df.select(col("id")).orderBy("id").offset(offset).limit(limit)
+      .collect().map(_.getString(0)).toSeq
+
   // --------------------------------------------- training-data pipeline ops
 
   /** Near-duplicate clusters over this collection's documents:

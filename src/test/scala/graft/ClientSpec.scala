@@ -661,6 +661,11 @@ class ClientSpec extends SparkSpec {
     c.delete(where = Some(Filter.Eq("category", "tech")))
     assert(c.get().select("id").collect().map(_.getString(0)).toSet === Set("doc1", "doc2"))
     assert(c.peek(1).head().getAs[String]("id") === "doc1")
+    // list_ids(limit, offset) pages the id universe in stable id order
+    assert(c.listIds() === Seq("doc1", "doc2"))
+    assert(c.listIds(limit = 1) === Seq("doc1"))
+    assert(c.listIds(limit = 5, offset = 1) === Seq("doc2"))
+    assert(c.listIds(offset = 2) === Seq.empty)
     // fresh client sees persisted state
     val again = new GraftClient(spark, root).getCollection("docs")
     assert(again.count() === 2)
