@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the caller unwrapped: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks
+// machine parsing of Bench's single JSON contract line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Suites share one local SparkSession; running them in parallel races
 // streaming memory sinks against batch jobs.
 Test / parallelExecution := false

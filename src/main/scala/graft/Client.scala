@@ -1304,6 +1304,10 @@ final class GraftCollection(spark: SparkSession, dir: String,
     * per (filter fingerprint, mutation stamp) — [[autoQuery]]'s routing
     * already paid it on routed traffic. */
   private def filterPage(k: Int, f: Filter): Int = {
+    // Every filtered serving call starts here; zero the fallback gauge
+    // so a no-fallback path (ann/sq) cannot leave a previous call's
+    // count visible to an audit reading it afterwards.
+    lastFilteredFallbacks = 0
     val passing = filterPassRows(f, Collections.readMutationCount(spark, dir))
     val sel = math.max(passing.toDouble / math.max(corpusRows, 1L), 1e-9)
     val want = math.ceil(2.0 * k / sel)
@@ -1605,8 +1609,17 @@ final class GraftCollection(spark: SparkSession, dir: String,
     packedSqStamp = current
     if (PackedSq.slabsExist(spark, packedSqDir) &&
         sidecarStamp(packedSqDir) == current) {
-      packedSqIdx = Some(PackedSq.loadSlabs[String](spark, packedSqDir))
-    } else {
+      // a sidecar written by an older block format (or a reshaped
+      // layout) fails loud at load — warm start is an optimization, so
+      // fall through to the cold pack instead of dying on it
+      try { packedSqIdx = Some(PackedSq.loadSlabs[String](spark, packedSqDir)); return }
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
+          s"SQ slab sidecar of '${config.name}' unreadable " +
+            s"(${e.getClass.getSimpleName}); cold-rebuilding", e)
+      }
+    }
+    locally {
       require(hasVectorIndex,
         s"collection '${config.name}' has no vector index; run buildVectorIndex() first")
       require(hasScalarQuantModel,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Quantization}
+import graft.operators.{Ann, Dedup, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Pipeline, PipelineSpec, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -38,7 +38,7 @@ object Sweep {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shapes = sys.env.get("SPARK_GRAFT_SWEEP_SHAPES")
-      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
       .getOrElse(Seq(10000L, 100000L, 1000000L))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -402,7 +402,77 @@ object Sweep {
         s""""pq_code_bytes":$pqCodeBytes,"pq_cells":$numCells,"pq_nprobe":$nProbe,""" +
         s""""pq_train_s":${f"$pqTrainS%.3f"},"pq_pack_s":${f"$pqPackS%.3f"}}"""
     }
-    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")}}""")
+    // ---------------- text / dedup ladder ----------------
+    // The dedup/curation pillar proven at the same rungs as the vector
+    // pillar: a synthetic corpus shaped like the driver's documents
+    // table (~40 words/doc, small vocabulary, newline-separated lines)
+    // with PLANTED structure — every doc_id % 10 == 9 is a near-dup of
+    // its predecessor (one appended token, 3-shingle Jaccard ~0.9), and
+    // every doc_id % 3 == 0 carries a shared boilerplate line. Measured:
+    // banded MinHash LSH (pairs must recover the planted rate),
+    // duplicate-span detection, boilerplate strip, and the full composed
+    // curation pipeline, each as wall seconds + rows/s. Hot-bucket
+    // degradation is asserted ZERO through the per-run scope — at these
+    // rungs every banded pass must be exact all-pairs.
+    val textShapes = sys.env.get("SPARK_GRAFT_SWEEP_TEXT_SHAPES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+      .getOrElse(Seq(100000L, 1000000L))
+    val textEntries = textShapes.map { n =>
+      val parts = math.min(cpus.toInt, math.max(1, (n / 25000L).toInt))
+      val vocab = array((0 until 64).map(i => lit(s"w${i}x")): _*)
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(
+          when(pmod(col("id"), lit(3)) === 0,
+            lit("please accept our cookie notice to continue\n")).otherwise(lit("")),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+            element_at(vocab, pmod(xxhash64(
+              // dups derive their words from the PREDECESSOR id
+              when(pmod(col("id"), lit(10)) === 9, col("id") - 1).otherwise(col("id"))
+                * 1009L + j), lit(64)).cast("int") + 1))),
+          when(pmod(col("id"), lit(10)) === 9, lit(" zzdup")).otherwise(lit(""))
+        ).as("text"))
+        .repartition(parts).persist()
+      docs.count()
+      def timed(body: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = body
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val ((minhashS, pairRows), hb1) = Dedup.withHotBucketScope(timed {
+        Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count()
+      })
+      require(pairRows >= n / 10 * 9 / 10,
+        s"minhashLsh recovered $pairRows of ~${n / 10} planted near-dup pairs")
+      val (spansS, spanRows) = timed {
+        Dedup.dupNgramSpans(docs, "doc_id", "text", n = 8).count()
+      }
+      val (boilerS, boilerRows) = timed {
+        Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 100).count()
+      }
+      val ((pipelineS, pipeRows), hb2) = Dedup.withHotBucketScope(timed {
+        val prepared = Pipeline.prepare(docs, "doc_id", "text",
+          PipelineSpec(
+            minQuality = 0.0,
+            stripBoilerplateMinDocs = Some(100),
+            exactDedup = true,
+            nearDupThreshold = Some(0.5),
+            numShards = 32))
+        val c = prepared.data.count()
+        require(prepared.hotBucketDegradation.isEmpty,
+          s"pipeline degraded: ${prepared.hotBucketDegradation}")
+        c
+      })
+      require(hb1.isEmpty && hb2.isEmpty,
+        s"hot-bucket degradation at text rung $n: $hb1 $hb2")
+      docs.unpersist(blocking = true)
+      s""""$n":{"minhash_s":${f"$minhashS%.3f"},"minhash_rows_per_s":${(n / minhashS).toLong},""" +
+        s""""minhash_pairs":$pairRows,""" +
+        s""""spans_s":${f"$spansS%.3f"},"span_rows":$spanRows,""" +
+        s""""boilerplate_s":${f"$boilerS%.3f"},"boilerplate_rows":$boilerRows,""" +
+        s""""pipeline_s":${f"$pipelineS%.3f"},"pipeline_rows_per_s":${(n / pipelineS).toLong},""" +
+        s""""pipeline_survivors":$pipeRows,"hot_buckets":0}"""
+    }
+    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

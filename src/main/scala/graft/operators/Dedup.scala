@@ -43,19 +43,50 @@ object Dedup {
   private val hotBucketRegistry =
     scala.collection.mutable.Map.empty[String, HotBucketStats]
 
+  /** Per-RUN collector: the JVM-global registry is cumulative across
+    * every concurrent caller (the streaming ingest twin makes in-JVM
+    * concurrency real), so a run diffing the global before/after can
+    * read a neighbor run's degradation as its own. A scope installed by
+    * [[withHotBucketScope]] captures exactly the degradation recorded on
+    * THIS thread between entry and exit — the hot-bucket decision is
+    * driven synchronously on the calling driver thread, so thread
+    * identity IS run identity here. */
+  private val hotBucketScope =
+    new ThreadLocal[scala.collection.mutable.Map[String, HotBucketStats]]
+
+  /** Run `body` with a private hot-bucket collector on this thread and
+    * return (result, this run's degradation only). Nests: an inner scope
+    * shadows the outer for its extent (the outer does NOT see the inner
+    * run's counts — each bracket owns what IT drove). The global
+    * cumulative registry still receives every event. */
+  def withHotBucketScope[A](body: => A): (A, Map[String, HotBucketStats]) = {
+    val prev = hotBucketScope.get()
+    val mine = scala.collection.mutable.Map.empty[String, HotBucketStats]
+    hotBucketScope.set(mine)
+    try { val r = body; (r, mine.toMap) }
+    finally { if (prev == null) hotBucketScope.remove() else hotBucketScope.set(prev) }
+  }
+
   /** Cumulative degradation per op since JVM start / last reset; empty =
-    * every banded pass since then was exact all-pairs. */
+    * every banded pass since then was exact all-pairs. For per-run
+    * attribution under concurrency use [[withHotBucketScope]]. */
   def hotBucketStats: Map[String, HotBucketStats] =
     hotBucketRegistry.synchronized { hotBucketRegistry.toMap }
 
   def resetHotBucketStats(): Unit =
     hotBucketRegistry.synchronized { hotBucketRegistry.clear() }
 
-  private def recordHotBuckets(op: String, buckets: Long, rows: Long): Unit =
+  private def recordHotBuckets(op: String, buckets: Long, rows: Long): Unit = {
+    val scoped = hotBucketScope.get()
+    if (scoped != null) {
+      val cur = scoped.getOrElse(op, HotBucketStats(0L, 0L))
+      scoped(op) = HotBucketStats(cur.buckets + buckets, cur.rows + rows)
+    }
     hotBucketRegistry.synchronized {
       val cur = hotBucketRegistry.getOrElse(op, HotBucketStats(0L, 0L))
       hotBucketRegistry(op) = HotBucketStats(cur.buckets + buckets, cur.rows + rows)
     }
+  }
 
   /** Exact duplicate classes by normalized-text fingerprint.
     * Returns (fingerprint, n_dups, keeper_id) for classes with >= minSize

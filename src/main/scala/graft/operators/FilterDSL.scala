@@ -98,9 +98,58 @@ object Filter {
     * operators where they fit: a Custom predicate pushes down only as
     * far as Catalyst can analyze it, and an opaque UDF pins the filter
     * to post-scan evaluation — the reference's closures pay exactly
-    * that cost on every row, which is why the typed DSL exists. */
+    * that cost on every row, which is why the typed DSL exists.
+    *
+    * Two guards, both serving-path load-bearing:
+    *  - NON-DETERMINISTIC predicates are rejected at construction
+    *    (fail loud): the router caches a pass-count per filter
+    *    fingerprint and sizes the adaptive over-fetch page from it — a
+    *    count of `rand() < 0.5` is meaningless and would silently
+    *    mis-route and mis-size every later call with the "same" filter.
+    *  - the case-class toString (the selectivity-cache fingerprint)
+    *    would print two DIFFERENT udf closures over the same column
+    *    identically ("Custom(UDF(col))"), colliding them onto one
+    *    cached count; toString is overridden to carry the converted
+    *    expression's semanticHash, which includes closure identity. */
   final case class Custom(predicate: Column) extends Filter {
+    private val converted =
+      org.apache.spark.sql.graft.Bridge.convertedExpression(predicate)
+    require(
+      !Custom.nonDeterministic(converted),
+      s"Filter.Custom predicate must be deterministic, got: $predicate — " +
+        "the engine caches filter selectivity per fingerprint and sizes " +
+        "over-fetch pages from it; a non-deterministic predicate (rand(), " +
+        "asNondeterministic() udf, ...) poisons both. Evaluate the random " +
+        "choice into a column first, or sample via Sampling.*.")
+    /** Expression-unique fingerprint: semanticHash of the converted tree
+      * (ScalaUDF equality includes the closure object, so distinct
+      * closures hash apart; identical native trees hash together). */
+    private[graft] val fingerprint: Int = converted.semanticHash()
+    override def toString: String = s"Custom#$fingerprint($predicate)"
     def compile: Column = predicate
+  }
+
+  object Custom {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+
+    /** Deterministic-ness of a still-UNRESOLVED tree:
+      * `Expression.deterministic` recurses children only, and an
+      * [[UnresolvedFunction]] node (what `functions.rand()` is before
+      * analysis) reports true regardless of what it resolves to — so
+      * builtin calls are looked up in the registry and judged on the
+      * REAL expression. Unknown/unbuildable functions are presumed
+      * deterministic (the authoritative failure then surfaces at
+      * analysis like any other bad Column). */
+    private[graft] def nonDeterministic(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction =>
+        try !FunctionRegistry.builtin
+          .lookupFunction(FunctionIdentifier(f.nameParts.last), f.arguments)
+          .deterministic
+        catch { case scala.util.control.NonFatal(_) => false }
+      case other => !other.deterministic
+    }
   }
 
   /** Dict-shorthand: AND of equalities (vectordb.py:207-213). */

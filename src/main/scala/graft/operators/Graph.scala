@@ -592,10 +592,33 @@ object PropertyGraph {
         val s = o.get("s").asInstanceOf[Double]
         mat.select(col("id"), (col("_raw") / lit(s)).as("score"))
       }
-      for (i <- 1 to iterations) {
-        auths = halfRound(hubs, "src", "dst", bySrc, s"hits_a_$i")
-        hubs = halfRound(auths, "dst", "src", byDst, s"hits_h_$i")
+      // FUSED full round: the auth half's normalization cancels out of
+      // the hub update (gather is linear — gather(raw/sa)/Σgather(raw/sa)
+      // = gather(raw)/Σgather(raw)), so both gathers compose into ONE
+      // plan with ONE checkpoint action per round instead of two. The
+      // intermediate auth vector needs no zero-fill: a zero score adds
+      // +0.0 to a sum (bit-neutral) and an absent group lands as 0.0 via
+      // the outer coalesce either way. The LAST round runs unfused so
+      // the emitted (auth, hub) pair keeps the half-round arithmetic
+      // bit-for-bit.
+      def fusedRound(scores: DataFrame, tag: String): DataFrame = {
+        val rawA = bySrc
+          .join(scores.select(col("id").as("src"), col("score")), "src")
+          .groupBy(col("dst")).agg(sum(col("score")).as("score"))
+        val rawH = byDst.join(rawA, "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("score")).as("_raw"))
+        val o = org.apache.spark.sql.Observation(tag)
+        val mat = nodes.join(rawH, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+          .observe(o, sum(col("_raw")).as("s"))
+          .localCheckpoint(eager = true)
+        val s = o.get("s").asInstanceOf[Double]
+        mat.select(col("id"), (col("_raw") / lit(s)).as("score"))
       }
+      for (i <- 1 until iterations)
+        hubs = fusedRound(hubs, s"hits_r_$i")
+      auths = halfRound(hubs, "src", "dst", bySrc, s"hits_a_$iterations")
+      hubs = halfRound(auths, "dst", "src", byDst, s"hits_h_$iterations")
       auths.select(col("id"), col("score").as("authority"))
         .join(hubs.select(col("id"), col("score").as("hub")), "id")
     } finally {

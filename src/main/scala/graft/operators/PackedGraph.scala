@@ -52,6 +52,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object PackedGraph {
 
+  /** Two-level entry ladder over a cell — the materialized form of
+    * hnswlib's upper layers (vectordb.py:18: multi-layer HNSW, whose
+    * sparse upper layers exist only to drop a query near its layer-0
+    * neighborhood). `beacons` are ~[[BeaconCount]] stride-sampled rows;
+    * every row is assigned to its nearest beacon at finalize time and
+    * `perm`/`off` store the groups as CSR. Entry selection scores the
+    * beacons, then a stride sample INSIDE the best beacon's group —
+    * geometric refinement a flat sample cannot give (the flat 64-sample
+    * lands at distance quantile ~1/65; the ladder's leaf sample explores
+    * the best 1/64th of the cell at the same density, quantile
+    * ~1/4096). Depth 2 at branching 64 resolves any [[splitHotCells]]-
+    * bounded cell and cells far beyond (64·64·[[BeaconMinRows]] ≈ 16M
+    * rows) — the log-spaced generalization would nest further CSR
+    * levels, unnecessary under the bounded-cell discipline. Resident
+    * cost: one int per row + 65 ints; build cost: |beacons| distance
+    * evaluations per row, a bounded fraction of the insertion walk that
+    * built the row's edges. */
+  final case class EntryLadder(beacons: Array[Int], off: Array[Int],
+                               perm: Array[Int])
+
   /** One cell's navigable graph: rows in insertion order (the initial
     * build inserts ascending by id; appended batches follow, each batch
     * id-sorted — every tie-break below is deterministic for a given
@@ -70,7 +90,8 @@ object PackedGraph {
                                  adj: Array[Array[Int]],
                                  parent: Array[Int],
                                  dead: Array[Boolean] = null,
-                                 entry: Int = 0) {
+                                 entry: Int = 0,
+                                 ladder: EntryLadder = null) {
     def rows: Int = ids.length
     def liveRows: Int =
       if (dead == null) rows else rows - dead.count(identity)
@@ -180,6 +201,16 @@ object PackedGraph {
     }
   }
 
+  /** Walk instrumentation for specs (local-mode only: tasks share the
+    * driver JVM, so a spec can bracket a search and read the distance-
+    * evaluation count — the "walk length" a recall floor trades against).
+    * Off by default; the guard is one volatile load per evaluation
+    * against a 128-MAC distance kernel. */
+  private[graft] object WalkStats {
+    @volatile var enabled = false
+    val evals = new java.util.concurrent.atomic.LongAdder
+  }
+
   /** Best-first bounded walk (the NSW/HNSW layer-0 search): expand the
     * closest unexpanded node, keep the `ef` best visited, stop when the
     * closest frontier node cannot improve the kept set. Only rows
@@ -189,17 +220,42 @@ object PackedGraph {
   private def walk(mat: Array[Float], dim: Int, norms: Array[Double],
                    adj: Adj, activeRows: Int, entry: Int,
                    q: Array[Float], qNorm: Double, ef: Int,
-                   mcode: Int, dead: Array[Boolean] = null): Array[(Int, Double)] = {
+                   mcode: Int, dead: Array[Boolean] = null,
+                   /** Pre-scored (row, dist) frontier seeds — the entry
+                     * selector already paid these distance evaluations,
+                     * so the walk starts with a FULL kept set and a
+                     * spatially spread frontier instead of one row: the
+                     * termination bound tightens immediately and the
+                     * expansion phase shrinks (HNSW's multi-entry
+                     * ef-search). null = classic single-entry walk (the
+                     * build path — bit-identical construction). */
+                   seeds: Array[(Int, Double)] = null): Array[(Int, Double)] = {
     val res = new PairHeap(ef, max = true) // head = worst kept
     val cand = new PairHeap(64, max = false) // head = closest frontier
     val visited = new java.util.BitSet(activeRows)
     val d0 = rowDist(mat, entry, dim, norms(entry), q, qNorm, mcode)
+    if (WalkStats.enabled) WalkStats.evals.increment()
     visited.set(entry)
     // tombstoned rows ROUTE (frontier) but are never EMITTED (kept set)
     // — the HNSW mark-deleted contract: deleting a hub cannot disconnect
     // the graph, and unbounded ef stays exhaustive over the live set
     cand.add(d0, entry)
     if (dead == null || !dead(entry)) res.add(d0, entry)
+    if (seeds != null) {
+      var si = 0
+      while (si < seeds.length) {
+        val (r, d) = seeds(si)
+        if (!visited.get(r)) {
+          visited.set(r)
+          cand.add(d, r)
+          if (dead == null || !dead(r)) {
+            res.add(d, r)
+            if (res.size > ef) res.pop()
+          }
+        }
+        si += 1
+      }
+    }
     var done = false
     while (!done && cand.size > 0) {
       val td = cand.topDist; val tu = cand.topRow
@@ -216,6 +272,7 @@ object PackedGraph {
           if (w < activeRows && !visited.get(w)) {
             visited.set(w)
             val dw = rowDist(mat, w, dim, norms(w), q, qNorm, mcode)
+            if (WalkStats.enabled) WalkStats.evals.increment()
             if (res.size < ef || dw < res.topDist ||
                 (dw == res.topDist && w < res.topRow)) {
               cand.add(dw, w)
@@ -511,8 +568,54 @@ object PackedGraph {
         java.util.Arrays.copyOf(norms, rows),
         adj.iterator.map(_.toArray).toArray, parent.toArray,
         if (deadCount > 0) java.util.Arrays.copyOf(deadArr, rows) else null,
-        entry = computeEntry())
+        entry = computeEntry(),
+        ladder = if (rows >= BeaconMinRows)
+          buildLadder(mat, norms, dim, rows, mcode) else null)
     }
+  }
+
+  /** Finalize-time construction of the [[EntryLadder]]: stride-sample the
+    * beacons (the flat sample's geometry, unchanged), assign every row to
+    * its nearest beacon under the BUILD metric, store the groups as CSR.
+    * Dead rows are assigned too — a tombstoned entry merely routes, the
+    * walk never emits it. Deterministic: ties break to the smaller
+    * beacon row, so replays and appends reproduce the layout exactly. */
+  private def buildLadder(mat: Array[Float], norms: Array[Double], dim: Int,
+                          rows: Int, mcode: Int): EntryLadder = {
+    val want = math.min(BeaconCount, rows)
+    val stride = math.max(1, rows / want)
+    val bBuf = new ArrayBuffer[Int](want)
+    var r = stride / 2
+    while (r < rows && bBuf.length < want) { bBuf += r; r += stride }
+    val beacons = bBuf.toArray
+    val nb = beacons.length
+    val assign = new Array[Int](rows)
+    val counts = new Array[Int](nb)
+    val tmp = new Array[Float](dim)
+    var rr = 0
+    while (rr < rows) {
+      System.arraycopy(mat, rr * dim, tmp, 0, dim)
+      val qn = norms(rr)
+      var best = 0; var bd = Double.MaxValue
+      var i = 0
+      while (i < nb) {
+        val d = rowDist(mat, beacons(i), dim, norms(beacons(i)), tmp, qn, mcode)
+        if (d < bd || (d == bd && beacons(i) < beacons(best))) { bd = d; best = i }
+        i += 1
+      }
+      assign(rr) = best; counts(best) += 1
+      rr += 1
+    }
+    val off = new Array[Int](nb + 1)
+    var i = 0
+    while (i < nb) { off(i + 1) = off(i) + counts(i); i += 1 }
+    val cursor = java.util.Arrays.copyOf(off, nb)
+    val perm = new Array[Int](rows)
+    rr = 0
+    while (rr < rows) {
+      val g = assign(rr); perm(cursor(g)) = rr; cursor(g) += 1; rr += 1
+    }
+    EntryLadder(beacons, off, perm)
   }
 
   private[operators] object GraphBuilder {
@@ -849,35 +952,84 @@ object PackedGraph {
   /** Beacons scored per large block (one distance evaluation each). */
   private val BeaconCount = 64
 
-  /** Query-adaptive walk entry — the FLATTENED form of hnswlib's upper
-    * layers (vectordb.py:18,527: multi-layer HNSW, where the sparse upper
-    * layers exist only to drop the query near its layer-0 neighborhood).
-    * An upper layer is a ~1/M sample of the rows wired for greedy
-    * descent; on cells bounded by splitHotCells a full descent is
-    * overkill, so this scores a deterministic stride sample of
-    * [[BeaconCount]] rows (plus the static medoid) and starts the walk at
-    * the best — the same "land close, then walk" effect for 64 extra
-    * distance evaluations and ZERO extra resident state or build cost.
-    * Correctness is untouched: any entry is exhaustive at unbounded ef
-    * through the protected spanning tree, and a tombstoned best beacon
-    * merely ROUTES (walk never emits dead rows). Small blocks keep the
-    * plain medoid entry. */
-  private def beaconEntry(b: GraphBlock[_], qv: Array[Float], qNorm: Double,
-                          mcode: Int): Int = {
+  /** Query-adaptive walk SEEDS — hnswlib's upper layers (vectordb.py:
+    * 18,527) re-expressed for the bounded-cell regime. Scores a spread
+    * of candidate rows and returns ALL of them with their distances:
+    *
+    *  - the static medoid entry;
+    *  - the [[EntryLadder]]'s beacons, then a stride sample INSIDE the
+    *    best beacon's CSR group (the two-level descent — lands at
+    *    distance quantile ~1/4096 of the cell where a flat sample lands
+    *    at ~1/65); blocks without a ladder fall back to the flat
+    *    [[BeaconCount]]-row stride sample;
+    *
+    * The caller hands the whole scored set to [[walk]] as frontier
+    * seeds: every evaluation paid here ALSO fills the kept set, so the
+    * termination bound starts tight and the expansion phase shrinks —
+    * measured on an un-split 100k cell, total distance evaluations DROP
+    * net of the seeding cost (RecallFloorSpec) where a best-entry-only
+    * use of the same scores saved less than it cost. Correctness is
+    * untouched: unbounded ef stays exhaustive through the protected
+    * spanning tree from any seed set, and tombstoned seeds merely ROUTE
+    * (walk never emits dead rows). Small blocks seed the plain medoid
+    * entry. */
+  private def beaconSeeds(b: GraphBlock[_], qv: Array[Float], qNorm: Double,
+                          mcode: Int): Array[(Int, Double)] = {
     val n = b.rows
-    if (n < BeaconMinRows) return b.entry
-    var best = b.entry
-    var bestD = rowDist(b.mat, best, b.dim, b.sqrtNorms(best), qv, qNorm, mcode)
-    val stride = n / BeaconCount
-    var r = stride / 2
-    while (r < n) {
-      if (r != best) {
-        val d = rowDist(b.mat, r, b.dim, b.sqrtNorms(r), qv, qNorm, mcode)
-        if (d < bestD || (d == bestD && r < best)) { bestD = d; best = r }
-      }
-      r += stride
+    def scored(r: Int): (Int, Double) = {
+      if (WalkStats.enabled) WalkStats.evals.increment()
+      (r, rowDist(b.mat, r, b.dim, b.sqrtNorms(r), qv, qNorm, mcode))
     }
-    best
+    if (n < BeaconMinRows) return Array(scored(b.entry))
+    val out = new ArrayBuffer[(Int, Double)](2 * BeaconCount + 1)
+    out += scored(b.entry)
+    val lad = b.ladder
+    if (lad != null) {
+      // level 1: score the beacons, remember the best GROUP
+      var bestG = 0; var bestGd = Double.MaxValue
+      var bi = 0
+      while (bi < lad.beacons.length) {
+        val r = lad.beacons(bi)
+        val sc = scored(r)
+        out += sc
+        if (sc._2 < bestGd || (sc._2 == bestGd && r < lad.beacons(bestG))) {
+          bestGd = sc._2; bestG = bi
+        }
+        bi += 1
+      }
+      // level 2: stride-sample INSIDE the best beacon's group
+      val s = lad.off(bestG); val e = lad.off(bestG + 1)
+      val gl = e - s
+      if (gl > 0) {
+        val step = math.max(1, gl / BeaconCount)
+        var p = s + step / 2
+        while (p < e) {
+          out += scored(lad.perm(p))
+          p += step
+        }
+      }
+    } else {
+      // legacy flat sample (blocks finalized before the ladder existed)
+      val stride = n / BeaconCount
+      var r = stride / 2
+      while (r < n) {
+        out += scored(r)
+        r += stride
+      }
+    }
+    out.toArray
+  }
+
+  /** Best seed = walk entry (smallest (dist, row) — deterministic). */
+  private def bestSeed(seeds: Array[(Int, Double)]): Int = {
+    var best = seeds(0)
+    var i = 1
+    while (i < seeds.length) {
+      val s = seeds(i)
+      if (s._2 < best._2 || (s._2 == best._2 && s._1 < best._1)) best = s
+      i += 1
+    }
+    best._1
   }
 
   def searchGraph[I: ClassTag: Ordering](pg: PackedGraphCorpus[I],
@@ -910,9 +1062,10 @@ object PackedGraph {
             var s = 0.0; var j = 0
             while (j < qv.length) { s += qv(j).toDouble * qv(j); j += 1 }
             val qn = math.sqrt(s)
+            val seeds = beaconSeeds(b, qv, qn, mcode)
             val found = walk(b.mat, b.dim, b.sqrtNorms, new FrozenAdj(b.adj),
-              b.rows, entry = beaconEntry(b, qv, qn, mcode), qv, qn, efEff,
-              mcode, b.dead)
+              b.rows, entry = bestSeed(seeds), qv, qn, efEff,
+              mcode, b.dead, seeds = seeds)
             found.iterator.take(kk).foreach { case (row, dd) =>
               out += ((qi, b.ids(row), dd))
             }
@@ -982,8 +1135,9 @@ object PackedGraph {
     * shape changes (format 2 added the medoid entry row). A sidecar
     * written by an older format is treated as ABSENT — the Java-serialized
     * blocks would fail to deserialize anyway, so the caller cold-rebuilds
-    * instead of dying on an InvalidClassException mid-search. */
-  private val SlabFormat = 2
+    * instead of dying on an InvalidClassException mid-search (format 3
+    * added the two-level entry ladder). */
+  private val SlabFormat = 3
 
   def slabsExist(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
     PackedKnn.slabsExist(spark, dir) && ModelStore.exists(s"$dir/ivf") &&

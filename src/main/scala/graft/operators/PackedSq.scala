@@ -22,10 +22,18 @@ import org.apache.spark.storage.StorageLevel
   * 4× less resident memory than the float tier with near-exact ranking,
   * and unlike PQ the distances are usually good enough to serve unreranked.
   *
-  * Distributed shape is [[PackedPq]]'s: partition i = IVF cell i, a query
-  * batch ships per-query per-dim lookup tables (dim×256 doubles) to its
-  * probed partitions only, each task scans its cell's codes with pure
-  * byte-indexed adds, and the driver merges ≤ cells×Q×k triples.
+  * Distributed shape: partitions are sized by ROWS, not one-per-cell — a
+  * deterministic contiguous map groups [[Ann.IvfModel]] cells into
+  * `ceil(rows / SqRowsPerPartition)`-ish partitions (capped at numCells),
+  * each holding one byte slab PER CELL it owns. A query batch ships
+  * per-query per-dim lookup tables (dim×256 doubles) to the partitions
+  * holding its probed cells only; inside a task, probe pruning continues
+  * at BLOCK granularity (a cell nobody probed is skipped without touching
+  * its slab). Sizing by rows matters at both ends of the scale: a 100K
+  * corpus with 16 cells launches 4 tasks instead of 16 (task-launch floor
+  * halves the small-corpus latency — the 100K sweep regime is
+  * scheduling-bound, not kernel-bound), and a 100 TB corpus with 64K
+  * cells doesn't mean 64K tiny tasks per probe fan-out.
   *
   * Numeric contract: with nProbe = numCells, [[searchSq]] is ROW-IDENTICAL
   * to [[Quantization.sqSearch]] on the same [[Quantization.SqModel]]: the
@@ -40,9 +48,31 @@ import org.apache.spark.storage.StorageLevel
   */
 object PackedSq {
 
-  /** One IVF cell's codes: row r occupies bytes [r*dim, (r+1)*dim). */
-  final case class SqBlock[I](ids: Array[I], codes: Array[Byte], dim: Int) {
+  /** One IVF cell's codes: row r occupies bytes [r*dim, (r+1)*dim).
+    * `cell` tags the block so a partition holding several cells can
+    * probe-prune at block granularity. */
+  final case class SqBlock[I](ids: Array[I], codes: Array[Byte], dim: Int,
+                              cell: Int) {
     def rows: Int = ids.length
+  }
+
+  /** Target slab rows per partition — the task-count knob: partitions =
+    * clamp(rows / this, 1, numCells). ~25K byte-rows keeps a task's scan
+    * well above the task-launch floor while leaving every core busy at
+    * 1M+ (matches [[PackedKnn]]'s float-tier sizing). */
+  private[operators] val SqRowsPerPartition = 25000L
+
+  /** Deterministic contiguous cell→partition map — a pure function of
+    * (numCells, numParts), so appended generations and reopened sidecars
+    * reconstruct the identical layout with no stored table. */
+  private[graft] def partOf(cell: Int, numCells: Int, numParts: Int): Int =
+    (cell.toLong * numParts / numCells).toInt
+
+  private final class CellGroupPartitioner(numCells: Int, parts: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = parts
+    def getPartition(key: Any): Int =
+      partOf(key.asInstanceOf[Int], numCells, parts)
   }
 
   /** A packed, persisted SQ-code corpus. `unpersist()` releases executor
@@ -57,6 +87,9 @@ object PackedSq {
                                   * place and carry the count through. */
                                 val generations: Int = 1) {
     def dim: Int = sq.mins.length
+    /** Partition holding `cell`'s slab (the contiguous grouping map). */
+    private[graft] def partOf(cell: Int): Int =
+      PackedSq.partOf(cell, ivf.numCells, blocks.getNumPartitions)
     private[PackedSq] def parents: Seq[RDD[_]] =
       if (chain.isEmpty) Seq(blocks) else chain
     def unpersist(blocking: Boolean = false): Unit =
@@ -82,7 +115,8 @@ object PackedSq {
       _.getUTF8String(0).toString)
 
   /** Append a batch without repacking standing slabs ([[PackedPq.appendIvfPq]]'s
-    * zip-generations contract: partition i stays cell i). */
+    * zip-generations contract: the batch packs onto the standing
+    * partition layout, so generations zip partition-wise). */
   def appendIvfSq(pi: PackedSqCorpus[Long], batch: DataFrame,
                   idCol: String = "id", vecCol: String = "vec",
                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[Long] =
@@ -99,7 +133,8 @@ object PackedSq {
                                     idCol: String, idType: String, vecCol: String,
                                     storage: StorageLevel)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedSqCorpus[I] = {
-    val add = packBy[I](batch, pi.ivf, pi.sq, idCol, idType, vecCol, storage)(getId)
+    val add = packBy[I](batch, pi.ivf, pi.sq, idCol, idType, vecCol, storage,
+      numPartsOverride = Some(pi.blocks.getNumPartitions))(getId)
     val zipped = pi.blocks.zipPartitions(add.blocks,
       preservesPartitioning = true)((a, b) => a ++ b)
     new PackedSqCorpus(zipped, pi.ivf, pi.sq, pi.parents ++ add.parents,
@@ -134,21 +169,23 @@ object PackedSq {
   private def mergeBlocks[I: ClassTag](it: Iterator[SqBlock[I]]): Iterator[SqBlock[I]] = {
     val bs = it.toArray
     if (bs.length <= 1) bs.iterator
-    else {
-      val d = bs.head.dim
-      require(bs.forall(_.dim == d),
-        s"PackedSq.compact: mixed dims ${bs.map(_.dim).distinct.mkString(",")}")
-      PackedKnn.requireSlabFits(bs.map(_.rows.toLong).sum, d, "PackedSq.compact")
-      val n = bs.map(_.rows).sum
-      val ids = new Array[I](n)
-      val codes = new Array[Byte](n * d)
-      var off = 0
-      for (b <- bs) {
-        System.arraycopy(b.ids, 0, ids, off, b.rows)
-        System.arraycopy(b.codes, 0, codes, off * d, b.rows * d)
-        off += b.rows
-      }
-      Iterator.single(SqBlock(ids, codes, d))
+    else bs.groupBy(_.cell).toArray.sortBy(_._1).iterator.map {
+      case (_, Array(only)) => only
+      case (cell, cbs) =>
+        val d = cbs.head.dim
+        require(cbs.forall(_.dim == d),
+          s"PackedSq.compact: mixed dims ${cbs.map(_.dim).distinct.mkString(",")}")
+        PackedKnn.requireSlabFits(cbs.map(_.rows.toLong).sum, d, "PackedSq.compact")
+        val n = cbs.map(_.rows).sum
+        val ids = new Array[I](n)
+        val codes = new Array[Byte](n * d)
+        var off = 0
+        for (b <- cbs) {
+          System.arraycopy(b.ids, 0, ids, off, b.rows)
+          System.arraycopy(b.codes, 0, codes, off * d, b.rows * d)
+          off += b.rows
+        }
+        SqBlock(ids, codes, d, cell)
     }
   }
 
@@ -173,16 +210,27 @@ object PackedSq {
         }
         r += 1
       }
-      Iterator.single(SqBlock(ids2, codes2, d))
+      Iterator.single(SqBlock(ids2, codes2, d, b.cell))
     }
   }
 
   private def packBy[I: ClassTag](corpus: DataFrame, ivf: Ann.IvfModel,
                                   sq: Quantization.SqModel, idCol: String,
                                   idType: String, vecCol: String,
-                                  storage: StorageLevel)(
+                                  storage: StorageLevel,
+                                  /** Appends must reuse the standing
+                                    * corpus's partition count so the
+                                    * generations zip partition-wise. */
+                                  numPartsOverride: Option[Int] = None)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedSqCorpus[I] = {
     val dim = sq.mins.length
+    // rows-sized partition count (count() prunes to the scan, cheap):
+    // cells stay the PRUNING unit, partitions become the TASK unit
+    val numParts = numPartsOverride.getOrElse {
+      val totalRows = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull).count()
+      math.max(1L, math.min(ivf.numCells.toLong,
+        totalRows / SqRowsPerPartition)).toInt
+    }
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast(idType),
@@ -204,23 +252,26 @@ object PackedSq {
         }
       }
     val packed: RDD[SqBlock[I]] = keyed
-      .partitionBy(new PackedKnn.CellPartitioner(ivf.numCells))
+      .partitionBy(new CellGroupPartitioner(ivf.numCells, numParts))
       .mapPartitions { iter =>
-        val ids = new ArrayBuffer[I]()
-        val codes = new ArrayBuffer[Array[Byte]]()
+        // one slab PER CELL within the partition: block-level probe
+        // pruning needs cell-pure slabs
+        val perCell = scala.collection.mutable.LinkedHashMap
+          .empty[Int, (ArrayBuffer[I], ArrayBuffer[Array[Byte]])]
         while (iter.hasNext) {
-          val (_, (id, c)) = iter.next()
-          ids += id; codes += c
+          val (cell, (id, c)) = iter.next()
+          val e = perCell.getOrElseUpdate(cell,
+            (new ArrayBuffer[I](), new ArrayBuffer[Array[Byte]]()))
+          e._1 += id; e._2 += c
         }
-        if (ids.isEmpty) Iterator.empty
-        else {
+        perCell.toArray.sortBy(_._1).iterator.map { case (cell, (ids, codes)) =>
           PackedKnn.requireSlabFits(ids.length.toLong, dim, "PackedSq.pack")
           val flat = new Array[Byte](ids.length * dim)
           var r = 0
           while (r < ids.length) {
             System.arraycopy(codes(r), 0, flat, r * dim, dim); r += 1
           }
-          Iterator.single(SqBlock(ids.toArray, flat, dim))
+          SqBlock(ids.toArray, flat, dim, cell)
         }
       }.setName(PackedKnn.residentName).persist(storage)
     packed.count()
@@ -326,21 +377,34 @@ object PackedSq {
     }
     val cosine = metric == "cosine"
     val l2 = metric == "l2"
-    val partIds = byCell.keys.toArray.sorted
+    // tasks launch per PARTITION holding >= 1 probed cell; pruning
+    // continues at block granularity inside the task
+    val partIds = byCell.keys.map(pi.partOf).toArray.distinct.sorted
     val idOrd = implicitly[Ordering[I]]
     val sc = pi.blocks.sparkContext
     val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
       (ctx: org.apache.spark.TaskContext, it: Iterator[SqBlock[I]]) => {
-        val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
-        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
-        else {
-          val heaps = qIdxs.map(_ => new java.util.PriorityQueue[(I, Double)](
-            k + 1, (a: (I, Double), b: (I, Double)) => {
-              val c = java.lang.Double.compare(b._2, a._2)
-              if (c != 0) c else idOrd.compare(b._1, a._1)
-            }))
+        // heaps keyed by GLOBAL query index — one partition may hold
+        // several probed cells with different query sets
+        val heapMap = new java.util.HashMap[Int, java.util.PriorityQueue[(I, Double)]]()
+        def heapFor(qg: Int): java.util.PriorityQueue[(I, Double)] = {
+          var h = heapMap.get(qg)
+          if (h == null) {
+            h = new java.util.PriorityQueue[(I, Double)](
+              k + 1, (a: (I, Double), b: (I, Double)) => {
+                val c = java.lang.Double.compare(b._2, a._2)
+                if (c != 0) c else idOrd.compare(b._1, a._1)
+              })
+            heapMap.put(qg, h)
+          }
+          h
+        }
+        {
           while (it.hasNext) {
             val blk = it.next()
+            val qIdxs = byCell.getOrElse(blk.cell, null)
+            if (qIdxs == null) () // cell nobody probed: skip the slab
+            else {
             val codes = blk.codes; val bd = blk.dim; val n = blk.rows
             // corpus-side norms are query-independent: one pass per block
             // (cached per block across query batches) instead of a second
@@ -351,7 +415,7 @@ object PackedSq {
             while (qi < qIdxs.length) {
               val lut = luts(qIdxs(qi))
               val nb = if (cosine) qNorm(qIdxs(qi)) else 0.0
-              val heap = heaps(qi)
+              val heap = heapFor(qIdxs(qi))
               var r = 0
               while (r < n) {
                 val base = r * bd
@@ -383,13 +447,10 @@ object PackedSq {
               }
               qi += 1
             }
+            }
           }
           val out = new ArrayBuffer[(Int, I, Double)]()
-          var qi = 0
-          while (qi < qIdxs.length) {
-            heaps(qi).forEach(c => out += ((qIdxs(qi), c._1, c._2)))
-            qi += 1
-          }
+          heapMap.forEach((qg, h) => h.forEach(c => out += ((qg, c._1, c._2))))
           out.toArray
         }
       }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
@@ -478,21 +539,35 @@ object PackedSq {
       qi0 += 1
     }
     val qSqrt = qNorm.map(math.sqrt)
-    val partIds = byCell.keys.toArray.sorted
+    // partition-level task pruning + block-level cell pruning (searchSq's
+    // layout contract)
+    val partIds = byCell.keys.map(pi.partOf).toArray.distinct.sorted
     val idOrd = implicitly[Ordering[I]]
     val sc = pi.blocks.sparkContext
     val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
       (ctx: org.apache.spark.TaskContext, it: Iterator[SqBlock[I]]) => {
-        val qIdxs = byCell.getOrElse(ctx.partitionId(), Array.empty[Int])
-        if (qIdxs.isEmpty || !it.hasNext) Array.empty[(Int, I, Double)]
-        else {
-          val heaps = qIdxs.map(_ => new java.util.PriorityQueue[(I, Double)](
-            k + 1, (a: (I, Double), b: (I, Double)) => {
-              val c = java.lang.Double.compare(b._2, a._2)
-              if (c != 0) c else idOrd.compare(b._1, a._1)
-            }))
+        val heapMap = new java.util.HashMap[Int, java.util.PriorityQueue[(I, Double)]]()
+        def heapFor(qg: Int): java.util.PriorityQueue[(I, Double)] = {
+          var h = heapMap.get(qg)
+          if (h == null) {
+            h = new java.util.PriorityQueue[(I, Double)](
+              k + 1, (a: (I, Double), b: (I, Double)) => {
+                val c = java.lang.Double.compare(b._2, a._2)
+                if (c != 0) c else idOrd.compare(b._1, a._1)
+              })
+            heapMap.put(qg, h)
+          }
+          h
+        }
+        {
           while (it.hasNext) {
             val blk = it.next()
+            val qIdxs = byCell.getOrElse(blk.cell, null)
+            if (qIdxs == null) () // cell nobody probed: skip the slab
+            else {
+            // heaps hoisted per block: the rows-outer hot loop must not
+            // pay a map lookup per (row, query)
+            val bheaps = Array.tabulate(qIdxs.length)(qi => heapFor(qIdxs(qi)))
             val codes = blk.codes; val bd = blk.dim; val n = blk.rows
             val rowNorms = if (sqLut != null) blockNorms(blk, sqLut) else null
             // rows OUTER, queries INNER: a row's code line (bd bytes)
@@ -520,7 +595,7 @@ object PackedSq {
                   } else if (l2)
                     math.sqrt(math.max(rowNorms(r) - 2.0 * dot + qNorm(qg), 0.0))
                   else -dot
-                val heap = heaps(qi)
+                val heap = bheaps(qi)
                 if (heap.size < k) heap.add((id, d))
                 else {
                   val worst = heap.peek()
@@ -532,13 +607,10 @@ object PackedSq {
               }
               r += 1
             }
+            }
           }
           val out = new ArrayBuffer[(Int, I, Double)]()
-          var qi = 0
-          while (qi < qIdxs.length) {
-            heaps(qi).forEach(c => out += ((qIdxs(qi), c._1, c._2)))
-            qi += 1
-          }
+          heapMap.forEach((qg, h) => h.forEach(c => out += ((qg, c._1, c._2))))
           out.toArray
         }
       }, scala.collection.immutable.ArraySeq.unsafeWrapArray(partIds))
@@ -605,8 +677,11 @@ object PackedSq {
     PackedKnn.slabsExist(spark, dir) &&
       ModelStore.exists(s"$dir/ivf") && ModelStore.exists(s"$dir/sq")
 
-  /** Reopen: one task per cell reading exactly its slab — zero Exchange,
-    * zero re-encode. Partition i = cell i survives the sidecar. */
+  /** Reopen: one task per partition reading exactly its slab file — zero
+    * Exchange, zero re-encode. The cell→partition map is a pure function
+    * of (numCells, numParts), so the sidecar's partition count fully
+    * reconstructs the layout; each block's cell tag is validated against
+    * that map on load (fail loud on a foreign or reshaped sidecar). */
   def loadSlabs[I: ClassTag](spark: org.apache.spark.sql.SparkSession, dir: String,
                              storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[I] = {
     val ivf = ModelStore.loadIvf(spark, s"$dir/ivf")
@@ -614,9 +689,19 @@ object PackedSq {
     val (blocks, d) = PackedKnn.readSlabDir[SqBlock[I]](spark, dir, storage)
     require(d == sq.mins.length,
       s"SQ slab sidecar at $dir has $d bytes/row but the model has ${sq.mins.length} dims")
-    require(blocks.getNumPartitions == ivf.numCells,
-      s"SQ slab sidecar at $dir has ${blocks.getNumPartitions} partitions " +
-        s"but the coarse model has ${ivf.numCells} cells")
+    val numParts = blocks.getNumPartitions
+    require(numParts >= 1 && numParts <= ivf.numCells,
+      s"SQ slab sidecar at $dir has $numParts partitions " +
+        s"but the coarse model has only ${ivf.numCells} cells")
+    val misplaced = blocks.mapPartitionsWithIndex { (p, it) =>
+      it.collect { case b if b.cell < 0 || b.cell >= ivf.numCells ||
+        partOf(b.cell, ivf.numCells, numParts) != p => (p, b.cell) }
+    }.take(1)
+    require(misplaced.isEmpty,
+      s"SQ slab sidecar at $dir: cell ${misplaced.head._2} found in " +
+        s"partition ${misplaced.head._1}, which the (numCells=${ivf.numCells}, " +
+        s"numParts=$numParts) layout map does not place there — stale or " +
+        "foreign sidecar; rebuild the index")
     new PackedSqCorpus(blocks, ivf, sq, Nil)
   }
 

@@ -146,9 +146,11 @@ object Pipeline {
     * at prepare time — their survivor sets are data, not plan shape. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               spec: PipelineSpec, audit: Boolean = false): PipelineResult = {
-    // bracket the eager dedup stages with the degradation registry so the
-    // result carries THIS run's hot-bucket extent (not the JVM's history)
-    val hbBefore = Dedup.hotBucketStats
+    // scope the degradation collector to THIS run: the global registry is
+    // JVM-cumulative, so a before/after diff would attribute a concurrent
+    // run's hot buckets (the streaming twin makes that real) to this one;
+    // the thread-local scope captures only what this prepare() drove
+    val ((finalDf, finalStages), hbScoped) = Dedup.withHotBucketScope {
     val obs = scala.collection.mutable.ArrayBuffer[(String, Observation)]()
     def checkpoint(df: DataFrame, stage: String): DataFrame =
       if (!audit) df
@@ -281,12 +283,10 @@ object Pipeline {
     if (spec.numShards > 0)
       cur = Sampling.shuffleShards(cur, idCol, spec.numShards)
 
-    val hbDelta = Dedup.hotBucketStats.flatMap { case (op, s) =>
-      val b = hbBefore.getOrElse(op, Dedup.HotBucketStats(0L, 0L))
-      val d = Dedup.HotBucketStats(s.buckets - b.buckets, s.rows - b.rows)
-      if (d.buckets > 0L) Some(op -> d) else None
+    (cur, obs.toSeq)
     }
-    new PipelineResult(cur, obs.toSeq, hbDelta)
+    new PipelineResult(finalDf, finalStages,
+      hbScoped.filter { case (_, s) => s.buckets > 0L })
   }
 
   /** Write a prepared corpus (a [[prepare]] result with shards assigned)

@@ -154,6 +154,12 @@ class ClientSpec extends SparkSpec {
     val annA = c.packedAnnQuery(q, k = 3, nProbe = 4, where = f)
       .collect().map(_.getAs[String]("id")).toSet
     assert(annA.size === 3 && annA.subsetOf(rares))
+    // the fallback gauge is zeroed by EVERY filtered call, including the
+    // no-fallback ann path — a stale count from an earlier packedQuery
+    // must not be attributed to this call by an audit reading it now
+    c.lastFilteredFallbacks = 99 // simulate stale state from a prior call
+    c.packedAnnQuery(q, k = 3, nProbe = 4, where = f).collect()
+    assert(c.lastFilteredFallbacks === 0)
 
     // optimize() compacts everything the collection owns; results identical
     c.buildKeywordIndex()
@@ -1329,7 +1335,13 @@ class ClientSpec extends SparkSpec {
     assert(maxBlocksPerPartition(c.residentPacked.get.blocks) === 1)
     assert(maxBlocksPerPartition(c.residentPackedIvf.get.blocks) === 1)
     assert(maxBlocksPerPartition(c.residentPackedPq.get.blocks) === 1)
-    assert(maxBlocksPerPartition(c.residentPackedSq.get.blocks) === 1)
+    // SQ slabs are cell-tagged inside rows-sized partitions: compaction
+    // folds generations to ONE slab per (partition, cell)
+    assert(c.residentPackedSq.get.blocks.mapPartitions { it =>
+      val cells = it.map(_.cell).toSeq
+      Iterator.single(cells.distinct.size == cells.size)
+    }.collect().forall(identity),
+      "a compacted SQ partition must hold at most one slab per cell")
     assert(graft.operators.PackedGraph.deadFraction(c.residentPackedGraph.get) === 0.0)
     // results identical before and after — compaction is layout-only
     assert(allTiers() === before)

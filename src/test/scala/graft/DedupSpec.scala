@@ -259,6 +259,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hotBucketStats.isEmpty)
   }
 
+  test("withHotBucketScope isolates concurrent runs' degradation counters") {
+    Dedup.resetHotBucketStats()
+    // two interleaved runs on separate threads: one drives the planted
+    // mega-cluster (degrades), one a clean corpus (must see ZERO even
+    // while the neighbor is degrading in the same JVM)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirty = Future(Dedup.withHotBucketScope {
+      Dedup.minhashLsh(megaCluster, "doc_id", "text", threshold = 0.5).collect()
+    })
+    val clean = Future(Dedup.withHotBucketScope {
+      Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).collect()
+    })
+    val (_, dirtyStats) = Await.result(dirty, 5.minutes)
+    val (_, cleanStats) = Await.result(clean, 5.minutes)
+    assert(cleanStats.isEmpty,
+      s"clean run cross-attributed a neighbor's degradation: $cleanStats")
+    val st = dirtyStats("minhashLsh")
+    assert(st.buckets >= 1 && st.rows >= 10000L, s"degradation lost: $st")
+    // the global registry still accumulated BOTH runs (cumulative audit)
+    assert(Dedup.hotBucketStats("minhashLsh") === st)
+    Dedup.resetHotBucketStats()
+  }
+
   test("star mode output is a connectivity-equal subset of the unbounded join") {
     val full = Dedup.minhashLsh(docs, "doc_id", "text",
         threshold = 0.5, maxBucket = 0)

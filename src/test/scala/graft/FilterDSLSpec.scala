@@ -127,6 +127,35 @@ class FilterDSLSpec extends SparkSpec {
     assert(df.where(h.compile).count() === rows.count(r => r.cat != "A"))
   }
 
+  test("Custom rejects non-deterministic predicates at construction") {
+    import org.apache.spark.sql.functions._
+    // builtin non-deterministic function behind an UnresolvedFunction node
+    val e1 = intercept[IllegalArgumentException] { Custom(rand() < 0.5) }
+    assert(e1.getMessage.contains("deterministic"),
+      s"actionable message expected, got: ${e1.getMessage}")
+    // an explicitly non-deterministic udf is caught too
+    val dice = udf(() => scala.util.Random.nextBoolean()).asNondeterministic()
+    val e2 = intercept[IllegalArgumentException] { Custom(dice()) }
+    assert(e2.getMessage.contains("deterministic"))
+    // deterministic trees (native and udf) still construct
+    Custom(length(col("name")) > 6)
+    Custom(udf((s: String) => s != null).apply(col("name")))
+  }
+
+  test("Custom fingerprints distinguish different closures over the same column") {
+    import org.apache.spark.sql.functions._
+    // two semantically DIFFERENT udf predicates whose default Column
+    // rendering is identical ("UDF(name)") — the selectivity cache keys
+    // on Filter toString, so these MUST print apart
+    val startsRed = Custom(udf((s: String) => s != null && s.startsWith("red")).apply(col("name")))
+    val longName = Custom(udf((s: String) => s != null && s.length > 6).apply(col("name")))
+    assert(startsRed.toString !== longName.toString,
+      s"closure collision: both print ${startsRed.toString}")
+    // and a structurally identical native tree prints the SAME (cache hit)
+    assert(Custom(length(col("name")) > 6).toString ===
+      Custom(length(col("name")) > 6).toString)
+  }
+
   test("fromMap builds AND-of-equalities") {
     val df = rows.toDF()
     val got = df.where(Filter.fromMap(Map("cat" -> "A", "size" -> 4)).compile).count()

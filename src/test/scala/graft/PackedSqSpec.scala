@@ -99,7 +99,12 @@ class PackedSqSpec extends SparkSpec {
     try {
       val want = rows(PackedSq.search(whole, queryDF, k = 10, nProbe = ivf.numCells))
       assert(rows(PackedSq.search(grown, queryDF, k = 10, nProbe = ivf.numCells)) === want)
-      assert(grown.blocks.getNumPartitions === ivf.numCells)
+      // append generations zip onto the standing layout (rows-sized, not
+      // one-per-cell), and every block stays where the layout map says
+      assert(grown.blocks.getNumPartitions === whole.blocks.getNumPartitions)
+      assert(grown.blocks.mapPartitionsWithIndex((p, it) =>
+        it.map(b => (p, b.cell))).collect().forall { case (p, c) =>
+          c >= 0 && c < ivf.numCells && grown.partOf(c) === p })
       val compacted = PackedSq.compactIvfSq(grown)
       try {
         assert(rows(PackedSq.search(compacted, queryDF, k = 10,
@@ -127,7 +132,7 @@ class PackedSqSpec extends SparkSpec {
       assert(PackedSq.slabsExist(spark, dir))
       val re = PackedSq.loadSlabs[Long](spark, dir)
       try {
-        assert(re.blocks.getNumPartitions === ivf.numCells)
+        assert(re.blocks.getNumPartitions === pi.blocks.getNumPartitions)
         assert(re.sq.mins.toSeq === sq.mins.toSeq)
         assert(re.sq.maxs.toSeq === sq.maxs.toSeq)
         assert(rows(PackedSq.search(re, queryDF, k = 10, nProbe = ivf.numCells)) === want)

@@ -262,6 +262,72 @@ class RecallFloorSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("100k-row deliberately un-split cell: ladder seeds dominate the flat sample's recall/eval frontier") {
+    // The multi-layer question (hnswlib's upper layers, vectordb.py:18):
+    // splitHotCells bounds production cells, but an UN-SPLIT oversized
+    // cell is where single-entry walks hit a length ceiling. Measured
+    // en route: a best-entry-only ladder saved ~9 of 4340 evals/q at
+    // ef=160 and ~26 of 1462 at ef=24 — the walk is breadth-dominated,
+    // entry QUALITY alone is nearly free of effect. What works is
+    // SEEDING (walk(seeds=...)): every scored beacon/leaf candidate
+    // enters the frontier, so the termination bound starts tight and
+    // every seeding evaluation double-counts as a kept candidate. The
+    // ladder's tighter leaf seeds then buy RECALL at matched ef
+    // (measured +0.06 over the flat sample for ~4% more evals), and the
+    // flat path can only match that recall by raising ef — paying more
+    // total evaluations. WalkStats counts seeding + walk together, so
+    // the assertions below compare honest totals on the recall/eval
+    // frontier: the ladder point must DOMINATE (no flat configuration
+    // reaches its recall for fewer evals).
+    val t0 = System.nanoTime()
+    val corpus = clusteredCorpus(100000L)
+    try {
+      corpus.count()
+      // MLlib k-means needs k >= 2: two ~50k cells, both far past
+      // BeaconMinRows — the oversized-cell regime either way
+      val model = Ann.trainIvf(corpus, "embedding", numCells = 2, seed = 42L,
+        maxIter = 2, sampleFraction = 0.05)
+      val (qArr, truthSearch, _) = truthFor(corpus)
+      val pi = PackedKnn.packIvf(corpus, model,
+        idCol = "vec_id", vecCol = "embedding")
+      val pg = PackedGraph.build(pi, degree = 16, efConstruction = 64)
+      try {
+        val ws = PackedGraph.WalkStats
+        def run(g: PackedGraph.PackedGraphCorpus[Long], ef: Int): (Double, Long) = {
+          ws.evals.reset()
+          ws.enabled = true
+          val res = PackedGraph.searchGraph(g, qArr, K, nProbe = 2, ef = ef)
+          val evals = ws.evals.sumThenReset()
+          ws.enabled = false
+          (recall(res.map { case (q, n) => q -> n.map(_._1).toSet }.toMap,
+            truthSearch), evals)
+        }
+        // the SAME graph with the ladder stripped = the flat-sample path
+        val flatBlocks = pg.blocks.map(b => b.copy(ladder = null))
+        val pgFlat = new PackedGraph.PackedGraphCorpus[Long](flatBlocks,
+          pg.model, pg.dim, pg.degree, pg.efConstruction)
+        val (rLadder, eLadder) = run(pg, ef = 24)
+        val (rFlat, eFlat) = run(pgFlat, ef = 24)
+        val (rFlatHi, eFlatHi) = run(pgFlat, ef = 64)
+        info(f"un-split 100k cell: ladder ef=24 $rLadder%.3f @ ${eLadder / qArr.length} evals/q, " +
+          f"flat ef=24 $rFlat%.3f @ ${eFlat / qArr.length}, " +
+          f"flat ef=64 $rFlatHi%.3f @ ${eFlatHi / qArr.length} " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        // seeds convert to recall at matched ef...
+        assert(rLadder >= rFlat + 0.02,
+          f"ladder recall $rLadder%.3f must beat flat $rFlat%.3f at matched ef")
+        assert(rLadder >= 0.75, f"un-split cell recall $rLadder%.3f")
+        // ...within a bounded eval overhead (the 64 leaf seeds)...
+        assert(eLadder <= eFlat + 80L * qArr.length * 2,
+          s"ladder total $eLadder must stay within seed overhead of flat $eFlat")
+        // ...and the flat path reaches that recall only by spending
+        // MORE total evaluations (or cannot reach it at 2.7x the budget)
+        assert(rFlatHi < rLadder || eFlatHi > eLadder,
+          s"flat ef=64 matched recall $rFlatHi for fewer evals ($eFlatHi vs $eLadder)")
+      } finally { pg.unpersist(); pi.unpersist() }
+    } finally corpus.unpersist()
+  }
+
   test("150k-row IVF-blocked kNN graph: rim expansion climbs recall") {
     val t0 = System.nanoTime()
     val corpus = clusteredCorpus(150000L)
