@@ -22,18 +22,21 @@ import org.apache.spark.storage.StorageLevel
   * 4× less resident memory than the float tier with near-exact ranking,
   * and unlike PQ the distances are usually good enough to serve unreranked.
   *
-  * Distributed shape: partitions are sized by ROWS, not one-per-cell — a
-  * deterministic contiguous map groups [[Ann.IvfModel]] cells into
-  * `ceil(rows / SqRowsPerPartition)`-ish partitions (capped at numCells),
-  * each holding one byte slab PER CELL it owns. A query batch ships
-  * per-query per-dim lookup tables (dim×256 doubles) to the partitions
-  * holding its probed cells only; inside a task, probe pruning continues
-  * at BLOCK granularity (a cell nobody probed is skipped without touching
-  * its slab). Sizing by rows matters at both ends of the scale: a 100K
-  * corpus with 16 cells launches 4 tasks instead of 16 (task-launch floor
-  * halves the small-corpus latency — the 100K sweep regime is
-  * scheduling-bound, not kernel-bound), and a 100 TB corpus with 64K
-  * cells doesn't mean 64K tiny tasks per probe fan-out.
+  * Distributed shape: by default one partition per IVF cell, each
+  * holding one cell-tagged byte slab. A query batch ships per-query
+  * per-dim lookup tables (dim×256 doubles) to the partitions holding
+  * its probed cells only; inside a task, probe pruning continues at
+  * BLOCK granularity, so the layout also supports GROUPING several
+  * cells into one partition (`numParts` on the pack entry points) for
+  * cell-heavy deployments where tens of thousands of bounded cells
+  * would mean tens of thousands of tasks per probe fan-out. Grouping
+  * is an explicit knob, not the default — MEASURED (r12 sweep):
+  * rows-sized grouping (~25K rows/task) lost latency at every preset
+  * shape because the runJob scheduling floor is per-JOB, not per-task
+  * (probed tasks launch in parallel on idle cores), so
+  * fewer-but-bigger tasks only under-parallelize the byte scan
+  * (100K: 2.2 ms/q at 4 grouped partitions vs 1.7 at 8
+  * cell-partitions).
   *
   * Numeric contract: with nProbe = numCells, [[searchSq]] is ROW-IDENTICAL
   * to [[Quantization.sqSearch]] on the same [[Quantization.SqModel]]: the
@@ -55,12 +58,6 @@ object PackedSq {
                               cell: Int) {
     def rows: Int = ids.length
   }
-
-  /** Target slab rows per partition — the task-count knob: partitions =
-    * clamp(rows / this, 1, numCells). ~25K byte-rows keeps a task's scan
-    * well above the task-launch floor while leaving every core busy at
-    * 1M+ (matches [[PackedKnn]]'s float-tier sizing). */
-  private[operators] val SqRowsPerPartition = 25000L
 
   /** Deterministic contiguous cell→partition map — a pure function of
     * (numCells, numParts), so appended generations and reopened sidecars
@@ -104,14 +101,21 @@ object PackedSq {
     * metric-free and searchable under cosine / l2 / ip. */
   def packIvfSq(corpus: DataFrame, ivf: Ann.IvfModel, sq: Quantization.SqModel,
                 idCol: String = "id", vecCol: String = "vec",
-                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[Long] =
-    packBy[Long](corpus, ivf, sq, idCol, "long", vecCol, storage)(_.getLong(0))
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                /** <= 0 = one partition per cell (the measured-fastest
+                  * serving layout); explicit values group cells for
+                  * cell-heavy deployments. */
+                numParts: Int = 0): PackedSqCorpus[Long] =
+    packBy[Long](corpus, ivf, sq, idCol, "long", vecCol, storage,
+      numPartsOverride = if (numParts > 0) Some(numParts) else None)(_.getLong(0))
 
   /** [[packIvfSq]] keyed by a natural string id (the client facade). */
   def packIvfSqStr(corpus: DataFrame, ivf: Ann.IvfModel, sq: Quantization.SqModel,
                    idCol: String = "id", vecCol: String = "vec",
-                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PackedSqCorpus[String] =
-    packBy[String](corpus, ivf, sq, idCol, "string", vecCol, storage)(
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   numParts: Int = 0): PackedSqCorpus[String] =
+    packBy[String](corpus, ivf, sq, idCol, "string", vecCol, storage,
+      numPartsOverride = if (numParts > 0) Some(numParts) else None)(
       _.getUTF8String(0).toString)
 
   /** Append a batch without repacking standing slabs ([[PackedPq.appendIvfPq]]'s
@@ -224,13 +228,9 @@ object PackedSq {
                                   numPartsOverride: Option[Int] = None)(
       getId: org.apache.spark.sql.catalyst.InternalRow => I): PackedSqCorpus[I] = {
     val dim = sq.mins.length
-    // rows-sized partition count (count() prunes to the scan, cheap):
-    // cells stay the PRUNING unit, partitions become the TASK unit
-    val numParts = numPartsOverride.getOrElse {
-      val totalRows = corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull).count()
-      math.max(1L, math.min(ivf.numCells.toLong,
-        totalRows / SqRowsPerPartition)).toInt
-    }
+    val numParts = numPartsOverride.getOrElse(ivf.numCells)
+    require(numParts >= 1 && numParts <= ivf.numCells,
+      s"numParts $numParts must be in [1, numCells=${ivf.numCells}]")
     val src = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast(idType),
