@@ -351,16 +351,17 @@ object PackedSq {
     //   ip:     s += x*y, negated at the end
     // so per (dim, code) we pre-tabulate exactly those products; the scan
     // then sums the SAME doubles in the SAME ascending-dim order.
+    //
+    // The tables are built EXECUTOR-SIDE, per task, on demand: a dim×256
+    // double LUT is 256 KB, so a 20-query batch driver-built would ship
+    // a ~5 MB task binary on every job (measured: the serialize/broadcast
+    // cost alone was ~1.5 ms/q of the exact tier's latency) — the task
+    // instead receives the round-tripped queries (dim doubles each) plus
+    // the 2-vector quantizer model and tabulates only the LUTs its own
+    // blocks' query sets need (~33k multiplies per table, microseconds).
+    // Same inputs, same arithmetic, same doubles — the bit-exactness
+    // contract vs Quantization.sqSearch is untouched.
     val qhat: Array[Array[Double]] = queries.map(q => roundtrip(sq, q._2))
-    // LUTs are FLAT dim*256 arrays indexed (i << 8) | c — one bounds
-    // check and contiguous row-major locality in the scan's hot loop
-    // (a nested Array[Array[Double]] costs an extra dereference per
-    // element and scatters rows across the heap)
-    // corpus-side x*x per (dim, code) — query-independent
-    val sqLut: Array[Double] =
-      if (metric == "cosine") Array.tabulate(dim * 256)(j => {
-        val x = dec(sq, j >> 8, j & 0xFF); x * x
-      }) else null
     // query norms Σ y*y, ascending-dim like the kernel's nb accumulator
     val qNorm: Array[Double] =
       if (metric == "cosine") qhat.map { qd =>
@@ -368,13 +369,6 @@ object PackedSq {
         while (i < dim) { s += qd(i) * qd(i); i += 1 }
         s
       } else null
-    // per-query main table: x*y (cosine/ip) or (x-y)^2 (l2)
-    val luts: Array[Array[Double]] = qhat.map { qd =>
-      Array.tabulate(dim * 256) { j =>
-        val i = j >> 8; val x = dec(sq, i, j & 0xFF)
-        if (metric == "l2") { val d = x - qd(i); d * d } else x * qd(i)
-      }
-    }
     val cosine = metric == "cosine"
     val l2 = metric == "l2"
     // tasks launch per PARTITION holding >= 1 probed cell; pruning
@@ -399,6 +393,22 @@ object PackedSq {
           }
           h
         }
+        // executor-side tables (see the header comment): corpus x*x once
+        // per task, per-query main LUTs on demand for THIS task's queries
+        lazy val sqLut: Array[Double] = Array.tabulate(dim * 256)(j => {
+          val x = dec(sq, j >> 8, j & 0xFF); x * x
+        })
+        val lutCache = new Array[Array[Double]](qhat.length)
+        def lutFor(qg: Int): Array[Double] = {
+          if (lutCache(qg) == null) {
+            val qd = qhat(qg)
+            lutCache(qg) = Array.tabulate(dim * 256) { j =>
+              val i = j >> 8; val x = dec(sq, i, j & 0xFF)
+              if (l2) { val d = x - qd(i); d * d } else x * qd(i)
+            }
+          }
+          lutCache(qg)
+        }
         {
           while (it.hasNext) {
             val blk = it.next()
@@ -413,7 +423,7 @@ object PackedSq {
             val rowNorms = if (cosine) blockNorms(blk, sqLut) else null
             var qi = 0
             while (qi < qIdxs.length) {
-              val lut = luts(qIdxs(qi))
+              val lut = lutFor(qIdxs(qi))
               val nb = if (cosine) qNorm(qIdxs(qi)) else 0.0
               val heap = heapFor(qIdxs(qi))
               var r = 0
@@ -507,10 +517,11 @@ object PackedSq {
     val cosine = metric == "cosine"
     val l2 = metric == "l2"
     // na = Σ x̂² per row, needed by cosine AND l2 — the same per-block
-    // cached table as the exact kernel (Σ x̂² is metric-free)
-    val sqLut: Array[Double] =
-      if (metric == "ip") null
-      else Array.tabulate(dim * 256)(j => { val x = dec(sq, j >> 8, j & 0xFF); x * x })
+    // cached table as the exact kernel (Σ x̂² is metric-free); built
+    // EXECUTOR-SIDE like the exact kernel's tables (256 KB of doubles
+    // has no business riding the task binary when the 2-vector model
+    // rebuilds it in microseconds)
+    val needNorms = metric != "ip"
     // int32-exact accumulation bound: |S| <= 255 * dim * Q
     val qCap = math.max(1, math.min(32767, Int.MaxValue / (255 * dim) - 1))
     // per-query quantized multipliers + affine rebase (beta, C, nb)
@@ -547,6 +558,10 @@ object PackedSq {
     val partials: Array[Array[(Int, I, Double)]] = sc.runJob(pi.blocks,
       (ctx: org.apache.spark.TaskContext, it: Iterator[SqBlock[I]]) => {
         val heapMap = new java.util.HashMap[Int, java.util.PriorityQueue[(I, Double)]]()
+        // executor-side corpus-norm table (see searchSq's header note)
+        lazy val sqLut: Array[Double] = Array.tabulate(dim * 256)(j => {
+          val x = dec(sq, j >> 8, j & 0xFF); x * x
+        })
         def heapFor(qg: Int): java.util.PriorityQueue[(I, Double)] = {
           var h = heapMap.get(qg)
           if (h == null) {
@@ -569,7 +584,7 @@ object PackedSq {
             // pay a map lookup per (row, query)
             val bheaps = Array.tabulate(qIdxs.length)(qi => heapFor(qIdxs(qi)))
             val codes = blk.codes; val bd = blk.dim; val n = blk.rows
-            val rowNorms = if (sqLut != null) blockNorms(blk, sqLut) else null
+            val rowNorms = if (needNorms) blockNorms(blk, sqLut) else null
             // rows OUTER, queries INNER: a row's code line (bd bytes)
             // stays in L1 while the whole query batch dots it — the
             // query-outer order re-reads the full code slab per query,
