@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line:
   *   {"metric":"sweep","dim":128,"batch":20,"k":10,
   *    "shapes":{"10000":{"ms_per_query":..,"runs_s":[..],
-  *              "rowscan_ms_per_query":..,"floor_ms":..,"pack_s":..},...}}
+  *              "rowscan_ms_per_query":..,"floor_ms":..,"pack_s":..},...},
+  *    "text_shapes":{"100000":{"minhash_s":..,"pipeline_s":..,...},...}}
+  *
+  * `floor_ms` (an empty job over the same partitions) doubles as the
+  * window's ambient-noise gauge: cross-round comparisons should be read
+  * against it — this box's background load swings run-to-run by more
+  * than most cross-round deltas.
   *
   * Headline `ms_per_query` is the packed-matrix BLAS path
   * (operators.PackedKnn): the corpus persisted as per-partition float32
