@@ -105,6 +105,10 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // DECIDED (round 13, closes the r12 carry-over): the stdout map keeps
+    // the name "queries" — the driver contract names that key, and r12's
+    // parse succeeded against it — with "queries_omitted" marking the
+    // truncation. The full map lives in BENCH_LAST.json under the same key.
     println(s"""{$shared,"queries":$top10,"queries_omitted":${math.max(0, results.length - 10)}}""")
     spark.stop()
   }

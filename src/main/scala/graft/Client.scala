@@ -61,6 +61,24 @@ object GraftCollection {
     StructField("id", StringType, nullable = false),
     StructField("document", StringType, nullable = true),
     StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  /** Is a sidecar warm-start failure a LOAD/FORMAT problem (recoverable:
+    * warn + cold rebuild) or a genuine bug that must propagate? Load
+    * problems surface as IO errors, Spark read/analysis errors (missing
+    * files, schema drift), or the slab format's own `require` checks —
+    * anything else (NPE, MatchError, ...) is a bug in the load path, and
+    * swallowing it would silently pay a full cold pack on every open at
+    * WARN level, forever (r12 verdict). */
+  private[graft] def sidecarLoadRecoverable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case _: org.apache.spark.sql.AnalysisException => true
+    case _: IllegalArgumentException => true // slab-format require()s
+    case _: IllegalStateException => true // corrupt slab invariants
+    case se: org.apache.spark.SparkException =>
+      // executor-side failures wrap the real cause — classify on it
+      se.getCause != null && sidecarLoadRecoverable(se.getCause)
+    case _ => false
+  }
 }
 
 /** One named collection. Mutations rewrite the parquet data dir (the batch
@@ -1572,6 +1590,11 @@ final class GraftCollection(spark: SparkSession, dir: String,
   // ------------------------------------------- resident SQ8 (byte) tier
 
   @transient private var packedSqIdx: Option[PackedSq.PackedSqCorpus[String]] = None
+  /** Warm-start fallbacks this handle has paid (observability: a value
+    * > 1 on a handle that re-opens the same sidecar means the sidecar is
+    * PERSISTENTLY unreadable — fix the format, don't keep paying the
+    * cold pack). */
+  @transient private[graft] var sidecarRebuilds: Int = 0
   @transient private var packedSqStamp: Long = -1L
 
   private def packedSqDir = s"$dir/index_packed_sq"
@@ -1611,12 +1634,18 @@ final class GraftCollection(spark: SparkSession, dir: String,
         sidecarStamp(packedSqDir) == current) {
       // a sidecar written by an older block format (or a reshaped
       // layout) fails loud at load — warm start is an optimization, so
-      // fall through to the cold pack instead of dying on it
+      // fall through to the cold pack on LOAD/FORMAT failures only
+      // (narrowed per r12 verdict: a blanket catch let any non-fatal bug
+      // in there silently pay the full cold pack on EVERY open at WARN
+      // level, forever). Genuine bugs (NPE, MatchError, ...) propagate.
       try { packedSqIdx = Some(PackedSq.loadSlabs[String](spark, packedSqDir)); return }
-      catch { case e: Exception =>
+      catch { case e: Exception if GraftCollection.sidecarLoadRecoverable(e) =>
+        sidecarRebuilds += 1
         org.slf4j.LoggerFactory.getLogger(classOf[GraftCollection]).warn(
           s"SQ slab sidecar of '${config.name}' unreadable " +
-            s"(${e.getClass.getSimpleName}); cold-rebuilding", e)
+            s"(${e.getClass.getSimpleName}); cold-rebuilding " +
+            s"(rebuild #$sidecarRebuilds for this handle — a count > 1 " +
+            "means a PERSISTENT format problem, not a one-off upgrade)", e)
       }
     }
     locally {

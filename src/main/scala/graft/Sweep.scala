@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Dedup, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Pipeline, PipelineSpec, Quantization}
+import graft.operators.{Ann, Dedup, Knn, PackedGraph, PackedKnn, PackedPq, PackedPq4, PackedSq, Pipeline, PipelineSpec, PropertyGraph, Quantization}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -455,7 +455,12 @@ object Sweep {
       val (boilerS, boilerRows) = timed {
         Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 100).count()
       }
-      val ((pipelineS, pipeRows), hb2) = Dedup.withHotBucketScope(timed {
+      // No outer withHotBucketScope here: Pipeline.prepare installs its
+      // own inner scope and nested scopes do NOT propagate counts to the
+      // parent (documented semantics), so an outer bracket would always
+      // read empty — prepared.hotBucketDegradation IS the pipeline's
+      // hot-bucket gauge and the require below is the real gate.
+      val (pipelineS, pipeRows) = timed {
         val prepared = Pipeline.prepare(docs, "doc_id", "text",
           PipelineSpec(
             minQuality = 0.0,
@@ -467,9 +472,9 @@ object Sweep {
         require(prepared.hotBucketDegradation.isEmpty,
           s"pipeline degraded: ${prepared.hotBucketDegradation}")
         c
-      })
-      require(hb1.isEmpty && hb2.isEmpty,
-        s"hot-bucket degradation at text rung $n: $hb1 $hb2")
+      }
+      require(hb1.isEmpty,
+        s"hot-bucket degradation at text rung $n: $hb1")
       docs.unpersist(blocking = true)
       s""""$n":{"minhash_s":${f"$minhashS%.3f"},"minhash_rows_per_s":${(n / minhashS).toLong},""" +
         s""""minhash_pairs":$pairRows,""" +
@@ -478,7 +483,134 @@ object Sweep {
         s""""pipeline_s":${f"$pipelineS%.3f"},"pipeline_rows_per_s":${(n / pipelineS).toLong},""" +
         s""""pipeline_survivors":$pipeRows,"hot_buckets":0}"""
     }
-    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")}}""")
+
+    // ---------------- graph analytics ladder ----------------
+    // The third pillar's scale rung (r12 verdict #1 — the bench's
+    // 16,630-node graph proves correctness, not the 100 TB stance, and
+    // PageRank/LP/CC are the top-5 bench costs). Deterministic synthetic
+    // power-law graph with PLANTED component structure:
+    //  - nodes partitioned into 16 contiguous blocks; every edge stays
+    //    inside its block, so CC must return EXACTLY 16 components
+    //    (asserted) — correctness at scale, not just throughput;
+    //  - a (v, v+1) backbone inside each block guarantees connectivity;
+    //  - random edges pick src by a cubed-uniform (power-law-ish: block
+    //    head nodes become hubs with ~100x mean degree) and dst uniform
+    //    in-block — realistic skew for the groupBy-heavy rounds.
+    // Measured per rung: pagerank (5 rounds), connected components
+    // (fixpoint), label propagation (5 rounds) wall seconds + edges/s,
+    // floor_ms as the window's noise gauge. The NODE-SIZED-SHUFFLE claim
+    // is measured directly (SparkListener shuffle-write bytes): PageRank's
+    // marginal per-round shuffle at 10x the edges over the SAME node set
+    // must stay within 3x — per-round traffic scales with the rank
+    // vector, not the cached edge relation.
+    case class GraphShape(edges: Long, nodes: Long)
+    val graphShapes = sys.env.get("SPARK_GRAFT_SWEEP_GRAPH_SHAPES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+        val Array(e, v) = s.split(":"); GraphShape(e.toLong, v.toLong)
+      }.toSeq)
+      .getOrElse(Seq(GraphShape(1000000L, 100000L), GraphShape(10000000L, 1000000L)))
+    val GraphComps = 16L
+
+    def shuffleBytesDuring[T](body: => T): (T, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = body
+        // listener events are async: settle until the byte count is
+        // stable for 500 ms (the PackedKnnSpec pattern)
+        var last = -1L
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (bytes.get != last && System.nanoTime() < deadline) {
+          last = bytes.get; Thread.sleep(500)
+        }
+        (r, bytes.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def syntheticGraph(m: Long, nNodes: Long): org.apache.spark.sql.DataFrame = {
+      val blockSize = nNodes / GraphComps
+      val parts = math.min(cpus.toInt, math.max(1, (m / 250000L).toInt))
+      val backbone = spark.range(nNodes)
+        .where(pmod(col("id") + 1, lit(blockSize)) =!= 0)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val nRand = m - (nNodes - GraphComps)
+      val rand = spark.range(nRand).select(
+        (pmod(xxhash64(col("id") * 37L + 3L), lit(GraphComps)) * blockSize +
+          floor(pow(
+            pmod(xxhash64(col("id") * 131L + 7L), lit(1000000L)).cast("double") / 1e6,
+            lit(3.0)) * blockSize).cast("long")).as("src"),
+        (pmod(xxhash64(col("id") * 37L + 3L), lit(GraphComps)) * blockSize +
+          pmod(xxhash64(col("id") * 271L + 11L), lit(blockSize))).as("dst"))
+      backbone.unionByName(rand)
+        .where(col("src") =!= col("dst"))
+        .repartition(parts).persist()
+    }
+
+    // per-round marginal shuffle bytes of PageRank on a given graph:
+    // (bytes at 5 rounds - bytes at 1 round) / 4 cancels the one-time
+    // adjacency build + node-relation shuffles that dominate round 1
+    def prRoundShuffle(edges: org.apache.spark.sql.DataFrame): Long = {
+      val (_, b1) = shuffleBytesDuring {
+        PropertyGraph.pageRank(edges, iterations = 1).count()
+      }
+      val (_, b5) = shuffleBytesDuring {
+        PropertyGraph.pageRank(edges, iterations = 5).count()
+      }
+      math.max(0L, (b5 - b1) / 4)
+    }
+
+    val graphEntries = graphShapes.map { case GraphShape(m, nNodes) =>
+      val edges = syntheticGraph(m, nNodes)
+      val mActual = edges.count()
+      def timed(body: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = body
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      // scheduling floor over the edge relation's partitions
+      val floorT0 = System.nanoTime()
+      spark.sparkContext.runJob(edges.rdd, (_: Iterator[org.apache.spark.sql.Row]) => 0)
+      val floorMs = (System.nanoTime() - floorT0) / 1e6
+      val (prS, prRows) = timed { PropertyGraph.pageRank(edges, iterations = 5).count() }
+      require(prRows == nNodes, s"pagerank emitted $prRows of $nNodes nodes")
+      val (ccS, ccComps) = timed {
+        PropertyGraph.connectedComponents(edges)
+          .select("component_id").distinct().count()
+      }
+      require(ccComps == GraphComps,
+        s"planted $GraphComps components, CC found $ccComps")
+      val (lpS, lpRows) = timed {
+        PropertyGraph.labelPropagation(edges, iterations = 5).count()
+      }
+      require(lpRows == nNodes, s"LP emitted $lpRows of $nNodes nodes")
+      val roundMb = prRoundShuffle(edges) / 1e6
+      edges.unpersist(blocking = true)
+      s""""$m":{"nodes":$nNodes,"edges":$mActual,""" +
+        s""""pagerank_s":${f"$prS%.3f"},"pagerank_edges_per_s":${(mActual / prS).toLong},""" +
+        s""""cc_s":${f"$ccS%.3f"},"cc_edges_per_s":${(mActual / ccS).toLong},"cc_components":$ccComps,""" +
+        s""""lp_s":${f"$lpS%.3f"},"lp_edges_per_s":${(mActual / lpS).toLong},""" +
+        s""""pr_round_shuffle_mb":${f"$roundMb%.2f"},"floor_ms":${f"$floorMs%.2f"}}"""
+    }
+    // node-sized-shuffle proof: 10x the edges over the SAME node set must
+    // not 10x the per-round shuffle (3x tolerance covers partial-agg fan
+    // and listener noise; edge-sized traffic would show ~10x)
+    val (smallE, bigE) = (syntheticGraph(1000000L, 100000L),
+      syntheticGraph(10000000L, 100000L))
+    smallE.count(); bigE.count()
+    val (roundSmall, roundBig) = (prRoundShuffle(smallE), prRoundShuffle(bigE))
+    smallE.unpersist(blocking = true); bigE.unpersist(blocking = true)
+    val nodeSized = roundBig <= roundSmall * 3
+    require(nodeSized,
+      s"PageRank per-round shuffle grew ${roundBig.toDouble / roundSmall}x " +
+        "on 10x edges over the same nodes — edge-sized, not node-sized")
+
+    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")},"graph_shapes":${graphEntries.mkString("{", ",", "}")},"graph_shuffle_node_sized":$nodeSized,"pr_round_shuffle_bytes_1m_edges":$roundSmall,"pr_round_shuffle_bytes_10m_edges_same_nodes":$roundBig}""")
     spark.stop()
   }
 }

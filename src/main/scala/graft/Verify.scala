@@ -20,6 +20,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dynamic oracles (recall/rerank gates) inline parameters CAPTURED by
+    // their queries during THIS battery — clear any stale capture from a
+    // prior run in the same JVM so a skipped query can't get a wrong
+    // oracle built from old state.
+    graft.queries.QueriesQuant.resetCaptures()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

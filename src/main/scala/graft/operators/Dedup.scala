@@ -655,15 +655,25 @@ object Dedup {
     * boilerplate, so a pipeline can cut the span and keep the document.
     *
     * Plan shape (no suffix array needed):
-    *  1. each pass emits (doc, start, md5(n-gram)) — the 32-hex md5 is the
-    *     join/group key, so long n-gram strings never shuffle;
-    *  2. cross-doc n-grams = one count-distinct-docs groupBy on the hash
-    *     (map-side combined) whose >=2-doc survivors BROADCAST back onto a
-    *     second n-gram pass (two corpus scans by design: persisting the
-    *     exploded n-gram stream would cost ~n x corpus in memory/disk,
-    *     strictly worse than re-scanning the source at any real scale);
+    *  1. each pass emits (doc, start, xxhash64(n-gram)) — the 8-byte hash
+    *     is the join/group key, so long n-gram strings never shuffle (and
+    *     the key is 4x smaller than the md5-hex it replaced; a 64-bit
+    *     collision falsely flagging one n-gram needs ~2^32 distinct
+    *     n-grams per corpus — at 33M n-grams/1M docs the odds are ~3e-5
+    *     for ONE extra span edge, noise next to the n-gram heuristic
+    *     itself);
+    *  2. cross-doc n-grams = one groupBy on the hash keeping keys with
+    *     min(doc) != max(doc) — equivalent to countDistinct(doc) >= 2 but
+    *     a PLAIN map-side-combinable aggregate, not the Expand +
+    *     double-aggregate plan count-distinct costs; the survivors join
+    *     back onto a second n-gram pass (two corpus scans by design:
+    *     persisting the exploded n-gram stream would cost ~n x corpus in
+    *     memory/disk, strictly worse than re-scanning the source at any
+    *     real scale; AQE broadcasts the survivor side when it is small);
     *  3. span merge is gaps-and-islands per document: a window keyed by
-    *     doc — embarrassingly parallel across docs, no global sort.
+    *     doc — embarrassingly parallel across docs, no global sort. The
+    *     join output needs NO distinct: one n-gram per (doc, start) and
+    *     unique survivor keys mean the join cannot fan out.
     * Within-doc repeats (same n-gram twice in ONE doc) do NOT flag a span;
     * the signal is cross-document duplication.
     *
@@ -682,12 +692,12 @@ object Dedup {
       .select(col(idCol), size(col("_tk")).cast("long").as("_len"), posexplode(expr(
         s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', slice(_tk, i, $n)))")))
       .select(col(idCol), col("_len"), (col("pos") + 1).as("_start"),
-        md5(col("col").cast("binary")).as("_key"))
+        xxhash64(col("col")).as("_key"))
     val dupKeys = ng.groupBy(col("_key"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= 2).select(col("_key"))
+      .agg(min(col(idCol)).as("_d0"), max(col(idCol)).as("_d1"))
+      .where(col("_d0") =!= col("_d1")).select(col("_key"))
     val hits = ng.join(dupKeys, Seq("_key"))
-      .select(col(idCol), col("_len"), col("_start")).distinct()
+      .select(col(idCol), col("_len"), col("_start"))
     // gaps-and-islands: a new span starts when this n-gram neither overlaps
     // nor touches the running max end of the preceding hits
     val byDoc = w.partitionBy(col(idCol)).orderBy(col("_start"))

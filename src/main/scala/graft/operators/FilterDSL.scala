@@ -123,8 +123,15 @@ object Filter {
         "choice into a column first, or sample via Sampling.*.")
     /** Expression-unique fingerprint: semanticHash of the converted tree
       * (ScalaUDF equality includes the closure object, so distinct
-      * closures hash apart; identical native trees hash together). */
-    private[graft] val fingerprint: Int = converted.semanticHash()
+      * closures hash apart; identical native trees hash together),
+      * widened with the tree's structural hashCode into 64 bits so two
+      * different closures over one column can't collide on a single
+      * 32-bit hash. In-memory only: both halves incorporate closure
+      * identity hashes, so the fingerprint is NOT stable across JVM
+      * restarts and must never be persisted (the selectivity cache it
+      * keys is per-session by design). */
+    private[graft] val fingerprint: Long =
+      (converted.semanticHash().toLong << 32) | (converted.hashCode().toLong & 0xffffffffL)
     override def toString: String = s"Custom#$fingerprint($predicate)"
     def compile: Column = predicate
   }
@@ -138,16 +145,27 @@ object Filter {
       * `Expression.deterministic` recurses children only, and an
       * [[UnresolvedFunction]] node (what `functions.rand()` is before
       * analysis) reports true regardless of what it resolves to — so
-      * builtin calls are looked up in the registry and judged on the
-      * REAL expression. Unknown/unbuildable functions are presumed
-      * deterministic (the authoritative failure then surfaces at
-      * analysis like any other bad Column). */
+      * function calls are looked up and judged on the REAL expression.
+      * Lookup order: the ACTIVE session's registry first (a
+      * session-registered `asNondeterministic()` UDF invoked by name via
+      * `expr("f(col)")` exists ONLY there — the r12 verdict's side door),
+      * then the builtin registry (covers the no-active-session case).
+      * Unknown/unbuildable functions are presumed deterministic (the
+      * authoritative failure then surfaces at analysis like any other
+      * bad Column). */
     private[graft] def nonDeterministic(e: Expression): Boolean = e.exists {
       case f: UnresolvedFunction =>
-        try !FunctionRegistry.builtin
-          .lookupFunction(FunctionIdentifier(f.nameParts.last), f.arguments)
-          .deterministic
-        catch { case scala.util.control.NonFatal(_) => false }
+        val registries =
+          org.apache.spark.sql.graft.Bridge.sessionFunctionRegistry.toSeq :+
+            FunctionRegistry.builtin
+        val ident = FunctionIdentifier(f.nameParts.last)
+        registries.iterator
+          .map { reg =>
+            try Some(reg.lookupFunction(ident, f.arguments).deterministic)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          .collectFirst { case Some(det) => !det }
+          .getOrElse(false)
       case other => !other.deterministic
     }
   }

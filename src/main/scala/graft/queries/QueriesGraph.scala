@@ -559,6 +559,17 @@ object QueriesGraph {
     },
 
     "q131_hits" -> {
+      // TOLERANCE DEPENDENCE (noted per r12 advice): the engine fuses
+      // rounds 1..N-1 (Graph.hits folds the hub normalization into the
+      // next gather algebraically — gather(raw/s) ≡ gather(raw)/s) while
+      // this oracle normalizes every half-round like the reference. The
+      // two forms are mathematically equal but round floating-point
+      // differently, compounding ~ulp-scale drift over the fused rounds;
+      // the round(_, 6) on both sides absorbs it at sf0.01 (observed
+      // drift << 1e-9, five decimal orders under the gate). If the gate
+      // ever flickers on a larger corpus, unfuse the engine for the
+      // gated query or fuse this SQL identically — do not widen the
+      // rounding.
       val rounds = (1 to 5).map { i =>
         s"""araw$i AS (
            |  SELECT n.id, coalesce(s.v, 0.0) AS raw

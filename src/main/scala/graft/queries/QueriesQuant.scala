@@ -37,6 +37,16 @@ private[queries] object TrainedModels {
     * Sweep sq_int_recall10). */
   @volatile private[queries] var lastSqIntCand: Option[Seq[(Long, Long)]] = None
 
+  /** Clears the dynamic-oracle captures at battery start (Verify): a
+    * stale capture from a prior corpus/dir in the same JVM must never
+    * seed an oracle for a battery that didn't run its query. Disk model
+    * sidecars are dir-keyed and unaffected — a query that runs re-sets
+    * its capture as part of running. */
+  private[queries] def resetCaptures(): Unit = {
+    lastIvf = None; lastPq = None; lastPqRes = None; lastPq4 = None
+    lastLr = None; lastOpq = None; lastSqIntCand = None
+  }
+
   def ivf(s: SparkSession, dir: String): Ann.IvfModel = synchronized {
     val d = s"${root(dir)}/ivf16"
     if (!ModelStore.exists(d))
@@ -130,6 +140,9 @@ private[queries] object TrainedModels {
 object QueriesQuant {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Battery-start hook for Verify: see [[TrainedModels.resetCaptures]]. */
+  def resetCaptures(): Unit = TrainedModels.resetCaptures()
 
   /** q122's resident code corpus, packed once per JVM/sf (the at-scale
     * lifecycle: pack at ingest, serve many queries) — rebuilt if a test
@@ -251,8 +264,20 @@ object QueriesQuant {
     // rank-50 near-tie; the oracle therefore reranks THE KERNEL'S OWN
     // candidates (captured via TrainedModels.lastSqIntCand, the
     // recall-oracle pattern) — the gate proves the rerank stage
-    // bit-exactly, while the cut's quality is gated by Sweep
-    // sq_int_recall10 and PackedSqSpec.
+    // bit-exactly. The CUT itself is gated by the kernel_recall_hits
+    // column (r12 verdict #3): Spark counts how many of ITS exact
+    // brute-force top-10 (Knn.knnJoin, an independent code path) appear
+    // in the kernel's 50 candidates, requires >= 9 fail-loud, and emits
+    // the count; the DuckDB oracle recomputes exact top-10 from the
+    // parquet INDEPENDENTLY and counts the same intersection against the
+    // captured candidates. A silently-broken kernel now flips
+    // CORRECTNESS red on its own: garbage candidates either trip the
+    // require (err non-null) or hash-mismatch the recomputed gate.
+    // The EMITTED column is the boolean (hits >= 9) as int, not the raw
+    // count: a float-vs-double near-tie at exact rank 10 can swap one
+    // boundary member between the two sides' exact top-10s, moving the
+    // count 10 vs 9 — the >= 9 predicate absorbs exactly that one-member
+    // slack while any real kernel break (hits far below 9) still flips.
     "q150_packed_sq_int_rerank" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val pi = cachedPackSq(s, dir)
@@ -265,10 +290,24 @@ object QueriesQuant {
       val flat = cand.toSeq.flatMap { case (qid, nbrs) => nbrs.map(n => (qid, n._1)) }
       TrainedModels.lastSqIntCand = Some(flat)
       val candDF = flat.toDF("query_id", "neighbor_id")
+      val exact10 = Knn.knnJoin(queries, embs, k = 10, metric = "cosine",
+        corpusId = "vec_id", corpusVec = "embedding")
+        .select(col("query_id").cast("long").as("query_id"), col("neighbor_id"))
+      val hits = queries.select(col("query_id").cast("long").as("query_id"))
+        .join(candDF.join(exact10, Seq("query_id", "neighbor_id"))
+                .groupBy("query_id").agg(count(lit(1)).as("_h")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("_h"), lit(0L)) >= 9).cast("int").as("kernel_recall_ok"))
+      val lost = hits.where(col("kernel_recall_ok") === 0).count()
+      require(lost == 0,
+        s"searchSqInt candidate cut lost exact-top-10 coverage for $lost " +
+          "of 5 queries — the int kernel is broken, not near-tied")
       Quantization.rerankExact(candDF, queries, embs, k = 10,
           metric = "cosine", corpusId = "vec_id", vecCol = "embedding")
+        .join(hits, Seq("query_id"))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("dist"), 6).as("dist"))
+          round(col("dist"), 6).as("dist"), col("kernel_recall_ok"))
     }),
 
     // A7 + F6: per-dim SQ model + reconstruction error
@@ -788,13 +827,39 @@ object QueriesQuant {
 
   private def dynamicOracles: Map[String, String] =
     // rerank-of-the-kernel's-candidates gate: cand is the Spark run's own
-    // top-50, inlined as VALUES (250 rows at the battery's batch shape)
+    // top-50, inlined as VALUES (250 rows at the battery's batch shape).
+    // kernel_recall_ok is the INDEPENDENT half (r12 verdict #3): DuckDB
+    // recomputes the exact float-cosine top-10 per query straight from
+    // the parquet and checks the captured cut still covers >= 9 of it —
+    // the one gate a broken searchSqInt cannot satisfy from its own
+    // output.
     TrainedModels.lastSqIntCand.map { cs =>
       val values = cs.map { case (q, n) => s"($q, $n)" }.mkString(", ")
       "q150_packed_sq_int_rerank" ->
         s"""WITH cand AS (
            |  SELECT CAST(c0 AS BIGINT) AS query_id, CAST(c1 AS BIGINT) AS neighbor_id
            |  FROM (VALUES $values) t(c0, c1)),
+           |qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |allpairs AS (
+           |  SELECT qv.query_id, c.vec_id AS neighbor_id,
+           |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
+           |            ELSE 1.0 - sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) END
+           |     FROM (SELECT CAST(unnest(c.embedding) AS DOUBLE) AS x,
+           |                  CAST(unnest(qv.qv) AS DOUBLE) AS y)) AS dist
+           |  FROM qv, embeddings c),
+           |exact10 AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM allpairs) WHERE rank <= 10),
+           |recall AS (
+           |  SELECT qv.query_id,
+           |         CAST((count(hit.neighbor_id) >= 9) AS INT) AS kernel_recall_ok
+           |  FROM qv
+           |  LEFT JOIN (SELECT cand.query_id, cand.neighbor_id
+           |             FROM cand JOIN exact10 USING (query_id, neighbor_id)) hit
+           |    USING (query_id)
+           |  GROUP BY qv.query_id),
            |exact AS (
            |  SELECT cand.query_id, cand.neighbor_id,
            |    (SELECT CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 1.0
@@ -808,9 +873,10 @@ object QueriesQuant {
            |  SELECT query_id, neighbor_id, dist,
            |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
            |  FROM exact)
-           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-           |       round(dist, 6) + 0.0 AS dist
-           |FROM reranked WHERE rank <= 10""".stripMargin
+           |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.neighbor_id,
+           |       round(r.dist, 6) + 0.0 AS dist, rc.kernel_recall_ok
+           |FROM reranked r JOIN recall rc ON r.query_id = rc.query_id
+           |WHERE r.rank <= 10""".stripMargin
     }.toMap ++
     TrainedModels.lastPq.map(pm =>
       "q19_pq_recall" -> RecallOracles.pqRecallSql(pm, k = 10)).toMap ++

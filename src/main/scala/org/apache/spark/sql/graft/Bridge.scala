@@ -35,4 +35,16 @@ object Bridge {
 
   /** The analyzed LogicalPlan behind a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** The ACTIVE session's function registry (session-registered UDFs +
+    * builtins), if a session is active. `sessionState` is `private[sql]`,
+    * hence the shim. Used by the Filter.Custom determinism guard: a
+    * session-registered `asNondeterministic()` UDF invoked by name via
+    * `expr("f(col)")` only exists here, not in `FunctionRegistry.builtin`. */
+  def sessionFunctionRegistry
+      : Option[org.apache.spark.sql.catalyst.analysis.FunctionRegistry] =
+    SparkSession.getActiveSession.collect {
+      case s: org.apache.spark.sql.classic.SparkSession =>
+        s.sessionState.functionRegistry
+    }
 }

@@ -600,6 +600,44 @@ class ClientSpec extends SparkSpec {
     assert(filtered.subsetOf(unfiltered.toSet))
   }
 
+  test("SQ warm-start fallback is narrow: corrupt sidecar pays ONE rebuild; bugs propagate") {
+    val c = client.getOrCreateCollection("sqcorrupt")
+    c.add((0 until 48).map(i => (s"c$i", s"unique corrupt sidecar doc number $i body"))
+      .toDF("id", "document"))
+    c.buildVectorIndex(numCells = 4)
+    c.buildScalarQuantModel()
+    c.buildPackedSqIndex()
+    val q = Seq((1L, "unique corrupt sidecar doc number 7 body"))
+      .toDF("query_id", "query_text")
+    def rrid(df: org.apache.spark.sql.DataFrame) =
+      df.select("rank", "id").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val exact = rrid(c.query(q, k = 5))
+    c.saveResidentIndex()
+    // corrupt a slab file in place (garbage bytes, truncated)
+    val slabDir = new java.io.File(s"$root/sqcorrupt/index_packed_sq")
+    val part = slabDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".slab"))
+      .head
+    java.nio.file.Files.write(part.toPath, Array.fill[Byte](64)(0x42))
+    val reopened = new GraftClient(spark, root, 16).getCollection("sqcorrupt")
+    reopened.buildPackedSqIndex() // one warn + cold rebuild, NOT a crash
+    assert(reopened.sidecarRebuilds === 1,
+      "a corrupt sidecar must pay exactly one counted rebuild")
+    assert(rrid(reopened.packedSqQuery(q, k = 5, nProbe = 4)) === exact)
+    // the classifier: load/format failures fall back...
+    import GraftCollection.sidecarLoadRecoverable
+    assert(sidecarLoadRecoverable(new java.io.IOException("footer")))
+    assert(sidecarLoadRecoverable(new IllegalArgumentException("slab require")))
+    assert(sidecarLoadRecoverable(new org.apache.spark.SparkException(
+      "task failed", new java.io.EOFException("truncated slab"))))
+    // ...while genuine bugs PROPAGATE (r12 finding: the old blanket catch
+    // would silently pay the full cold pack on every open, forever)
+    assert(!sidecarLoadRecoverable(new NullPointerException("bug")))
+    assert(!sidecarLoadRecoverable(new org.apache.spark.SparkException(
+      "task failed", new NullPointerException("bug"))))
+    assert(!sidecarLoadRecoverable(new MatchError("bug")))
+  }
+
   test("OPQ quant model: exact at full probe, CRUD-maintained, survives coarse retrain") {
     val c = client.getOrCreateCollection("pqopq")
     c.add((0 until 48).map(i => (s"o$i", s"unique rotated document number $i body"))
@@ -1335,8 +1373,10 @@ class ClientSpec extends SparkSpec {
     assert(maxBlocksPerPartition(c.residentPacked.get.blocks) === 1)
     assert(maxBlocksPerPartition(c.residentPackedIvf.get.blocks) === 1)
     assert(maxBlocksPerPartition(c.residentPackedPq.get.blocks) === 1)
-    // SQ slabs are cell-tagged inside rows-sized partitions: compaction
-    // folds generations to ONE slab per (partition, cell)
+    // SQ slabs are cell-tagged; the default layout is one partition per
+    // cell (grouped layouts via the explicit numParts knob may hold
+    // several cells per partition) — compaction folds generations to ONE
+    // slab per (partition, cell)
     assert(c.residentPackedSq.get.blocks.mapPartitions { it =>
       val cells = it.map(_.cell).toSeq
       Iterator.single(cells.distinct.size == cells.size)

@@ -142,6 +142,24 @@ class FilterDSLSpec extends SparkSpec {
     Custom(udf((s: String) => s != null).apply(col("name")))
   }
 
+  test("Custom rejects a session-registered non-deterministic UDF invoked by name") {
+    import org.apache.spark.sql.functions._
+    // the r12-verdict side door: a session-registered asNondeterministic()
+    // UDF called via expr("f(col)") is an UnresolvedFunction that is NOT
+    // in FunctionRegistry.builtin — the guard must consult the ACTIVE
+    // session's registry, not just builtins
+    spark.udf.register("graft_dice",
+      udf(() => scala.util.Random.nextBoolean()).asNondeterministic())
+    val e = intercept[IllegalArgumentException] { Custom(expr("graft_dice()")) }
+    assert(e.getMessage.contains("deterministic"))
+    // a session-registered DETERMINISTIC udf invoked by name constructs
+    spark.udf.register("graft_nonnull", udf((s: String) => s != null))
+    Custom(expr("graft_nonnull(name)"))
+    // and a name registered in NO registry is presumed deterministic —
+    // the authoritative failure surfaces at analysis, not construction
+    Custom(expr("graft_no_such_function(name)"))
+  }
+
   test("Custom fingerprints distinguish different closures over the same column") {
     import org.apache.spark.sql.functions._
     // two semantically DIFFERENT udf predicates whose default Column
