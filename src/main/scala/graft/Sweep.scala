@@ -597,18 +597,27 @@ object Sweep {
         s""""lp_s":${f"$lpS%.3f"},"lp_edges_per_s":${(mActual / lpS).toLong},""" +
         s""""pr_round_shuffle_mb":${f"$roundMb%.2f"},"floor_ms":${f"$floorMs%.2f"}}"""
     }
-    // node-sized-shuffle proof: 10x the edges over the SAME node set must
-    // not 10x the per-round shuffle (3x tolerance covers partial-agg fan
-    // and listener noise; edge-sized traffic would show ~10x)
+    // node-sized-shuffle proof, two halves:
+    //  (1) growth: 10x the edges over the SAME node set must NOT 10x the
+    //      per-round shuffle. Tolerance is 5x, not 10/3: the round's
+    //      partial-agg output is min(rows-per-partition, n) per partition
+    //      (map-side combine), which grows sublinearly until it SATURATES
+    //      at the node count — at 1M edges/100k nodes it has not yet
+    //      saturated, so up to ~4x growth is legitimate node-bounded
+    //      behavior, while edge-sized traffic would show ~10x;
+    //  (2) absolute: the per-round bytes stay within parts x nodes x a
+    //      generous 128 B/row — the bound that holds at ANY edge count.
     val (smallE, bigE) = (syntheticGraph(1000000L, 100000L),
       syntheticGraph(10000000L, 100000L))
     smallE.count(); bigE.count()
     val (roundSmall, roundBig) = (prRoundShuffle(smallE), prRoundShuffle(bigE))
     smallE.unpersist(blocking = true); bigE.unpersist(blocking = true)
-    val nodeSized = roundBig <= roundSmall * 3
+    val absBound = cpus.toLong * 100000L * 128L
+    val nodeSized = roundBig <= roundSmall * 5 && roundBig <= absBound
     require(nodeSized,
-      s"PageRank per-round shuffle grew ${roundBig.toDouble / roundSmall}x " +
-        "on 10x edges over the same nodes — edge-sized, not node-sized")
+      s"PageRank per-round shuffle $roundBig B " +
+        s"(${roundBig.toDouble / math.max(1L, roundSmall)}x the 1M-edge run, " +
+        s"abs bound $absBound B) — edge-sized, not node-sized")
 
     println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")},"graph_shapes":${graphEntries.mkString("{", ",", "}")},"graph_shuffle_node_sized":$nodeSized,"pr_round_shuffle_bytes_1m_edges":$roundSmall,"pr_round_shuffle_bytes_10m_edges_same_nodes":$roundBig}""")
     spark.stop()
