@@ -490,6 +490,33 @@ class DedupSpec extends SparkSpec {
     assert(spans(10L) === 1L) // one merged span covering 1..6
   }
 
+  test("dupNgramSpans plan: no count-distinct Expand, no redundant distinct exchange") {
+    import spark.implicits._
+    // deterministic plan-shape proof of the r13 slimming (wall-clock at
+    // the 1M sweep rung is window-dominated on this box; shuffle structure
+    // is not): the >= 2-distinct-docs test is min!=max (a plain
+    // map-side-combinable aggregate — countDistinct would plan an Expand
+    // doubling the first shuffle), and the dupKeys join output carries no
+    // distinct (one n-gram per (doc, start) x unique keys = no fan-out).
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"w${i % 7} common a b c d w${i % 5} tail$i")).toDF("doc_id", "text")
+    val plan = Dedup.dupNgramSpans(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan
+    def countNodes(p: org.apache.spark.sql.execution.SparkPlan,
+                   pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int =
+      p.collectWithSubqueries { case n if pred(n) => 1 }.sum
+    assert(countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]) === 0,
+      "count-distinct Expand crept back into the spans plan")
+    val exchanges = countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // two n-gram passes: dup-key agg (1) + join both sides (2) + doc
+    // window (1) + islands agg rides the window partitioning + final doc
+    // agg partials (1) = 5; a regression re-adding distinct or Expand
+    // pushes this up
+    assert(exchanges <= 5, s"spans plan grew to $exchanges exchanges")
+  }
+
   test("compactBuckets recovers a crashed swap before compacting") {
     import org.apache.hadoop.fs.Path
     val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
