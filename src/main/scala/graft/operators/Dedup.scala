@@ -294,8 +294,17 @@ object Dedup {
                  hotBucketMode: String = "star"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // the cached shingle relation carries only the TWO hashes of each
+    // shingle, never the string: h (32-bit md5, the signature math's
+    // domain — q28's emitted values depend on it) and h64 (the
+    // verification join key). Everything downstream — signatures, set
+    // sizes, intersection counts — reads hashes, so caching the ~25 B
+    // strings would only inflate the persisted footprint (~60% of it at
+    // the 1M sweep rung) and every scan over it.
     val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .withColumn("h", graft.functions.TextAnalysis.md5Hash32(col("shingle")))
+      .select(col("doc"),
+        graft.functions.TextAnalysis.md5Hash32(col("shingle")).as("h"),
+        xxhash64(col("shingle")).as("h64"))
       .persist()
     try {
       val minExprs = (0 until numHashes).map { i =>
@@ -305,16 +314,38 @@ object Dedup {
         .agg(minExprs.head, minExprs.tail: _*)
         .select(col("doc"),
           array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // band_sig is xxhash64 of the band's joined minima, NOT the joined
+      // string (~60 B at 4 rows/band): the banded self-join shuffles this
+      // key twice plus the bucket-count pass once, so an 8-byte key cuts
+      // that stage's bytes ~4x. A 64-bit band collision only ADDS a
+      // candidate pair, and every candidate is exactly verified below —
+      // no output can change (r13 probe at 200K docs: this + the hashed
+      // verification keys cut minhash shuffle bytes ~25% with identical
+      // pairs; the op's wall clock is tokenize/md5-CPU-bound on local[32],
+      // so the byte cut is a network-bound-cluster win, not a local one).
       val banded = sigs.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "band_sig")))
       val candidates = bandedPairCandidates(banded, Seq("band", "band_sig"),
         "doc", maxBucket, hotBucketMode, "minhashLsh")
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+      // verification is candidate-sided TWICE over: the shingle relation
+      // is semi-filtered to docs that appear in any candidate pair (AQE
+      // broadcasts the doc list when small — the common case, since
+      // candidates are the near-dup minority; when it isn't small the
+      // filter degrades to one extra doc-keyed exchange, never a wrong
+      // answer), and the intersection joins key on xxhash64(shingle)
+      // (8 B) instead of the shingle string (~25 B). n_inter is
+      // collision-exact to ~1e-15 per pair and every emitted jaccard is
+      // computed from these exact counts, same as before.
+      val candDocs = candidates.select(col("id_a").as("doc"))
+        .unionByName(candidates.select(col("id_b").as("doc"))).distinct()
+      val shv = sh.select(col("doc"), col("h64"))
+        .join(candDocs, Seq("doc"), "left_semi")
       val inter = candidates
-        .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
-        .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+        .join(shv.select(col("doc").as("id_a"), col("h64")), Seq("id_a"))
+        .join(shv.select(col("doc").as("id_b"), col("h64")), Seq("id_b", "h64"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
       val out = inter
         .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
