@@ -589,12 +589,20 @@ object Sweep {
         PropertyGraph.labelPropagation(edges, iterations = 5).count()
       }
       require(lpRows == nNodes, s"LP emitted $lpRows of $nNodes nodes")
+      // triangles: the degree-oriented wedge join is O(m^1.5) regardless
+      // of skew — this rung puts that claim on the hub-heavy power-law
+      // shape (block heads carry ~100x mean degree)
+      val (triS, triRows) = timed {
+        PropertyGraph.triangleCounts(edges).count()
+      }
+      require(triRows == nNodes, s"triangles emitted $triRows of $nNodes nodes")
       val roundMb = prRoundShuffle(edges) / 1e6
       edges.unpersist(blocking = true)
       s""""$m":{"nodes":$nNodes,"edges":$mActual,""" +
         s""""pagerank_s":${f"$prS%.3f"},"pagerank_edges_per_s":${(mActual / prS).toLong},""" +
         s""""cc_s":${f"$ccS%.3f"},"cc_edges_per_s":${(mActual / ccS).toLong},"cc_components":$ccComps,""" +
         s""""lp_s":${f"$lpS%.3f"},"lp_edges_per_s":${(mActual / lpS).toLong},""" +
+        s""""tri_s":${f"$triS%.3f"},"tri_edges_per_s":${(mActual / triS).toLong},""" +
         s""""pr_round_shuffle_mb":${f"$roundMb%.2f"},"floor_ms":${f"$floorMs%.2f"}}"""
     }
     // node-sized-shuffle proof, two halves:
