@@ -568,10 +568,19 @@ object Sweep {
     val graphEntries = graphShapes.map { case GraphShape(m, nNodes) =>
       val edges = syntheticGraph(m, nNodes)
       val mActual = edges.count()
+      // best-of-2 (the Bench protocol): a COLD first run pays the round's
+      // whole-stage-codegen JIT — measured 8.9 s cold vs 3.2-4.1 s warm on
+      // identical 1M-edge runs in one JVM, the exact bimodality the first
+      // three r13 windows showed — and the published number should be the
+      // steady state, like the vector rungs' explicit warm-up achieves
       def timed(body: => Long): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val rows = body
-        ((System.nanoTime() - t0) / 1e9, rows)
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = body
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val a = once(); val b = once()
+        (math.min(a._1, b._1), b._2)
       }
       // scheduling floor over the edge relation's partitions
       val floorT0 = System.nanoTime()
