@@ -75,8 +75,21 @@ object GraftCollection {
     case _: IllegalArgumentException => true // slab-format require()s
     case _: IllegalStateException => true // corrupt slab invariants
     case se: org.apache.spark.SparkException =>
-      // executor-side failures wrap the real cause — classify on it
-      se.getCause != null && sidecarLoadRecoverable(se.getCause)
+      // executor-side failures wrap the real cause — classify on it. On a
+      // real cluster the cause may not survive deserialization back to
+      // the driver (only its class name remains in the message string);
+      // fall back to scanning the message for the recoverable marker
+      // classes so a cluster-side load failure still triggers the cold
+      // rebuild that local-mode testing exercises. NPE/MatchError names
+      // in the message still propagate — they never match the list.
+      if (se.getCause != null) sidecarLoadRecoverable(se.getCause)
+      else {
+        val msg = Option(se.getMessage).getOrElse("")
+        Seq("java.io.IOException", "java.io.EOFException",
+          "java.io.FileNotFoundException",
+          "java.lang.IllegalArgumentException",
+          "java.lang.IllegalStateException").exists(msg.contains)
+      }
     case _ => false
   }
 }
@@ -1662,6 +1675,13 @@ final class GraftCollection(spark: SparkSession, dir: String,
   }
 
   def hasPackedSqIndex: Boolean = packedSqIdx.isDefined
+
+  /** Warm-start sidecar fallbacks this handle has paid (public read of
+    * the [[sidecarRebuilds]] gauge): a value > 1 on a handle that
+    * re-opens the SAME sidecar means the persisted slab format is
+    * persistently unreadable — the engine is silently paying a full cold
+    * pack on every open. Operator-visible without log scraping. */
+  def warmStartRebuilds: Int = sidecarRebuilds
 
   private[graft] def residentPackedSq: Option[PackedSq.PackedSqCorpus[String]] = packedSqIdx
 

@@ -504,12 +504,21 @@ object Sweep {
     // must stay within 3x — per-round traffic scales with the rank
     // vector, not the cached edge relation.
     case class GraphShape(edges: Long, nodes: Long)
+    val GraphComps = 16L
     val graphShapes = sys.env.get("SPARK_GRAFT_SWEEP_GRAPH_SHAPES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
-        val Array(e, v) = s.split(":"); GraphShape(e.toLong, v.toLong)
+        val Array(e, v) = s.split(":"); val shape = GraphShape(e.toLong, v.toLong)
+        // the planted-component construction needs nNodes to split into
+        // 16 equal blocks; a non-divisible count would truncate blockSize
+        // and produce a 17th backbone segment, failing the CC assertion
+        // with a misleading "correctness" message (and nNodes < 16 would
+        // divide by zero in the generator)
+        require(shape.nodes >= GraphComps && shape.nodes % GraphComps == 0,
+          s"graph shape $s: node count must be a positive multiple of " +
+            s"$GraphComps (planted-component construction)")
+        shape
       }.toSeq)
       .getOrElse(Seq(GraphShape(1000000L, 100000L), GraphShape(10000000L, 1000000L)))
-    val GraphComps = 16L
 
     def shuffleBytesDuring[T](body: => T): (T, Long) = {
       val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -630,11 +639,23 @@ object Sweep {
     val (roundSmall, roundBig) = (prRoundShuffle(smallE), prRoundShuffle(bigE))
     smallE.unpersist(blocking = true); bigE.unpersist(blocking = true)
     val absBound = cpus.toLong * 100000L * 128L
-    val nodeSized = roundBig <= roundSmall * 5 && roundBig <= absBound
+    // if the small-graph measurement degenerated to 0 (listener events
+    // lost inside the settle deadline, or b5 <= b1 under noise — both
+    // clamped by max(0,_)), the growth ratio is meaningless: fall back to
+    // the absolute bound alone (the bound that holds at ANY edge count)
+    // rather than aborting the sweep with an edge-sized verdict
+    val nodeSized =
+      if (roundSmall == 0L) roundBig <= absBound
+      else roundBig <= roundSmall * 5 && roundBig <= absBound
     require(nodeSized,
-      s"PageRank per-round shuffle $roundBig B " +
-        s"(${roundBig.toDouble / math.max(1L, roundSmall)}x the 1M-edge run, " +
-        s"abs bound $absBound B) — edge-sized, not node-sized")
+      if (roundSmall == 0L)
+        s"PageRank per-round shuffle probe: 1M-edge measurement read 0 B " +
+          s"(listener measurement failed) and the 10M-edge run $roundBig B " +
+          s"exceeds the absolute node-sized bound $absBound B"
+      else
+        s"PageRank per-round shuffle $roundBig B " +
+          s"(${roundBig.toDouble / roundSmall}x the 1M-edge run, " +
+          s"abs bound $absBound B) — edge-sized, not node-sized")
 
     println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")},"graph_shapes":${graphEntries.mkString("{", ",", "}")},"graph_shuffle_node_sized":$nodeSized,"pr_round_shuffle_bytes_1m_edges":$roundSmall,"pr_round_shuffle_bytes_10m_edges_same_nodes":$roundBig}""")
     spark.stop()

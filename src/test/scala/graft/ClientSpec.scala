@@ -621,7 +621,9 @@ class ClientSpec extends SparkSpec {
     java.nio.file.Files.write(part.toPath, Array.fill[Byte](64)(0x42))
     val reopened = new GraftClient(spark, root, 16).getCollection("sqcorrupt")
     reopened.buildPackedSqIndex() // one warn + cold rebuild, NOT a crash
-    assert(reopened.sidecarRebuilds === 1,
+    // gauge read through the PUBLIC facade (r13 verdict: operators must
+    // see a persistent format problem without reflection or log scraping)
+    assert(reopened.warmStartRebuilds === 1,
       "a corrupt sidecar must pay exactly one counted rebuild")
     assert(rrid(reopened.packedSqQuery(q, k = 5, nProbe = 4)) === exact)
     // the classifier: load/format failures fall back...
@@ -630,11 +632,17 @@ class ClientSpec extends SparkSpec {
     assert(sidecarLoadRecoverable(new IllegalArgumentException("slab require")))
     assert(sidecarLoadRecoverable(new org.apache.spark.SparkException(
       "task failed", new java.io.EOFException("truncated slab"))))
+    // a cluster-side failure whose cause did not survive deserialization:
+    // only the class NAME remains in the message — still recoverable
+    assert(sidecarLoadRecoverable(new org.apache.spark.SparkException(
+      "Task failed: java.io.EOFException: truncated slab at offset 64")))
     // ...while genuine bugs PROPAGATE (r12 finding: the old blanket catch
     // would silently pay the full cold pack on every open, forever)
     assert(!sidecarLoadRecoverable(new NullPointerException("bug")))
     assert(!sidecarLoadRecoverable(new org.apache.spark.SparkException(
       "task failed", new NullPointerException("bug"))))
+    assert(!sidecarLoadRecoverable(new org.apache.spark.SparkException(
+      "Task failed: java.lang.NullPointerException at Foo.bar")))
     assert(!sidecarLoadRecoverable(new MatchError("bug")))
   }
 
