@@ -67,6 +67,13 @@ object Dedup {
     finally { if (prev == null) hotBucketScope.remove() else hotBucketScope.set(prev) }
   }
 
+  /** Regime the LAST [[minhashLsh]] call's verification semi-filter took
+    * on this JVM: Some("broadcast") (doc list broadcast — the common
+    * case) or Some("skipped") (candidate docs exceeded
+    * `maxSemiFilterDocs`, filter elided — the all-dup corpus). Spec
+    * observability only; both regimes emit identical pairs. */
+  @volatile private[graft] var lastSemiFilterRegime: Option[String] = None
+
   /** Cumulative degradation per op since JVM start / last reset; empty =
     * every banded pass since then was exact all-pairs. For per-run
     * attribution under concurrency use [[withHotBucketScope]]. */
@@ -155,15 +162,28 @@ object Dedup {
   def minhashA(i: Int): Long = 1L + 2L * i
   def minhashB(i: Int): Long = (7919L * i) % MinhashP
 
+  /** Multiplier of the mod-[[MinhashP]] rolling combine that turns
+    * per-token md5-32 hashes into a shingle's signature-domain hash
+    * (r14: replaces md5 of the joined shingle STRING — same 31-bit
+    * domain, but no n-gram string is ever built and md5 runs over single
+    * tokens once each). DuckDB replays it exactly: acc < P ~2^31,
+    * acc*A + t < 2^31 * 2^20 + 2^32 << 2^63, so plain BIGINT arithmetic
+    * never overflows on either engine. */
+  val MinhashTokenA: Long = 1000003L
+
   /** MinHash signature: (doc_id, sig: array<long>[numHashes]) over token
-    * n-gram shingles. Empty-shingle docs get sig of all P (sentinel).
-    * No distinct pass: duplicate shingles cannot change a min, and the
-    * per-row array_distinct is quadratic in shingle count. */
+    * n-gram shingles, hashed per-token (see
+    * [[TextAnalysis.hashedShingleStructs]] — the signature domain is the
+    * mod-P token-hash fold, replayed verbatim by the q28/q29 oracles).
+    * Empty-shingle docs get sig of all P (sentinel). No distinct pass:
+    * duplicate shingles cannot change a min, and the per-row
+    * array_distinct is quadratic in shingle count. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
-        explode_outer(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
-      .withColumn("h", TextAnalysis.md5Hash32(col("shingle")))
+        explode_outer(TextAnalysis.hashedShingleStructs(col(textCol), shingleN,
+          MinhashTokenA, MinhashP, distinct = false)).as("_s"))
+      .withColumn("h", col("_s").getField("h"))
     val minExprs = (0 until numHashes).map { i =>
       min(when(col("h").isNotNull,
         pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP)))
@@ -291,20 +311,26 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                  threshold: Double = 0.5, maxBucket: Int = 8192,
-                 hotBucketMode: String = "star"): DataFrame = {
+                 hotBucketMode: String = "star",
+                 maxSemiFilterDocs: Long = 250000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // the cached shingle relation carries only the TWO hashes of each
-    // shingle, never the string: h (32-bit md5, the signature math's
-    // domain — q28's emitted values depend on it) and h64 (the
-    // verification join key). Everything downstream — signatures, set
-    // sizes, intersection counts — reads hashes, so caching the ~25 B
-    // strings would only inflate the persisted footprint (~60% of it at
-    // the 1M sweep rung) and every scan over it.
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("doc"),
-        graft.functions.TextAnalysis.md5Hash32(col("shingle")).as("h"),
-        xxhash64(col("shingle")).as("h64"))
+    // shingle, never the string: h (the signature math's domain — q28/
+    // q29's emitted values depend on it: a mod-P fold of per-token md5-32
+    // hashes, NOT md5 of the joined string, so no shingle string is ever
+    // BUILT either — the r13 profile put the 1M rung's CPU bound on
+    // exactly that concat+hash) and h64 (the collision-safe ~2^-64/pair
+    // distinct/verification key, xxhash64 over the window's token hashes).
+    // Everything downstream — signatures, set sizes, intersection counts
+    // — reads hashes, so caching the ~25 B strings would only inflate the
+    // persisted footprint (~60% of it at the 1M sweep rung) and every
+    // scan over it.
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(graft.functions.TextAnalysis.hashedShingleStructs(
+          col(textCol), shingleN, MinhashTokenA, MinhashP)).as("_s"))
+      .select(col("doc"), col("_s").getField("h").as("h"),
+        col("_s").getField("h64").as("h64"))
       .persist()
     try {
       val minExprs = (0 until numHashes).map { i =>
@@ -331,18 +357,36 @@ object Dedup {
         "doc", maxBucket, hotBucketMode, "minhashLsh")
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
       // verification is candidate-sided TWICE over: the shingle relation
-      // is semi-filtered to docs that appear in any candidate pair (AQE
-      // broadcasts the doc list when small — the common case, since
-      // candidates are the near-dup minority; when it isn't small the
-      // filter degrades to one extra doc-keyed exchange, never a wrong
-      // answer), and the intersection joins key on xxhash64(shingle)
-      // (8 B) instead of the shingle string (~25 B). n_inter is
-      // collision-exact to ~1e-15 per pair and every emitted jaccard is
-      // computed from these exact counts, same as before.
+      // is semi-filtered to docs that appear in any candidate pair, and
+      // the intersection joins key on the 8 B h64 instead of the shingle
+      // string (~25 B). n_inter is collision-exact to ~1e-15 per pair and
+      // every emitted jaccard is computed from these exact counts.
+      //
+      // The semi-filter's regime is EXPLICIT (r13 verdict: relying on AQE
+      // meant a heavily-duplicated corpus silently degraded to one extra
+      // doc-keyed exchange of the full shingle relation — the very
+      // traffic the filter exists to remove). candidates is already
+      // checkpointed, so counting its distinct docs is one cheap job:
+      //  - count <= maxSemiFilterDocs (the common case — near-dups are a
+      //    corpus minority): broadcast() the doc list, which FORCES a
+      //    BroadcastHashJoin LeftSemi; the filter only ever pays a
+      //    broadcast, never an exchange.
+      //  - count > maxSemiFilterDocs (an all-dup corpus): SKIP the filter
+      //    entirely. In that regime candDocs ~ the whole corpus, so the
+      //    filter removes almost nothing — unfiltered verification (the
+      //    pre-filter plan shape) is the bound, not a regression.
+      // Either way the answer is identical; DedupSpec asserts both
+      // regimes emit the same pairs.
       val candDocs = candidates.select(col("id_a").as("doc"))
         .unionByName(candidates.select(col("id_b").as("doc"))).distinct()
-      val shv = sh.select(col("doc"), col("h64"))
-        .join(candDocs, Seq("doc"), "left_semi")
+      val nCandDocs = candDocs.count()
+      lastSemiFilterRegime =
+        if (nCandDocs <= maxSemiFilterDocs) Some("broadcast") else Some("skipped")
+      val shv =
+        if (nCandDocs <= maxSemiFilterDocs)
+          sh.select(col("doc"), col("h64"))
+            .join(broadcast(candDocs), Seq("doc"), "left_semi")
+        else sh.select(col("doc"), col("h64"))
       val inter = candidates
         .join(shv.select(col("doc").as("id_a"), col("h64")), Seq("id_a"))
         .join(shv.select(col("doc").as("id_b"), col("h64")), Seq("id_b", "h64"))
@@ -686,13 +730,16 @@ object Dedup {
     * boilerplate, so a pipeline can cut the span and keep the document.
     *
     * Plan shape (no suffix array needed):
-    *  1. each pass emits (doc, start, xxhash64(n-gram)) — the 8-byte hash
-    *     is the join/group key, so long n-gram strings never shuffle (and
-    *     the key is 4x smaller than the md5-hex it replaced; a 64-bit
-    *     collision falsely flagging one n-gram needs ~2^32 distinct
-    *     n-grams per corpus — at 33M n-grams/1M docs the odds are ~3e-5
-    *     for ONE extra span edge, noise next to the n-gram heuristic
-    *     itself);
+    *  1. each pass emits (doc, start, key64) where key64 is xxhash64
+    *     over the window's per-token xxhash64 values
+    *     ([[TextAnalysis.tokenNgramKeys64]]) — no n-gram STRING is ever
+    *     built (r14: the concat_ws+hash build was the 1M rung's CPU
+    *     bound; tokens now hash once each and every window key is one
+    *     n-arg xxhash64 combine), and the 8-byte key never ships long
+    *     strings through the shuffle. Collision odds are unchanged from
+    *     hashing the string (~2^-64 per window pair) — at 33M n-grams/1M
+    *     docs ~3e-5 for ONE extra span edge, noise next to the n-gram
+    *     heuristic itself;
     *  2. cross-doc n-grams = one groupBy on the hash keeping keys with
     *     min(doc) != max(doc) — equivalent to countDistinct(doc) >= 2 but
     *     a PLAIN map-side-combinable aggregate, not the Expand +
@@ -715,15 +762,15 @@ object Dedup {
     require(n >= 2, s"span n-gram order must be >= 2: $n")
     val w = org.apache.spark.sql.expressions.Window
     val tk = docs.select(col(idCol), Bm25.tokenize(col(textCol)).as("_tk"))
-    // 1-based n-gram start positions, md5-keyed (positions stay with the
-    // row). The doc's token count rides along so there is no separate
-    // totals scan or join — every output doc has >= 1 n-gram, and for
-    // those total_tokens is recoverable from any n-gram row.
+    // 1-based n-gram start positions, rolling-hash-keyed (positions stay
+    // with the row). The doc's token count rides along so there is no
+    // separate totals scan or join — every output doc has >= 1 n-gram,
+    // and for those total_tokens is recoverable from any n-gram row.
     val ng = tk.where(size(col("_tk")) >= n)
-      .select(col(idCol), size(col("_tk")).cast("long").as("_len"), posexplode(expr(
-        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', slice(_tk, i, $n)))")))
+      .select(col(idCol), size(col("_tk")).cast("long").as("_len"),
+        posexplode(TextAnalysis.tokenNgramKeys64(col("_tk"), n)))
       .select(col(idCol), col("_len"), (col("pos") + 1).as("_start"),
-        xxhash64(col("col")).as("_key"))
+        col("col").as("_key"))
     val dupKeys = ng.groupBy(col("_key"))
       .agg(min(col(idCol)).as("_d0"), max(col(idCol)).as("_d1"))
       .where(col("_d0") =!= col("_d1")).select(col("_key"))

@@ -956,6 +956,21 @@ object QueriesText {
     .map(i => s"(${i}, ${Dedup.minhashA(i)}, ${Dedup.minhashB(i)})")
     .mkString(", ")
 
+  /** Signature-domain hash of each distinct shingle, replaying the
+    * engine's PER-TOKEN fold (Dedup.MinhashTokenA / MinhashP — the engine
+    * never builds the shingle string; the oracle recovers the tokens by
+    * splitting the joined shingle, which is lossless because the token
+    * split class admits no spaces). Every intermediate stays below 2^63,
+    * so plain BIGINT arithmetic matches the engine exactly. */
+  private val shingleHashCte =
+    s"""h AS (
+       |  SELECT doc_id,
+       |         ((((t[1] % ${Dedup.MinhashP}) * ${Dedup.MinhashTokenA} + t[2]) % ${Dedup.MinhashP})
+       |           * ${Dedup.MinhashTokenA} + t[3]) % ${Dedup.MinhashP} AS hv
+       |  FROM (SELECT doc_id, list_transform(string_split(shingle, ' '),
+       |               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS t
+       |        FROM sh))""".stripMargin
+
   private val bm25Cte =
     s"""doclen AS (SELECT doc_id, len(tk) AS doc_len FROM toks),
        |stats AS (SELECT count(*) AS n, avg(doc_len) AS avg_len FROM doclen),
@@ -1554,7 +1569,7 @@ object QueriesText {
       s"""WITH $nearDupCorpusSql,
          |$tokCte,
          |$shingleCte,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+         |$shingleHashCte,
          |sig AS (
          |  SELECT doc_id,
          |    min((${Dedup.minhashA(0)} * hv + ${Dedup.minhashB(0)}) % ${Dedup.MinhashP}) AS m0,
@@ -1571,7 +1586,7 @@ object QueriesText {
       s"""WITH $nearDupCorpusSql,
          |$tokCte,
          |$shingleCte,
-         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+         |$shingleHashCte,
          |perms(i, a, b) AS (VALUES $permValues),
          |mins AS (
          |  SELECT h.doc_id, p.i, min((p.a * h.hv + p.b) % ${Dedup.MinhashP}) AS m

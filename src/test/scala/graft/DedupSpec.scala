@@ -60,6 +60,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("token-hash shingle signature domain matches the md5-per-token fold (oracle parity)") {
+    // independent JVM re-derivation of the signature-domain hash: md5-32
+    // per token, then the mod-P rolling combine — exactly what the q28/
+    // q29 DuckDB oracles inline in BIGINT arithmetic
+    def md5h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val expected = (0 to 1).map { i =>
+      toks.slice(i, i + 3).foldLeft(0L)((a, t) =>
+        Math.floorMod(a * Dedup.MinhashTokenA + md5h32(t), Dedup.MinhashP))
+    }.toSet
+    val got = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      .select(explode(graft.functions.TextAnalysis.hashedShingleStructs(
+        col("text"), 3, Dedup.MinhashTokenA, Dedup.MinhashP)).as("s"))
+      .select(col("s.h")).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("minhash semi-filter: broadcast in the common regime, skipped when candidates exceed the bound — identical pairs") {
+    // common regime: candidate docs are a minority -> the verification
+    // semi-filter rides an explicit broadcast() hint (which FORCES a
+    // BroadcastHashJoin LeftSemi — no AQE dependence, no exchange)
+    val viaBroadcast = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Dedup.lastSemiFilterRegime === Some("broadcast"),
+      "sweep-like dup rates must take the broadcast regime")
+    // degenerate regime (all-dup corpus): the filter is SKIPPED, never
+    // degraded to a doc-keyed exchange of the full shingle relation —
+    // and the answer is byte-identical
+    val viaSkip = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
+        maxSemiFilterDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Dedup.lastSemiFilterRegime === Some("skipped"))
+    assert(viaSkip === viaBroadcast,
+      "both semi-filter regimes must emit identical verified pairs")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("ngram jaccard is the exact superset of LSH results") {
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
