@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -115,55 +116,28 @@ object TextAnalysis {
       }), 1)
 
   /** 64-bit hash keys of token n-grams, one per start position (order
-    * preserved, NO distinct): `xxhash64(th[i], ..., th[i+n-1])` over the
-    * per-token xxhash64 array — `n` is known at plan build, so the
-    * combiner is one varargs xxhash64 call (codegen'd, no overflow under
-    * ANSI mode, standard ~2^-64 pairwise collisions). No n-gram string
-    * ever materializes — the r13 profile showed the 1M-doc dedup rungs
-    * CPU-bound on exactly the `concat_ws` + hash build this replaces:
-    * tokens are hashed ONCE per document (not n times via the windows
-    * containing them). Token-hash arrays are bound as lambda variables
-    * (the [[shingles]] once-per-row pattern). */
+    * preserved, NO distinct) — the [[TokenNgramKeys64]] kernel: hash each
+    * token once with xxhash64, combine each window with the builtin
+    * varargs xxhash64 chain, all in one primitive loop per row. No n-gram
+    * string ever materializes (the r13 profile showed the 1M-doc dedup
+    * rungs CPU-bound on exactly the `concat_ws` + hash build this
+    * replaces), and no per-element interpreted lambdas either (a
+    * higher-order-function version measured ~15% SLOWER than the string
+    * build on a matched-floor interleaved A/B). */
   def tokenNgramKeys64(tk: Column, n: Int): Column =
-    element_at(transform(array(transform(tk, t => xxhash64(t))), th => {
-      val count = size(th) - (n - 1)
-      when(count > 0, transform(sequence(lit(1), count),
-        i => xxhash64((0 until n).map(j => element_at(th, i + lit(j))): _*)))
-        .otherwise(array().cast("array<bigint>"))
-    }), 1)
+    Bridge.column(TokenNgramKeys64(Bridge.expression(tk), n))
 
-  /** DISTINCT hashed token-n-gram shingles as `array<struct<h64, h>>`,
-    * built without materializing any shingle string (r13 verdict: the
-    * string build dominated the 1M minhash rung's CPU):
-    *
-    *  - `h64`: `xxhash64` over the window's per-token xxhash64 values —
-    *    the collision-safe (~2^-64/pair) distinct/join key;
-    *  - `h`: mod-`sigMod` fold `acc * sigMul + md5Hash32(token)` — the
-    *    minhash SIGNATURE domain, chosen so an ANSI-SQL oracle replays it
-    *    exactly (md5 per token, then pure BIGINT arithmetic: every
-    *    intermediate stays below 2^52 for sigMod ~2^31, sigMul ~2^20 —
-    *    ANSI-overflow-safe on both engines).
-    *
-    * Each hash is computed once per TOKEN, not once per shingle
-    * occurrence; `distinct = false` skips the per-row distinct for
-    * callers where duplicates are harmless (min-aggregation). */
-  def hashedShingleStructs(textCol: Column, n: Int, sigMul: Long,
-                           sigMod: Long, distinct: Boolean = true): Column =
-    element_at(transform(array(tokens(textCol)), tkb =>
-      element_at(transform(array(struct(
-          transform(tkb, t => xxhash64(t)).as("r"),
-          transform(tkb, t => md5Hash32(t)).as("m"))), s => {
-        val th64 = s.getField("r")
-        val th32 = s.getField("m")
-        val count = size(th64) - (n - 1)
-        val keys = transform(sequence(lit(1), count), i =>
-          struct(
-            xxhash64((0 until n).map(j => element_at(th64, i + lit(j))): _*).as("h64"),
-            aggregate(slice(th32, i, lit(n)), lit(0L),
-              (a, h) => pmod(a * lit(sigMul) + h, lit(sigMod))).as("h")))
-        when(count > 0, if (distinct) array_distinct(keys) else keys)
-          .otherwise(array().cast("array<struct<h64:bigint,h:bigint>>"))
-      }), 1)), 1)
+  /** Whole per-document minhash signature as `array<long>` — the
+    * [[MinhashSignatureExpr]] kernel. The signature domain is the
+    * mod-`sigMod` fold `acc * sigMul + md5Hash32(token)` over each window
+    * (see [[NgramHashKernels]]) — replayed exactly by an ANSI-SQL oracle
+    * (md5 per token, then pure BIGINT arithmetic; every intermediate
+    * stays below 2^52 for sigMod ~2^31, sigMul ~2^20). Windowless
+    * documents get the all-`sigMod` sentinel; null text stays null. */
+  def minhashSignature(textCol: Column, n: Int, sigMul: Long, sigMod: Long,
+                       a: Seq[Long], b: Seq[Long]): Column =
+    Bridge.column(MinhashSignatureExpr(Bridge.expression(tokens(textCol)),
+      n, sigMul, sigMod, a, b))
 
   /** Overlapping token-window chunks for embedding pipelines: windows of
     * `size` tokens advancing by `stride` (stride < size = overlap), last

@@ -172,27 +172,22 @@ object Dedup {
   val MinhashTokenA: Long = 1000003L
 
   /** MinHash signature: (doc_id, sig: array<long>[numHashes]) over token
-    * n-gram shingles, hashed per-token (see
-    * [[TextAnalysis.hashedShingleStructs]] — the signature domain is the
+    * n-gram shingles — ONE per-row kernel call
+    * ([[TextAnalysis.minhashSignature]]; the signature domain is the
     * mod-P token-hash fold, replayed verbatim by the q28/q29 oracles).
-    * Empty-shingle docs get sig of all P (sentinel). No distinct pass:
-    * duplicate shingles cannot change a min, and the per-row
-    * array_distinct is quadratic in shingle count. */
+    * A signature is a pure per-document function, so the old
+    * explode-shingles + 32-column groupBy shape paid a corpus-sized
+    * relation, its persist, and a hash-agg pass for something the scan
+    * can compute in place — this is ZERO-shuffle. Empty-shingle and
+    * null-text docs get sig of all P (sentinel). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode_outer(TextAnalysis.hashedShingleStructs(col(textCol), shingleN,
-          MinhashTokenA, MinhashP, distinct = false)).as("_s"))
-      .withColumn("h", col("_s").getField("h"))
-    val minExprs = (0 until numHashes).map { i =>
-      min(when(col("h").isNotNull,
-        pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP)))
-      ).as(s"m$i")
-    }
-    sh.groupBy(col(idCol))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => coalesce(col(s"m$i"), lit(MinhashP))): _*).as("sig"))
+    val a = (0 until numHashes).map(minhashA)
+    val b = (0 until numHashes).map(minhashB)
+    docs.select(col(idCol),
+      coalesce(
+        TextAnalysis.minhashSignature(col(textCol), shingleN, MinhashTokenA, MinhashP, a, b),
+        array((0 until numHashes).map(_ => lit(MinhashP)): _*)).as("sig"))
   }
 
   /** Candidate (id_a, id_b) pairs from a banded relation, with the one
@@ -315,81 +310,75 @@ object Dedup {
                  maxSemiFilterDocs: Long = 250000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // the cached shingle relation carries only the TWO hashes of each
-    // shingle, never the string: h (the signature math's domain — q28/
-    // q29's emitted values depend on it: a mod-P fold of per-token md5-32
-    // hashes, NOT md5 of the joined string, so no shingle string is ever
-    // BUILT either — the r13 profile put the 1M rung's CPU bound on
-    // exactly that concat+hash) and h64 (the collision-safe ~2^-64/pair
-    // distinct/verification key, xxhash64 over the window's token hashes).
-    // Everything downstream — signatures, set sizes, intersection counts
-    // — reads hashes, so caching the ~25 B strings would only inflate the
-    // persisted footprint (~60% of it at the 1M sweep rung) and every
-    // scan over it.
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(graft.functions.TextAnalysis.hashedShingleStructs(
-          col(textCol), shingleN, MinhashTokenA, MinhashP)).as("_s"))
-      .select(col("doc"), col("_s").getField("h").as("h"),
-        col("_s").getField("h64").as("h64"))
+    // Pass 1 — signatures, ZERO shuffle: the full signature is a pure
+    // per-document function ([[minhashSignatures]]), so no shingle
+    // relation is materialized, persisted, or re-aggregated for it (the
+    // old explode + 32-column groupBy shape paid a corpus-sized exploded
+    // relation and a hash-agg pass; an interleaved matched-floor A/B
+    // showed the per-row hash CPU was never the bound — the relation
+    // machinery was). Windowless/null-text docs carry a NULL signature
+    // and are dropped by the banding generator itself (posexplode of a
+    // null array emits nothing) — a post-hoc sentinel Filter would be
+    // alias-substituted below the projection by predicate pushdown and
+    // run the kernel twice per row; and keeping empty docs would flood
+    // one band bucket with spurious all-empty candidates.
+    val a = (0 until numHashes).map(minhashA)
+    val b = (0 until numHashes).map(minhashB)
+    val sigs = docs.select(col(idCol).as("doc"),
+      TextAnalysis.minhashSignature(col(textCol), shingleN,
+        MinhashTokenA, MinhashP, a, b).as("sig"))
+    // band_sig is xxhash64 of the band's joined minima (~8 B key): the
+    // banded self-join shuffles this key twice plus the bucket-count pass
+    // once. A 64-bit band collision only ADDS a candidate pair, and every
+    // candidate is exactly verified below — no output can change.
+    val banded = sigs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(concat_ws(",", slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "band_sig")))
+    val candidates = bandedPairCandidates(banded, Seq("band", "band_sig"),
+      "doc", maxBucket, hotBucketMode, "minhashLsh")
+    // Pass 2 — exact verification, CANDIDATE-sided from the first byte:
+    // the corpus is re-scanned (cheaper than persisting an exploded
+    // n-gram stream at any real scale — the dupNgramSpans argument), the
+    // candidate-doc filter applies BEFORE the explode, and the exploded
+    // keys are the 8 B h64 window hashes (distinct per doc via the
+    // primitive-array fast path). n_inter is collision-exact to ~1e-15
+    // per pair and every emitted jaccard is computed from these exact
+    // counts.
+    //
+    // The filter's regime is EXPLICIT (r13 verdict: relying on AQE meant
+    // a heavily-duplicated corpus silently degraded to one extra
+    // doc-keyed exchange — here it would be the full corpus EXPLODE).
+    // candidates is already checkpointed, so counting its distinct docs
+    // is one cheap job:
+    //  - count <= maxSemiFilterDocs (the common case — near-dups are a
+    //    corpus minority): broadcast() the doc list, which FORCES a
+    //    BroadcastHashJoin LeftSemi; only the candidate minority is ever
+    //    tokenized again or exploded.
+    //  - count > maxSemiFilterDocs (an all-dup corpus): SKIP the filter.
+    //    In that regime candDocs ~ the whole corpus, so it removes almost
+    //    nothing — whole-corpus verification is the bound, not a
+    //    regression.
+    // Either way the answer is identical; DedupSpec asserts both regimes
+    // emit the same pairs.
+    val candDocs = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
+    val nCandDocs = candDocs.count()
+    lastSemiFilterRegime =
+      if (nCandDocs <= maxSemiFilterDocs) Some("broadcast") else Some("skipped")
+    val candCorpus =
+      if (nCandDocs <= maxSemiFilterDocs)
+        docs.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      else docs
+    val sh = candCorpus.select(col(idCol).as("doc"),
+        explode(array_distinct(TextAnalysis.tokenNgramKeys64(
+          TextAnalysis.tokens(col(textCol)), shingleN))).as("h64"))
       .persist()
     try {
-      val minExprs = (0 until numHashes).map { i =>
-        min(pmod(lit(minhashA(i)) * col("h") + lit(minhashB(i)), lit(MinhashP))).as(s"m$i")
-      }
-      val sigs = sh.groupBy(col("doc"))
-        .agg(minExprs.head, minExprs.tail: _*)
-        .select(col("doc"),
-          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      // band_sig is xxhash64 of the band's joined minima, NOT the joined
-      // string (~60 B at 4 rows/band): the banded self-join shuffles this
-      // key twice plus the bucket-count pass once, so an 8-byte key cuts
-      // that stage's bytes ~4x. A 64-bit band collision only ADDS a
-      // candidate pair, and every candidate is exactly verified below —
-      // no output can change (r13 probe at 200K docs: this + the hashed
-      // verification keys cut minhash shuffle bytes ~25% with identical
-      // pairs; the op's wall clock is tokenize/md5-CPU-bound on local[32],
-      // so the byte cut is a network-bound-cluster win, not a local one).
-      val banded = sigs.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as(Seq("band", "band_sig")))
-      val candidates = bandedPairCandidates(banded, Seq("band", "band_sig"),
-        "doc", maxBucket, hotBucketMode, "minhashLsh")
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-      // verification is candidate-sided TWICE over: the shingle relation
-      // is semi-filtered to docs that appear in any candidate pair, and
-      // the intersection joins key on the 8 B h64 instead of the shingle
-      // string (~25 B). n_inter is collision-exact to ~1e-15 per pair and
-      // every emitted jaccard is computed from these exact counts.
-      //
-      // The semi-filter's regime is EXPLICIT (r13 verdict: relying on AQE
-      // meant a heavily-duplicated corpus silently degraded to one extra
-      // doc-keyed exchange of the full shingle relation — the very
-      // traffic the filter exists to remove). candidates is already
-      // checkpointed, so counting its distinct docs is one cheap job:
-      //  - count <= maxSemiFilterDocs (the common case — near-dups are a
-      //    corpus minority): broadcast() the doc list, which FORCES a
-      //    BroadcastHashJoin LeftSemi; the filter only ever pays a
-      //    broadcast, never an exchange.
-      //  - count > maxSemiFilterDocs (an all-dup corpus): SKIP the filter
-      //    entirely. In that regime candDocs ~ the whole corpus, so the
-      //    filter removes almost nothing — unfiltered verification (the
-      //    pre-filter plan shape) is the bound, not a regression.
-      // Either way the answer is identical; DedupSpec asserts both
-      // regimes emit the same pairs.
-      val candDocs = candidates.select(col("id_a").as("doc"))
-        .unionByName(candidates.select(col("id_b").as("doc"))).distinct()
-      val nCandDocs = candDocs.count()
-      lastSemiFilterRegime =
-        if (nCandDocs <= maxSemiFilterDocs) Some("broadcast") else Some("skipped")
-      val shv =
-        if (nCandDocs <= maxSemiFilterDocs)
-          sh.select(col("doc"), col("h64"))
-            .join(broadcast(candDocs), Seq("doc"), "left_semi")
-        else sh.select(col("doc"), col("h64"))
       val inter = candidates
-        .join(shv.select(col("doc").as("id_a"), col("h64")), Seq("id_a"))
-        .join(shv.select(col("doc").as("id_b"), col("h64")), Seq("id_b", "h64"))
+        .join(sh.select(col("doc").as("id_a"), col("h64")), Seq("id_a"))
+        .join(sh.select(col("doc").as("id_b"), col("h64")), Seq("id_b", "h64"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
       val out = inter
         .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))

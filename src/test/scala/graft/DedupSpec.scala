@@ -60,23 +60,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
-  test("token-hash shingle signature domain matches the md5-per-token fold (oracle parity)") {
-    // independent JVM re-derivation of the signature-domain hash: md5-32
-    // per token, then the mod-P rolling combine — exactly what the q28/
-    // q29 DuckDB oracles inline in BIGINT arithmetic
+  test("minhash signature kernel matches the md5-per-token fold (oracle parity)") {
+    // independent JVM re-derivation of the whole signature: md5-32 per
+    // token, the mod-P rolling combine per window, then the permutation
+    // minima — exactly what the q28/q29 DuckDB oracles inline in BIGINT
+    // arithmetic
     def md5h32(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
     val toks = Seq("alpha", "beta", "gamma", "delta")
-    val expected = (0 to 1).map { i =>
+    val hs = (0 to 1).map { i =>
       toks.slice(i, i + 3).foldLeft(0L)((a, t) =>
         Math.floorMod(a * Dedup.MinhashTokenA + md5h32(t), Dedup.MinhashP))
-    }.toSet
-    val got = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
-      .select(explode(graft.functions.TextAnalysis.hashedShingleStructs(
-        col("text"), 3, Dedup.MinhashTokenA, Dedup.MinhashP)).as("s"))
-      .select(col("s.h")).collect().map(_.getLong(0)).toSet
+    }
+    val expected = (0 until 32).map { p =>
+      hs.map(h => (Dedup.minhashA(p) * h + Dedup.minhashB(p)) % Dedup.MinhashP).min
+    }
+    val got = Dedup.minhashSignatures(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getSeq[Long](1)
     assert(got === expected)
+    // windowless and null-text docs take the all-P sentinel
+    val sent = Dedup.minhashSignatures(
+        Seq((1L, "just two"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(_.getSeq[Long](1)).toSeq
+    assert(sent.forall(_.forall(_ == Dedup.MinhashP)))
   }
 
   test("minhash semi-filter: broadcast in the common regime, skipped when candidates exceed the bound — identical pairs") {
