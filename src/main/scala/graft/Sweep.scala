@@ -561,16 +561,13 @@ object Sweep {
         .repartition(parts).persist()
     }
 
-    // per-round marginal shuffle bytes of PageRank on a given graph:
+    // per-round marginal shuffle bytes of an iterative graph op:
     // (bytes at 5 rounds - bytes at 1 round) / 4 cancels the one-time
     // adjacency build + node-relation shuffles that dominate round 1
-    def prRoundShuffle(edges: org.apache.spark.sql.DataFrame): Long = {
-      val (_, b1) = shuffleBytesDuring {
-        PropertyGraph.pageRank(edges, iterations = 1).count()
-      }
-      val (_, b5) = shuffleBytesDuring {
-        PropertyGraph.pageRank(edges, iterations = 5).count()
-      }
+    def marginalRoundShuffle(edges: org.apache.spark.sql.DataFrame,
+        algo: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Long = {
+      val (_, b1) = shuffleBytesDuring { algo(edges, 1).count() }
+      val (_, b5) = shuffleBytesDuring { algo(edges, 5).count() }
       math.max(0L, (b5 - b1) / 4)
     }
 
@@ -614,14 +611,28 @@ object Sweep {
         PropertyGraph.triangleCounts(edges).count()
       }
       require(triRows == nNodes, s"triangles emitted $triRows of $nNodes nodes")
-      val roundMb = prRoundShuffle(edges) / 1e6
+      // HITS: the single most expensive bench query and the only iterative
+      // graph op whose fused half-round plan had no scale rung (r13
+      // verdict #6) — hub+auth vectors shuffle per half-round, so its
+      // marginal round traffic should read ~2x PageRank's, never
+      // edge-sized
+      val (hitsS, hitsRows) = timed {
+        PropertyGraph.hits(edges, iterations = 5).count()
+      }
+      require(hitsRows == nNodes, s"HITS emitted $hitsRows of $nNodes nodes")
+      val roundMb = marginalRoundShuffle(edges,
+        (e, it) => PropertyGraph.pageRank(e, iterations = it)) / 1e6
+      val hitsRoundMb = marginalRoundShuffle(edges,
+        (e, it) => PropertyGraph.hits(e, iterations = it)) / 1e6
       edges.unpersist(blocking = true)
       s""""$m":{"nodes":$nNodes,"edges":$mActual,""" +
         s""""pagerank_s":${f"$prS%.3f"},"pagerank_edges_per_s":${(mActual / prS).toLong},""" +
         s""""cc_s":${f"$ccS%.3f"},"cc_edges_per_s":${(mActual / ccS).toLong},"cc_components":$ccComps,""" +
         s""""lp_s":${f"$lpS%.3f"},"lp_edges_per_s":${(mActual / lpS).toLong},""" +
         s""""tri_s":${f"$triS%.3f"},"tri_edges_per_s":${(mActual / triS).toLong},""" +
-        s""""pr_round_shuffle_mb":${f"$roundMb%.2f"},"floor_ms":${f"$floorMs%.2f"}}"""
+        s""""hits_s":${f"$hitsS%.3f"},"hits_edges_per_s":${(mActual / hitsS).toLong},""" +
+        s""""pr_round_shuffle_mb":${f"$roundMb%.2f"},""" +
+        s""""hits_round_shuffle_mb":${f"$hitsRoundMb%.2f"},"floor_ms":${f"$floorMs%.2f"}}"""
     }
     // node-sized-shuffle proof, two halves:
     //  (1) growth: 10x the edges over the SAME node set must NOT 10x the
@@ -636,28 +647,40 @@ object Sweep {
     val (smallE, bigE) = (syntheticGraph(1000000L, 100000L),
       syntheticGraph(10000000L, 100000L))
     smallE.count(); bigE.count()
-    val (roundSmall, roundBig) = (prRoundShuffle(smallE), prRoundShuffle(bigE))
+    // checked per ALGO: PageRank shuffles one rank vector per round
+    // (bound: parts x nodes x 128 B); HITS shuffles hub AND auth vectors
+    // per round (two half-rounds — bound doubled accordingly)
+    def nodeSizedProof(name: String, bytesPerRow: Long,
+        algo: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): (Long, Long, Boolean) = {
+      val (roundSmall, roundBig) =
+        (marginalRoundShuffle(smallE, algo), marginalRoundShuffle(bigE, algo))
+      val absBound = cpus.toLong * 100000L * bytesPerRow
+      // if the small-graph measurement degenerated to 0 (listener events
+      // lost inside the settle deadline, or b5 <= b1 under noise — both
+      // clamped by max(0,_)), the growth ratio is meaningless: fall back
+      // to the absolute bound alone (the bound that holds at ANY edge
+      // count) rather than aborting the sweep with an edge-sized verdict
+      val nodeSized =
+        if (roundSmall == 0L) roundBig <= absBound
+        else roundBig <= roundSmall * 5 && roundBig <= absBound
+      require(nodeSized,
+        if (roundSmall == 0L)
+          s"$name per-round shuffle probe: 1M-edge measurement read 0 B " +
+            s"(listener measurement failed) and the 10M-edge run $roundBig B " +
+            s"exceeds the absolute node-sized bound $absBound B"
+        else
+          s"$name per-round shuffle $roundBig B " +
+            s"(${roundBig.toDouble / roundSmall}x the 1M-edge run, " +
+            s"abs bound $absBound B) — edge-sized, not node-sized")
+      (roundSmall, roundBig, nodeSized)
+    }
+    val (prSmall, prBig, prNodeSized) = nodeSizedProof("PageRank", 128L,
+      (e, it) => PropertyGraph.pageRank(e, iterations = it))
+    val (hSmall, hBig, hNodeSized) = nodeSizedProof("HITS", 256L,
+      (e, it) => PropertyGraph.hits(e, iterations = it))
     smallE.unpersist(blocking = true); bigE.unpersist(blocking = true)
-    val absBound = cpus.toLong * 100000L * 128L
-    // if the small-graph measurement degenerated to 0 (listener events
-    // lost inside the settle deadline, or b5 <= b1 under noise — both
-    // clamped by max(0,_)), the growth ratio is meaningless: fall back to
-    // the absolute bound alone (the bound that holds at ANY edge count)
-    // rather than aborting the sweep with an edge-sized verdict
-    val nodeSized =
-      if (roundSmall == 0L) roundBig <= absBound
-      else roundBig <= roundSmall * 5 && roundBig <= absBound
-    require(nodeSized,
-      if (roundSmall == 0L)
-        s"PageRank per-round shuffle probe: 1M-edge measurement read 0 B " +
-          s"(listener measurement failed) and the 10M-edge run $roundBig B " +
-          s"exceeds the absolute node-sized bound $absBound B"
-      else
-        s"PageRank per-round shuffle $roundBig B " +
-          s"(${roundBig.toDouble / roundSmall}x the 1M-edge run, " +
-          s"abs bound $absBound B) — edge-sized, not node-sized")
 
-    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")},"graph_shapes":${graphEntries.mkString("{", ",", "}")},"graph_shuffle_node_sized":$nodeSized,"pr_round_shuffle_bytes_1m_edges":$roundSmall,"pr_round_shuffle_bytes_10m_edges_same_nodes":$roundBig}""")
+    println(s"""{"metric":"sweep","dim":$Dim,"batch":$BatchQ,"k":$K,"cpus":$cpus,"shapes":${entries.mkString("{", ",", "}")},"text_shapes":${textEntries.mkString("{", ",", "}")},"graph_shapes":${graphEntries.mkString("{", ",", "}")},"graph_shuffle_node_sized":${prNodeSized && hNodeSized},"pr_round_shuffle_bytes_1m_edges":$prSmall,"pr_round_shuffle_bytes_10m_edges_same_nodes":$prBig,"hits_round_shuffle_bytes_1m_edges":$hSmall,"hits_round_shuffle_bytes_10m_edges_same_nodes":$hBig}""")
     spark.stop()
   }
 }
