@@ -452,17 +452,37 @@ object PropertyGraph {
       var itersRun = 0
       var converged = false
       for (i <- 1 to iterations if !converged) {
-        val inflow = adj
+        // Zero-fill by UNION, not join (r14, guide §2.4): a per-node 0.0
+        // row rides the round's one dst-keyed exchange and the aggregate
+        // replaces the old `nodes LEFT JOIN inflow` + coalesce — one whole
+        // join (and its broadcast/shuffle stage) gone from every round.
+        // Bit-identical: contributions are positive finite doubles, and
+        // x + 0.0 == x for them, so inserting a 0.0 term leaves every
+        // partial sum unchanged; a node with no inflow sums to exactly
+        // the 0.0 the coalesce produced. The dangling flag rides the
+        // zero row (exactly one per node); contributions carry null, so
+        // max() recovers the flag deterministically.
+        val contribs = adj
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
           .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
-          .groupBy("id").agg(sum(col("_c")).as("_inflow"))
-        val contrib = coalesce(col("_inflow"), lit(0.0))
+        val zeros = nodes.select(
+          col("id") +: lit(0.0).as("_c") +:
+            (if (redistributeDangling) Seq(col("_dangling")) else Nil): _*)
+        val unioned =
+          if (redistributeDangling)
+            contribs.withColumn("_dangling", lit(null).cast("boolean"))
+              .unionByName(zeros)
+          else contribs.unionByName(zeros)
+        val aggCols = sum(col("_c")).as("_inflow") +:
+          (if (redistributeDangling) Seq(max(col("_dangling")).as("_dangling")) else Nil)
+        val inflow = unioned.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
         val spread =
-          if (redistributeDangling) contrib + lit(dm) / lit(n) else contrib
+          if (redistributeDangling) col("_inflow") + lit(dm) / lit(n)
+          else col("_inflow")
         val outCols = col("id") +:
           (teleport + lit(damping) * spread).as("rank") +:
           (if (redistributeDangling) Seq(col("_dangling")) else Nil)
-        var next = nodes.join(inflow, Seq("id"), "left").select(outCols: _*)
+        var next = inflow.select(outCols: _*)
         val obs =
           if (redistributeDangling) {
             val o = org.apache.spark.sql.Observation(s"pr_dangling_$i")
@@ -526,14 +546,20 @@ object PropertyGraph {
       val seed = when(col("_src"), lit(1.0) / lit(nSrc.toDouble)).otherwise(lit(0.0))
       var ranks = nodes.withColumn("rank", seed)
       for (i <- 1 to iterations) {
+        // union zero-fill, not a join — the pageRank r14 rewrite: the
+        // per-node 0.0 row rides the dst-keyed exchange, max() recovers
+        // the _src flag from the zero row (contributions carry null)
         val inflow = adj
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
-          .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"))
-          .groupBy("id").agg(sum(col("_c")).as("_inflow"))
-        var next = nodes.join(inflow, Seq("id"), "left")
+          .select(col("dst").as("id"), (col("rank") / col("_outdeg")).as("_c"),
+            lit(null).cast("boolean").as("_src"))
+          .unionByName(nodes.select(col("id"), lit(0.0).as("_c"), col("_src")))
+          .groupBy("id").agg(sum(col("_c")).as("_inflow"),
+            max(col("_src")).as("_src"))
+        var next = inflow
           .select(col("id"), col("_src"),
             (when(col("_src"), teleport).otherwise(lit(0.0)) +
-              lit(damping) * coalesce(col("_inflow"), lit(0.0))).as("rank"))
+              lit(damping) * col("_inflow")).as("rank"))
         if (i % checkpointInterval == 0 || i == iterations)
           next = next.localCheckpoint(eager = true)
         ranks = next
@@ -581,12 +607,19 @@ object PropertyGraph {
       // the checkpointed rows (the division never re-runs the gather)
       def halfRound(scores: DataFrame, keyIn: String, keyOut: String,
                     layout: DataFrame, tag: String): DataFrame = {
+        // zero-fill by UNION into the gather's own aggregate (r14, guide
+        // §2.4): the old `nodes LEFT JOIN raw` + coalesce cost a second
+        // join stage per half-round; a per-node 0.0 row in the same
+        // dst-keyed exchange is bit-identical (x + 0.0 == x for the
+        // positive finite gathered scores) and the observed sum is
+        // unchanged (zeros add +0.0)
         val raw = layout
           .join(scores.select(col("id").as(keyIn), col("score")), keyIn)
-          .groupBy(col(keyOut).as("id")).agg(sum(col("score")).as("_raw"))
+          .select(col(keyOut).as("id"), col("score").as("_c"))
+          .unionByName(nodes.select(col("id"), lit(0.0).as("_c")))
+          .groupBy("id").agg(sum(col("_c")).as("_raw"))
         val o = org.apache.spark.sql.Observation(tag)
-        val mat = nodes.join(raw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+        val mat = raw
           .observe(o, sum(col("_raw")).as("s"))
           .localCheckpoint(eager = true)
         val s = o.get("s").asInstanceOf[Double]
@@ -602,14 +635,17 @@ object PropertyGraph {
       // the emitted (auth, hub) pair keeps the half-round arithmetic
       // bit-for-bit.
       def fusedRound(scores: DataFrame, tag: String): DataFrame = {
+        // same union zero-fill as halfRound on the hub gather; the fused
+        // intermediate auth vector still needs no zero-fill at all
         val rawA = bySrc
           .join(scores.select(col("id").as("src"), col("score")), "src")
           .groupBy(col("dst")).agg(sum(col("score")).as("score"))
         val rawH = byDst.join(rawA, "dst")
-          .groupBy(col("src").as("id")).agg(sum(col("score")).as("_raw"))
+          .select(col("src").as("id"), col("score").as("_c"))
+          .unionByName(nodes.select(col("id"), lit(0.0).as("_c")))
+          .groupBy("id").agg(sum(col("_c")).as("_raw"))
         val o = org.apache.spark.sql.Observation(tag)
-        val mat = nodes.join(rawH, Seq("id"), "left")
-          .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+        val mat = rawH
           .observe(o, sum(col("_raw")).as("s"))
           .localCheckpoint(eager = true)
         val s = o.get("s").asInstanceOf[Double]
@@ -821,16 +857,25 @@ object PropertyGraph {
     try {
       var labels = nodes.withColumn("label", col("id"))
       for (i <- 1 to iterations) {
-        val winner = und
+        // keep-old-label fallback by UNION, not a join (r14, guide §2.4):
+        // each node contributes its own current label with vote weight 0
+        // into the same (id, label)-keyed exchange the real votes ride.
+        // A weight-0 candidate loses `min(struct(-count, label))` to any
+        // real vote (every real count >= 1 > 0), coincides harmlessly
+        // (+0) when the old label was also voted, and wins exactly when
+        // the node received no votes — the old LEFT JOIN + coalesce
+        // semantics, minus one whole join per round. (On this operator's
+        // symmetrized multigraph every node in fact receives >= 1 vote;
+        // the fallback row preserves strict semantic parity for free.)
+        val votes = und
           .join(labels.select(col("id").as("src"), col("label")), "src")
-          .groupBy(col("dst").as("id"), col("label"))
-          .agg(count(lit(1)).as("_c"))
+          .select(col("dst").as("id"), col("label"), lit(1L).as("_v"))
+          .unionByName(labels.select(col("id"), col("label"), lit(0L).as("_v")))
+        var next = votes
+          .groupBy("id", "label").agg(sum(col("_v")).as("_c"))
           .groupBy("id")
           .agg(min(struct((-col("_c")).as("n"), col("label").as("l"))).as("_w"))
-          .select(col("id"), col("_w.l").as("_new"))
-        var next = labels.select(col("id"), col("label"))
-          .join(winner, Seq("id"), "left")
-          .select(col("id"), coalesce(col("_new"), col("label")).as("label"))
+          .select(col("id"), col("_w.l").as("label"))
         if (i % checkpointInterval == 0 || i == iterations)
           next = next.localCheckpoint(eager = true)
         labels = next
