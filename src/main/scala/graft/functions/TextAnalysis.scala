@@ -72,8 +72,18 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1] from length, punctuation ratio,
     * stopword ratio, mean word length — the standard cheap pre-filter for
-    * corpus curation. Deterministic column algebra. */
-  def qualityScore(textCol: Column): Column = {
+    * corpus curation. r14: ONE per-row kernel ([[QualityScoreExpr]])
+    * replacing three regex passes + three interpreted higher-order
+    * lambdas per row; bit-identical to the column-algebra form
+    * ([[qualityScoreLegacy]], kept for the differential spec), with the
+    * same trailing round(…, 6). */
+  def qualityScore(textCol: Column): Column =
+    round(Bridge.column(QualityScoreExpr(Bridge.expression(textCol))), 6)
+
+  /** Pre-r14 column-algebra body of [[qualityScore]] — retained ONLY as
+    * the differential-test oracle for the kernel (QualityKernelSpec
+    * asserts bitwise equality over the corpus and edge cases). */
+  private[graft] def qualityScoreLegacy(textCol: Column): Column = {
     val nChars = length(textCol).cast("double")
     val toks = tokens(textCol)
     val nToks = size(toks).cast("double")
