@@ -397,14 +397,27 @@ object Dedup {
     * Single-pass shape: the shingle self-join IS the intersection count
     * (group the collisions by pair), so no candidate materialization and
     * no second pass over the shingle sets — one shuffle keyed by shingle,
-    * one keyed by pair. */
+    * one keyed by pair.
+    *
+    * r14 (guide §2.3 "shuffle keys, not payloads" + §1.2 per-task work):
+    * the join key is the 8-byte [[TextAnalysis.tokenNgramKeys64]] window
+    * hash, not the ~25 B shingle STRING — no n-gram string is ever built
+    * (the r13 profiles showed the text rungs CPU-bound on exactly that
+    * concat+hash) and the self-join shuffles a long instead of a string.
+    * Same key domain as [[minhashLsh]]'s verification: a 64-bit collision
+    * (~2^-64 per window pair) can only nudge one intersection count; the
+    * q31/q71 oracles verify at string level, so agreement is collision-
+    * modulo by design, like q29/q94. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN).persist()
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(TextAnalysis.tokenNgramKeys64(
+          TextAnalysis.tokens(col(textCol)), shingleN))).as("h64"))
+      .persist()
     try {
       val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.select(col("doc").as("id_a"), col("shingle"))
-        .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("shingle"))
+      val inter = sh.select(col("doc").as("id_a"), col("h64"))
+        .join(sh.select(col("doc").as("id_b"), col("h64")), Seq("h64"))
         .where(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
       val out = inter
@@ -802,14 +815,27 @@ object Dedup {
     * DISTINCT n-grams that occur in at least one OTHER document (Lee'22
     * drop rules act on exactly this number: a doc that is mostly
     * duplicated elsewhere goes, one with an incidental shared quote
-    * stays). Set semantics at the md5-gram level, so every engine
-    * computing the same hashes agrees end to end. Two shuffles: the
-    * gram-keyed count, and the doc-keyed fraction — no pairwise work
-    * anywhere. Docs with fewer than n tokens have no n-grams and are
-    * absent from the output. */
+    * stays). Two shuffles: the gram-keyed count, and the doc-keyed
+    * fraction — no pairwise work anywhere. Docs with fewer than n tokens
+    * have no n-grams and are absent from the output.
+    *
+    * r14 key domain (guide §1.2/§2.3, the q94/q29 stance): grams are
+    * keyed by the 8-byte [[TextAnalysis.tokenNgramKeys64]] window hash —
+    * no n-gram STRING is built and no per-element md5 lambda runs (the
+    * md5-32 form was the q107 CPU bound: string build + md5 per gram in
+    * an interpreted transform). Set semantics therefore sit at the
+    * 64-bit-hash level (collision odds ~2^-64 per gram pair vs the old
+    * md5-32's 2^-32, where ~100 real collisions existed corpus-wide at
+    * sf0.1); the q107 oracle counts distinct gram STRINGS in lockstep —
+    * agreement is collision-modulo by design, and strictly tighter than
+    * before. */
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5): DataFrame = {
-    val sh = hashedShingleSets(docs, idCol, textCol, n)
+    val sh = docs.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.tokenNgramKeys64(
+          TextAnalysis.tokens(col(textCol)), n)).as("_hs"))
+      .select(col("doc"), size(col("_hs")).cast("long").as("n_sh"),
+        explode(col("_hs")).as("h"))
     val counts = sh.groupBy("h").agg(count(lit(1)).as("_nd"))
     sh.join(counts, "h")
       .groupBy(col("doc"), col("n_sh"))
@@ -1125,13 +1151,9 @@ object Dedup {
       f("n_docs"))
   }
 
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("shingle"))
-
-  /** [[shingleSets]] plus the doc's distinct-shingle count as a per-row
-    * column (sized before the explode — no shuffle to learn set sizes). */
+  /** Exploded distinct string shingles plus the doc's distinct-shingle
+    * count as a per-row column (sized before the explode — no shuffle to
+    * learn set sizes). */
   private def shingleSetsWithSize(docs: DataFrame, idCol: String, textCol: String,
                                   shingleN: Int, nCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),

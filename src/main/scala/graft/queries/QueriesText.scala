@@ -1808,18 +1808,21 @@ object QueriesText {
         |             THEN a.n_matched * 1.0 / a.n_shingles ELSE 0.0 END, 6) AS overlap_frac
         |FROM evaldocs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // r14: set semantics at STRING level, moved in lockstep with the
+    // engine's md5-32 -> xxhash64-window key switch (the engine's 64-bit
+    // domain is collision-equivalent to strings at ~2^-64/pair; the old
+    // md5-32 domain genuinely differed — ~100 colliding gram pairs
+    // existed at sf0.1 and both sides reproduced them by construction)
     "q107_dup_fraction" ->
       s"""WITH $nearDupCorpusSql,
          |$tokCte,
          |$shingleCte,
-         |hh AS (SELECT DISTINCT doc_id,
-         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
-         |       FROM sh),
-         |cnt AS (SELECT h, count(*) AS nd FROM hh GROUP BY h),
+         |hh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |cnt AS (SELECT shingle, count(*) AS nd FROM hh GROUP BY shingle),
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
          |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-         |  FROM hh JOIN cnt USING (h) GROUP BY doc_id)
+         |  FROM hh JOIN cnt USING (shingle) GROUP BY doc_id)
          |SELECT doc_id, n_ngrams, n_dup,
          |       round(n_dup * 1.0 / n_ngrams, 6) AS dup_frac
          |FROM agg""".stripMargin,
