@@ -152,6 +152,23 @@ object Pipeline {
     // the thread-local scope captures only what this prepare() drove
     val ((finalDf, finalStages), hbScoped) = Dedup.withHotBucketScope {
     val obs = scala.collection.mutable.ArrayBuffer[(String, Observation)]()
+    // Materialize the survivor stream before every TWO-PASS stage (one
+    // that derives a gate relation FROM `cur` and then applies it back:
+    // url dedup, classifier/LM gates, adaptive percentile, boilerplate
+    // strip, near-dedup, decontamination). Without this each such stage
+    // duplicates the whole upstream plan — k chained gates re-execute
+    // the input scan and every earlier stage O(k^2) times (q139's single
+    // plan carried 75 broadcast joins / 49 exchanges of which ~10 were
+    // de-duplicated by exchange reuse; guide §3.3 "materialising an
+    // intermediate truncates the plan"). persist() is lazy — single-pass
+    // pipelines (q104's lang/quality/dedup/mixture/shard chain) never
+    // cache anything — and MEMORY_AND_DISK spills rather than OOMs at
+    // scale; the blocks are released by the ContextCleaner when the
+    // result frame is dropped, like every other operator-internal
+    // persist. Caching beats recompute here BECAUSE the upstream is a
+    // whole curation chain, not a bare scan — the dupNgramSpans
+    // re-scan-don't-persist argument does not transfer.
+    def twoPassInput(df: DataFrame): DataFrame = df.persist()
     def checkpoint(df: DataFrame, stage: String): DataFrame =
       if (!audit) df
       else {
@@ -167,6 +184,7 @@ object Pipeline {
     var cur = checkpoint(docs.where(col(textCol).isNotNull), "input")
 
     spec.urlDedupCol.foreach { u =>
+      cur = twoPassInput(cur)
       val keep = Dedup
         .dedupByUrl(cur.select(col(idCol), col(u), col(textCol)), u, idCol, textCol)
         .select(col(idCol))
@@ -189,6 +207,7 @@ object Pipeline {
         "quality")
 
     spec.qualityModel.foreach { m =>
+      cur = twoPassInput(cur)
       // compared ROUNDED to 1e-6, the minQuality stance: a float ulp at
       // the threshold can never flip membership between engines/replays
       val passing = QualityClassifier
@@ -199,6 +218,7 @@ object Pipeline {
     }
 
     spec.lmModel.foreach { lm =>
+      cur = twoPassInput(cur)
       val passing = NgramLm
         .crossEntropy(cur.select(col(idCol), col(textCol)), lm, idCol, textCol)
         .where(round(col("ppl"), 6) <= spec.maxPerplexity)
@@ -207,6 +227,7 @@ object Pipeline {
     }
 
     spec.adaptiveQualityKeep.foreach { keep =>
+      cur = twoPassInput(cur)
       val scored = cur.withColumn("_q",
         round(TextAnalysis.qualityScore(col(textCol)), 6))
       cur = checkpoint(
@@ -224,6 +245,7 @@ object Pipeline {
       cur = cur.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     spec.stripBoilerplateMinDocs.foreach { m =>
+      cur = twoPassInput(cur)
       val cleaned = Dedup
         .stripBoilerplate(cur.select(col(idCol), col(textCol)), idCol, textCol, m)
         .withColumnRenamed(textCol, "_cleaned")
@@ -251,6 +273,7 @@ object Pipeline {
             spec.nearDupThreshold.getOrElse(0.5)), "near_dedup_index")
       case None =>
         spec.nearDupThreshold.foreach { t =>
+          cur = twoPassInput(cur)
           val clusters = Dedup.duplicateClusters(
             Dedup.minhashLsh(cur, idCol, textCol, threshold = t))
           cur = checkpoint(
@@ -259,6 +282,7 @@ object Pipeline {
     }
 
     spec.decontaminateAgainst.foreach { eval =>
+      cur = twoPassInput(cur)
       val contaminated = Dedup.decontaminate(
           cur.select(col(idCol), col(textCol)), eval, idCol, textCol)
         .select(col("train_id").as(idCol)).distinct()
