@@ -703,14 +703,18 @@ object Dedup {
   def contaminationOverlap(train: DataFrame, evalDocs: DataFrame,
                            idCol: String, textCol: String,
                            shingleN: Int = 3): DataFrame = {
+    // r14: 8-byte window-hash keys, no shingle strings (the ngramJaccard
+    // key-domain move; the q78 oracle stays at string level, agreement
+    // collision-modulo ~2^-64)
     val trainSh = train
-      .select(explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(explode(array_distinct(TextAnalysis.tokenNgramKeys64(
+        TextAnalysis.tokens(col(textCol)), shingleN))).as("h64"))
       .distinct()
       .withColumn("_hit", lit(1))
     val evalSh = evalDocs
-      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
-      .distinct()
-    val agg = evalSh.join(trainSh, Seq("shingle"), "left")
+      .select(col(idCol), explode(array_distinct(TextAnalysis.tokenNgramKeys64(
+        TextAnalysis.tokens(col(textCol)), shingleN))).as("h64"))
+    val agg = evalSh.join(trainSh, Seq("h64"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("_hit"), lit(0))).as("n_matched"))
@@ -850,12 +854,16 @@ object Dedup {
                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     // per-doc shingle counts are computed BEFORE exploding (size of the
     // distinct-shingle array, a per-row expression) so neither corpus is
-    // ever shuffled to learn its own set size
-    val shT = shingleSetsWithSize(train, idCol, textCol, shingleN, "n_t")
-    val shE = shingleSetsWithSize(evalDocs, idCol, textCol, shingleN, "n_e")
+    // ever shuffled to learn its own set size. r14: sets are keyed by the
+    // 8-byte tokenNgramKeys64 window hash — the billions-of-docs train
+    // side never builds an n-gram string, and the broadcast probe hashes
+    // longs (the ngramJaccard key-domain move; q65/q93 oracles verify at
+    // string level, agreement collision-modulo ~2^-64)
+    val shT = shingleKeySetsWithSize(train, idCol, textCol, shingleN, "n_t")
+    val shE = shingleKeySetsWithSize(evalDocs, idCol, textCol, shingleN, "n_e")
     shT
-      .join(broadcast(shE.select(col("doc").as("eval_id"), col("n_e"), col("shingle"))),
-        Seq("shingle"))
+      .join(broadcast(shE.select(col("doc").as("eval_id"), col("n_e"), col("h64"))),
+        Seq("h64"))
       .groupBy(col("doc").as("train_id"), col("eval_id"), col("n_t"), col("n_e"))
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
@@ -1150,6 +1158,17 @@ object Dedup {
       f("shingle_n").toInt, f("band_buckets").toInt, f("doc_buckets").toInt,
       f("n_docs"))
   }
+
+  /** [[shingleSetsWithSize]]'s 64-bit-key twin: (doc, nCol, h64) with h64
+    * the [[TextAnalysis.tokenNgramKeys64]] window hash — no n-gram string
+    * is ever built; set semantics at the 64-bit-hash level. */
+  private def shingleKeySetsWithSize(docs: DataFrame, idCol: String,
+                                     textCol: String, shingleN: Int,
+                                     nCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(TextAnalysis.tokenNgramKeys64(
+          TextAnalysis.tokens(col(textCol)), shingleN)).as("_hs"))
+      .select(col("doc"), size(col("_hs")).as(nCol), explode(col("_hs")).as("h64"))
 
   /** Exploded distinct string shingles plus the doc's distinct-shingle
     * count as a per-row column (sized before the explode — no shuffle to
