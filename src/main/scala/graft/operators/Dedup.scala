@@ -538,10 +538,17 @@ object Dedup {
       val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val largeMin = nbrs.groupBy("u").agg(min("v").as("_m"))
         .select(col("u"), least(col("u"), col("_m")).as("_m"))
+      // NO mid-round distinct (r14, guide §2.4): `large` holds exactly one
+      // row per undirected edge (nbrs carries each edge in both
+      // orientations and v > u keeps one), so the join cannot fan out, the
+      // small-star min is unchanged by duplicate (u,v) targets, and the
+      // round's OWN trailing distinct dedups the output — the old distinct
+      // here bought nothing but a full (u,v)-keyed exchange. Bonus: large
+      // now flows from the largeMin join partitioned by the same key its
+      // groupBy and the small-star join need.
       val large = nbrs.join(largeMin, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
-        .distinct()
       // small-star input edges all have u > v, so min(N(u) ∪ {u}) = min(v)
       val smallMin = large.groupBy("u").agg(min("v").as("_m"))
       large.join(smallMin, "u")
