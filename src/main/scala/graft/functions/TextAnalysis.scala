@@ -198,9 +198,14 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
-  /** Gopher duplicate-trigram fraction as a per-row expression. */
+  /** Gopher duplicate-trigram fraction as a per-row expression. r14: the
+    * distinct/total ratio is computed over [[tokenNgramKeys64]] window
+    * hashes — no trigram string is built per window, no per-element
+    * lambda; counts (hence the double ratio) identical to the string form
+    * modulo ~2^-64 key collisions (the q74 oracle stays at string level,
+    * the ngramJaccard stance). */
   def dupTrigramFrac(textCol: Column): Column = {
-    val tri = shingles(textCol, 3)
+    val tri = tokenNgramKeys64(tokens(textCol), 3)
     when(size(tri) > 0,
       lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
       .otherwise(0.0)

@@ -25,9 +25,11 @@ object QueriesVector {
     * per JVM like q64's layout (the index build is ingest-time work; the
     * queries measure steady-state search). Never unpersisted: ~30 MB at
     * sf0.1, released with the JVM. */
-  /** q103's near-dup blocking model, fit once per sf dir (lossless under
-    * any centroids — see Dedup.trainNearDupModel). */
-  private val nearDupModelCache =
+  /** q103's/q56's near-dup blocking model, fit once per sf dir (lossless
+    * under any centroids — see Dedup.trainNearDupModel; r14 shares it
+    * with q56, whose per-call KMeans refit produced the identical model
+    * from the identical (corpus, trainFraction=0.5, seed) inputs). */
+  private[queries] val nearDupModelCache =
     scala.collection.mutable.Map.empty[String, Ann.IvfModel]
 
   private val packedCache =
