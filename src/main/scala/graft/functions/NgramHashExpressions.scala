@@ -164,6 +164,85 @@ private[graft] abstract class TokenArrayKernel extends UnaryExpression {
     })
 }
 
+/** First 60 md5 bits as a long — [[TextAnalysis.md5Hash60]]'s
+  * `conv(substr(md5(x), 1, 15), 16, 10)` without materializing the 32-char
+  * hex string: 15 hex nibbles = bytes 0–6 big-endian, then the high nibble
+  * of byte 7. */
+private[graft] object Md5Kernels {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hash60(s: UTF8String): Long = {
+    val dg = md5.get(); dg.reset()
+    val d = dg.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+}
+
+/** `long` md5-32 of a string — identical to the
+  * `conv(substring(md5(cast binary), 1, 8), 16, 10)` Catalyst chain it
+  * replaces (r14: the chain built a 32-char hex string and parsed 8 chars
+  * back per value; the kernel reads 4 digest bytes). The md5 DOMAIN is
+  * oracle-load-bearing (q95/q98 replay it in SQL) — only the computation
+  * route changed. */
+case class Md5Hash32Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_hash32"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires STRING, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NgramHashKernels.md5Hash32(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("kernel", this, getClass.getName)
+      s"${ev.value} = (Long) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `long` md5-60 twin of [[Md5Hash32Expr]] (the simhash sketch domain). */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_hash60"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires STRING, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Kernels.md5Hash60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("kernel", this, getClass.getName)
+      s"${ev.value} = (Long) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `array<long>` of [[NgramHashKernels.ngramKeys64]] window keys. */
 case class TokenNgramKeys64(child: Expression, n: Int) extends TokenArrayKernel {
   require(n >= 1, s"n-gram order must be >= 1: $n")

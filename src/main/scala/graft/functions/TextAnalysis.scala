@@ -263,13 +263,16 @@ object TextAnalysis {
 
   /** 32-bit integer hash of a string via md5 prefix — chosen (over
     * xxhash/murmur) because every SQL engine in the oracle loop computes
-    * the identical value: parse the first 8 hex chars as a long. */
+    * the identical value: parse the first 8 hex chars as a long. r14: a
+    * direct kernel ([[Md5Hash32Expr]]) — value-identical, but no 32-char
+    * hex string is materialized and re-parsed per call. */
   def md5Hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    Bridge.column(Md5Hash32Expr(Bridge.expression(c)))
 
-  /** 60-bit hash (15 hex chars — keeps the value inside a signed int64). */
+  /** 60-bit hash (15 hex chars — keeps the value inside a signed int64);
+    * same kernel treatment ([[Md5Hash60Expr]]). */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    Bridge.column(Md5Hash60Expr(Bridge.expression(c)))
 
   /** Register the curation scalar surface as SQL functions on a LIVE
     * session (the [[vector.registerSql]] twin; GraftExtensions registers

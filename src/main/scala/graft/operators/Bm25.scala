@@ -50,7 +50,17 @@ object Bm25 {
   }
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val (postings, docLengths) = tokenizeDocs(docs, idCol, textCol)
+    val (postings0, docLengths0) = tokenizeDocs(docs, idCol, textCol)
+    // r14: an in-memory Index IS an index — persist the two slim relations
+    // (the reference's BM25Index likewise holds them in memory,
+    // hybrid_search.py:63-65). Unpersisted, every consumer re-ran the
+    // tokenize+explode pass: the stats row, score()'s df subquery, its
+    // postings join and the doc-length join each re-tokenized the corpus
+    // (4 passes per q22-shape query). Cached: one pass per relation.
+    // MEMORY_AND_DISK spills at scale; the persisted-sidecar path
+    // (saveIndex/loadIndex) remains the standing-corpus design.
+    val postings = postings0.persist()
+    val docLengths = docLengths0.persist()
     val stats = docLengths.agg(count(lit(1)), avg(col("doc_len"))).head()
     Index(postings, docLengths, stats.getLong(0),
       if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))

@@ -98,11 +98,24 @@ object NgramLm {
     * the context is unseen too). Docs with < 2 tokens are absent. */
   def crossEntropy(docs: DataFrame, lm: BigramLm,
                    idCol: String, textCol: String): DataFrame = {
+    // r14 (guide §2.3): the scored pair stream sheds its token STRINGS
+    // before the exchanges — both lookups join on xxhash64 keys (bigram
+    // and context), so the document side ships (id, 8 B, 8 B) per pair
+    // instead of two strings. The count tables keep string keys (they are
+    // what fit() aggregates and save() persists); only the join key is
+    // hashed, on both sides. A 64-bit collision (~2^-64 per distinct-pair
+    // pair) could only swap one smoothed count; the q134/q135/q139
+    // oracles verify at string level — collision-modulo agreement, the
+    // ngramJaccard stance.
     val prs = pairCols(docs, textCol, col(idCol))
+      .select(col(idCol), xxhash64(col("w1"), col("w2")).as("_hb"),
+        xxhash64(col("w1")).as("_hc"))
+    val big = lm.bigrams.select(xxhash64(col("w1"), col("w2")).as("_hb"), col("cb"))
+    val ctx = lm.contexts.select(xxhash64(col("w1")).as("_hc"), col("cc"))
     val denom = lit(lm.alpha) * lit(lm.vocabSize.toDouble)
     prs
-      .join(lm.bigrams, Seq("w1", "w2"), "left")
-      .join(lm.contexts, Seq("w1"), "left")
+      .join(big, Seq("_hb"), "left")
+      .join(ctx, Seq("_hc"), "left")
       .select(col(idCol),
         log((coalesce(col("cb"), lit(0L)) + lit(lm.alpha)) /
           (coalesce(col("cc"), lit(0L)) + denom)).as("_lp"))

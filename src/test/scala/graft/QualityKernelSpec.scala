@@ -38,4 +38,21 @@ class QualityKernelSpec extends SparkSpec {
     assert(bad === 0L, "kernel diverged from the legacy column algebra")
     assert(both.count() > 100)
   }
+
+  test("md5Hash32/60 kernels == the conv(substring(md5)) chains, bitwise") {
+    import spark.implicits._
+    val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(graft.operators.Bm25.tokenize(col("text"))).as("t"))
+      .limit(20000)
+      .unionByName(Seq("", "a", "naïve", "中文", "𝕏😀").toDF("t"))
+    val cmp = toks.select(
+      TextAnalysis.md5Hash32(col("t")).as("k32"),
+      conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("l32"),
+      TextAnalysis.md5Hash60(col("t")).as("k60"),
+      conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("l60"))
+    assert(cmp.where(col("k32") =!= col("l32") || col("k60") =!= col("l60"))
+      .count() === 0L)
+  }
 }
